@@ -1,0 +1,152 @@
+"""Catalog: load the testdata star schema + event log, register temp views,
+and derive the ``temporal_records`` view — the engine's stand-in for the
+reference's append-only version log (reference: app/models.py:7-24).
+
+Spark mapping (SURVEY.md §1.4): columnar Parquet + explicit schema; the
+version chain (reference app/models.py:19, main.py:87) is *computed* with
+window functions rather than stored; timestamps are second-truncated at ingest
+(reference app/models.py:16, app/main.py:112).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from temporalvault_spark.session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def build_temporal_records(events: DataFrame) -> DataFrame:
+    """Derive the append-only version log from the raw event stream.
+
+    Mirrors the reference's write path semantics set-at-once instead of
+    row-at-a-time:
+      - ``record_id`` is the logical key (reference app/models.py:11)
+      - ``version`` = 'v{N}' assigned in per-key arrival order (app/main.py:82);
+        ordering uses (raw ts, event_id), never the lexical version string
+        ("v10" < "v2" pitfall — reference orders by ts, app/main.py:79)
+      - ``ts`` second-truncated by design (app/models.py:16)
+      - ``previous_version`` backward chain (app/models.py:19) via lag()
+    One window partitioned by key — a single shuffle on record_id; at 100 TB
+    this is the same shuffle any per-key operator needs, and downstream
+    window ops over record_id reuse the partitioning.
+    """
+    w = Window.partitionBy("record_id").orderBy("raw_ts", "id")
+    wv = Window.partitionBy("record_id").orderBy("version_num")
+    return (
+        events.select(
+            F.col("event_id").alias("id"),
+            F.col("user_id").cast("string").alias("record_id"),
+            F.col("props").alias("data"),
+            F.date_trunc("second", F.col("ts")).alias("ts"),
+            F.col("ts").alias("raw_ts"),
+        )
+        .withColumn("version_num", F.row_number().over(w))
+        .withColumn("version", F.concat(F.lit("v"), F.col("version_num").cast("string")))
+        .withColumn("previous_version", F.lag("version").over(wv))
+        .select("id", "record_id", "version", "data", "ts", "version_num", "previous_version")
+    )
+
+
+# The same derivation as ANSI SQL, runnable verbatim by DuckDB — used as the
+# CTE prefix of every temporal oracle query so Spark and the oracle see an
+# identical version log.
+TEMPORAL_CTES = """
+ev AS (
+  SELECT event_id AS id,
+         CAST(user_id AS STRING) AS record_id,
+         props AS data,
+         DATE_TRUNC('second', ts) AS ts,
+         ts AS raw_ts
+  FROM events
+),
+numbered AS (
+  SELECT id, record_id, data, ts,
+         ROW_NUMBER() OVER (PARTITION BY record_id ORDER BY raw_ts, id) AS version_num
+  FROM ev
+),
+temporal_records AS (
+  SELECT id, record_id,
+         CONCAT('v', CAST(version_num AS STRING)) AS version,
+         data, ts, version_num,
+         LAG(CONCAT('v', CAST(version_num AS STRING))) OVER (
+             PARTITION BY record_id ORDER BY version_num) AS previous_version
+  FROM numbered
+)
+"""
+
+
+def temporal_oracle(select_sql: str) -> str:
+    """Wrap an oracle SELECT with the temporal_records CTEs."""
+    return f"WITH {TEMPORAL_CTES} {select_sql}"
+
+
+class Catalog:
+    """Loads the ten parquet tables of one sf_dir and registers temp views.
+
+    Views registered: each base table under its own name, plus
+    ``temporal_records``. Registration is idempotent and lazy (metadata only);
+    scans happen at action time with predicate pushdown / column pruning.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        tune(spark)
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        self._register()
+
+    # Parquet TIMESTAMP(NANOS) columns (pandas writer default) are read as
+    # int64 nanos (spark.sql.legacy.parquet.nanosAsLong) and converted here.
+    _TS_COLS = {
+        "events": ("ts",),
+        "orders": ("o_orderdate",),
+        "lineitem": ("l_shipdate",),
+    }
+
+    def _register(self) -> None:
+        for name in TABLES:
+            df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            for c in self._TS_COLS.get(name, ()):
+                if dict(df.dtypes).get(c) in ("bigint", "long"):
+                    # integer DIV keeps full int64 precision (a double cast
+                    # would lose sub-ms precision at epoch-nanos magnitude)
+                    df = df.withColumn(
+                        c, F.expr(f"timestamp_micros({c} DIV 1000)")
+                    )
+            df.createOrReplaceTempView(name)
+        build_temporal_records(self.table("events")).createOrReplaceTempView(
+            "temporal_records"
+        )
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    @property
+    def temporal_records(self) -> DataFrame:
+        return self.spark.table("temporal_records")
+
+
+_CURRENT: dict[int, Catalog] = {}
+
+
+def load_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Cached per session; re-registers views whenever sf_dir changes (temp
+    view names are shared per session, so only one sf_dir is live at a time)."""
+    cat = _CURRENT.get(id(spark))
+    if cat is None or cat.sf_dir != sf_dir.rstrip("/"):
+        cat = Catalog(spark, sf_dir)
+        _CURRENT[id(spark)] = cat
+    return cat

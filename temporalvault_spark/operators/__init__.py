@@ -1,0 +1,6 @@
+"""Operator modules. Importing this package populates the registry."""
+
+from temporalvault_spark.operators import (  # noqa: F401
+    temporal,
+)
+from temporalvault_spark.registry import ORACLES, QUERIES  # noqa: F401

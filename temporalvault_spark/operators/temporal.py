@@ -1,0 +1,324 @@
+"""Temporal core operators — the reference's actual query surface
+(SURVEY.md §2.1), re-expressed as single declarative Spark plans.
+
+Reference cites are into /root/reference/app/. The reference delegates every
+one of these to PostgreSQL row-at-a-time (and rollback is an N+1 loop,
+main.py:191-224); here each is ONE distributed job: scan → pushed-down filter
+→ (at most) one shuffle on record_id → project.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from temporalvault_spark.catalog import load_catalog, temporal_oracle
+from temporalvault_spark.constants import (
+    PROBE_KEY,
+    PROBE_TS,
+    PROBE_TS_EARLY,
+    PROBE_TS_LATE,
+)
+from temporalvault_spark.registry import query
+
+
+def _tr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_catalog(spark, sf_dir).temporal_records
+
+
+# --- as-of reads -----------------------------------------------------------
+
+
+def asof_all_versions(tr: DataFrame, ts: str) -> DataFrame:
+    """All versions of all keys at or before ts, newest first — the faithful
+    /query semantic (main.py:127-129: no per-key dedup). The filter is pushed
+    to the parquet scan; the sort is presentation-only."""
+    return (
+        tr.filter(F.col("ts") <= F.lit(ts).cast("timestamp"))
+        .select("id", "record_id", "version", "data", "ts")
+        .orderBy(F.desc("ts"), F.desc("id"))
+    )
+
+
+def asof_latest_per_key(tr: DataFrame, ts: str) -> DataFrame:
+    """State of every key as of ts — latest version ≤ ts per key
+    (main.py:193-196 does this per-key in a loop; README.md:7 is the claim).
+    One window over record_id = one shuffle; Spark plans partial filtering
+    via WindowGroupLimit before the shuffle (rank<=1 pushdown)."""
+    w = Window.partitionBy("record_id").orderBy(F.desc("version_num"))
+    return (
+        tr.filter(F.col("ts") <= F.lit(ts).cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("record_id", "version", "data", "ts")
+    )
+
+
+@query(
+    "asof_all_versions",
+    temporal_oracle(
+        f"""SELECT id, record_id, version, data, ts
+        FROM temporal_records WHERE ts <= TIMESTAMP '{PROBE_TS}'"""
+    ),
+)
+def q_asof_all_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_all_versions(_tr(spark, sf_dir), PROBE_TS)
+
+
+@query(
+    "asof_latest_per_key",
+    temporal_oracle(
+        f"""SELECT record_id, version, data, ts FROM (
+          SELECT record_id, version, data, ts,
+                 ROW_NUMBER() OVER (PARTITION BY record_id ORDER BY version_num DESC) AS rn
+          FROM temporal_records WHERE ts <= TIMESTAMP '{PROBE_TS}'
+        ) t WHERE rn = 1"""
+    ),
+)
+def q_asof_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_latest_per_key(_tr(spark, sf_dir), PROBE_TS)
+
+
+# --- write-path reads ------------------------------------------------------
+
+
+@query(
+    "latest_version_lookup",
+    temporal_oracle(
+        f"""SELECT record_id, version, data, ts
+        FROM temporal_records WHERE record_id = '{PROBE_KEY}'
+        ORDER BY version_num DESC LIMIT 1"""
+    ),
+)
+def q_latest_version_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest version of ONE key — the read-before-write (main.py:77-79).
+    Key filter pushed to the scan; LIMIT 1 plans as TakeOrderedAndProject
+    (top-k, no total sort)."""
+    return (
+        _tr(spark, sf_dir)
+        .filter(F.col("record_id") == PROBE_KEY)
+        .orderBy(F.desc("version_num"))
+        .limit(1)
+        .select("record_id", "version", "data", "ts")
+    )
+
+
+@query(
+    "version_assign",
+    temporal_oracle(
+        """SELECT record_id,
+               CONCAT('v', CAST(MAX(version_num) + 1 AS STRING)) AS next_version
+        FROM temporal_records GROUP BY record_id"""
+    ),
+)
+def q_version_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next version string per key, set-based form of main.py:82's
+    ``v{int(latest[1:]) + 1}``. Partial max is map-side combined — no
+    wide rows cross the shuffle."""
+    return (
+        _tr(spark, sf_dir)
+        .groupBy("record_id")
+        .agg(
+            F.concat(F.lit("v"), (F.max("version_num") + 1).cast("string")).alias(
+                "next_version"
+            )
+        )
+    )
+
+
+@query(
+    "version_chain",
+    temporal_oracle(
+        """SELECT record_id, version, previous_version, ts FROM temporal_records"""
+    ),
+)
+def q_version_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The previous_version backward chain (models.py:19, main.py:87) —
+    stored by the reference, *computed* here with lag() at catalog build."""
+    return _tr(spark, sf_dir).select("record_id", "version", "previous_version", "ts")
+
+
+# --- compare ---------------------------------------------------------------
+
+
+@query(
+    "compare_bounds",
+    temporal_oracle(
+        f"""SELECT record_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        FROM temporal_records WHERE record_id = '{PROBE_KEY}' GROUP BY record_id"""
+    ),
+)
+def q_compare_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default /compare range: first & last occurrence of a key
+    (main.py:280-294 does it with two ORDER BY ... first() round trips;
+    one aggregate here)."""
+    return (
+        _tr(spark, sf_dir)
+        .filter(F.col("record_id") == PROBE_KEY)
+        .groupBy("record_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    )
+
+
+def compare_diff(tr: DataFrame, record_id: str, ts_start: str, ts_end: str) -> DataFrame:
+    """Field-level diff of one key's JSON payload between two as-of points
+    (main.py:296-332): key-union of both payloads (main.py:324), keep keys
+    whose values differ (null-safe), emit (field, from_val, to_val) rows —
+    flattened so the oracle can check it (SURVEY.md §7).
+
+    Pure builtins: from_json → map, map_keys union, element_at. Both as-of
+    point reads are LIMIT-1 key-filtered scans (driver-cheap); the diff is a
+    1×1 crossJoin — no data-sized shuffle anywhere.
+    """
+
+    def point(ts: str, alias: str) -> DataFrame:
+        return (
+            tr.filter((F.col("record_id") == record_id) & (F.col("ts") <= F.lit(ts).cast("timestamp")))
+            .orderBy(F.desc("version_num"))
+            .limit(1)
+            .select(F.col("data").alias(alias))
+        )
+
+    start = point(ts_start, "start_data")
+    end = point(ts_end, "end_data")
+    m = start.crossJoin(end).select(
+        F.from_json("start_data", "map<string,string>").alias("sm"),
+        F.from_json("end_data", "map<string,string>").alias("em"),
+    )
+    fields = m.select(
+        F.explode(
+            F.array_distinct(F.concat(F.map_keys("sm"), F.map_keys("em")))
+        ).alias("field"),
+        "sm",
+        "em",
+    )
+    return (
+        fields.select(
+            "field",
+            F.element_at("sm", F.col("field")).alias("from_val"),
+            F.element_at("em", F.col("field")).alias("to_val"),
+        )
+        .filter(~F.col("from_val").eqNullSafe(F.col("to_val")))
+    )
+
+
+@query(
+    "compare_diff",
+    temporal_oracle(
+        f"""SELECT field, from_val, to_val FROM (
+          WITH s AS (SELECT data FROM temporal_records
+                     WHERE record_id = '{PROBE_KEY}' AND ts <= TIMESTAMP '{PROBE_TS_EARLY}'
+                     ORDER BY version_num DESC LIMIT 1),
+               e AS (SELECT data FROM temporal_records
+                     WHERE record_id = '{PROBE_KEY}' AND ts <= TIMESTAMP '{PROBE_TS_LATE}'
+                     ORDER BY version_num DESC LIMIT 1),
+               ks AS (SELECT DISTINCT k FROM (
+                   SELECT unnest(json_keys((SELECT data FROM s))) AS k
+                   UNION ALL
+                   SELECT unnest(json_keys((SELECT data FROM e))) AS k) u)
+          SELECT k AS field,
+                 json_extract_string((SELECT data FROM s), '$.' || k) AS from_val,
+                 json_extract_string((SELECT data FROM e), '$.' || k) AS to_val
+          FROM ks
+        ) d WHERE from_val IS DISTINCT FROM to_val"""
+    ),
+)
+def q_compare_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compare_diff(_tr(spark, sf_dir), PROBE_KEY, PROBE_TS_EARLY, PROBE_TS_LATE)
+
+
+# --- rollback & history ----------------------------------------------------
+
+
+@query(
+    "rollback_audit",
+    temporal_oracle(
+        f"""SELECT COUNT(*) AS n_affected,
+               COUNT(DISTINCT record_id) AS n_keys,
+               STRING_AGG(DISTINCT record_id, ',' ORDER BY record_id) AS affected_keys
+        FROM temporal_records WHERE ts > TIMESTAMP '{PROBE_TS}'"""
+    ),
+)
+def q_rollback_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit row a rollback writes first (main.py:174-188): count +
+    affected record ids. collect_set is sorted then joined so the value is
+    deterministic (Spark's collect order isn't)."""
+    return (
+        _tr(spark, sf_dir)
+        .filter(F.col("ts") > F.lit(PROBE_TS).cast("timestamp"))
+        .agg(
+            F.count("*").alias("n_affected"),
+            F.countDistinct("record_id").alias("n_keys"),
+            F.array_join(F.array_sort(F.collect_set("record_id")), ",").alias(
+                "affected_keys"
+            ),
+        )
+    )
+
+
+def rollback_state(tr: DataFrame, ts: str) -> DataFrame:
+    """The table state a rollback produces (main.py:154-248), as one pure
+    transformation instead of the reference's per-record UPDATE/DELETE loop:
+      - rows at or before ts survive unchanged;
+      - later rows of keys alive at ts are rewritten to the key's as-of state
+        (main.py:200-214) — the inner join to the as-of state also drops keys
+        born after ts (main.py:217-224's DELETE) in the same pass;
+      - original row timestamps are preserved (the reference stamps
+        CURRENT_TIMESTAMP — nondeterministic; deliberate deviation).
+    Spark tables are immutable, so the engine applies this as an atomic
+    overwrite (see vault.TemporalVault.rollback) — cleaner and one shuffle
+    instead of 2 round-trips per record.
+    """
+    t = F.lit(ts).cast("timestamp")
+    state = asof_latest_per_key(tr, ts).select(
+        "record_id", F.col("data").alias("asof_data")
+    )
+    kept = tr.filter(F.col("ts") <= t).select("id", "record_id", "version", "data", "ts")
+    rewritten = (
+        tr.filter(F.col("ts") > t)
+        .join(state, "record_id", "inner")
+        .select("id", "record_id", "version", F.col("asof_data").alias("data"), "ts")
+    )
+    return kept.unionByName(rewritten)
+
+
+@query(
+    "rollback_state",
+    temporal_oracle(
+        f"""SELECT id, record_id, version, data, ts
+        FROM temporal_records WHERE ts <= TIMESTAMP '{PROBE_TS}'
+        UNION ALL
+        SELECT t.id, t.record_id, t.version, s.data AS data, t.ts
+        FROM temporal_records t
+        JOIN (
+          SELECT record_id, data FROM (
+            SELECT record_id, data,
+                   ROW_NUMBER() OVER (PARTITION BY record_id ORDER BY version_num DESC) AS rn
+            FROM temporal_records WHERE ts <= TIMESTAMP '{PROBE_TS}'
+          ) x WHERE rn = 1
+        ) s USING (record_id)
+        WHERE t.ts > TIMESTAMP '{PROBE_TS}'"""
+    ),
+)
+def q_rollback_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollback_state(_tr(spark, sf_dir), PROBE_TS)
+
+
+@query(
+    "history_topn",
+    temporal_oracle(
+        """SELECT id, record_id, version, ts FROM temporal_records
+        ORDER BY ts DESC, id DESC LIMIT 20"""
+    ),
+)
+def q_history_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-N-entries-newest-first (main.py:257-262, over the rollback log
+    there; over the version log here since that's the shipped table). Spark
+    plans TakeOrderedAndProject — per-partition top-k then a k-row merge on
+    the driver, no total sort at any scale."""
+    return (
+        _tr(spark, sf_dir)
+        .orderBy(F.desc("ts"), F.desc("id"))
+        .limit(20)
+        .select("id", "record_id", "version", "ts")
+    )

@@ -1,0 +1,63 @@
+"""SparkSession construction and runtime tuning.
+
+The driver owns the session in verify runs (``entry(spark)``), so everything
+that matters for correctness/performance must be settable at *runtime* —
+``tune()`` applies those confs to any session it is handed. ``get_spark()`` is
+for our own tests/bench, where we also control builder-time confs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs, applied to driver-owned sessions too.
+RUNTIME_CONFS = {
+    # Deterministic timestamp semantics: testdata parquet carries naive
+    # timestamps; with a UTC session they round-trip bit-exact vs DuckDB.
+    "spark.sql.session.timeZone": "UTC",
+    # local[32] default; at cluster scale this is sized by AQE coalescing.
+    "spark.sql.shuffle.partitions": "32",
+    # AQE: runtime re-plan, skew-join splitting, partition coalescing.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region=5, nation=25, supplier=1e3 rows at sf0.1)
+    # must broadcast; 64 MB threshold keeps that true at larger SFs too.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for any pandas_udf path (vectorized Python boundary).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The testdata parquet carries TIMESTAMP(NANOS) (pandas writer default),
+    # which Spark rejects; read as int64 nanos and convert in the catalog.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-owned or ours)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs can be locked by the host; never fail the query path.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "temporalvault-spark", cpus: int | None = None) -> SparkSession:
+    """Build a local session shaped like the target cluster (many cores,
+    AQE on, generous broadcast). Used by tests and bench.py."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())
