@@ -1,0 +1,507 @@
+"""Relational operator breadth over the star schema (SURVEY.md §2.2-2.9).
+
+The reference does no SQL joins (its rollback loop is a hand-rolled N+1 as-of
+join, app/main.py:191-224) and delegates scans/filters/sorts to PostgreSQL.
+Here each operator is one declarative plan; scale notes per operator explain
+why the physical strategy survives 1000 executors / 100 TB.
+
+Float determinism: every float aggregate is ROUNDed in BOTH engines so
+addition-order differences (Spark partial aggs vs DuckDB) cannot flip the
+driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from temporalvault_spark.catalog import load_catalog, temporal_oracle
+from temporalvault_spark.constants import ORDERS_DATE_HI, ORDERS_DATE_LO, PROBE_TS, PROBE_TS_EARLY, PROBE_TS_LATE
+from temporalvault_spark.registry import query
+
+
+def _cat(spark: SparkSession, sf_dir: str):
+    return load_catalog(spark, sf_dir)
+
+
+# --- scans / filters / projections ----------------------------------------
+
+
+@query(
+    "scan_project",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""",
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + column prune + pushed filter: ReadSchema carries only the four
+    referenced columns and PushedFilters shows the shipdate bound — at 100 TB
+    this is the difference between reading 4 columns of a row-group subset
+    and reading everything."""
+    li = _cat(spark, sf_dir).table("lineitem")
+    return li.filter(F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"
+    )
+
+
+@query(
+    "filter_range",
+    f"""SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '{PROBE_TS_EARLY}' AND ts < TIMESTAMP '{PROBE_TS_LATE}'""",
+)
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive equality + range predicate (main.py:193-195 shape), fully
+    pushed down; no shuffle at all."""
+    ev = _cat(spark, sf_dir).table("events")
+    return ev.filter(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit(PROBE_TS_EARLY).cast("timestamp"))
+        & (F.col("ts") < F.lit(PROBE_TS_LATE).cast("timestamp"))
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "project_rename",
+    """SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso,
+           upper(event_type) AS event_type_uc
+    FROM events""",
+)
+def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + ISO-8601 formatting (main.py:135-144's response shape)."""
+    ev = _cat(spark, sf_dir).table("events")
+    return ev.select(
+        "event_id",
+        F.date_format(F.date_trunc("second", "ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso"),
+        F.upper("event_type").alias("event_type_uc"),
+    )
+
+
+# --- joins -----------------------------------------------------------------
+
+
+@query(
+    "join_inner_hash",
+    """SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS sum_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment""",
+)
+def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; Catalyst picks broadcast-hash under the 64 MB
+    threshold (customer is the build side), else sort-merge with AQE skew
+    splitting — correct at both sf0.01 and 100 TB."""
+    c = _cat(spark, sf_dir)
+    return (
+        c.table("orders")
+        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+    )
+
+
+@query(
+    "join_broadcast",
+    """SELECT r.r_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through three explicit broadcast dims (supplier→nation→
+    region): the fact table never shuffles for the joins — only the final
+    5-group aggregate moves data, and partial aggregation makes that a
+    per-partition handful of rows."""
+    c = _cat(spark, sf_dir)
+    return (
+        c.table("lineitem")
+        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c.table("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_left",
+    """SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS sum_totalprice
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey""",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _cat(spark, sf_dir)
+    return (
+        c.table("customer")
+        .join(c.table("orders"), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("sum_totalprice"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    """SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join — left_semi never duplicates or widens rows, so the
+    probe side streams through a hash lookup of the (small, filtered) build
+    side."""
+    c = _cat(spark, sf_dir)
+    big = c.table("orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        c.table("customer")
+        .join(big, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_anti",
+    """SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — literally the rollback 'keys born after T' elimination
+    (main.py:217-224) applied to the star schema."""
+    c = _cat(spark, sf_dir)
+    big = c.table("orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        c.table("customer")
+        .join(big, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_asof",
+    temporal_oracle(
+        f"""SELECT record_id, probe_ts, version, ts FROM (
+          SELECT t.record_id, p.probe_ts, t.version, t.ts,
+                 ROW_NUMBER() OVER (PARTITION BY t.record_id, p.probe_ts
+                                    ORDER BY t.version_num DESC) AS rn
+          FROM (SELECT DISTINCT record_id FROM temporal_records) k
+          CROSS JOIN (SELECT unnest([TIMESTAMP '{PROBE_TS_EARLY}',
+                                     TIMESTAMP '{PROBE_TS}',
+                                     TIMESTAMP '{PROBE_TS_LATE}']) AS probe_ts) p
+          JOIN temporal_records t
+            ON t.record_id = k.record_id AND t.ts <= p.probe_ts
+        ) x WHERE rn = 1"""
+    ),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: each (key, probe_ts) pair matched to the latest version at
+    or before the probe — the set-based replacement for the reference's N+1
+    loop (main.py:191-224). Formulation: equi-join on key with the temporal
+    inequality as join condition, then one window per probe group. The probe
+    grid is tiny relative to the log, so it broadcasts; the single shuffle is
+    the window's, partitioned by (record_id, probe_ts)."""
+    c = _cat(spark, sf_dir)
+    tr = c.temporal_records
+    probes = spark.createDataFrame(
+        [(t,) for t in (PROBE_TS_EARLY, PROBE_TS, PROBE_TS_LATE)], "probe_ts_s string"
+    ).select(F.col("probe_ts_s").cast("timestamp").alias("probe_ts"))
+    # rename the probe key: the grid derives from tr, so a same-name join
+    # condition would be self-join-ambiguous
+    keys = tr.select(F.col("record_id").alias("probe_key")).distinct()
+    grid = keys.crossJoin(F.broadcast(probes))
+    w = Window.partitionBy("record_id", "probe_ts").orderBy(F.desc("version_num"))
+    return (
+        tr.join(
+            F.broadcast(grid),
+            (F.col("record_id") == F.col("probe_key")) & (F.col("ts") <= F.col("probe_ts")),
+        )
+        .select("record_id", "probe_ts", "version", "ts", "version_num")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("record_id", "probe_ts", "version", "ts")
+    )
+
+
+@query(
+    "join_range_theta",
+    """WITH buckets(bucket, lo, hi) AS (
+        VALUES ('low', 0.0, 25.0), ('mid', 25.0, 50.0),
+               ('high', 50.0, 100.0), ('extreme', 100.0, 1000000.0))
+    SELECT b.bucket, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bucket""",
+)
+def q_join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi (theta) join against a tiny ranges table: planned as
+    BroadcastNestedLoopJoin — the only sane physical strategy, and exactly
+    what you want when one side is O(10) rows."""
+    c = _cat(spark, sf_dir)
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 25.0, 50.0), ("high", 50.0, 100.0), ("extreme", 100.0, 1e6)],
+        "bucket string, lo double, hi double",
+    )
+    ev = c.table("events")
+    return (
+        ev.join(F.broadcast(buckets), (ev["value"] >= buckets["lo"]) & (ev["value"] < buckets["hi"]))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# --- aggregations ----------------------------------------------------------
+
+
+@query(
+    "agg_minmax_per_key",
+    temporal_oracle(
+        """SELECT record_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+               COUNT(*) AS n_versions
+        FROM temporal_records GROUP BY record_id"""
+    ),
+)
+def q_agg_minmax_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based form of /compare's per-key first/last lookups
+    (main.py:281-294): one partial+final hash aggregate instead of two
+    ORDER-BY round trips per key."""
+    return (
+        _cat(spark, sf_dir)
+        .temporal_records.groupBy("record_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_versions"),
+        )
+    )
+
+
+@query(
+    "agg_groupby_multi",
+    f"""SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus""",
+)
+def q_agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide aggregate. Whole-stage-codegen'd
+    hash aggregate with map-side partials; only 6 groups ever cross the
+    shuffle."""
+    li = _cat(spark, sf_dir).table("lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    """SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate: Spark plans expand + two-phase agg. (The scale
+    path for cardinality-only questions is approx_count_distinct — HLL,
+    no expand — exposed in functions.approx; exact form here because the
+    oracle must match bit-for-bit.)"""
+    return (
+        _cat(spark, sf_dir)
+        .table("events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    """SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (absent from the reference; Spark builtin via
+    Expand — each input row fans out to its grouping sets before the partial
+    agg, so the shuffle still carries only group rows)."""
+    return (
+        _cat(spark, sf_dir)
+        .table("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_items"))
+    )
+
+
+# --- window functions ------------------------------------------------------
+
+
+@query(
+    "win_rownum_latest",
+    """SELECT user_id, event_id, ts, rn FROM (
+        SELECT user_id, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+    WHERE rn <= 3""",
+)
+def q_win_rownum_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 latest events per key — the reference's latest-version lookup
+    generalized. Spark 3.5+/4.x inserts WindowGroupLimit: per-partition top-k
+    BEFORE the shuffle, so skewed keys don't flood a reducer."""
+    ev = _cat(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "ts", "rn")
+    )
+
+
+@query(
+    "win_lag_chain",
+    """SELECT event_id, user_id, value,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+    FROM events""",
+)
+def q_win_lag_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() chain — the computed form of previous_version (models.py:19)
+    applied to measures."""
+    ev = _cat(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        prev.alias("prev_value"),
+        F.round(F.col("value") - prev, 6).alias("delta"),
+    )
+
+
+@query(
+    "win_running_agg",
+    """SELECT event_id, user_id, ts,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_value,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM events""",
+)
+def q_win_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate over each key's history (the 'how did this record
+    evolve' read, README.md:8, as a measure)."""
+    ev = _cat(spark, sf_dir).table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+# --- set operations --------------------------------------------------------
+
+
+@query(
+    "setop_union_except",
+    """SELECT c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 480000
+    ) u
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_nationkey < 5""",
+)
+def q_setop_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) then EXCEPT — the set algebra under /compare's
+    key-union diff (main.py:324), lifted to whole tables."""
+    c = _cat(spark, sf_dir)
+    building = c.table("customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        c.table("orders")
+        .filter(F.col("o_totalprice") > 480000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    southern = c.table("customer").filter(F.col("c_nationkey") < 5).select("c_custkey")
+    return building.union(big).distinct().exceptAll(southern.distinct())
+
+
+# --- scalar function coverage ---------------------------------------------
+
+
+@query(
+    "scalar_funcs",
+    """SELECT event_id,
+           upper(substr(event_type, 1, 3)) AS type_code,
+           concat(event_type, ':', CAST(user_id AS STRING)) AS tag,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CASE WHEN value >= 100 THEN 'big' WHEN value >= 20 THEN 'mid' ELSE 'small' END AS size_class,
+           ROUND(sqrt(value) + ln(value + 1), 6) AS score,
+           year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+           coalesce(NULLIF(event_type, 'error'), 'ERR') AS type_or_err
+    FROM events""",
+)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function sweep (SURVEY.md §2.9): string, JSON extraction,
+    conditional, math, datetime parts — all JVM builtins inside one
+    whole-stage-codegen projection; zero Python on the hot path."""
+    ev = _cat(spark, sf_dir).table("events")
+    return ev.select(
+        "event_id",
+        F.upper(F.substring("event_type", 1, 3)).alias("type_code"),
+        F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias("tag"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.when(F.col("value") >= 100, "big")
+        .when(F.col("value") >= 20, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.round(F.sqrt("value") + F.log(F.col("value") + 1), 6).alias("score"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias("type_or_err"),
+    )
