@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.
+
+Runs the engine's flagship queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query executes to completion through the noop sink (full plan runs,
+nothing collected to the driver — benchmarks the engine, not driver
+serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from temporalvault_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "asof_latest_per_key",
+    "asof_all_versions",
+    "rollback_state",
+    "join_asof",
+    "agg_groupby_multi",
+    "join_broadcast",
+    "join_inner_hash",
+    "win_running_agg",
+    "win_session",
+    "win_tumbling_hour",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "doc_fingerprint",
+    "text_stats",
+    "sim_topk_cosine",
+    "sim_ivf_ann",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark("temporalvault-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import temporalvault_spark.operators  # noqa: F401
+    from temporalvault_spark.registry import QUERIES
+    from temporalvault_spark.catalog import load_catalog
+
+    load_catalog(spark, sf_dir)  # warm view registration + file listing
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,7 +1,10 @@
 """Operator modules. Importing this package populates the registry."""
 
 from temporalvault_spark.operators import (  # noqa: F401
+    llm,
     relational,
+    similarity,
     temporal,
+    timewindow,
 )
 from temporalvault_spark.registry import ORACLES, QUERIES  # noqa: F401

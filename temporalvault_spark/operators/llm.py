@@ -1,0 +1,352 @@
+"""LLM training-data pipeline operators over documents/embeddings
+(SURVEY.md §2.11-2.12; north-star extensions beyond the reference surface).
+
+Design rules for 100 TB corpora:
+  - everything runs as JVM builtins (split/array/map/md5) — no Python on the
+    per-token hot path; the only Pandas UDF lives in similarity.py where
+    vectorized NumPy genuinely wins;
+  - near-dup never goes all-pairs: candidate generation is blocked (here) or
+    LSH-bucketed (dedup_minhash in similarity.py), so the join key bounds the
+    comparison fan-out;
+  - fingerprints use md5 (bit-identical in every engine) rather than
+    engine-local hash functions, so results are portable and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.registry import query
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Fixed constants — part of the operator's contract.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_catalog(spark, sf_dir).table("documents")
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.lower(F.trim(F.col(col))), " ")
+
+
+# --- deduplication ---------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """SELECT md5(lower(trim(text))) AS fingerprint,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized text's md5. At 100 TB you
+    group on the 16-byte digest, never the text itself — the shuffle carries
+    fingerprints + ids only (the projection below is what guarantees that)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_SHINGLE_DUCK = (
+    "list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+        ),
+    sh AS (
+        SELECT doc_id, {_SHINGLE_DUCK} AS shingles,
+               len({_SHINGLE_DUCK}) AS n_sh,
+               list_sort(list_transform({_SHINGLE_DUCK}, x -> md5(x)))[1] AS min_h
+        FROM toks WHERE len(t) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.min_h = b.min_h
+     AND a.doc_id < b.doc_id
+     AND LEAST(a.n_sh, b.n_sh) * 5 >= GREATEST(a.n_sh, b.n_sh) * 3
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.6""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: word-3-gram shingle Jaccard with a single-band
+    MinHash block. Candidate pairs = documents sharing their *minimum shingle
+    md5* — the 1-hash special case of MinHash-LSH (a jaccard-j pair collides
+    with probability j), expressed in pure SQL so the oracle can replay it.
+    Verified pairs need shingle-set jaccard >= 0.6.
+
+    Scale shape: candidate generation is an equi-join on a 32-char key —
+    never an all-pairs product — and each bucket holds only genuine
+    near-dups plus O(1) chance collisions, so the expensive intersects run
+    on ~|dup pairs|, not |corpus|². The multi-band generalization (higher
+    recall, same plan shape) is dedup_minhash in similarity.py."""
+    # explicit numbered repartition: the corpus arrives as one small file =
+    # one partition, and the per-shingle md5 work below is CPU-bound — spread
+    # it before computing (AQE won't coalesce a user-numbered repartition)
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = (
+        _docs(spark, sf_dir)
+        .repartition(n_parts)
+        .select("doc_id", _tokens().alias("t"))
+        .filter(F.size("t") >= 3)
+    )
+    shingles = F.array_distinct(
+        F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")
+    )
+    # coalesce() makes min_h non-nullable, so the inner join does NOT infer
+    # an isnotnull(min_h) predicate — which would otherwise be pushed below
+    # the repartition and evaluate the whole md5-shingle expression serially
+    # in the single-partition scan stage (observed: 6-8x slowdown)
+    sh = toks.select(
+        "doc_id",
+        shingles.alias("shingles"),
+        F.size(shingles).alias("n_sh"),
+        F.coalesce(F.array_min(F.transform(shingles, F.md5)), F.lit("")).alias("min_h"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    return (
+        a.join(
+            b,
+            (F.col("a.min_h") == F.col("b.min_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # lossless prefilter: jaccard >= 0.6 bounds the set-size ratio
+            & (F.least("a.n_sh", "b.n_sh") * 5 >= F.greatest("a.n_sh", "b.n_sh") * 3),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(jac >= 0.6)
+    )
+
+
+# --- fingerprinting --------------------------------------------------------
+
+
+@query(
+    "doc_fingerprint",
+    """WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(t, ' ')) AS md5_full,
+           md5(array_to_string(
+               list_sort(list_distinct(CASE WHEN len(t) >= 3 THEN
+                   list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [] END)), chr(10))) AS shingle_fingerprint,
+           CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS n_shingles
+    FROM toks""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized text plus an md5 over
+    the sorted distinct word-3-gram shingle set (the input MinHash/SimHash
+    sketches start from). Engine-portable by construction (md5, not
+    xxhash/murmur)."""
+    toks = _docs(spark, sf_dir).select("doc_id", _tokens().alias("t"))
+    shingles = F.when(
+        F.size("t") >= 3,
+        F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(
+        "doc_id",
+        F.md5(F.array_join("t", " ")).alias("md5_full"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(shingles)), "\n")).alias(
+            "shingle_fingerprint"
+        ),
+        F.when(F.size("t") >= 3, F.size("t") - 2).otherwise(F.lit(0)).alias("n_shingles"),
+    )
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    """WITH toks AS (
+        SELECT doc_id, lang, source, n_chars,
+               string_split(lower(trim(text)), ' ') AS t,
+               length(replace(text, ' ', '')) AS nonspace_chars
+        FROM documents)
+    SELECT doc_id, lang, source, n_chars,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct_tokens,
+           ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS type_token_ratio,
+           ROUND(CAST(nonspace_chars AS DOUBLE) / len(t), 6) AS avg_token_len
+    FROM toks""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (token counting + quality inputs):
+    whitespace tokenization, type/token ratio, mean token length — one
+    codegen'd projection, no shuffle."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        _tokens().alias("t"),
+        F.length(F.regexp_replace("text", " ", "")).alias("nonspace_chars"),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.col("nonspace_chars").cast("double") / F.size("t"), 6).alias("avg_token_len"),
+    )
+
+
+@query(
+    "corpus_stats",
+    """WITH toks AS (
+        SELECT lang, source, n_chars, len(string_split(lower(trim(text)), ' ')) AS n_tokens
+        FROM documents)
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM toks GROUP BY lang, source""",
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup per (lang, source): the dataset-card numbers.
+    Partial aggregation means the per-doc token counts never cross the
+    shuffle — only (lang, source) partials do."""
+    d = _docs(spark, sf_dir).select("lang", "source", "n_chars", F.size(_tokens()).alias("n_tokens"))
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def _hits_sql(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(t, x -> x IN ({inlist})))"
+
+
+@query(
+    "lang_id_heuristic",
+    f"""WITH toks AS (
+        SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS t FROM documents),
+    hits AS (
+        SELECT doc_id, lang AS lang_label, len(t) AS n_tokens,
+               {_hits_sql('en')} AS en_hits,
+               {_hits_sql('es')} AS es_hits,
+               {_hits_sql('de')} AS de_hits,
+               {_hits_sql('fr')} AS fr_hits
+        FROM toks)
+    SELECT doc_id, lang_label, en_hits, es_hits, de_hits, fr_hits,
+           CASE
+             WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+             WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+             WHEN de_hits >= fr_hits THEN 'de'
+             ELSE 'fr' END AS pred_lang
+    FROM hits""",
+)
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic tier): per-language
+    hit counts + a fixed-priority argmax so prediction is deterministic in
+    both engines. All array builtins — the stopword sets live in the closure,
+    not in a UDF."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("lang_label"), _tokens().alias("t")
+    )
+    def hit_count(lang: str):
+        words = STOPWORDS[lang]
+        return F.size(F.filter("t", lambda x: x.isin(*words))).alias(f"{lang}_hits")
+
+    hits = toks.select(
+        "doc_id", "lang_label", *[hit_count(lang) for lang in ("en", "es", "de", "fr")]
+    )
+    pred = (
+        F.when(
+            (F.col("en_hits") >= F.col("es_hits"))
+            & (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits")),
+            "en",
+        )
+        .when((F.col("es_hits") >= F.col("de_hits")) & (F.col("es_hits") >= F.col("fr_hits")), "es")
+        .when(F.col("de_hits") >= F.col("fr_hits"), "de")
+        .otherwise("fr")
+    )
+    return hits.select("doc_id", "lang_label", "en_hits", "es_hits", "de_hits", "fr_hits",
+                       pred.alias("pred_lang"))
+
+
+@query(
+    "quality_score",
+    f"""WITH toks AS (
+        SELECT doc_id, n_chars, string_split(lower(trim(text)), ' ') AS t FROM documents),
+    feat AS (
+        SELECT doc_id, n_chars, len(t) AS n_tokens,
+               CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+               CAST({_hits_sql('en')} AS DOUBLE) / len(t) AS stop_ratio
+        FROM toks)
+    SELECT doc_id, n_tokens,
+           ROUND(ttr, 6) AS type_token_ratio,
+           ROUND(stop_ratio, 6) AS stopword_ratio,
+           ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0) + 0.4 * ttr + 0.2 * LEAST(stop_ratio * 5, 1.0), 6)
+               AS quality,
+           CASE WHEN n_tokens >= 20 AND ttr >= 0.3 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM feat""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length saturation, lexical diversity,
+    stopword plausibility → a composite in [0,1] plus a keep/drop verdict
+    (the filter stage of a data pipeline)."""
+    toks = _docs(spark, sf_dir).select("doc_id", "n_chars", _tokens().alias("t"))
+    en = STOPWORDS["en"]
+    feat = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        (F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias("ttr"),
+        (F.size(F.filter("t", lambda x: x.isin(*en))).cast("double") / F.size("t")).alias(
+            "stop_ratio"
+        ),
+    )
+    quality = F.round(
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.4 * F.col("ttr")
+        + 0.2 * F.least(F.col("stop_ratio") * 5, F.lit(1.0)),
+        6,
+    )
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        F.round("ttr", 6).alias("type_token_ratio"),
+        F.round("stop_ratio", 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+        F.when((F.col("n_tokens") >= 20) & (F.col("ttr") >= 0.3), "keep")
+        .otherwise("drop")
+        .alias("verdict"),
+    )

@@ -1,0 +1,270 @@
+"""Similarity search over the embeddings table + sketch-based near-dup
+(SURVEY.md §2.11-2.12).
+
+Three tiers, mirroring how ANN is actually deployed on Spark:
+  1. ``sim_topk_cosine`` — brute-force exact top-k, pure JVM builtins
+     (zip_with/aggregate). The baseline every ANN variant is measured against.
+  2. ``sim_ivf_ann`` — IVF-style two-stage search: assign vectors to fixed
+     centroids once (an O(N·C) pass), probe only the nearest clusters.
+     At 100 TB the cluster id is a partition/bucket column, so a probe reads
+     nprobe/C of the data — that's the scale path.
+  3. ``sim_topk_cosine_pandas`` — the same exact top-k as an Arrow-batched
+     Pandas UDF (NumPy matmul): the pattern to use once vectors are wide
+     enough that JVM per-element folds lose to BLAS. Rows-only check (same
+     semantics as #1, which IS oracle-checked).
+
+Near-dup sketches: ``dedup_minhash`` (Spark ML MinHashLSH banding) and
+``dedup_simhash`` (64-bit simhash from md5 token hashes) — rows-only checks;
+their exact contracts are covered by deterministic unit tests instead
+(tests/test_llm.py), since DuckDB has no MinHash/LSH to oracle them with.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.constants import SIM_PROBE_VEC_ID, SIM_TOP_K
+from temporalvault_spark.registry import query
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_catalog(spark, sf_dir).table("embeddings")
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_scores(emb: DataFrame, probe: DataFrame) -> DataFrame:
+    """score(vec, probe) for every vector: one broadcast of the 1-row probe,
+    one codegen'd projection — the fact side never shuffles."""
+    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    p = probe.select(F.col("embedding").cast("array<double>").alias("p"))
+    return e.crossJoin(F.broadcast(p)).select(
+        "vec_id",
+        "label",
+        (_dot(F.col("e"), F.col("p")) / (_norm(F.col("e")) * _norm(F.col("p")))).alias("cosine"),
+    )
+
+
+_DUCK_COS = (
+    "list_dot_product(a.e, p.e) / (sqrt(list_dot_product(a.e, a.e)) * "
+    "sqrt(list_dot_product(p.e, p.e)))"
+)
+
+
+@query(
+    "sim_topk_cosine",
+    f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        p AS (SELECT e FROM e WHERE vec_id = {SIM_PROBE_VEC_ID})
+    SELECT a.vec_id, a.label, ROUND({_DUCK_COS}, 6) AS cosine
+    FROM e a CROSS JOIN p
+    ORDER BY {_DUCK_COS} DESC, a.vec_id LIMIT {SIM_TOP_K}""",
+)
+def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine vs a fixed probe vector. Dot products fold
+    sequentially in double precision in both engines → bit-stable scores;
+    the LIMIT plans as TakeOrderedAndProject (per-partition top-k, k-row
+    driver merge — no total sort at any scale)."""
+    emb = _emb(spark, sf_dir)
+    probe = emb.filter(F.col("vec_id") == SIM_PROBE_VEC_ID)
+    scored = cosine_scores(emb, probe)
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(SIM_TOP_K)
+        .select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+N_CENTROIDS = 16
+N_PROBE_CLUSTERS = 4
+
+
+@query(
+    "sim_ivf_ann",
+    f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, e FROM e WHERE vec_id < {N_CENTROIDS}),
+        assign AS (
+            SELECT vec_id, label, e, centroid_id FROM (
+                SELECT a.vec_id, a.label, a.e, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                          ORDER BY list_dot_product(a.e, c.e)
+                                                   / sqrt(list_dot_product(c.e, c.e)) DESC,
+                                                   c.centroid_id) AS rn
+                FROM e a CROSS JOIN c) x
+            WHERE rn = 1),
+        p AS (SELECT e FROM e WHERE vec_id = {SIM_PROBE_VEC_ID}),
+        probe_clusters AS (
+            SELECT centroid_id FROM (
+                SELECT c.centroid_id,
+                       ROW_NUMBER() OVER (ORDER BY list_dot_product(p.e, c.e)
+                                                   / sqrt(list_dot_product(c.e, c.e)) DESC,
+                                          c.centroid_id) AS rn
+                FROM c CROSS JOIN p) x
+            WHERE rn <= {N_PROBE_CLUSTERS})
+    SELECT a.vec_id, a.label, a.centroid_id, ROUND({_DUCK_COS}, 6) AS cosine
+    FROM assign a
+    JOIN probe_clusters pc ON a.centroid_id = pc.centroid_id
+    CROSS JOIN p
+    ORDER BY {_DUCK_COS} DESC, a.vec_id LIMIT {SIM_TOP_K}""",
+)
+def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate NN: deterministic fixed centroids (the first
+    {N_CENTROIDS} vectors — a stand-in for k-means so the oracle can replay
+    it), nearest-centroid assignment, search only the probe's
+    {N_PROBE_CLUSTERS} best clusters. The centroid set broadcasts; at scale
+    the assignment is precomputed + partitioned-by, turning a probe into a
+    partition-pruned scan."""
+    emb = _emb(spark, sf_dir)
+    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    cent = (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce"))
+    )
+    # centroid similarity needs only centroid-norm scaling (vector norm is
+    # constant per vec within its argmax) — matches the oracle exactly
+    csim = _dot(F.col("e"), F.col("ce")) / _norm(F.col("ce"))
+    from pyspark.sql import Window
+
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("csim", csim)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "e", "centroid_id")
+    )
+    probe = e.filter(F.col("vec_id") == SIM_PROBE_VEC_ID).select(F.col("e").alias("pe"))
+    probe_clusters = (
+        cent.crossJoin(F.broadcast(probe))
+        .withColumn("psim", _dot(F.col("pe"), F.col("ce")) / _norm(F.col("ce")))
+        .orderBy(F.desc("psim"), F.asc("centroid_id"))
+        .limit(N_PROBE_CLUSTERS)
+        .select("centroid_id")
+    )
+    cos = _dot(F.col("e"), F.col("pe")) / (_norm(F.col("e")) * _norm(F.col("pe")))
+    return (
+        assign.join(F.broadcast(probe_clusters), "centroid_id")
+        .crossJoin(F.broadcast(probe))
+        .withColumn("cosine", cos)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(SIM_TOP_K)
+        .select("vec_id", "label", "centroid_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@query("sim_topk_cosine_pandas")  # rows-only: same semantics as sim_topk_cosine
+def q_sim_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine via an Arrow-batched Pandas UDF (NumPy dot): the
+    vectorized-Python tier. Each Arrow batch becomes one matrix-vector
+    product — at wide dims this beats per-element JVM folds ~10×. Semantics
+    identical to sim_topk_cosine (unit test asserts equality)."""
+    from pyspark.sql.functions import pandas_udf
+
+    emb = _emb(spark, sf_dir)
+    probe_vec = (
+        emb.filter(F.col("vec_id") == SIM_PROBE_VEC_ID)
+        .select(F.col("embedding").cast("array<double>"))
+        .first()[0]
+    )
+    p = np.asarray(probe_vec)
+    p = p / np.linalg.norm(p)
+
+    @pandas_udf("double")
+    def cos(batch: pd.Series) -> pd.Series:
+        m = np.stack(batch.to_numpy())  # (rows, dim) — one BLAS matvec per batch
+        norms = np.linalg.norm(m, axis=1)
+        return pd.Series((m @ p) / norms)
+
+    return (
+        emb.select("vec_id", "label", cos(F.col("embedding").cast("array<double>")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(SIM_TOP_K)
+        .select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@query("dedup_minhash")  # rows-only: LSH internals aren't oracle-expressible
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → sparse vector → banded
+    minhash buckets → bucket-equi-join. approxSimilarityJoin's join key is
+    the (band, hash) pair, so candidate generation is an equi-join shuffle —
+    never an all-pairs comparison. Seeded → deterministic across runs."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_catalog(spark, sf_dir).table("documents")
+    # shingle (word-3-gram) features, not raw tokens: on natural corpora the
+    # token vocabulary is small and shared, so token-set similarity saturates
+    # (observed: 71k "near-dup" pairs from 500 docs); shingles discriminate
+    toks = (
+        docs.select("doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, size(t) - 3), "
+                "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+            ).alias("tokens"),
+        )
+    )
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
+    feat = tf.transform(toks)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.4, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash64(tokens_col):
+    """64-bit SimHash from md5 token hashes — pure JVM builtins: per-token
+    md5 → 64-bit int → per-bit ±1 votes → sign. No Python, portable bits."""
+    # conv(hex,16,10) returns unsigned decimal string; cast through decimal
+    # then subtract 2^63 to land in signed-long space deterministically.
+    token_hash = "CAST(CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS DECIMAL(20,0)) AS BIGINT)"
+    votes = ", ".join(
+        f"SUM(CASE WHEN ({token_hash} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)" for b in range(60)
+    )
+    return token_hash, votes
+
+
+@query("dedup_simhash")  # rows-only: covered by unit tests instead
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit simhash per document (md5-derived token
+    hashes → bitwise majority vote), then group by the top-16-bit band as the
+    candidate block. Everything is a lateral explode + one aggregate — scales
+    as a single shuffle on doc_id."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))).alias("tok")
+    )
+    token_hash_sql = "CAST(CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS DECIMAL(20,0)) AS BIGINT)"
+    bit_cols = [
+        F.expr(
+            f"SUM(CASE WHEN ({token_hash_sql} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        ).alias(f"b{b}")
+        for b in range(60)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_cols)
+    sim = F.expr(
+        " + ".join(f"CAST(CASE WHEN b{b} > 0 THEN 1 ELSE 0 END AS BIGINT) * {1 << b}L" for b in range(60))
+    ).alias("simhash")
+    hashed = votes.select("doc_id", sim)
+    return hashed.select(
+        "doc_id", "simhash", F.shiftright(F.col("simhash"), 44).alias("band")
+    ).orderBy("doc_id")

@@ -1,0 +1,92 @@
+"""Time-window aggregates over the event log (SURVEY.md §2.10, batch tier).
+
+These are the oracle-checkable batch twins of the Structured Streaming jobs in
+``temporalvault_spark.streaming`` — identical grouping semantics, so a stream
+restart and a batch backfill produce the same rows (the lambda-architecture
+equivalence Spark gives for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_catalog(spark, sf_dir).table("events")
+
+
+@query(
+    "win_tumbling_hour",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2""",
+)
+def q_win_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows (streaming: groupBy(window(...)) + watermark;
+    see streaming.jobs.tumbling_counts). window() buckets are epoch-aligned,
+    so date_trunc('hour') is the exact oracle."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "win_sliding",
+    """SELECT make_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+                              - k.k * 900) * 1000000) AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1""",
+)
+def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour long, 15-minute slide — every event lands in
+    exactly 4 epoch-aligned buckets (the oracle enumerates them arithmetically;
+    Spark's window() plans the same expansion via Expand, then partial-aggs,
+    so the shuffle carries only bucket rows)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "win_session",
+    """WITH d AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM d
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sess_id""",
+)
+def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-minute inactivity gap, per user — Spark's native
+    session_window (streaming-capable); the oracle is the classic
+    gaps-and-islands rewrite. Boundary semantics: an event at exactly
+    last_ts + gap starts a NEW session (session end is exclusive), hence the
+    oracle's >=."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("user_id"), F.col("w.start").alias("session_start"), "n_events", "sum_value")
+    )
