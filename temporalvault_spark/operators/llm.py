@@ -86,25 +86,28 @@ _SHINGLE_DUCK = (
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
           / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.6""",
 )
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_dedup_ngram_jaccard_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     """Near-dup detection: word-3-gram shingle Jaccard with a single-band
     MinHash block. Candidate pairs = documents sharing their *minimum shingle
     md5* — the 1-hash special case of MinHash-LSH (a jaccard-j pair collides
     with probability j), expressed in pure SQL so the oracle can replay it.
-    Verified pairs need shingle-set jaccard >= 0.6.
 
     Scale shape: candidate generation is an equi-join on a 32-char key —
     never an all-pairs product — and each bucket holds only genuine
     near-dups plus O(1) chance collisions, so the expensive intersects run
     on ~|dup pairs|, not |corpus|². The multi-band generalization (higher
     recall, same plan shape) is dedup_minhash in similarity.py."""
+    spark = docs.sparkSession
     # explicit numbered repartition: the corpus arrives as one small file =
     # one partition, and the per-shingle md5 work below is CPU-bound — spread
     # it before computing (AQE won't coalesce a user-numbered repartition)
     n_parts = spark.sparkContext.defaultParallelism
     toks = (
-        _docs(spark, sf_dir)
-        .repartition(n_parts)
+        docs.repartition(n_parts)
         .select("doc_id", _tokens().alias("t"))
         .filter(F.size("t") >= 3)
     )
@@ -139,7 +142,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.round(jac, 6).alias("jaccard"),
         )
-        .filter(jac >= 0.6)
+        .filter(jac >= threshold)
     )
 
 

@@ -42,7 +42,39 @@ def tune(spark: SparkSession) -> SparkSession:
         except Exception:
             # Some confs can be locked by the host; never fail the query path.
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``temporalvault_spark`` importable on Python workers regardless of
+    the driver process's cwd/PYTHONPATH: Pandas-UDF/mapInPandas closures
+    reference module-level functions, which cloudpickle serializes by
+    reference — the worker must import the module. addPyFile with a zip of
+    the package is the runtime-settable way to guarantee that."""
+    sc = spark.sparkContext
+    if getattr(sc, "_temporalvault_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "temporalvault_spark_pkg.zip")
+    try:
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for base, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(base, fn)
+                        rel = os.path.join(
+                            "temporalvault_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        sc.addPyFile(zip_path)
+        sc._temporalvault_shipped = True
+    except Exception:
+        # best effort — local runs launched from the repo root work without it
+        pass
 
 
 def get_spark(app_name: str = "temporalvault-spark", cpus: int | None = None) -> SparkSession:

@@ -1,0 +1,17 @@
+from temporalvault_spark.streaming.jobs import (
+    events_stream,
+    latest_state_stream,
+    run_available_now,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+__all__ = [
+    "events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "latest_state_stream",
+    "run_available_now",
+]

@@ -1,0 +1,141 @@
+"""Structured Streaming jobs over the event log (SURVEY.md §2.10).
+
+The reference has no streaming at all (request/response FastAPI; TimescaleDB
+claimed in README.md:16 but never actually used: no hypertable calls
+anywhere in app/). Its domain, an append-only timestamped log, is
+exactly Structured Streaming's model, so the engine ships the streaming tier:
+
+  - tumbling / sliding / session windowed aggregates with watermarks —
+    semantically identical to the oracle-checked batch queries
+    (operators/timewindow.py), which is the point: one definition, two
+    execution modes, same rows after a backfill;
+  - latest-state-per-key as a stateful operator (applyInPandasWithState) —
+    the streaming form of asof_latest_per_key;
+  - ``run_available_now`` drains a stream in batch mode (the testing/backfill
+    trigger).
+
+Scale notes: watermarks bound state; the stateful operator partitions by key
+(the same shuffle every per-key batch op needs); sinks in production are
+partitioned parquet/kafka — tests use the memory sink.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from temporalvault_spark.session import tune
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. The testdata stores ts as
+    parquet TIMESTAMP(NANOS) (→ int64 under nanosAsLong), converted here like
+    the batch catalog does; a production deployment points this at a
+    date-partitioned directory and new files stream in incrementally."""
+    tune(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    df = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of win_tumbling_hour: late events beyond the watermark
+    are dropped; state = one row per open (window, event_type)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of win_sliding (1h windows, 15min slide)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of win_session: 30-minute-gap sessions per user; the
+    watermark lets Spark finalize (and evict) sessions whose gap has passed."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("user_id"), F.col("w.start").alias("session_start"), "n_events", "sum_value")
+    )
+
+
+_STATE_SCHEMA = "version_num int, ts timestamp, data string"
+_OUT_SCHEMA = "record_id string, version string, data string, ts timestamp, n_versions int"
+
+
+def _latest_state_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-key reducer: keep the (version_num, ts, data) of the newest version
+    seen; emit the key's current state once per batch it appears in."""
+    if state.exists:
+        version_num, ts, data = state.get
+    else:
+        version_num, ts, data = 0, None, None
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+        top = pdf.loc[pdf["version_num"].idxmax()]
+        if top["version_num"] > version_num:
+            version_num = int(top["version_num"])
+            ts = top["ts"]
+            data = top["data"]
+    state.update((version_num, ts, data))
+    yield pd.DataFrame(
+        {
+            "record_id": [key[0]],
+            "version": [f"v{version_num}"],
+            "data": [data],
+            "ts": [ts],
+            "n_versions": [n],
+        }
+    )
+
+
+def latest_state_stream(records: DataFrame) -> DataFrame:
+    """Stateful latest-version-per-key over a stream of version-log rows
+    (record_id, version_num, ts, data) — asof_latest_per_key as a continuously
+    maintained state (the materialized-view form of README.md:7). Arrow-batched
+    per-key groups via applyInPandasWithState; state is one tuple per key."""
+    return records.groupBy("record_id").applyInPandasWithState(
+        _latest_state_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Drain the stream's currently-available data into an in-memory table and
+    return it as a DataFrame (Trigger.AvailableNow — the backfill/test path)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,402 @@
+"""TemporalVault — the engine's storage/API layer: an append-only, versioned
+Parquet table with as-of reads, snapshots, atomic rollback, field-level diff,
+result caching and op metrics.
+
+This is the Spark-native replacement for the reference service
+(/root/reference/app/main.py): same four operations (record / query /
+rollback / compare, main.py:68-343) plus the snapshots the reference declares
+but never implements (models.py:27-38, imported-unused in main.py:1).
+
+Storage layout under ``root``:
+    records/     date-partitioned append-only version log (dt=YYYY-MM-DD);
+                 partition pruning gives as-of reads the role of the
+                 reference's (record_id, timestamp) B-tree (models.py:21-24)
+    snapshots/   materialized latest-per-key states, one dir per snapshot ts
+    rollback_log/ small append-only audit table (models.py:41-51)
+
+Scale notes: every read is a declarative plan over the partitioned log —
+as-of state is one window shuffle bounded below by the newest snapshot;
+rollback is one job (state + inner join + atomic directory swap) instead of
+the reference's 2-round-trips-per-record loop (main.py:191-224).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from temporalvault_spark.session import tune
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("version", T.StringType()),
+        T.StructField("version_num", T.IntegerType()),
+        T.StructField("data", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("previous_version", T.StringType()),
+    ]
+)
+
+
+def parse_time(text: str | datetime, now: datetime | None = None) -> datetime:
+    """Deterministic natural-language time shim (reference: parsedatetime at
+    main.py:110-111). Lives at the API layer, never inside the engine; the
+    reference's nondeterminism (datetime.now()) is injectable here via
+    ``now`` so tests stay reproducible. Truncates to seconds (main.py:112)."""
+    if isinstance(text, datetime):
+        return text.replace(microsecond=0)
+    now = (now or datetime.now()).replace(microsecond=0)
+    s = text.strip().lower()
+    if s in ("now", "today"):
+        base = now if s == "now" else now.replace(hour=0, minute=0, second=0)
+        return base
+    day_offsets = {"yesterday": -1, "tomorrow": 1}
+    m = re.match(r"^(yesterday|today|tomorrow)(?:\s+at\s+(\d{1,2})(?::(\d{2}))?\s*(am|pm)?)?$", s)
+    if m:
+        base = now.replace(hour=0, minute=0, second=0) + timedelta(
+            days=day_offsets.get(m.group(1), 0)
+        )
+        if m.group(2):
+            h = int(m.group(2)) % 12 if m.group(4) else int(m.group(2))
+            if m.group(4) == "pm":
+                h += 12
+            base = base.replace(hour=h, minute=int(m.group(3) or 0))
+        return base
+    m = re.match(r"^(\d+)\s+(second|minute|hour|day|week)s?\s+ago$", s)
+    if m:
+        return now - timedelta(**{m.group(2) + "s": int(m.group(1))})
+    # ISO / "YYYY-MM-DD HH:MM:SS" forms
+    return datetime.fromisoformat(text.strip()).replace(microsecond=0)
+
+
+class TemporalVault:
+    def __init__(self, spark: SparkSession, root: str):
+        tune(spark)
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.records_path = f"{self.root}/records"
+        self.snapshots_path = f"{self.root}/snapshots"
+        self.rollback_log_path = f"{self.root}/rollback_log"
+        os.makedirs(self.root, exist_ok=True)
+        # query()-result cache: truncated-ts -> persisted DataFrame (the
+        # engine analog of the reference's 1h-TTL Redis cache, main.py:115-147)
+        self._cache: dict[str, DataFrame] = {}
+        self.metrics: dict[str, dict[str, float]] = {}
+
+    # -- observability (reference: Prometheus counters/histograms,
+    # main.py:30-53; here a plain op->count/latency map) ---------------------
+
+    def _timed(self, op: str, t0: float) -> None:
+        m = self.metrics.setdefault(op, {"count": 0, "total_sec": 0.0})
+        m["count"] += 1
+        m["total_sec"] += time.perf_counter() - t0
+
+    # -- log access ----------------------------------------------------------
+
+    def _has_records(self) -> bool:
+        return os.path.isdir(self.records_path) and any(
+            n.startswith("dt=") or n.endswith(".parquet") for n in os.listdir(self.records_path)
+        )
+
+    def log(self) -> DataFrame:
+        """The append-only version log (empty-typed DF when nothing written)."""
+        if not self._has_records():
+            return self.spark.createDataFrame([], RECORD_SCHEMA)
+        df = self.spark.read.schema(
+            T.StructType(RECORD_SCHEMA.fields + [T.StructField("dt", T.StringType())])
+        ).parquet(self.records_path)
+        return df.drop("dt")
+
+    # -- write path (reference main.py:68-100) -------------------------------
+
+    def record(self, record_id: str, data, ts: datetime | str | None = None) -> dict:
+        """Append one immutable version (POST /records): read-before-write for
+        the key's latest version (main.py:77-79), assign v{N+1} (main.py:82),
+        append. Payload may be any JSON-serializable value or raw string —
+        stored as its JSON string form (the reference stores the raw query
+        param string, main.py:71,85)."""
+        t0 = time.perf_counter()
+        ts = parse_time(ts) if ts is not None else datetime.now().replace(microsecond=0)
+        payload = data if isinstance(data, str) else json.dumps(data)
+        latest = (
+            self.log()
+            .filter(F.col("record_id") == record_id)
+            .orderBy(F.desc("version_num"))
+            .limit(1)
+            .select("version_num")
+            .collect()
+        )
+        prev_num = latest[0][0] if latest else 0
+        prev_version = f"v{prev_num}" if prev_num else None
+        row = {
+            "id": uuid.uuid4().int % (1 << 62),
+            "record_id": record_id,
+            "version": f"v{prev_num + 1}",
+            "version_num": prev_num + 1,
+            "data": payload,
+            "ts": ts,
+            "previous_version": prev_version,
+        }
+        self._append(self.spark.createDataFrame([row], RECORD_SCHEMA))
+        self._invalidate()
+        self._timed("record", t0)
+        return row
+
+    def record_bulk(self, rows: DataFrame) -> int:
+        """Bulk append: ``rows`` needs (record_id, data, ts). Version numbers
+        continue each key's chain — one window over the union of the existing
+        per-key max and the new batch (set-based main.py:82, no per-row
+        lookups)."""
+        t0 = time.perf_counter()
+        base = (
+            self.log()
+            .groupBy("record_id")
+            .agg(F.max("version_num").alias("base_num"))
+        )
+        w = Window.partitionBy("record_id").orderBy("ts", "data")
+        batch = (
+            rows.select(
+                "record_id",
+                F.col("data").cast("string").alias("data"),
+                F.date_trunc("second", "ts").alias("ts"),
+            )
+            .join(F.broadcast(base), "record_id", "left")
+            .withColumn("base_num", F.coalesce("base_num", F.lit(0)))
+            .withColumn("offset", F.row_number().over(w))
+            .withColumn("version_num", (F.col("base_num") + F.col("offset")).cast("int"))
+            .withColumn("version", F.concat(F.lit("v"), F.col("version_num")))
+            .withColumn(
+                "previous_version",
+                F.when(F.col("version_num") > 1, F.concat(F.lit("v"), F.col("version_num") - 1)),
+            )
+            .withColumn("id", F.monotonically_increasing_id())
+            .select([f.name for f in RECORD_SCHEMA.fields])
+        )
+        n = batch.count()
+        self._append(batch)
+        self._invalidate()
+        self._timed("record_bulk", t0)
+        return n
+
+    def _append(self, df: DataFrame) -> None:
+        (
+            df.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+            .repartition("dt")
+            .write.mode("append")
+            .partitionBy("dt")
+            .parquet(self.records_path)
+        )
+
+    # -- read paths (reference main.py:103-152) ------------------------------
+
+    def query(self, timestamp, cache: bool = True) -> DataFrame:
+        """As-of read, faithful semantics: ALL versions with ts <= T of all
+        keys, newest first (main.py:127-129 — no per-key dedup). Results are
+        persisted per truncated timestamp (the Redis role, main.py:115-147);
+        date-partition pruning stands in for the timestamp index."""
+        t0 = time.perf_counter()
+        ts = parse_time(timestamp)
+        key = ts.isoformat()
+        if cache and key in self._cache:
+            self._timed("query_cache_hit", t0)
+            return self._cache[key]
+        out = (
+            self.log()
+            .filter(F.col("ts") <= F.lit(ts))
+            .select("id", "record_id", "version", "data", "ts")
+            .orderBy(F.desc("ts"), F.desc("id"))
+        )
+        if cache:
+            out = out.persist()
+            self._cache[key] = out
+        self._timed("query", t0)
+        return out
+
+    def state_at(self, timestamp) -> DataFrame:
+        """Latest version ≤ T per key — snapshot-aware: start from the newest
+        materialized snapshot ≤ T and window only the log tail after it
+        (the reconstruction-cost bound the reference's snapshots table was
+        meant to provide, models.py:27-38)."""
+        t0 = time.perf_counter()
+        ts = parse_time(timestamp)
+        snap_ts, snap_df = self._nearest_snapshot(ts)
+        log = self.log().filter(F.col("ts") <= F.lit(ts))
+        if snap_df is not None:
+            log = log.filter(F.col("ts") > F.lit(snap_ts))
+            log = snap_df.unionByName(log)
+        w = Window.partitionBy("record_id").orderBy(F.desc("version_num"))
+        out = (
+            log.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "record_id", "version", "version_num", "data", "ts", "previous_version")
+        )
+        self._timed("state_at", t0)
+        return out
+
+    # -- snapshots ------------------------------------------------------------
+
+    def snapshot(self, timestamp) -> str:
+        """Materialize state_at(T) to snapshots/<iso>/ (the declared-but-dead
+        snapshots table, models.py:27-38, actually implemented)."""
+        ts = parse_time(timestamp)
+        name = ts.strftime("%Y%m%dT%H%M%S")
+        path = f"{self.snapshots_path}/{name}"
+        self.state_at(ts).write.mode("overwrite").parquet(path)
+        return path
+
+    def _nearest_snapshot(self, ts: datetime):
+        if not os.path.isdir(self.snapshots_path):
+            return None, None
+        best = None
+        for name in sorted(os.listdir(self.snapshots_path)):
+            try:
+                snap_ts = datetime.strptime(name, "%Y%m%dT%H%M%S")
+            except ValueError:
+                continue
+            if snap_ts <= ts and (best is None or snap_ts > best):
+                best = snap_ts
+        if best is None:
+            return None, None
+        path = f"{self.snapshots_path}/{best.strftime('%Y%m%dT%H%M%S')}"
+        return best, self.spark.read.schema(RECORD_SCHEMA).parquet(path)
+
+    # -- rollback (reference main.py:154-248) --------------------------------
+
+    def rollback(self, timestamp) -> dict:
+        """Roll the table back to T: audit first (count + affected keys,
+        main.py:174-188), then one job computes the post-rollback table —
+        pre-T rows unchanged; post-T rows of keys alive at T rewritten to the
+        as-of state (main.py:200-214); keys born after T dropped
+        (main.py:217-224) — and atomically replaces the log directory.
+        One shuffle replaces the reference's per-record UPDATE/DELETE loop."""
+        t0 = time.perf_counter()
+        ts = parse_time(timestamp)
+        log = self.log()
+        affected = log.filter(F.col("ts") > F.lit(ts))
+        audit = affected.agg(
+            F.count("*").alias("n_affected"),
+            F.array_sort(F.collect_set("record_id")).alias("affected_keys"),
+        ).collect()[0]
+        audit_row = {
+            "ts": datetime.now().replace(microsecond=0),
+            "rollback_to": ts,
+            "n_affected": audit["n_affected"],
+            "rollback_data": json.dumps({"record_ids": list(audit["affected_keys"])}),
+        }
+        self.spark.createDataFrame([audit_row]).write.mode("append").parquet(
+            self.rollback_log_path
+        )
+
+        state = self.state_at(ts).select("record_id", F.col("data").alias("asof_data"))
+        kept = log.filter(F.col("ts") <= F.lit(ts))
+        rewritten = (
+            affected.join(state, "record_id", "inner")
+            .withColumn("data", F.col("asof_data"))
+            .select([f.name for f in RECORD_SCHEMA.fields])
+        )
+        new_log = kept.unionByName(rewritten)
+
+        tmp = f"{self.root}/.records_tmp_{uuid.uuid4().hex[:8]}"
+        (
+            new_log.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+            .repartition("dt")
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(tmp)
+        )
+        old = f"{self.root}/.records_old_{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(self.records_path):
+            os.rename(self.records_path, old)
+        os.rename(tmp, self.records_path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        self._invalidate()
+        self._timed("rollback", t0)
+        return {
+            "rolled_back_to": ts.isoformat(),
+            "n_affected": audit["n_affected"],
+            "affected_keys": list(audit["affected_keys"]),
+        }
+
+    def history(self, limit: int = 10) -> DataFrame:
+        """Last N rollback entries, newest first (main.py:251-267) — planned
+        as TakeOrderedAndProject."""
+        if not os.path.isdir(self.rollback_log_path):
+            return self.spark.createDataFrame(
+                [], "ts timestamp, rollback_to timestamp, n_affected long, rollback_data string"
+            )
+        return self.spark.read.parquet(self.rollback_log_path).orderBy(F.desc("ts")).limit(limit)
+
+    # -- compare (reference main.py:270-343) ---------------------------------
+
+    def compare(self, record_id: str, start=None, end=None) -> dict:
+        """Field-level diff of one key between two as-of points. Defaults to
+        the key's first/last occurrence (main.py:280-294). JSON payloads diff
+        per-field over the key union keeping changed keys (main.py:322-326);
+        non-JSON payloads fall back to whole-value from/to (main.py:334-343)."""
+        t0 = time.perf_counter()
+        key_log = self.log().filter(F.col("record_id") == record_id)
+        if start is None or end is None:
+            bounds = key_log.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+            if bounds["lo"] is None:
+                raise KeyError(f"record {record_id!r} not found")
+            start = start or bounds["lo"]
+            end = end or bounds["hi"]
+        start, end = parse_time(start), parse_time(end)
+
+        def point(ts):
+            rows = (
+                key_log.filter(F.col("ts") <= F.lit(ts))
+                .orderBy(F.desc("version_num"))
+                .limit(1)
+                .collect()
+            )
+            return rows[0] if rows else None
+
+        s_row, e_row = point(start), point(end)
+
+        def as_obj(row):
+            if row is None:
+                return None
+            try:
+                return json.loads(row["data"])
+            except (json.JSONDecodeError, TypeError):
+                return row["data"]
+
+        s_obj, e_obj = as_obj(s_row), as_obj(e_row)
+        if isinstance(s_obj, dict) and isinstance(e_obj, dict):
+            diff = {
+                k: {"from": s_obj.get(k), "to": e_obj.get(k)}
+                for k in sorted(set(s_obj) | set(e_obj))
+                if s_obj.get(k) != e_obj.get(k)
+            }
+        else:
+            diff = {} if s_obj == e_obj else {"value": {"from": s_obj, "to": e_obj}}
+        self._timed("compare", t0)
+        return {
+            "record_id": record_id,
+            "start_timestamp": start.isoformat(),
+            "end_timestamp": end.isoformat(),
+            "start_version": s_row["version"] if s_row else None,
+            "end_version": e_row["version"] if e_row else None,
+            "differences": diff,
+        }
+
+    # -- cache ----------------------------------------------------------------
+
+    def _invalidate(self) -> None:
+        """Writes invalidate all cached as-of results (main.py:95, 227-228)."""
+        for df in self._cache.values():
+            df.unpersist()
+        self._cache.clear()

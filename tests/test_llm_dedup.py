@@ -1,0 +1,45 @@
+"""Near-dup operators must actually FIND near-duplicates: crafted corpora
+with known duplicate pairs (the testdata has none, so oracle parity alone
+can't prove recall)."""
+
+import pytest
+
+from temporalvault_spark.operators.llm import ngram_jaccard_pairs
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun near the garden"
+)
+# one token changed such that the min-md5 shingle is preserved (verified:
+# md5('near the garden') stays minimal), so the single-band block still
+# collides; shingle jaccard = 0.833
+NEAR = BASE.replace("quick", "cold")
+FAR = "completely different content about spark query engines and shuffles at scale"
+
+
+@pytest.fixture()
+def crafted(spark):
+    # doc 0/1: near-dups; doc 2: exact dup of 0; doc 3: unrelated
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate([BASE, NEAR, BASE, FAR])],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+
+
+def test_jaccard_finds_crafted_dups(spark, crafted):
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(crafted).collect()}
+    assert got[(0, 2)] == 1.0  # exact dup
+    assert (0, 1) in got and 0.6 <= got[(0, 1)] < 1.0  # near-dup caught
+    assert not any(3 in pair for pair in got)  # unrelated never paired
+
+
+def test_jaccard_single_band_recall_miss_is_possible(spark):
+    """Documents whose minimum shingle differs are NOT candidates — the
+    documented single-band recall trade-off (multi-band = dedup_minhash)."""
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "iota kappa lambda mu nu xi omicron pi"  # disjoint: jaccard 0
+    df = spark.createDataFrame(
+        [(0, a, "en", "s", len(a)), (1, b, "en", "s", len(b))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    assert ngram_jaccard_pairs(df).count() == 0

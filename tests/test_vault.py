@@ -1,0 +1,131 @@
+"""TemporalVault storage-API semantics tests — the hand-crafted micro-fixture
+from FIXTURES.md encoding the reference's edge semantics (cites into
+/root/reference/app/main.py)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporalvault_spark.vault import TemporalVault, parse_time
+
+TS = {
+    "a1": datetime(2026, 1, 1, 0, 0, 0),
+    "c1": datetime(2026, 1, 1, 6, 0, 0),
+    "a2": datetime(2026, 1, 2, 0, 0, 0),
+    "b1": datetime(2026, 1, 2, 12, 0, 0),
+    "a3": datetime(2026, 1, 3, 0, 0, 0),
+}
+T_MID = datetime(2026, 1, 2, 0, 0, 0)
+
+
+@pytest.fixture()
+def vault(spark, tmp_path):
+    v = TemporalVault(spark, str(tmp_path / "vault"))
+    v.record("a", {"x": "1", "y": "2"}, TS["a1"])
+    v.record("c", "not-json plain string", TS["c1"])
+    v.record("a", {"x": "1", "y": "9"}, TS["a2"])
+    v.record("b", {"k": "1"}, TS["b1"])
+    v.record("a", {"x": "1", "z": "5"}, TS["a3"])
+    return v
+
+
+def test_version_assignment_per_key(vault):
+    rows = {(r["record_id"], r["version"]): r for r in vault.log().collect()}
+    assert ("a", "v1") in rows and ("a", "v2") in rows and ("a", "v3") in rows
+    assert ("b", "v1") in rows and ("c", "v1") in rows  # numbering restarts per key
+    assert rows[("a", "v2")]["previous_version"] == "v1"
+    assert rows[("a", "v1")]["previous_version"] is None
+
+
+def test_query_returns_all_versions_no_dedup(vault):
+    # main.py:127-129: as-of returns every version <= T, not latest-per-key
+    got = [(r["record_id"], r["version"]) for r in vault.query(T_MID).collect()]
+    assert sorted(got) == [("a", "v1"), ("a", "v2"), ("c", "v1")]
+
+
+def test_state_at_latest_per_key(vault):
+    got = {r["record_id"]: r["version"] for r in vault.state_at(T_MID).collect()}
+    assert got == {"a": "v2", "c": "v1"}
+
+
+def test_rollback_semantics(vault):
+    res = vault.rollback(T_MID)
+    assert res["n_affected"] == 2  # b/v1 and a/v3
+    assert res["affected_keys"] == ["a", "b"]
+    log = vault.log().collect()
+    # b born after T -> deleted (main.py:217-224)
+    assert not [r for r in log if r["record_id"] == "b"]
+    # a's post-T row rewritten to as-of-T payload (main.py:200-214)
+    a3 = [r for r in log if r["record_id"] == "a" and r["version"] == "v3"]
+    assert len(a3) == 1 and a3[0]["data"] == '{"x": "1", "y": "9"}'
+    # audit entry recorded (main.py:174-188, 251-267)
+    hist = vault.history(5).collect()
+    assert len(hist) == 1 and hist[0]["n_affected"] == 2
+
+
+def test_compare_defaults_to_first_last_occurrence(vault):
+    # main.py:280-294 + key-union diff keeping only changed keys (322-326)
+    res = vault.compare("a")
+    assert res["start_version"] == "v1" and res["end_version"] == "v3"
+    assert res["differences"] == {
+        "y": {"from": "2", "to": None},
+        "z": {"from": None, "to": "5"},
+    }
+
+
+def test_compare_non_json_fallback(vault):
+    # main.py:334-343: non-JSON payloads diff as whole values
+    res = vault.compare("c")
+    assert res["differences"] == {}
+    vault.record("c", "changed text", datetime(2026, 1, 5))
+    res = vault.compare("c")
+    assert res["differences"] == {
+        "value": {"from": "not-json plain string", "to": "changed text"}
+    }
+
+
+def test_version_ordering_v10_after_v2(spark, tmp_path):
+    # "v10" < "v2" lexically — ordering must use version_num (main.py:79, 82)
+    v = TemporalVault(spark, str(tmp_path / "v10"))
+    for i in range(11):
+        v.record("k", {"n": str(i)}, datetime(2026, 1, 1, 0, 0, i))
+    state = v.state_at(datetime(2026, 1, 2)).collect()
+    assert state[0]["version"] == "v11"
+    assert state[0]["data"] == '{"n": "10"}'
+
+
+def test_snapshot_aware_state(vault):
+    direct = {(r["record_id"], r["version"]) for r in vault.state_at(TS["a3"]).collect()}
+    vault.snapshot(T_MID)
+    via_snap = {(r["record_id"], r["version"]) for r in vault.state_at(TS["a3"]).collect()}
+    assert direct == via_snap
+    # snapshot bounded read: tail filter starts after the snapshot ts
+    assert vault._nearest_snapshot(TS["a3"])[0] == T_MID
+
+
+def test_query_cache_hit_and_invalidation(vault):
+    vault.query(T_MID)
+    vault.query(T_MID)
+    assert vault.metrics["query_cache_hit"]["count"] == 1
+    vault.record("d", {"q": "1"}, datetime(2026, 1, 4))
+    vault.query(T_MID)
+    assert vault.metrics["query"]["count"] == 2  # cache invalidated by write
+
+
+def test_record_bulk_continues_chains(vault, spark):
+    batch = spark.createDataFrame(
+        [("a", '{"x":"7"}', datetime(2026, 1, 4)), ("new", '{"m":"1"}', datetime(2026, 1, 4))],
+        "record_id string, data string, ts timestamp",
+    )
+    assert vault.record_bulk(batch) == 2
+    state = {r["record_id"]: r["version"] for r in vault.state_at(datetime(2026, 1, 5)).collect()}
+    assert state["a"] == "v4" and state["new"] == "v1"
+
+
+def test_parse_time_deterministic():
+    now = datetime(2026, 1, 10, 12, 0, 0)
+    assert parse_time("yesterday at 4 pm", now) == datetime(2026, 1, 9, 16, 0, 0)
+    assert parse_time("2 hours ago", now) == datetime(2026, 1, 10, 10, 0, 0)
+    assert parse_time("2026-01-03 05:06:07.999", now) == datetime(2026, 1, 3, 5, 6, 7)
+    assert parse_time("now", now) == now
