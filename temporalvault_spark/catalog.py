@@ -127,9 +127,21 @@ class Catalog:
                         c, F.expr(f"timestamp_micros({c} DIV 1000)")
                     )
             df.createOrReplaceTempView(name)
+        try:
+            self.spark.catalog.uncacheTable("temporal_records")
+        except Exception:
+            pass
         build_temporal_records(self.table("events")).createOrReplaceTempView(
             "temporal_records"
         )
+        # Lazy cache: the derived version log is read by every temporal
+        # operator; materializing the window output once (columnar, in
+        # memory-and-disk) replaces per-query recomputation. The reference
+        # caches as-of results for the same reason (app/main.py:115-147).
+        try:
+            self.spark.catalog.cacheTable("temporal_records")
+        except Exception:
+            pass
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

@@ -1,6 +1,7 @@
 """Operator modules. Importing this package populates the registry."""
 
 from temporalvault_spark.operators import (  # noqa: F401
+    analytics,
     llm,
     relational,
     similarity,

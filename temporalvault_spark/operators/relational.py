@@ -211,25 +211,23 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF JOIN: each (key, probe_ts) pair matched to the latest version at
     or before the probe — the set-based replacement for the reference's N+1
-    loop (main.py:191-224). Formulation: equi-join on key with the temporal
-    inequality as join condition, then one window per probe group. The probe
-    grid is tiny relative to the log, so it broadcasts; the single shuffle is
-    the window's, partitioned by (record_id, probe_ts)."""
+    loop (main.py:191-224). Formulation: broadcast the probe list against the
+    log with the temporal inequality, then one window per (key, probe) group.
+    Keys lacking any version <= probe emit nothing from the window, so no
+    key-grid materialization (and no extra shuffle) is needed; the only
+    data-sized shuffle is the window's (record_id, probe_ts) partitioning.
+    The general two-table form (per-key probe timestamps) is
+    temporalvault_spark.operators.joins.asof_join — union-tag, sort within
+    key partitions, zero joins."""
     c = _cat(spark, sf_dir)
     tr = c.temporal_records
     probes = spark.createDataFrame(
         [(t,) for t in (PROBE_TS_EARLY, PROBE_TS, PROBE_TS_LATE)], "probe_ts_s string"
     ).select(F.col("probe_ts_s").cast("timestamp").alias("probe_ts"))
-    # rename the probe key: the grid derives from tr, so a same-name join
-    # condition would be self-join-ambiguous
-    keys = tr.select(F.col("record_id").alias("probe_key")).distinct()
-    grid = keys.crossJoin(F.broadcast(probes))
     w = Window.partitionBy("record_id", "probe_ts").orderBy(F.desc("version_num"))
     return (
-        tr.join(
-            F.broadcast(grid),
-            (F.col("record_id") == F.col("probe_key")) & (F.col("ts") <= F.col("probe_ts")),
-        )
+        tr.crossJoin(F.broadcast(probes))
+        .filter(F.col("ts") <= F.col("probe_ts"))
         .select("record_id", "probe_ts", "version", "ts", "version_num")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

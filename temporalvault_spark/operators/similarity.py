@@ -161,6 +161,77 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DUP_THRESHOLD = 0.45
+
+
+def embedding_cosine_pairs(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> DataFrame:
+    """Embedding-cosine near-dup: pairs of vectors in the SAME IVF cluster
+    with cosine >= threshold. Cluster blocking makes the self-join an
+    equi-join on centroid_id — candidate fan-out is sum(cluster²), never
+    corpus² — which is exactly how embedding dedup runs at corpus scale
+    (cluster assignment precomputed + partitioned-by). Recall is cluster-local
+    by contract; crafted-duplicate recall is pinned in tests/test_llm_dedup.py."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cent = (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce"))
+    )
+    csim = _dot(F.col("e"), F.col("ce")) / _norm(F.col("ce"))
+    from pyspark.sql import Window
+
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("csim", csim)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", F.coalesce("centroid_id", F.lit(-1)).alias("centroid_id"))
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (_norm(F.col("a.e")) * _norm(F.col("b.e")))
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.centroid_id").alias("centroid_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(cos >= threshold)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {N_CENTROIDS}),
+        assign AS (
+            SELECT vec_id, e, centroid_id FROM (
+                SELECT a.vec_id, a.e, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                          ORDER BY list_dot_product(a.e, c.ce)
+                                                   / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                                          c.centroid_id) AS rn
+                FROM e a CROSS JOIN c) x
+            WHERE rn = 1)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.centroid_id,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+               AS cosine
+    FROM assign a JOIN assign b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+          >= {EMB_DUP_THRESHOLD}""",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_cosine_pairs(_emb(spark, sf_dir))
+
+
 @query("sim_topk_cosine_pandas")  # rows-only: same semantics as sim_topk_cosine
 def q_sim_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine via an Arrow-batched Pandas UDF (NumPy dot): the

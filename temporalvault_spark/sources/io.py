@@ -1,0 +1,69 @@
+"""Sources & sinks: format-agnostic table IO with the engine's timestamp
+handling centralized.
+
+The reference's only 'source' is PostgreSQL-via-ORM (database.py:18-36) and
+its only 'sink' JSON-over-HTTP; the engine reads/writes columnar files. All
+three text/columnar formats route through one reader so the
+TIMESTAMP(NANOS)→timestamp normalization (see session.RUNTIME_CONFS) happens
+in exactly one place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from temporalvault_spark.session import tune
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    ts_cols: tuple[str, ...] = (),
+    **options,
+) -> DataFrame:
+    """Read parquet/csv/json with explicit schema (never inferred at scale —
+    inference is a full extra pass over text formats) and nanos-as-long
+    timestamp normalization for the named ``ts_cols``."""
+    tune(spark)
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    df = reader.options(**options).load(path)
+    for c in ts_cols:
+        if dict(df.dtypes).get(c) in ("bigint", "long"):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned columnar write. ``partition_by`` should be low-cardinality
+    (dates, categories): each distinct tuple becomes a directory that
+    downstream predicate pushdown prunes for free — the engine's substitute
+    for the reference's B-tree indexes (models.py:21-24).
+    ``max_records_per_file`` caps file sizes so a 100 TB write neither
+    produces giant unsplittable files nor a small-files explosion."""
+    if partition_by:
+        # co-locate rows of each partition before the write so every task
+        # writes whole files instead of a file-per-task-per-partition spray
+        df = df.repartition(*[F.col(c) for c in partition_by])
+    w = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.save(path)

@@ -1,0 +1,75 @@
+"""General as-of join (union-tag) vs a brute-force correlated reference."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporalvault_spark.operators.joins import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    base = datetime(2026, 1, 1)
+    versions = [
+        ("k1", base + timedelta(hours=h), f"k1-v{h}") for h in (0, 5, 10, 20)
+    ] + [("k2", base + timedelta(hours=h), f"k2-v{h}") for h in (3, 9)]
+    probes = [
+        ("k1", base + timedelta(hours=h)) for h in (0, 4, 10, 11, 25)
+    ] + [("k2", base + timedelta(hours=h)) for h in (1, 9, 30)] + [
+        ("k3", base + timedelta(hours=2))  # key with no versions at all
+    ]
+    r = spark.createDataFrame(versions, "key string, vts timestamp, payload string")
+    l = spark.createDataFrame(probes, "key string, pts timestamp")
+    return l, r
+
+
+def brute_force(l_rows, r_rows, tolerance_h=None):
+    out = {}
+    for key, pts in l_rows:
+        best = None
+        for k, vts, payload in r_rows:
+            if k == key and vts <= pts and (best is None or vts > best[0]):
+                best = (vts, payload)
+        if best and tolerance_h is not None and best[0] < pts - timedelta(hours=tolerance_h):
+            best = None
+        out[(key, pts)] = best[1] if best else None
+    return out
+
+
+def test_asof_join_matches_brute_force(spark, frames):
+    l, r = frames
+    got = {
+        (row["key"], row["pts"]): row["payload"]
+        for row in asof_join(l, r, "key", "pts", "vts", ["payload"]).collect()
+    }
+    expected = brute_force(
+        [(x["key"], x["pts"]) for x in l.collect()],
+        [(x["key"], x["vts"], x["payload"]) for x in r.collect()],
+    )
+    assert got == expected
+    # spot semantics: exact-ts match included; no-version key present w/ null
+    assert got[("k1", datetime(2026, 1, 1, 10))] == "k1-v10"
+    assert got[("k3", datetime(2026, 1, 1, 2))] is None
+
+
+def test_asof_join_tolerance(spark, frames):
+    l, r = frames
+    got = {
+        (row["key"], row["pts"]): row["payload"]
+        for row in asof_join(l, r, "key", "pts", "vts", ["payload"], tolerance="4 hours").collect()
+    }
+    expected = brute_force(
+        [(x["key"], x["pts"]) for x in l.collect()],
+        [(x["key"], x["vts"], x["payload"]) for x in r.collect()],
+        tolerance_h=4,
+    )
+    assert got == expected
+    assert got[("k1", datetime(2026, 1, 2, 1))] is None  # 25h probe, last v at 20h
+
+
+def test_asof_join_is_single_shuffle(spark, frames):
+    l, r = frames
+    plan = asof_join(l, r, "key", "pts", "vts", ["payload"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # no join operator at all
+    assert plan.count("Exchange hashpartitioning") <= 1

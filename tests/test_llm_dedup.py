@@ -33,6 +33,28 @@ def test_jaccard_finds_crafted_dups(spark, crafted):
     assert not any(3 in pair for pair in got)  # unrelated never paired
 
 
+def test_embedding_cosine_finds_crafted_dups(spark):
+    """Near-identical vectors land in the same IVF cluster and must be paired;
+    orthogonal vectors must not."""
+    import math
+
+    from temporalvault_spark.operators.similarity import embedding_cosine_pairs
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [0.99] + [math.sqrt(1 - 0.99**2)] + [0.0] * (dim - 2)
+    # diagonal between two axes: cosine 0.707 with every centroid (< 0.9),
+    # so it joins a cluster but pairs with nothing
+    ortho = [0.0, 2 ** -0.5, 2 ** -0.5] + [0.0] * (dim - 3)
+    # vec_ids 0..15 are centroids by contract; put the probes above that range
+    rows = [(i, [float(i % dim == j) for j in range(dim)], 0) for i in range(16)]
+    rows += [(100, base, 1), (101, near, 1), (102, ortho, 1)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in embedding_cosine_pairs(emb, 0.9).collect()}
+    assert (100, 101) in got and got[(100, 101)] >= 0.98
+    assert not any(102 in p for p in got)
+
+
 def test_jaccard_single_band_recall_miss_is_possible(spark):
     """Documents whose minimum shingle differs are NOT candidates — the
     documented single-band recall trade-off (multi-band = dedup_minhash)."""

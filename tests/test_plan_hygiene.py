@@ -1,0 +1,67 @@
+"""Physical-plan assertions: answers staying right isn't enough — the PLAN
+must stay scale-shaped. These lock in broadcast joins, pushdown, pruning,
+top-k, and window-group-limit behavior."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from temporalvault_spark.plans import plan_counts, pushed_filters, read_schema_cols
+
+QUERIES = entrymod.queries()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return QUERIES[name](spark, sf_dir)
+
+    return run
+
+
+def test_star_join_all_broadcast(q):
+    c = plan_counts(q("join_broadcast"))
+    assert c["BroadcastHashJoin"] == 3
+    assert c["SortMergeJoin"] == 0 and c["CartesianProduct"] == 0
+
+
+def test_tpch_q5_no_cartesian(q):
+    c = plan_counts(q("tpch_q5_local_supplier"))
+    assert c["CartesianProduct"] == 0
+    assert c["BroadcastHashJoin"] >= 3  # supplier, nation, region at minimum
+
+
+def test_scan_pushdown_and_pruning(q):
+    df = q("scan_project")
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    cols = read_schema_cols(df)[0]
+    assert set(cols) == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"}
+
+
+def test_topk_avoids_total_sort(q):
+    c = plan_counts(q("history_topn"))
+    assert c["TakeOrderedAndProject"] == 1
+    assert c["Exchange rangepartitioning"] == 0
+
+
+def test_window_group_limit_applies(q):
+    c = plan_counts(q("win_rownum_latest"))
+    assert c["WindowGroupLimit"] >= 1  # per-partition top-k before the shuffle
+
+
+def test_range_theta_is_broadcast_nested_loop(q):
+    c = plan_counts(q("join_range_theta"))
+    assert c["BroadcastNestedLoopJoin"] == 1
+    assert c["CartesianProduct"] == 0
+
+
+def test_agg_is_hash_not_sort(q):
+    c = plan_counts(q("agg_groupby_multi"))
+    assert c["HashAggregate"] >= 2  # partial + final
+    assert c["SortAggregate"] == 0
+
+
+def test_semi_anti_stay_broadcast(q):
+    for name in ("join_semi", "join_anti"):
+        c = plan_counts(q(name))
+        assert c["BroadcastHashJoin"] >= 1
+        assert c["SortMergeJoin"] == 0
