@@ -117,6 +117,13 @@ class Catalog:
     }
 
     def _register(self) -> None:
+        # NOTE on scan parallelism: each testdata table is one parquet file
+        # with one row group (unsplittable → 1-task scans). A blanket
+        # repartition behind the views was measured (bench at sf0.1) to LOSE
+        # ~25% overall — the added exchange costs more than parallel decode
+        # saves at these sizes — so fan-out stays targeted inside the
+        # CPU-heavy operators (dedup shingling, pair joins) only. A real
+        # 100 TB table arrives as many files and never hits this.
         for name in TABLES:
             df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
             for c in self._TS_COLS.get(name, ()):

@@ -146,6 +146,36 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     )
 
 
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "token_count_bpe",
+    f"""SELECT doc_id,
+           len(string_split(lower(trim(text)), ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe_tokens,
+           ROUND(CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS DOUBLE)
+                 / len(string_split(lower(trim(text)), ' ')), 6) AS bpe_per_word
+    FROM documents""",
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    segmentation (letter runs / digit runs / single symbols — the shape of a
+    GPT-style pre-tokenizer). The ratio approximates tokens-per-word, the
+    number every training-data budget is priced in. Pure regexp builtins —
+    codegen'd, no Python."""
+    d = _docs(spark, sf_dir)
+    # idx=0 = whole match (Spark defaults to capture group 1; pattern has none)
+    bpe = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0)
+    ws = _tokens()
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.round(F.size(bpe).cast("double") / F.size(ws), 6).alias("bpe_per_word"),
+    )
+
+
 # --- fingerprinting --------------------------------------------------------
 
 

@@ -1,5 +1,6 @@
 from temporalvault_spark.streaming.jobs import (
     events_stream,
+    ingest_into_vault,
     latest_state_stream,
     run_available_now,
     session_counts,
@@ -14,4 +15,5 @@ __all__ = [
     "session_counts",
     "latest_state_stream",
     "run_available_now",
+    "ingest_into_vault",
 ]

@@ -127,6 +127,31 @@ def latest_state_stream(records: DataFrame) -> DataFrame:
     )
 
 
+def ingest_into_vault(vault, events: DataFrame, available_now: bool = True):
+    """Continuous ingestion: an event stream becomes vault versions via
+    foreachBatch → record_bulk — each micro-batch is one bulk append with
+    window-assigned version numbers (the streaming form of the reference's
+    POST /records write path, main.py:68-100, without per-row round trips).
+    Exactly-once at the parquet-append level comes from the streaming
+    checkpoint + idempotent batch ids in production; here the demo/backfill
+    trigger drains what's available and stops."""
+    rec = events.select(
+        F.col("user_id").cast("string").alias("record_id"),
+        F.col("props").alias("data"),
+        F.col("ts"),
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        vault.record_bulk(batch_df)
+
+    writer = rec.writeStream.foreachBatch(sink).outputMode("append")
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()
+
+
 def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drain the stream's currently-available data into an in-memory table and
     return it as a DataFrame (Trigger.AvailableNow — the backfill/test path)."""
