@@ -29,6 +29,8 @@ HEADLINE = [
     "agg_groupby_multi",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
     "join_broadcast",
     "join_inner_hash",
     "topn_per_group",

@@ -109,13 +109,23 @@ class TemporalVault:
             n.startswith("dt=") or n.endswith(".parquet") for n in os.listdir(self.records_path)
         )
 
-    def log(self) -> DataFrame:
-        """The append-only version log (empty-typed DF when nothing written)."""
+    def log(self, until: datetime | None = None) -> DataFrame:
+        """The append-only version log (empty-typed DF when nothing written).
+
+        ``until``: as-of bound. A predicate on ``ts`` alone does NOT prune
+        the dt= directories (Spark can't derive dt bounds from ts bounds), so
+        as-of reads add the matching partition predicate explicitly — this is
+        the B-tree-index role of the layout (reference models.py:21-24): an
+        as-of read at T touches only partitions dt <= date(T)."""
         if not self._has_records():
             return self.spark.createDataFrame([], RECORD_SCHEMA)
         df = self.spark.read.schema(
             T.StructType(RECORD_SCHEMA.fields + [T.StructField("dt", T.StringType())])
         ).parquet(self.records_path)
+        if until is not None:
+            df = df.filter(
+                (F.col("dt") <= until.strftime("%Y-%m-%d")) & (F.col("ts") <= F.lit(until))
+            )
         return df.drop("dt")
 
     # -- write path (reference main.py:68-100) -------------------------------
@@ -212,8 +222,7 @@ class TemporalVault:
             self._timed("query_cache_hit", t0)
             return self._cache[key]
         out = (
-            self.log()
-            .filter(F.col("ts") <= F.lit(ts))
+            self.log(until=ts)
             .select("id", "record_id", "version", "data", "ts")
             .orderBy(F.desc("ts"), F.desc("id"))
         )
@@ -231,7 +240,7 @@ class TemporalVault:
         t0 = time.perf_counter()
         ts = parse_time(timestamp)
         snap_ts, snap_df = self._nearest_snapshot(ts)
-        log = self.log().filter(F.col("ts") <= F.lit(ts))
+        log = self.log(until=ts)
         if snap_df is not None:
             log = log.filter(F.col("ts") > F.lit(snap_ts))
             log = snap_df.unionByName(log)

@@ -129,3 +129,19 @@ def test_parse_time_deterministic():
     assert parse_time("2 hours ago", now) == datetime(2026, 1, 10, 10, 0, 0)
     assert parse_time("2026-01-03 05:06:07.999", now) == datetime(2026, 1, 3, 5, 6, 7)
     assert parse_time("now", now) == now
+
+
+def test_asof_reads_prune_date_partitions(vault):
+    """The dt= partition predicate must reach the scan: an as-of read at T
+    touches only partitions <= date(T) (the layout's B-tree role)."""
+    from temporalvault_spark.plans import executed_plan
+
+    plan = executed_plan(vault.query(T_MID, cache=False))
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dt" in m.group(1), f"no dt partition filter: {m and m.group(1)}"
+    # and the pruned read returns the same rows as an unpruned scan would
+    got = sorted((r["record_id"], r["version"]) for r in vault.query(T_MID, cache=False).collect())
+    assert got == [("a", "v1"), ("a", "v2"), ("c", "v1")]
