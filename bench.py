@@ -37,6 +37,8 @@ HEADLINE = [
     "win_running_agg",
     "win_session",
     "win_tumbling_hour",
+    "funnel_signup_click_purchase",
+    "cohort_retention_weekly",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "doc_fingerprint",

@@ -2,10 +2,12 @@
 
 from temporalvault_spark.operators import (  # noqa: F401
     analytics,
+    dedup_cluster,
     llm,
     relational,
     similarity,
     temporal,
+    temporal_analytics,
     timewindow,
 )
 from temporalvault_spark.registry import ORACLES, QUERIES  # noqa: F401

@@ -1,0 +1,77 @@
+"""Transitive dedup clustering: near-dup PAIRS become duplicate GROUPS via
+connected components — the step every corpus-dedup pipeline needs after LSH
+(keep one doc per component, not per pair).
+
+Algorithm: large-star/small-star style label propagation — iterate
+"every node adopts the minimum label in its neighborhood" until no label
+changes. Each iteration is one join + one aggregate (all DataFrame ops,
+shuffle on node id); convergence takes O(log n) iterations on real dup
+graphs (components are tiny: pairs/triples). The loop is driver-side but the
+DATA never leaves the cluster — only the converged/not-converged bit comes
+back per iteration.
+
+Iterative → not SQL-expressible as one query; the driver records a rows-only
+check and tests/test_llm_dedup.py pins exact components on crafted graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.operators.llm import ngram_jaccard_pairs
+from temporalvault_spark.registry import query
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """edges(src, dst) → (node, component) where component is the minimum
+    node id reachable. Undirected."""
+    sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst AS src", "src AS dst"))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .union(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # each node adopts min(own label, neighbors' labels)
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("node", "dst2"),
+                     F.col("dst") == F.col("dst2"))
+            .select(F.col("src").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("dedup_components")  # iterative -> rows-only check by design
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups over the shingle-jaccard near-dup graph: each doc
+    mapped to its component representative (min doc_id), plus component size.
+    Downstream 'keep one per group' is a filter on doc_id == component."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    pairs = ngram_jaccard_pairs(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("component").agg(F.count("*").alias("group_size"))
+    return (
+        comps.join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("keep_doc_id"), "group_size")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,127 @@
+"""Temporal analytics beyond the reference's API: interval (SCD2) views of
+the version log, event funnels, cohort retention — the queries a user of a
+time-traveling store actually runs once they have one.
+
+Reference tie-in: the version log IS a slowly-changing dimension; /compare
+(main.py:270-343) diffs two points, these operators expose the whole
+trajectory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from temporalvault_spark.catalog import load_catalog, temporal_oracle
+from temporalvault_spark.registry import query
+
+
+def _cat(spark: SparkSession, sf_dir: str):
+    return load_catalog(spark, sf_dir)
+
+
+@query(
+    "version_intervals",
+    temporal_oracle(
+        """SELECT record_id, version, data,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY record_id ORDER BY version_num) AS valid_to,
+               CASE WHEN LEAD(ts) OVER (PARTITION BY record_id ORDER BY version_num)
+                    IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM temporal_records"""
+    ),
+)
+def q_version_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval view: each version becomes [valid_from, valid_to) with
+    an is_current flag — the join-friendly form of the append-only log (an
+    as-of read becomes a plain BETWEEN predicate against this view). One
+    lead() window, same record_id shuffle every temporal op shares."""
+    tr = _cat(spark, sf_dir).temporal_records
+    w = Window.partitionBy("record_id").orderBy("version_num")
+    valid_to = F.lead("ts").over(w)
+    return tr.select(
+        "record_id",
+        "version",
+        "data",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@query(
+    "funnel_signup_click_purchase",
+    """WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id)
+    SELECT
+        COUNT(*) AS n_users,
+        CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_signup,
+        CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                      THEN 1 ELSE 0 END) AS BIGINT) AS stage_click_after_signup,
+        CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                       AND t_purchase > t_click
+                      THEN 1 ELSE 0 END) AS BIGINT) AS stage_full_funnel
+    FROM firsts""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase): first-occurrence per stage
+    per user, then ordering predicates. One groupBy(user_id) with conditional
+    MINs — no self-joins, no window over the full event stream; the classic
+    funnel formulation that scales as a single aggregate."""
+    ev = _cat(spark, sf_dir).table("events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(signed, 1).otherwise(0)).cast("bigint").alias("stage_signup"),
+        F.sum(F.when(clicked, 1).otherwise(0)).cast("bigint").alias("stage_click_after_signup"),
+        F.sum(F.when(purchased, 1).otherwise(0)).cast("bigint").alias("stage_full_funnel"),
+    )
+
+
+@query(
+    "cohort_retention_weekly",
+    """WITH cohorts AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS active_week
+        FROM events e)
+    SELECT c.cohort_week,
+           CAST(floor(date_diff('day', c.cohort_week, a.active_week) / 7.0) AS BIGINT)
+               AS weeks_since,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM cohorts c JOIN activity a ON c.user_id = a.user_id
+    WHERE a.active_week >= c.cohort_week
+    GROUP BY 1, 2""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week, counted in
+    each later activity week. Two aggregates + an equi-join on user_id; the
+    join co-partitions with both aggregates, so at scale this is one logical
+    shuffle of the event stream by user."""
+    ev = _cat(spark, sf_dir).table("events")
+    cohorts = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    activity = ev.select("user_id", F.date_trunc("week", "ts").alias("active_week")).distinct()
+    return (
+        cohorts.join(activity, "user_id")
+        .filter(F.col("active_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("active_week", "cohort_week") / 7.0)
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

@@ -65,3 +65,29 @@ def test_jaccard_single_band_recall_miss_is_possible(spark):
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
     assert ngram_jaccard_pairs(df).count() == 0
+
+
+def test_connected_components_crafted_graph(spark):
+    """Exact components on a known graph: {1,2,3} chained, {10,11}, isolated
+    nodes absent (only nodes appearing in edges get labels)."""
+    from temporalvault_spark.operators.dedup_cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (3, 7)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_dedup_components_groups_transitively(spark, crafted):
+    """doc0==doc2 exactly and doc1 near-dups doc0 -> one component {0,1,2};
+    doc3 unrelated -> not present (no edges)."""
+    from temporalvault_spark.operators.dedup_cluster import connected_components
+    from temporalvault_spark.operators.llm import ngram_jaccard_pairs
+    import pyspark.sql.functions as F
+
+    pairs = ngram_jaccard_pairs(crafted).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comps = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps == {0: 0, 1: 0, 2: 0}
