@@ -325,3 +325,49 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("a"))
         .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
     )
+
+
+@query(
+    "agg_pivot_event_types",
+    """SELECT user_id,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'click' THEN value END), 0), 2) AS click,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'error' THEN value END), 0), 2) AS error,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0), 2) AS purchase,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN value END), 0), 2) AS signup,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'view' THEN value END), 0), 2) AS view
+    FROM events GROUP BY user_id""",
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long→wide per-user value sums by event type. The explicit value
+    list matters at scale — without it Spark runs an extra distinct pass to
+    discover columns."""
+    ev = _cat(spark, sf_dir).table("events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
+    )
+    return piv
+
+
+@query(
+    "agg_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + grouping_id disambiguation (a NULL group
+    value vs a NULL from the rollup level are different things — gid is how
+    consumers tell them apart)."""
+    _cat(spark, sf_dir)
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""
+    )

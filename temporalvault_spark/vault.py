@@ -338,6 +338,42 @@ class TemporalVault:
             "affected_keys": list(audit["affected_keys"]),
         }
 
+    def compact(self) -> dict:
+        """Rewrite the version log to ~one file per dt= directory, rows
+        sorted by (record_id, version_num). Single-record appends each add a
+        file; at an append-heavy 100 TB log the file count — not the byte
+        count — is what kills scan planning (footer reads, task scheduling).
+        The sort restores key locality, so parquet min/max stats on
+        record_id prune key-filtered reads (the index role). Same atomic
+        directory-swap as rollback; contents are row-identical, so readers
+        never observe a difference."""
+        t0 = time.perf_counter()
+        before = sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for _, _, files in os.walk(self.records_path)
+        )
+        log = self.log()
+        tmp = f"{self.root}/.records_tmp_{uuid.uuid4().hex[:8]}"
+        (
+            log.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+            .repartition(F.col("dt"))
+            .sortWithinPartitions("record_id", "version_num")
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(tmp)
+        )
+        old = f"{self.root}/.records_old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.records_path, old)
+        os.rename(tmp, self.records_path)
+        shutil.rmtree(old)
+        self._invalidate()
+        after = sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for _, _, files in os.walk(self.records_path)
+        )
+        self._timed("compact", t0)
+        return {"files_before": before, "files_after": after}
+
     def history(self, limit: int = 10) -> DataFrame:
         """Last N rollback entries, newest first (main.py:251-267) — planned
         as TakeOrderedAndProject."""

@@ -145,3 +145,14 @@ def test_asof_reads_prune_date_partitions(vault):
     # and the pruned read returns the same rows as an unpruned scan would
     got = sorted((r["record_id"], r["version"]) for r in vault.query(T_MID, cache=False).collect())
     assert got == [("a", "v1"), ("a", "v2"), ("c", "v1")]
+
+
+def test_compact_reduces_files_preserves_rows(vault):
+    before_rows = sorted(tuple(r) for r in vault.log().collect())
+    stats = vault.compact()
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 3  # one per dt partition (3 distinct days)
+    after_rows = sorted(tuple(r) for r in vault.log().collect())
+    assert after_rows == before_rows
+    # and the vault still works end-to-end after the swap
+    assert {r["record_id"] for r in vault.state_at(T_MID).collect()} == {"a", "c"}
