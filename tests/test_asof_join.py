@@ -73,3 +73,56 @@ def test_asof_join_is_single_shuffle(spark, frames):
     plan = asof_join(l, r, "key", "pts", "vts", ["payload"])._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # no join operator at all
     assert plan.count("Exchange hashpartitioning") <= 1
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    versions=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 200)),
+        min_size=1, max_size=25,
+    ),
+    probes=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", "d"]), st.integers(0, 220)),
+        min_size=1, max_size=15,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, versions, probes):
+    """Differential property test: our union-tag as-of join must equal
+    pandas.merge_asof (direction='backward', exact matches allowed) on random
+    inputs — including duplicate timestamps and keys with no versions."""
+    import pandas as pd
+
+    base = datetime(2026, 1, 1)
+    # dedupe (key, ts) on the version side: merge_asof picks the LAST row of
+    # equal-ts duplicates, which is input-order-dependent; (key, ts) must be
+    # unique for a well-defined comparison
+    vmap = {}
+    for i, (k, m) in enumerate(versions):
+        vmap[(k, m)] = f"p{i}"
+    vrows = [(k, base + timedelta(minutes=m), p) for (k, m), p in sorted(vmap.items())]
+    prows = [(k, base + timedelta(minutes=m)) for k, m in probes]
+
+    r = spark.createDataFrame(vrows, "key string, vts timestamp, payload string")
+    l = spark.createDataFrame(prows, "key string, pts timestamp")
+    got = sorted(
+        (row["key"], row["pts"], row["payload"])
+        for row in asof_join(l, r, "key", "pts", "vts", ["payload"]).collect()
+    )
+
+    pdl = pd.DataFrame(prows, columns=["key", "pts"]).sort_values("pts", kind="stable")
+    pdr = pd.DataFrame(vrows, columns=["key", "vts", "payload"]).sort_values("vts", kind="stable")
+    merged = pd.merge_asof(
+        pdl, pdr, left_on="pts", right_on="vts", by="key", direction="backward"
+    )
+    expected = sorted(
+        (row.key, row.pts.to_pydatetime(), None if pd.isna(row.payload) else row.payload)
+        for row in merged.itertuples()
+    )
+    assert got == expected

@@ -91,3 +91,52 @@ def test_stream_ingest_into_vault(spark, sf_dir, tmp_path):
     # compare key set + per-key version counts
     assert set(got) == set(expected)
     assert {k: int(v[0][1:]) for k, v in got.items()} == expected
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Two sequential micro-batches: batch 1 advances the watermark; batch 2
+    delivers an event older than it — the aggregate must NOT emit that
+    window. This is the late-data contract watermarks exist for."""
+    import pyspark.sql.functions as F
+    from datetime import datetime
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    # batch 1: events up to 12:00 -> watermark advances to 11:00 (1h delay)
+    write_batch("b1", [
+        (1, datetime(2026, 1, 1, 10, 30), 1, "click", 1.0, "{}"),
+        (2, datetime(2026, 1, 1, 12, 0), 1, "click", 1.0, "{}"),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("late_test")
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: an event at 08:15, far older than the 11:00 watermark
+        write_batch("b2", [(3, datetime(2026, 1, 1, 8, 15), 1, "click", 1.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    windows = {r["ws"] for r in spark.table("late_test").collect()}
+    assert datetime(2026, 1, 1, 10, 0) in windows and datetime(2026, 1, 1, 12, 0) in windows
+    assert datetime(2026, 1, 1, 8, 0) not in windows  # late event dropped
