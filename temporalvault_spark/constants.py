@@ -13,10 +13,6 @@ PROBE_TS_LATE = "2024-01-24 00:00:00"
 # Single-record probes
 PROBE_KEY = "7"
 
-# Star-schema probes (orders span 1995-01-01..2001-08-01)
-ORDERS_DATE_LO = "1996-01-01 00:00:00"
-ORDERS_DATE_HI = "1998-01-01 00:00:00"
-LINEITEM_SHIPDATE_CUT = "1998-09-02 00:00:00"
 
 # Similarity search
 SIM_PROBE_VEC_ID = 0

@@ -147,7 +147,7 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _cat(spark, sf_dir).table("customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return (
-        cust.withColumn("rnk", F.rank().over(w))
+        cust.withColumn("rnk", F.rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
         .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
     )

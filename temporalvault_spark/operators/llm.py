@@ -170,8 +170,8 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = _tokens()
     return d.select(
         "doc_id",
-        F.size(ws).alias("n_ws_tokens"),
-        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
         F.round(F.size(bpe).cast("double") / F.size(ws), 6).alias("bpe_per_word"),
     )
 
@@ -209,7 +209,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.array_sort(F.array_distinct(shingles)), "\n")).alias(
             "shingle_fingerprint"
         ),
-        F.when(F.size("t") >= 3, F.size("t") - 2).otherwise(F.lit(0)).alias("n_shingles"),
+        (F.when(F.size("t") >= 3, F.size("t") - 2).otherwise(F.lit(0))).cast("long").alias("n_shingles"),
     )
 
 
@@ -247,8 +247,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "n_chars",
-        F.size("t").alias("n_tokens"),
-        F.size(F.array_distinct("t")).alias("n_distinct_tokens"),
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct_tokens"),
         F.round(F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6).alias(
             "type_token_ratio"
         ),
@@ -316,7 +316,7 @@ def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     def hit_count(lang: str):
         words = STOPWORDS[lang]
-        return F.size(F.filter("t", lambda x: x.isin(*words))).alias(f"{lang}_hits")
+        return F.size(F.filter("t", lambda x: x.isin(*words))).cast("long").alias(f"{lang}_hits")
 
     hits = toks.select(
         "doc_id", "lang_label", *[hit_count(lang) for lang in ("en", "es", "de", "fr")]
@@ -361,7 +361,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = STOPWORDS["en"]
     feat = toks.select(
         "doc_id",
-        F.size("t").alias("n_tokens"),
+        F.size("t").cast("long").alias("n_tokens"),
         (F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias("ttr"),
         (F.size(F.filter("t", lambda x: x.isin(*en))).cast("double") / F.size("t")).alias(
             "stop_ratio"

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog, temporal_oracle
-from temporalvault_spark.constants import ORDERS_DATE_HI, ORDERS_DATE_LO, PROBE_TS, PROBE_TS_EARLY, PROBE_TS_LATE
+from temporalvault_spark.constants import PROBE_TS, PROBE_TS_EARLY, PROBE_TS_LATE
 from temporalvault_spark.registry import query
 
 
@@ -384,7 +384,7 @@ def q_win_rownum_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _cat(spark, sf_dir).table("events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
-        ev.withColumn("rn", F.row_number().over(w))
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("user_id", "event_id", "ts", "rn")
     )
@@ -497,9 +497,9 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("small")
         .alias("size_class"),
         F.round(F.sqrt("value") + F.log(F.col("value") + 1), 6).alias("score"),
-        F.year("ts").alias("y"),
-        F.month("ts").alias("m"),
-        F.dayofmonth("ts").alias("d"),
-        F.hour("ts").alias("h"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
         F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias("type_or_err"),
     )

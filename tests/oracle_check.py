@@ -52,6 +52,36 @@ def rows_canon(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
+# dtype normalization: spark name -> duckdb name (width-exact, so an int32
+# vs int64 difference FAILS — the driver may hash types)
+_SPARK_TO_DUCK = {
+    "long": "bigint",
+    "bigint": "bigint",
+    "int": "integer",
+    "integer": "integer",
+    "smallint": "smallint",
+    "string": "varchar",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "date": "date",
+}
+
+
+def _types_match(s_dtypes: dict, d_cols, d_types) -> list[str]:
+    problems = []
+    duck = {c: str(t).lower() for c, t in zip(d_cols, d_types)}
+    for c, st in s_dtypes.items():
+        if st.startswith("array") or duck.get(c, "").endswith("[]"):
+            continue  # element-level list typing varies; values still compared
+        want = _SPARK_TO_DUCK.get(st)
+        if want is not None and duck.get(c) != want:
+            problems.append(f"{c}: spark={st} duckdb={duck.get(c)}")
+    return problems
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -60,6 +90,9 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
     d_rows = rel.fetchall()
     if sorted(s_cols) != sorted(d_cols):
         return False, f"schema mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    type_problems = _types_match(dict(spark_df.dtypes), d_cols, rel.types)
+    if type_problems:
+        return False, f"dtype mismatch: {type_problems}"
     if len(s_rows) != len(d_rows):
         return False, f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
     a = rows_canon(s_cols, s_rows)
