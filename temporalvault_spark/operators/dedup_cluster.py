@@ -34,6 +34,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    # truncate lineage each round: without the checkpoint, iteration i's
+    # changed-count action re-executes all i prior join+agg rounds from the
+    # raw edges (O(iter²) work and an ever-deepening plan)
+    sym = sym.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         # each node adopts min(own label, neighbors' labels)
         neighbor_labels = (
@@ -45,6 +50,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

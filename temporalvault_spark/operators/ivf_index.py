@@ -59,9 +59,13 @@ def ivf_search(
     level; the plan's PartitionFilters is the proof) and brute-force top-k
     inside them."""
     idx = spark.read.parquet(index_path)
+    # rank by the centroid's OWN id (vec_id), not the centroid_id column it
+    # was assigned to: under a similarity tie a centroid vector can be
+    # assigned to a different centroid's cluster, which would put duplicates
+    # in probe_clusters and silently probe fewer clusters
     cents = (
         idx.filter(F.col("vec_id") < N_CENTROIDS)
-        .select("centroid_id", "e")
+        .select("vec_id", "e")
         .collect()
     )
 
@@ -70,9 +74,9 @@ def ivf_search(
 
     ranked = sorted(
         cents,
-        key=lambda r: (-dot(r["e"], probe_vec) / (dot(r["e"], r["e"]) ** 0.5), r["centroid_id"]),
+        key=lambda r: (-dot(r["e"], probe_vec) / (dot(r["e"], r["e"]) ** 0.5), r["vec_id"]),
     )
-    probe_clusters = [r["centroid_id"] for r in ranked[:nprobe]]
+    probe_clusters = [r["vec_id"] for r in ranked[:nprobe]]
 
     p = F.array(*[F.lit(float(x)) for x in probe_vec])
     cos = _dot(F.col("e"), p) / (_norm(F.col("e")) * _norm(p))

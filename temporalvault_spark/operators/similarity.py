@@ -302,18 +302,6 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash64(tokens_col):
-    """64-bit SimHash from md5 token hashes — pure JVM builtins: per-token
-    md5 → 64-bit int → per-bit ±1 votes → sign. No Python, portable bits."""
-    # conv(hex,16,10) returns unsigned decimal string; cast through decimal
-    # then subtract 2^63 to land in signed-long space deterministically.
-    token_hash = "CAST(CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS DECIMAL(20,0)) AS BIGINT)"
-    votes = ", ".join(
-        f"SUM(CASE WHEN ({token_hash} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)" for b in range(60)
-    )
-    return token_hash, votes
-
-
 @query("dedup_simhash")  # rows-only: covered by unit tests instead
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 60-bit simhash per document (md5-derived token

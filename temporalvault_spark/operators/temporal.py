@@ -172,18 +172,23 @@ def compare_diff(tr: DataFrame, record_id: str, ts_start: str, ts_end: str) -> D
     """
 
     def point(ts: str, alias: str) -> DataFrame:
+        # the trailing agg(first(...)) keeps this a 1-row frame even when the
+        # key has NO version <= ts (null payload): an empty frame would make
+        # the crossJoin empty and silently report "no differences" for a key
+        # whose fields were all added after ts_start
         return (
             tr.filter((F.col("record_id") == record_id) & (F.col("ts") <= F.lit(ts).cast("timestamp")))
             .orderBy(F.desc("version_num"))
             .limit(1)
-            .select(F.col("data").alias(alias))
+            .agg(F.first("data").alias(alias))
         )
 
     start = point(ts_start, "start_data")
     end = point(ts_end, "end_data")
+    empty_map = F.from_json(F.lit("{}"), "map<string,string>")
     m = start.crossJoin(end).select(
-        F.from_json("start_data", "map<string,string>").alias("sm"),
-        F.from_json("end_data", "map<string,string>").alias("em"),
+        F.coalesce(F.from_json("start_data", "map<string,string>"), empty_map).alias("sm"),
+        F.coalesce(F.from_json("end_data", "map<string,string>"), empty_map).alias("em"),
     )
     fields = m.select(
         F.explode(

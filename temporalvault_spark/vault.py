@@ -81,6 +81,8 @@ def parse_time(text: str | datetime, now: datetime | None = None) -> datetime:
 
 
 class TemporalVault:
+    _CACHE_MAX = 32
+
     def __init__(self, spark: SparkSession, root: str):
         tune(spark)
         self.spark = spark
@@ -190,11 +192,22 @@ class TemporalVault:
                 "previous_version",
                 F.when(F.col("version_num") > 1, F.concat(F.lit("v"), F.col("version_num") - 1)),
             )
-            .withColumn("id", F.monotonically_increasing_id())
+            # (record_id, version) is unique in the log, so its hash is a
+            # stable id — monotonically_increasing_id() restarts per job and
+            # would collide across successive bulk appends
+            .withColumn(
+                "id", F.abs(F.xxhash64("record_id", "version", F.lit("tv-id")))
+            )
             .select([f.name for f in RECORD_SCHEMA.fields])
         )
-        n = batch.count()
-        self._append(batch)
+        # persist: the window+join pipeline feeds both the count and the
+        # append — without it the whole batch plan executes twice
+        batch = batch.persist()
+        try:
+            n = batch.count()
+            self._append(batch)
+        finally:
+            batch.unpersist()
         self._invalidate()
         self._timed("record_bulk", t0)
         return n
@@ -227,6 +240,12 @@ class TemporalVault:
             .orderBy(F.desc("ts"), F.desc("id"))
         )
         if cache:
+            # bounded cache (the reference used a 1h Redis TTL, main.py:147):
+            # FIFO-evict + unpersist beyond _CACHE_MAX distinct timestamps so
+            # a read-heavy workload can't pin executor storage indefinitely
+            while len(self._cache) >= self._CACHE_MAX:
+                old_key = next(iter(self._cache))
+                self._cache.pop(old_key).unpersist()
             out = out.persist()
             self._cache[key] = out
         self._timed("query", t0)
@@ -330,6 +349,18 @@ class TemporalVault:
         os.rename(tmp, self.records_path)
         if os.path.isdir(old):
             shutil.rmtree(old)
+        # snapshots materialized AFTER the rollback target contain
+        # rolled-back rows — keeping them would resurrect deleted keys on the
+        # next snapshot-aware state_at(); snapshots <= ts are still exact
+        # (rollback never touches pre-ts history)
+        if os.path.isdir(self.snapshots_path):
+            for name in os.listdir(self.snapshots_path):
+                try:
+                    snap_ts = datetime.strptime(name, "%Y%m%dT%H%M%S")
+                except ValueError:
+                    continue
+                if snap_ts > ts:
+                    shutil.rmtree(f"{self.snapshots_path}/{name}")
         self._invalidate()
         self._timed("rollback", t0)
         return {
@@ -348,6 +379,8 @@ class TemporalVault:
         directory-swap as rollback; contents are row-identical, so readers
         never observe a difference."""
         t0 = time.perf_counter()
+        if not self._has_records():
+            return {"files_before": 0, "files_after": 0}
         before = sum(
             len([f for f in files if f.endswith(".parquet")])
             for _, _, files in os.walk(self.records_path)

@@ -156,3 +156,38 @@ def test_compact_reduces_files_preserves_rows(vault):
     assert after_rows == before_rows
     # and the vault still works end-to-end after the swap
     assert {r["record_id"] for r in vault.state_at(T_MID).collect()} == {"a", "c"}
+
+
+def test_rollback_invalidates_post_target_snapshots(spark, tmp_path):
+    """A snapshot taken after the rollback target contains rolled-back rows;
+    keeping it would resurrect deleted keys via snapshot-aware state_at."""
+    v = TemporalVault(spark, str(tmp_path / "snap_rb"))
+    v.record("k1", {"a": "1"}, datetime(2026, 1, 1))
+    v.record("k2", {"b": "1"}, datetime(2026, 1, 10))  # born after rollback target
+    v.snapshot(datetime(2026, 1, 15))  # contains k2
+    v.rollback(datetime(2026, 1, 5))
+    state = {r["record_id"] for r in v.state_at(datetime(2026, 1, 20)).collect()}
+    assert state == {"k1"}  # k2 must NOT be resurrected
+    # pre-target snapshots survive (still exact)
+    v2 = TemporalVault(spark, str(tmp_path / "snap_keep"))
+    v2.record("k1", {"a": "1"}, datetime(2026, 1, 1))
+    v2.snapshot(datetime(2026, 1, 2))
+    v2.record("k1", {"a": "2"}, datetime(2026, 1, 10))
+    v2.rollback(datetime(2026, 1, 5))
+    assert v2._nearest_snapshot(datetime(2026, 1, 20))[0] == datetime(2026, 1, 2)
+
+
+def test_compact_empty_vault_is_noop(spark, tmp_path):
+    v = TemporalVault(spark, str(tmp_path / "empty"))
+    assert v.compact() == {"files_before": 0, "files_after": 0}
+
+
+def test_record_bulk_ids_unique_across_batches(vault, spark):
+    for day in (10, 11):
+        batch = spark.createDataFrame(
+            [("x", '{"v":"1"}', datetime(2026, 1, day)), ("y", '{"v":"2"}', datetime(2026, 1, day))],
+            "record_id string, data string, ts timestamp",
+        )
+        vault.record_bulk(batch)
+    ids = [r["id"] for r in vault.log().collect()]
+    assert len(ids) == len(set(ids))  # no collisions across batches
