@@ -95,6 +95,40 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFr
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id bigint, kind string, width int, height int, payload binary"
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 256, fake: bool = False) -> DataFrame:
+    """Resize image payloads to fit ``max_side`` (aspect-preserving): decode →
+    scale → re-encode, batched through Arrow. The fake kernel derives the
+    source dims like decode_media and emits a digest payload; swapping in
+    PIL's thumbnail() is the one-function production change."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real image codecs unavailable; pass fake=True")
+            rows = []
+            for m, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                meta = _fake_decode(bytes(p), k)
+                w, h = meta["width"], meta["height"]
+                scale = min(1.0, max_side / max(w, h)) if max(w, h) else 1.0
+                rows.append(
+                    {
+                        "media_id": m,
+                        "kind": k,
+                        "width": int(w * scale),
+                        "height": int(h * scale),
+                        "payload": hashlib.md5(bytes(p) + b"resized").digest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 30, fake: bool = False) -> DataFrame:
     """Frame sampling for video payloads: decode → explode selected frame
     indices. The explosion happens JVM-side (posexplode over an index array);

@@ -1,4 +1,5 @@
 from temporalvault_spark.streaming.jobs import (
+    clicks_to_purchases_join,
     events_stream,
     ingest_into_vault,
     latest_state_stream,
@@ -16,4 +17,5 @@ __all__ = [
     "latest_state_stream",
     "run_available_now",
     "ingest_into_vault",
+    "clicks_to_purchases_join",
 ]

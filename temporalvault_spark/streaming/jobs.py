@@ -127,6 +127,47 @@ def latest_state_stream(records: DataFrame) -> DataFrame:
     )
 
 
+def clicks_to_purchases_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same user's
+    clicks in the preceding ``horizon``. Both sides carry watermarks and the
+    join condition bounds event-time distance, so Spark can size and EVICT
+    the join state — the two requirements that make an unbounded
+    stream-stream join feasible at all. Batch execution of the same plan
+    gives the backfill twin (tested equal in tests/test_streaming.py)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", horizon)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def ingest_into_vault(vault, events: DataFrame, available_now: bool = True):
     """Continuous ingestion: an event stream becomes vault versions via
     foreachBatch → record_bulk — each micro-batch is one bulk append with

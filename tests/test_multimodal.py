@@ -53,3 +53,13 @@ def test_frame_sampling_explodes_videos_only(spark, media):
     assert {r["media_id"] for r in rows} <= video_ids
     assert all(r["frame_idx"] % 30 == 0 for r in rows)
     assert all(len(bytes(r["frame_payload"])) == 16 for r in rows)
+
+
+def test_resize_respects_max_side_and_aspect(spark, media):
+    out = mm.resize_images(media, max_side=100, fake=True).collect()
+    images = media.filter(F.col("kind") == "image").count()
+    assert len(out) == images > 0
+    for r in out:
+        assert max(r["width"], r["height"]) <= 100
+        assert r["width"] > 0 and r["height"] > 0
+        assert len(bytes(r["payload"])) == 16

@@ -140,3 +140,22 @@ def test_watermark_drops_late_events(spark, tmp_path):
     windows = {r["ws"] for r in spark.table("late_test").collect()}
     assert datetime(2026, 1, 1, 10, 0) in windows and datetime(2026, 1, 1, 12, 0) in windows
     assert datetime(2026, 1, 1, 8, 0) not in windows  # late event dropped
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """The watermarked purchase⋈click interval join, drained as a stream,
+    equals the identical plan executed in batch mode."""
+    import pyspark.sql.functions as F
+
+    ev_stream = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_available_now(
+        streaming.clicks_to_purchases_join(ev_stream), "ss_join", output_mode="append"
+    )
+    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts DIV 1000)")
+    )
+    batch = streaming.clicks_to_purchases_join(ev_batch)
+    got = sorted(tuple(r) for r in out.collect())
+    expected = sorted(tuple(r) for r in batch.collect())
+    assert len(got) > 0
+    assert got == expected

@@ -57,6 +57,7 @@ ops_strategy = st.lists(
             st.sampled_from(range(len(TS_GRID))),
         ),
         st.tuples(st.just("rollback"), st.sampled_from(range(len(TS_GRID)))),
+        st.tuples(st.just("snapshot"), st.sampled_from(range(len(TS_GRID)))),
     ),
     min_size=3,
     max_size=8,
@@ -80,11 +81,15 @@ def test_vault_matches_model(spark, tmp_path_factory, ops):
             vault.record(key, data, TS_GRID[ti])
             model.record(key, data, TS_GRID[ti])
             n_records += 1
-        else:
+        elif op[0] == "rollback":
             _, ti = op
             if n_records:  # rollback of an empty vault is a no-op in both
                 vault.rollback(TS_GRID[ti])
                 model.rollback(TS_GRID[ti])
+        else:  # snapshot: must be semantically invisible to every later read
+            _, ti = op
+            if n_records:
+                vault.snapshot(TS_GRID[ti])
 
     got = sorted(
         (r["record_id"], r["version_num"], r["data"], r["ts"])
