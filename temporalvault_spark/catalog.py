@@ -124,15 +124,11 @@ class Catalog:
         # saves at these sizes — so fan-out stays targeted inside the
         # CPU-heavy operators (dedup shingling, pair joins) only. A real
         # 100 TB table arrives as many files and never hits this.
+        from temporalvault_spark.session import normalize_ts_cols
+
         for name in TABLES:
             df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
-            for c in self._TS_COLS.get(name, ()):
-                if dict(df.dtypes).get(c) in ("bigint", "long"):
-                    # integer DIV keeps full int64 precision (a double cast
-                    # would lose sub-ms precision at epoch-nanos magnitude)
-                    df = df.withColumn(
-                        c, F.expr(f"timestamp_micros({c} DIV 1000)")
-                    )
+            df = normalize_ts_cols(df, self._TS_COLS.get(name, ()))
             df.createOrReplaceTempView(name)
         try:
             self.spark.catalog.uncacheTable("temporal_records")

@@ -77,6 +77,22 @@ def _ship_package(spark: SparkSession) -> None:
         pass
 
 
+def normalize_ts_cols(df, cols):
+    """Convert int64-nanos columns (parquet TIMESTAMP(NANOS) read under
+    nanosAsLong) back to timestamps. THE one shared implementation — catalog,
+    sources.io and streaming all route through it so the conversion can never
+    drift between batch and stream paths. Integer DIV keeps full int64
+    precision (a double cast loses sub-ms precision at epoch-nanos
+    magnitude); backquotes keep non-identifier column names parseable."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if dtypes.get(c) in ("bigint", "long"):
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
+    return df
+
+
 def get_spark(app_name: str = "temporalvault-spark", cpus: int | None = None) -> SparkSession:
     """Build a local session shaped like the target cluster (many cores,
     AQE on, generous broadcast). Used by tests and bench.py."""

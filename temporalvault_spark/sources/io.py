@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from temporalvault_spark.session import tune
+from temporalvault_spark.session import normalize_ts_cols, tune
 
 
 def read_table(
@@ -35,10 +35,7 @@ def read_table(
     if fmt == "csv":
         options.setdefault("header", "true")
     df = reader.options(**options).load(path)
-    for c in ts_cols:
-        if dict(df.dtypes).get(c) in ("bigint", "long"):
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
-    return df
+    return normalize_ts_cols(df, ts_cols)
 
 
 def write_partitioned(
@@ -56,9 +53,18 @@ def write_partitioned(
     ``max_records_per_file`` caps file sizes so a 100 TB write neither
     produces giant unsplittable files nor a small-files explosion."""
     if partition_by:
-        # co-locate rows of each partition before the write so every task
-        # writes whole files instead of a file-per-task-per-partition spray
-        df = df.repartition(*[F.col(c) for c in partition_by])
+        # co-locate each partition's rows before the write — but SALTED:
+        # repartitioning on the partition columns alone maps every distinct
+        # partition value to ONE task, so a hot partition (one date holding
+        # TBs) serializes through a single core. The bounded salt spreads a
+        # hot partition over up to _WRITE_SALT tasks while still keeping
+        # files-per-partition ≈ salt (capped further by maxRecordsPerFile).
+        salt_n = min(32, df.sparkSession.sparkContext.defaultParallelism)
+        df = (
+            df.withColumn("_wsalt", (F.rand(seed=7) * salt_n).cast("int"))
+            .repartition(*[F.col(c) for c in partition_by], F.col("_wsalt"))
+            .drop("_wsalt")
+        )
     w = df.write.format(fmt).mode(mode)
     if fmt == "csv":
         w = w.option("header", "true")

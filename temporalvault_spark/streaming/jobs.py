@@ -6,9 +6,11 @@ anywhere in app/). Its domain, an append-only timestamped log, is
 exactly Structured Streaming's model, so the engine ships the streaming tier:
 
   - tumbling / sliding / session windowed aggregates with watermarks —
-    semantically identical to the oracle-checked batch queries
-    (operators/timewindow.py), which is the point: one definition, two
-    execution modes, same rows after a backfill;
+    the same grouping logic as the oracle-checked batch queries
+    (operators/timewindow.py): an in-order (or single-batch) drain produces
+    identical rows, while events arriving later than the watermark are
+    DROPPED by design (tests pin both behaviors — equality on a complete
+    drain, and the late-drop in test_watermark_drops_late_events);
   - latest-state-per-key as a stateful operator (applyInPandasWithState) —
     the streaming form of asof_latest_per_key;
   - ``run_available_now`` drains a stream in batch mode (the testing/backfill
@@ -80,7 +82,7 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
-_STATE_SCHEMA = "version_num int, ts timestamp, data string"
+_STATE_SCHEMA = "version_num int, ts timestamp, data string, n_total int"
 _OUT_SCHEMA = "record_id string, version string, data string, ts timestamp, n_versions int"
 
 
@@ -90,25 +92,24 @@ def _latest_state_fn(
     """Per-key reducer: keep the (version_num, ts, data) of the newest version
     seen; emit the key's current state once per batch it appears in."""
     if state.exists:
-        version_num, ts, data = state.get
+        version_num, ts, data, n_total = state.get
     else:
-        version_num, ts, data = 0, None, None
-    n = 0
+        version_num, ts, data, n_total = 0, None, None, 0
     for pdf in pdfs:
-        n += len(pdf)
+        n_total += len(pdf)  # cumulative across batches, not per-batch
         top = pdf.loc[pdf["version_num"].idxmax()]
         if top["version_num"] > version_num:
             version_num = int(top["version_num"])
             ts = top["ts"]
             data = top["data"]
-    state.update((version_num, ts, data))
+    state.update((version_num, ts, data, n_total))
     yield pd.DataFrame(
         {
             "record_id": [key[0]],
             "version": [f"v{version_num}"],
             "data": [data],
             "ts": [ts],
-            "n_versions": [n],
+            "n_versions": [n_total],
         }
     )
 
@@ -173,17 +174,30 @@ def ingest_into_vault(vault, events: DataFrame, available_now: bool = True):
     foreachBatch → record_bulk — each micro-batch is one bulk append with
     window-assigned version numbers (the streaming form of the reference's
     POST /records write path, main.py:68-100, without per-row round trips).
-    Exactly-once at the parquet-append level comes from the streaming
-    checkpoint + idempotent batch ids in production; here the demo/backfill
-    trigger drains what's available and stops."""
+
+    Retry safety: foreachBatch replays a micro-batch after failures/restarts,
+    and a blind re-append would double every version. The sink records each
+    committed batch_id as a marker file under the vault root and skips
+    batches it has already committed — the standard idempotent-foreachBatch
+    pattern (marker write happens after the append; a crash between the two
+    re-appends at most the one in-flight batch)."""
+    import os
+
     rec = events.select(
         F.col("user_id").cast("string").alias("record_id"),
         F.col("props").alias("data"),
         F.col("ts"),
     )
+    marker_dir = f"{vault.root}/_ingest_batches"
+    os.makedirs(marker_dir, exist_ok=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{marker_dir}/{batch_id}"
+        if os.path.exists(marker):  # replayed batch — already committed
+            return
         vault.record_bulk(batch_df)
+        with open(marker, "w") as f:
+            f.write("committed")
 
     writer = rec.writeStream.foreachBatch(sink).outputMode("append")
     if available_now:
@@ -193,9 +207,21 @@ def ingest_into_vault(vault, events: DataFrame, available_now: bool = True):
     return writer.start()
 
 
-def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    latest_by: tuple[str, ...] = (),
+    order_col: str | None = None,
+) -> DataFrame:
     """Drain the stream's currently-available data into an in-memory table and
-    return it as a DataFrame (Trigger.AvailableNow — the backfill/test path)."""
+    return it as a DataFrame (Trigger.AvailableNow — the backfill/test path).
+
+    ``latest_by``/``order_col``: in update mode the memory sink accumulates
+    one row per key per micro-batch; pass the key columns and a monotone
+    column (e.g. version_num) to collapse to each key's newest row —
+    otherwise a multi-batch drain returns stale duplicates alongside the
+    current state."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -204,4 +230,14 @@ def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "compl
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    out = stream_df.sparkSession.table(name)
+    if latest_by and order_col:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*latest_by).orderBy(F.desc(order_col))
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return out

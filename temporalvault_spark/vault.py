@@ -161,6 +161,7 @@ class TemporalVault:
             "previous_version": prev_version,
         }
         self._append(self.spark.createDataFrame([row], RECORD_SCHEMA))
+        self._invalidate_snapshots_from(ts)
         self._invalidate()
         self._timed("record", t0)
         return row
@@ -206,6 +207,9 @@ class TemporalVault:
         try:
             n = batch.count()
             self._append(batch)
+            if n:
+                min_ts = batch.agg(F.min("ts")).first()[0]
+                self._invalidate_snapshots_from(min_ts)
         finally:
             batch.unpersist()
         self._invalidate()
@@ -220,6 +224,22 @@ class TemporalVault:
             .partitionBy("dt")
             .parquet(self.records_path)
         )
+
+    def _invalidate_snapshots_from(self, ts: datetime) -> None:
+        """A write stamped at-or-before a snapshot's timestamp makes that
+        snapshot stale (it was materialized without the new row, yet claims
+        the state at snap_ts) — snapshot-aware reads would silently miss the
+        version. Found by the model-based property test: record@T, snapshot@T,
+        record@T again → state_at returned v1 instead of v2."""
+        if not os.path.isdir(self.snapshots_path):
+            return
+        for name in os.listdir(self.snapshots_path):
+            try:
+                snap_ts = datetime.strptime(name, "%Y%m%dT%H%M%S")
+            except ValueError:
+                continue
+            if snap_ts >= ts:
+                shutil.rmtree(f"{self.snapshots_path}/{name}")
 
     # -- read paths (reference main.py:103-152) ------------------------------
 

@@ -159,3 +159,50 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     expected = sorted(tuple(r) for r in batch.collect())
     assert len(got) > 0
     assert got == expected
+
+
+def test_latest_state_multibatch_dedup(spark, tmp_path):
+    """Across multiple micro-batches the update-mode memory sink accumulates
+    one row per key per batch; latest_by/order_col must collapse to the
+    newest, and n_versions must be cumulative (not per-batch)."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "ms"
+    src.mkdir()
+    schema = "record_id string, version_num int, ts timestamp, data string"
+    from datetime import datetime
+
+    spark.createDataFrame(
+        [("k", 1, datetime(2026, 1, 1, 1), "a"), ("k", 2, datetime(2026, 1, 1, 2), "b")],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("k", 3, datetime(2026, 1, 1, 3), "c")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src / "*"))
+    )
+    out = streaming.run_available_now(
+        streaming.latest_state_stream(stream),
+        "ms_state",
+        output_mode="update",
+        latest_by=("record_id",),
+        order_col="n_versions",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["version"] == "v3" and out[0]["data"] == "c"
+    assert out[0]["n_versions"] == 3  # cumulative across both batches
+
+
+def test_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-draining the same source must not double the log (batch markers)."""
+    from temporalvault_spark.vault import TemporalVault
+
+    v = TemporalVault(spark, str(tmp_path / "idem"))
+    streaming.ingest_into_vault(v, streaming.events_stream(spark, sf_dir))
+    n1 = v.log().count()
+    # second drain: a fresh checkpoint-less query restarts at batch_id 0,
+    # which the marker dir recognizes as already committed
+    streaming.ingest_into_vault(v, streaming.events_stream(spark, sf_dir))
+    assert v.log().count() == n1
