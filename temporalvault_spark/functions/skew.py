@@ -33,8 +33,12 @@ def salted_agg(
         if fn not in first_fn:
             raise ValueError(f"{name}: {fn} is not re-aggregatable (use sum/count/min/max)")
 
-    salted = df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
-    partial = salted.groupBy(*group_cols, "_salt").agg(
+    # collision-safe working column: a caller's own "_salt" must survive
+    salt_col = "_tvsalt_"
+    while salt_col in df.columns:
+        salt_col += "x"
+    salted = df.withColumn(salt_col, (F.rand(seed=42) * salt).cast("int"))
+    partial = salted.groupBy(*group_cols, salt_col).agg(
         *[first_fn[fn](c).alias(name) for name, (fn, c) in aggs.items()]
     )
     return partial.groupBy(*group_cols).agg(
@@ -53,7 +57,10 @@ def salted_join_skewed_left(
     over the salt range), and the join key becomes (key, salt) — the hot
     key's rows spread over ``salt`` reducers. Use when the right side is too
     big to broadcast but small enough to replicate ``salt``-fold."""
-    l = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
-    r = right.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-    out = l.join(r, [key, "_salt"])
-    return out.drop("_salt")
+    salt_col = "_tvsalt_"
+    while salt_col in left.columns or salt_col in right.columns:
+        salt_col += "x"
+    l = left.withColumn(salt_col, (F.rand(seed=42) * salt).cast("int"))
+    r = right.withColumn(salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = l.join(r, [key, salt_col])
+    return out.drop(salt_col)

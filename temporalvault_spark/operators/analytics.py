@@ -71,8 +71,11 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name""",
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: five joins, three broadcastable dims, a local-supplier
-    correlation predicate (c_nationkey = s_nationkey) applied post-join."""
+    """TPC-H Q5 shape: five joins, a local-supplier correlation predicate
+    (c_nationkey = s_nationkey) applied post-join. Only the fixed-size dims
+    (nation 25, region 5) carry explicit broadcast hints; supplier scales
+    with SF, so its join strategy is left to the threshold/AQE — a forced
+    broadcast would OOM at the scale this module targets."""
     c = _cat(spark, sf_dir)
     return (
         c.table("customer")
@@ -82,7 +85,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         )
         .join(c.table("lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c.table("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(c.table("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(c.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -255,8 +258,8 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""",
 )
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: ratio of conditional aggregates over a broadcast
-    part join."""
+    """TPC-H Q14 shape: ratio of conditional aggregates over a part join
+    (part scales with SF — no forced broadcast; the threshold/AQE picks)."""
     c = _cat(spark, sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -265,7 +268,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(c.table("part")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(c.table("part"), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -343,12 +346,14 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     discover columns."""
     ev = _cat(spark, sf_dir).table("events")
     types = ["click", "error", "purchase", "signup", "view"]
-    piv = (
-        ev.groupBy("user_id")
-        .pivot("event_type", types)
-        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
+    piv = ev.groupBy("user_id").pivot("event_type", types).agg(F.round(F.sum("value"), 2))
+    # NULL->0 must happen AFTER the pivot: a coalesce inside the agg never
+    # fires for (user, type) cells with zero rows (PivotFirst emits NULL
+    # directly), which would diverge from the oracle's COALESCE(..., 0) on
+    # any corpus where a user lacks an event type
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0.0)).alias(t) for t in types]
     )
-    return piv
 
 
 @query(

@@ -2,13 +2,16 @@
 connected components — the step every corpus-dedup pipeline needs after LSH
 (keep one doc per component, not per pair).
 
-Algorithm: large-star/small-star style label propagation — iterate
-"every node adopts the minimum label in its neighborhood" until no label
-changes. Each iteration is one join + one aggregate (all DataFrame ops,
-shuffle on node id); convergence takes O(log n) iterations on real dup
-graphs (components are tiny: pairs/triples). The loop is driver-side but the
-DATA never leaves the cluster — only the converged/not-converged bit comes
-back per iteration.
+Algorithm: min-label propagation with pointer jumping — each iteration
+(1) every node adopts the minimum label in its neighborhood, then
+(2) chases labels one level (node's label := its label's label). Step (1)
+alone converges in O(diameter); the pointer-jumping step halves label-chain
+lengths so convergence is O(log diameter) — a 46-node chain converges in a
+handful of rounds instead of 45. Each iteration is two joins + an aggregate
+(all DataFrame ops, shuffle on node id); the loop is driver-side but the
+DATA never leaves the cluster — only the converged bit comes back per round.
+Non-convergence within max_iter raises instead of returning a silently
+wrong partition.
 
 Iterative → not SQL-expressible as one query; the driver records a rows-only
 check and tests/test_llm_dedup.py pins exact components on crafted graphs.
@@ -40,16 +43,30 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     sym = sym.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
-        # each node adopts min(own label, neighbors' labels)
+        # (1) each node adopts min(own label, neighbors' labels)
         neighbor_labels = (
             sym.join(labels.withColumnRenamed("node", "dst2"),
                      F.col("dst") == F.col("dst2"))
             .select(F.col("src").alias("node"), F.col("component"))
         )
-        new_labels = (
+        hop = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # (2) pointer jumping: chase each label one level (label := label's
+        # label) so chains collapse geometrically, not one hop per round
+        lookup = hop.select(
+            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+        )
+        new_labels = (
+            hop.join(lookup, hop["component"] == lookup["c_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("c_comp"), F.col("component"))
+                ).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -61,8 +78,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iter} iterations "
+        "— raise max_iter (component diameter exceeds 2^iterations)"
+    )
 
 
 @query("dedup_components")  # iterative -> rows-only check by design

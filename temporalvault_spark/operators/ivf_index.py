@@ -10,40 +10,35 @@ sim_ivf_ann, so build results are reproducible across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from temporalvault_spark.operators.similarity import N_CENTROIDS, _dot, _norm
-
-
-def _assign(e: DataFrame) -> DataFrame:
-    cent = (
-        e.filter(F.col("vec_id") < N_CENTROIDS)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce"))
-    )
-    csim = _dot(F.col("e"), F.col("ce")) / _norm(F.col("ce"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
-    return (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("csim", csim)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("csim", "rn", "ce")
-    )
+from temporalvault_spark.operators.similarity import (
+    N_CENTROIDS,
+    _dot,
+    _norm,
+    assign_to_centroids,
+    centroid_frame,
+)
 
 
 def build_ivf_index(emb: DataFrame, path: str) -> None:
     """One-time index build: assign every vector to its nearest fixed
-    centroid and write partitioned by centroid_id. At corpus scale this is
-    the single shuffle that every subsequent probe amortizes."""
+    centroid (the SAME shared assignment the oracle-checked queries use) and
+    write partitioned by centroid_id, plus a tiny ``_centroids`` sidecar —
+    underscore-prefixed so Spark's reader ignores it when scanning the index
+    — holding the centroid vectors. Probes then never touch the main index
+    outside their nprobe partitions. At corpus scale this is the single
+    shuffle every subsequent probe amortizes."""
     e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
     (
-        _assign(e)
+        assign_to_centroids(e)
         .repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path)
     )
+    centroid_frame(e).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
 
 
 def ivf_search(
@@ -59,24 +54,23 @@ def ivf_search(
     level; the plan's PartitionFilters is the proof) and brute-force top-k
     inside them."""
     idx = spark.read.parquet(index_path)
-    # rank by the centroid's OWN id (vec_id), not the centroid_id column it
-    # was assigned to: under a similarity tie a centroid vector can be
-    # assigned to a different centroid's cluster, which would put duplicates
-    # in probe_clusters and silently probe fewer clusters
-    cents = (
-        idx.filter(F.col("vec_id") < N_CENTROIDS)
-        .select("vec_id", "e")
-        .collect()
-    )
+    # centroid ranking reads the sidecar, not the index — a filter on vec_id
+    # over the main index would scan EVERY cluster partition just to find 16
+    # rows, defeating the pruning this layout exists for. Ranked by the
+    # centroid's own id (centroid_id in the sidecar), which is tie-safe.
+    cents = spark.read.parquet(f"{index_path}/_centroids").collect()
 
     def dot(a, b):
         return sum(x * y for x, y in zip(a, b))
 
     ranked = sorted(
         cents,
-        key=lambda r: (-dot(r["e"], probe_vec) / (dot(r["e"], r["e"]) ** 0.5), r["vec_id"]),
+        key=lambda r: (
+            -dot(r["ce"], probe_vec) / (dot(r["ce"], r["ce"]) ** 0.5),
+            r["centroid_id"],
+        ),
     )
-    probe_clusters = [r["vec_id"] for r in ranked[:nprobe]]
+    probe_clusters = [r["centroid_id"] for r in ranked[:nprobe]]
 
     p = F.array(*[F.lit(float(x)) for x in probe_vec])
     cos = _dot(F.col("e"), p) / (_norm(F.col("e")) * _norm(p))

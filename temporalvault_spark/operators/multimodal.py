@@ -82,14 +82,31 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFr
                 raise NotImplementedError(
                     "real feature extractors are unavailable; pass fake=True"
                 )
-            feats = []
-            for p in pdf["payload"]:
-                seed = int.from_bytes(hashlib.md5(bytes(p)).digest()[:8], "big")
-                rng = np.random.default_rng(seed)
-                v = rng.standard_normal(dim)
-                feats.append((v / np.linalg.norm(v)).astype(np.float32))
+            if len(pdf) == 0:
+                yield pd.DataFrame({"media_id": [], "kind": [], "feature": []})
+                continue
+            # per-row work is ONLY the md5 (inherently per-payload); the
+            # feature math is one (rows, dim) matrix op per Arrow batch —
+            # digest bytes expand deterministically into dim floats, then a
+            # single vectorized row-normalization
+            digests = np.stack(
+                [
+                    np.frombuffer(
+                        hashlib.md5(bytes(p) + i.to_bytes(2, "big")).digest(),
+                        dtype=np.uint32,
+                    )
+                    for p in pdf["payload"]
+                    for i in range((dim + 3) // 4)
+                ]
+            ).reshape(len(pdf), -1)[:, :dim]
+            m = (digests.astype(np.float64) / np.iinfo(np.uint32).max) - 0.5
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": list(m.astype(np.float32)),
+                }
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
@@ -130,32 +147,27 @@ def resize_images(df: DataFrame, max_side: int = 256, fake: bool = False) -> Dat
 
 
 def sample_frames(df: DataFrame, every_n: int = 30, fake: bool = False) -> DataFrame:
-    """Frame sampling for video payloads: decode → explode selected frame
-    indices. The explosion happens JVM-side (posexplode over an index array);
-    only the per-frame extraction crosses into Python."""
-    decoded = decode_media(df.filter(F.col("kind") == "video"), fake=fake).select(
-        "media_id", "n_frames"
-    )
-    with_payload = decoded.join(df.select("media_id", "payload"), "media_id")
-    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+    """Frame sampling for video payloads in ONE decode pass: a single kernel
+    opens each video once, reads its frame count, and emits every
+    ``every_n``-th frame. (An earlier shape decoded once for metadata, joined
+    the payload back, and decoded again to cut — with a real codec that runs
+    the dominant cost twice plus a shuffle; one kernel does neither.)"""
 
     def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
                 raise NotImplementedError("real frame extraction unavailable; pass fake=True")
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "frame_idx": pdf["frame_idx"],
+            rows = {"media_id": [], "frame_idx": [], "frame_payload": []}
+            for m, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                payload = bytes(p)
+                n_frames = _fake_decode(payload, k)["n_frames"]  # decode ONCE
+                for i in range(0, n_frames, every_n):
+                    rows["media_id"].append(m)
+                    rows["frame_idx"].append(i)
                     # fake frame: digest of (payload, idx) — deterministic
-                    "frame_payload": [
-                        hashlib.md5(bytes(p) + int(i).to_bytes(4, "big")).digest()
-                        for p, i in zip(pdf["payload"], pdf["frame_idx"])
-                    ],
-                }
-            )
+                    rows["frame_payload"].append(
+                        hashlib.md5(payload + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(rows)
 
-    return (
-        with_payload.select("media_id", "payload", F.explode(idx).alias("frame_idx"))
-        .mapInPandas(cut, schema=FRAME_SCHEMA)
-    )
+    return df.filter(F.col("kind") == "video").mapInPandas(cut, schema=FRAME_SCHEMA)

@@ -88,6 +88,36 @@ N_CENTROIDS = 16
 N_PROBE_CLUSTERS = 4
 
 
+def centroid_frame(e: DataFrame) -> DataFrame:
+    """The deterministic fixed-centroid set: the first N_CENTROIDS vectors
+    (a reproducible stand-in for k-means so the DuckDB oracle can replay
+    assignment bit-for-bit)."""
+    return e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+
+
+def assign_to_centroids(e: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment for every vector — THE one implementation
+    (q_sim_ivf_ann, embedding_cosine_pairs, and the persisted ivf_index all
+    call it, so the tie-break and norm scaling can never drift between the
+    oracle-checked forms and the on-disk index). Similarity uses only
+    centroid-norm scaling (the vector's own norm is constant within its
+    argmax); ties break toward the lower centroid_id."""
+    from pyspark.sql import Window
+
+    cent = centroid_frame(e)
+    csim = _dot(F.col("e"), F.col("ce")) / _norm(F.col("ce"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("csim", csim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("csim", "rn", "ce")
+    )
+
+
 @query(
     "sim_ivf_ann",
     f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
@@ -125,23 +155,8 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned scan."""
     emb = _emb(spark, sf_dir)
     e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
-    cent = (
-        e.filter(F.col("vec_id") < N_CENTROIDS)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce"))
-    )
-    # centroid similarity needs only centroid-norm scaling (vector norm is
-    # constant per vec within its argmax) — matches the oracle exactly
-    csim = _dot(F.col("e"), F.col("ce")) / _norm(F.col("ce"))
-    from pyspark.sql import Window
-
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("csim", csim)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "e", "centroid_id")
-    )
+    cent = centroid_frame(e)
+    assign = assign_to_centroids(e).select("vec_id", "label", "e", "centroid_id")
     probe = e.filter(F.col("vec_id") == SIM_PROBE_VEC_ID).select(F.col("e").alias("pe"))
     probe_clusters = (
         cent.crossJoin(F.broadcast(probe))
@@ -172,20 +187,8 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD)
     (cluster assignment precomputed + partitioned-by). Recall is cluster-local
     by contract; crafted-duplicate recall is pinned in tests/test_llm_dedup.py."""
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    cent = (
-        e.filter(F.col("vec_id") < N_CENTROIDS)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce"))
-    )
-    csim = _dot(F.col("e"), F.col("ce")) / _norm(F.col("ce"))
-    from pyspark.sql import Window
-
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("csim", csim)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", F.coalesce("centroid_id", F.lit(-1)).alias("centroid_id"))
+    assign = assign_to_centroids(e).select(
+        "vec_id", "e", F.coalesce("centroid_id", F.lit(-1)).alias("centroid_id")
     )
     a, b = assign.alias("a"), assign.alias("b")
     cos = _dot(F.col("a.e"), F.col("b.e")) / (_norm(F.col("a.e")) * _norm(F.col("b.e")))
