@@ -1,0 +1,65 @@
+"""Driver simulation: run the full __spark_entry__ contract exactly as the
+grading driver does — plain SparkSession (no builder confs), every
+``queries()`` entry vs its ``oracle_sql()`` twin via DuckDB at sf0.01.
+
+Usage: python tools/driver_sim.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/CORRECTNESS_LOCAL.json"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    import __spark_entry__ as m
+    from tests.oracle_check import compare, duckdb_conn
+
+    edf = m.entry(spark)
+    assert edf.count() > 0, "entry() smoke failed"
+
+    queries = m.queries()
+    oracles = m.oracle_sql()
+    con = duckdb_conn(sf_dir)
+
+    results: dict[str, dict] = {}
+    n_fail = 0
+    for i, (name, fn) in enumerate(queries.items()):
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            if name in oracles:
+                ok, msg = compare(df, con, oracles[name])
+                if not ok:
+                    n_fail += 1
+                results[name] = {"ok": ok, "msg": msg, "sec": round(time.time() - t0, 2)}
+            else:
+                n = df.count()
+                results[name] = {"ok": True, "msg": f"rows_only:{n}", "sec": round(time.time() - t0, 2)}
+        except Exception as e:  # noqa: BLE001 — record, keep going
+            n_fail += 1
+            results[name] = {"ok": False, "msg": f"EXC {type(e).__name__}: {e}", "sec": round(time.time() - t0, 2)}
+        tag = "ok" if results[name]["ok"] else "FAIL"
+        print(f"[{i:2d}/{len(queries)}] {tag:4s} {name} ({results[name]['sec']}s) {'' if results[name]['ok'] else results[name]['msg'][:200]}", flush=True)
+
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"\n{len(queries) - n_fail}/{len(queries)} green -> {out}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
