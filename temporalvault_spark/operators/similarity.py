@@ -103,18 +103,30 @@ def assign_to_centroids(e: DataFrame) -> DataFrame:
     call it, so the tie-break and norm scaling can never drift between the
     oracle-checked forms and the on-disk index). Similarity uses only
     centroid-norm scaling (the vector's own norm is constant within its
-    argmax); ties break toward the lower centroid_id."""
-    from pyspark.sql import Window
+    argmax); ties break toward the lower centroid_id.
 
-    cent = centroid_frame(e)
-    csim = _dot(F.col("e"), F.col("ce")) / _norm(F.col("ce"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    Shuffle-free: the centroid set folds into ONE row holding an
+    array<struct<centroid_id, ce>> that broadcasts to every partition; the
+    argmax over the 16 candidates is then a single projection
+    (transform + array_max with centroid_id negated so equal sims pick the
+    LOWER id, matching the oracle's ORDER BY sim DESC, centroid_id ASC).
+    The vector side never exchanges — no N x C row blow-up, no
+    row_number window shuffle (that earlier form shuffled N x 16 rows just
+    to take a 16-way argmax)."""
+    cent_row = centroid_frame(e).agg(
+        F.array_sort(F.collect_list(F.struct("centroid_id", "ce"))).alias("cents")
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (_dot(F.col("e"), c["ce"]) / _norm(c["ce"])).alias("csim"),
+            (-c["centroid_id"]).alias("neg_cid"),
+        ),
+    )
     return (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("csim", csim)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("csim", "rn", "ce")
+        e.crossJoin(F.broadcast(cent_row))
+        .withColumn("centroid_id", -F.array_max(scored)["neg_cid"])
+        .drop("cents")
     )
 
 

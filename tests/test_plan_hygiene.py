@@ -5,7 +5,7 @@ top-k, and window-group-limit behavior."""
 import pytest
 
 import __spark_entry__ as entrymod
-from temporalvault_spark.plans import plan_counts, pushed_filters, read_schema_cols
+from temporalvault_spark.plans import executed_plan, plan_counts, pushed_filters, read_schema_cols
 
 QUERIES = entrymod.queries()
 
@@ -65,3 +65,25 @@ def test_semi_anti_stay_broadcast(q):
         c = plan_counts(q(name))
         assert c["BroadcastHashJoin"] >= 1
         assert c["SortMergeJoin"] == 0
+
+
+def test_centroid_assignment_never_shuffles_vectors(spark, sf_dir):
+    """IVF nearest-centroid assignment must be a projection over a broadcast
+    centroid array: the ONLY exchanges allowed are the <=16-row centroid fold
+    (SinglePartition) and its broadcast — the N-row vector side reaches the
+    argmax with zero exchanges and no window (the old crossJoin+row_number
+    form shuffled N x 16 rows)."""
+    from pyspark.sql import functions as F
+
+    from temporalvault_spark.operators.similarity import _emb, assign_to_centroids
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    df = assign_to_centroids(e)
+    c = plan_counts(df)
+    assert c["Exchange hashpartitioning"] == 0  # no window / no N x C shuffle
+    assert c["Exchange rangepartitioning"] == 0
+    assert c["Exchange SinglePartition"] == 1  # the 16-row centroid fold only
+    assert c["BroadcastNestedLoopJoin"] == 1  # 1-row centroid array attach
+    assert "row_number" not in executed_plan(df)
