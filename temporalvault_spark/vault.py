@@ -111,14 +111,19 @@ class TemporalVault:
             n.startswith("dt=") or n.endswith(".parquet") for n in os.listdir(self.records_path)
         )
 
-    def log(self, until: datetime | None = None) -> DataFrame:
+    def log(
+        self, until: datetime | None = None, since_exclusive: datetime | None = None
+    ) -> DataFrame:
         """The append-only version log (empty-typed DF when nothing written).
 
-        ``until``: as-of bound. A predicate on ``ts`` alone does NOT prune
-        the dt= directories (Spark can't derive dt bounds from ts bounds), so
-        as-of reads add the matching partition predicate explicitly — this is
-        the B-tree-index role of the layout (reference models.py:21-24): an
-        as-of read at T touches only partitions dt <= date(T)."""
+        ``until``: as-of bound; ``since_exclusive``: tail bound (rows with
+        ts strictly after it — used to read only the log AFTER a snapshot).
+        A predicate on ``ts`` alone does NOT prune the dt= directories (Spark
+        can't derive dt bounds from ts bounds), so both bounds add the
+        matching partition predicate explicitly — this is the B-tree-index
+        role of the layout (reference models.py:21-24): an as-of read at T
+        touches only partitions dt <= date(T), and a snapshot-tail read at S
+        only partitions dt >= date(S)."""
         if not self._has_records():
             return self.spark.createDataFrame([], RECORD_SCHEMA)
         df = self.spark.read.schema(
@@ -127,6 +132,11 @@ class TemporalVault:
         if until is not None:
             df = df.filter(
                 (F.col("dt") <= until.strftime("%Y-%m-%d")) & (F.col("ts") <= F.lit(until))
+            )
+        if since_exclusive is not None:
+            df = df.filter(
+                (F.col("dt") >= since_exclusive.strftime("%Y-%m-%d"))
+                & (F.col("ts") > F.lit(since_exclusive))
             )
         return df.drop("dt")
 
@@ -141,15 +151,7 @@ class TemporalVault:
         t0 = time.perf_counter()
         ts = parse_time(ts) if ts is not None else datetime.now().replace(microsecond=0)
         payload = data if isinstance(data, str) else json.dumps(data)
-        latest = (
-            self.log()
-            .filter(F.col("record_id") == record_id)
-            .orderBy(F.desc("version_num"))
-            .limit(1)
-            .select("version_num")
-            .collect()
-        )
-        prev_num = latest[0][0] if latest else 0
+        prev_num = self._latest_version_num(record_id)
         prev_version = f"v{prev_num}" if prev_num else None
         row = {
             "id": uuid.uuid4().int % (1 << 62),
@@ -165,6 +167,25 @@ class TemporalVault:
         self._invalidate()
         self._timed("record", t0)
         return row
+
+    def _latest_version_num(self, record_id: str) -> int:
+        """The key's current max version_num WITHOUT a full-log scan: read the
+        newest snapshot (which already holds each key's latest version at
+        snap_ts) plus only the partition-pruned log tail after it. With
+        periodic snapshots a single-record write therefore touches O(tail)
+        data, not the whole 100 TB log; with no snapshot it degrades to the
+        old full scan (record_bulk remains the set-based bulk path)."""
+        snap_ts, snap_df = self._nearest_snapshot(datetime.max)
+        if snap_df is None:
+            scoped = self.log()
+        else:
+            scoped = snap_df.unionByName(self.log(since_exclusive=snap_ts))
+        row = (
+            scoped.filter(F.col("record_id") == record_id)
+            .agg(F.max("version_num"))
+            .collect()[0]
+        )
+        return row[0] or 0
 
     def record_bulk(self, rows: DataFrame) -> int:
         """Bulk append: ``rows`` needs (record_id, data, ts). Version numbers
@@ -279,10 +300,11 @@ class TemporalVault:
         t0 = time.perf_counter()
         ts = parse_time(timestamp)
         snap_ts, snap_df = self._nearest_snapshot(ts)
-        log = self.log(until=ts)
-        if snap_df is not None:
-            log = log.filter(F.col("ts") > F.lit(snap_ts))
-            log = snap_df.unionByName(log)
+        if snap_df is None:
+            log = self.log(until=ts)
+        else:
+            # tail read is partition-pruned: only dt >= date(snap_ts) dirs
+            log = snap_df.unionByName(self.log(until=ts, since_exclusive=snap_ts))
         w = Window.partitionBy("record_id").orderBy(F.desc("version_num"))
         out = (
             log.withColumn("rn", F.row_number().over(w))
