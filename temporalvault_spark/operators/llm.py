@@ -65,6 +65,8 @@ _SHINGLE_DUCK = (
     "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
 )
 
+NGRAM_BANDS = 4
+
 
 @query(
     "dedup_ngram_jaccard",
@@ -73,34 +75,55 @@ _SHINGLE_DUCK = (
         ),
     sh AS (
         SELECT doc_id, {_SHINGLE_DUCK} AS shingles,
-               len({_SHINGLE_DUCK}) AS n_sh,
-               list_sort(list_transform({_SHINGLE_DUCK}, x -> md5(x)))[1] AS min_h
-        FROM toks WHERE len(t) >= 3)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
-    FROM sh a JOIN sh b
-      ON a.min_h = b.min_h
-     AND a.doc_id < b.doc_id
-     AND LEAST(a.n_sh, b.n_sh) * 5 >= GREATEST(a.n_sh, b.n_sh) * 3
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.6""",
+               len({_SHINGLE_DUCK}) AS n_sh
+        FROM toks WHERE len(t) >= 3),
+    banded AS (
+        SELECT doc_id, n_sh, band,
+               list_sort(list_transform(shingles,
+                   x -> md5(CAST(band AS VARCHAR) || ':' || x)))[1] AS min_h
+        FROM sh CROSS JOIN (SELECT unnest(range({NGRAM_BANDS})) AS band)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.min_h = b.min_h
+         AND a.doc_id < b.doc_id
+         AND LEAST(a.n_sh, b.n_sh) * 5 >= GREATEST(a.n_sh, b.n_sh) * 3)
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.6""",
 )
 def _q_dedup_ngram_jaccard_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
-    """Near-dup detection: word-3-gram shingle Jaccard with a single-band
-    MinHash block. Candidate pairs = documents sharing their *minimum shingle
-    md5* — the 1-hash special case of MinHash-LSH (a jaccard-j pair collides
-    with probability j), expressed in pure SQL so the oracle can replay it.
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.6, n_bands: int = NGRAM_BANDS
+) -> DataFrame:
+    """Near-dup detection: word-3-gram shingle Jaccard, MinHash-banded.
 
-    Scale shape: candidate generation is an equi-join on a 32-char key —
-    never an all-pairs product — and each bucket holds only genuine
-    near-dups plus O(1) chance collisions, so the expensive intersects run
-    on ~|dup pairs|, not |corpus|². The multi-band generalization (higher
-    recall, same plan shape) is dedup_minhash in similarity.py."""
+    Candidate pairs = documents sharing the minimum md5 of any of ``n_bands``
+    independent band-salted hash families (md5(band || ':' || shingle)) — b
+    bands of r=1 rows, so a jaccard-j pair is a candidate with probability
+    1-(1-j)^b (b=4, j=0.6: 97% vs 60% single-band; the crafted-recall unit
+    test pins a pair only multi-band finds). Exact Jaccard then verifies
+    candidates, so precision is exact and only recall is probabilistic.
+
+    Scale shape — two deliberate properties:
+      1. candidate generation is an equi-join on (band, 32-char min-hash)
+         whose shuffle carries ONLY (doc_id, n_sh, band, min_h) — the
+         shingle arrays never ride an exchange (at corpus scale the arrays
+         are the row width);
+      2. the expensive exact-Jaccard runs on ~|candidate pairs| rows: the
+         slim pair list joins BACK to the shingle arrays by doc_id, and
+         since candidates ≪ corpus that join broadcasts (AQE picks it at
+         runtime), so the array side still never shuffles.
+    Everything is md5-deterministic, so the DuckDB oracle replays it exactly.
+    """
     spark = docs.sparkSession
     # explicit numbered repartition: the corpus arrives as one small file =
     # one partition, and the per-shingle md5 work below is CPU-bound — spread
@@ -114,34 +137,54 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     shingles = F.array_distinct(
         F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")
     )
-    # coalesce() makes min_h non-nullable, so the inner join does NOT infer
-    # an isnotnull(min_h) predicate — which would otherwise be pushed below
-    # the repartition and evaluate the whole md5-shingle expression serially
-    # in the single-partition scan stage (observed: 6-8x slowdown)
-    sh = toks.select(
+    sh = toks.select("doc_id", shingles.alias("shingles"), F.size(shingles).alias("n_sh"))
+    # slim banded sketch: per (doc, band) the min of the band-salted shingle
+    # md5s. coalesce() makes min_h non-nullable, so the self-join does NOT
+    # infer an isnotnull(min_h) predicate — which would otherwise be pushed
+    # below the repartition and evaluate the whole md5-shingle expression
+    # serially in the single-partition scan stage (observed: 6-8x slowdown)
+    banded = sh.select(
         "doc_id",
-        shingles.alias("shingles"),
-        F.size(shingles).alias("n_sh"),
-        F.coalesce(F.array_min(F.transform(shingles, F.md5)), F.lit("")).alias("min_h"),
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    jac = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))).cast(
-        "double"
-    ) / F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
-    return (
+        "n_sh",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> struct("
+                "b AS band, "
+                "coalesce(array_min(transform(shingles, "
+                "x -> md5(concat(cast(b AS string), ':', x)))), '') AS min_h))"
+            )
+        ).alias("bh"),
+    ).select("doc_id", "n_sh", F.col("bh.band").alias("band"), F.col("bh.min_h").alias("min_h"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.min_h") == F.col("b.min_h"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.min_h") == F.col("b.min_h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # lossless prefilter: jaccard >= 0.6 bounds the set-size ratio
             & (F.least("a.n_sh", "b.n_sh") * 5 >= F.greatest("a.n_sh", "b.n_sh") * 3),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()  # a pair may collide in several bands
+    )
+    # semi-join-reduce the array side to candidate docs BEFORE any join that
+    # could shuffle it: cand_docs is the slimmest possible frame (distinct
+    # ids), so AQE broadcasts it and the full sh never exchanges; even the
+    # pathological fallback (candidate list too big to broadcast) shuffles
+    # only candidate-doc arrays, never the whole corpus's
+    cand_docs = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sh_red = sh.join(cand_docs, "doc_id", "semi")
+    sa, sb = sh_red.alias("sa"), sh_red.alias("sb")
+    jac = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("sa.shingles"), F.col("sb.shingles")))
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(jac >= threshold)
     )
 

@@ -1,8 +1,17 @@
 from temporalvault_spark.plans.inspect import (
     executed_plan,
+    formatted_plan,
     plan_counts,
     pushed_filters,
     read_schema_cols,
+    shuffle_inputs,
 )
 
-__all__ = ["executed_plan", "plan_counts", "pushed_filters", "read_schema_cols"]
+__all__ = [
+    "executed_plan",
+    "formatted_plan",
+    "plan_counts",
+    "pushed_filters",
+    "read_schema_cols",
+    "shuffle_inputs",
+]

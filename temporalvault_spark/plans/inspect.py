@@ -17,6 +17,35 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def formatted_plan(df: DataFrame) -> str:
+    """The formatted physical plan (per-node Input/Output column lists —
+    toString() shows only partition keys for an Exchange, not what rides
+    it). Reflects AQE's final choices if the df has been executed."""
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+def shuffle_inputs(df: DataFrame) -> list[str]:
+    """The Input column-list of every SHUFFLE exchange (hash/range/round-robin
+    — broadcasts excluded) in the FINAL plan: what actually rides each
+    shuffle. An executed AQE query's formatted explain also prints the
+    initial plan's node details, so node ids are filtered to the final tree."""
+    plan = formatted_plan(df)
+    tree = plan.split("== Initial Plan ==")[0]
+    final_ids = set(re.findall(r"\((\d+)\)", tree))
+    out = []
+    for m in re.finditer(
+        r"\((\d+)\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]",
+        plan,
+    ):
+        if m.group(1) in final_ids:
+            out.append(m.group(2))
+    return out
+
+
 def plan_counts(df: DataFrame) -> dict[str, int]:
     """Occurrences of the physical operators that matter for scale."""
     plan = executed_plan(df)

@@ -10,9 +10,8 @@ BASE = (
     "the quick brown fox jumps over the lazy dog while the cat watches "
     "from the warm windowsill in the afternoon sun near the garden"
 )
-# one token changed such that the min-md5 shingle is preserved (verified:
-# md5('near the garden') stays minimal), so the single-band block still
-# collides; shingle jaccard = 0.833
+# one token changed; shingle jaccard = 0.833, and the pair collides in
+# bands 0/2/3 of the salted scheme (verified offline), so blocking finds it
 NEAR = BASE.replace("quick", "cold")
 FAR = "completely different content about spark query engines and shuffles at scale"
 
@@ -55,16 +54,35 @@ def test_embedding_cosine_finds_crafted_dups(spark):
     assert not any(102 in p for p in got)
 
 
-def test_jaccard_single_band_recall_miss_is_possible(spark):
-    """Documents whose minimum shingle differs are NOT candidates — the
-    documented single-band recall trade-off (multi-band = dedup_minhash)."""
-    a = "alpha beta gamma delta epsilon zeta eta theta"
-    b = "iota kappa lambda mu nu xi omicron pi"  # disjoint: jaccard 0
+def test_jaccard_multi_band_beats_single_band_recall(spark):
+    """A genuine near-dup pair (jaccard 0.667) whose band-0 min-hashes differ
+    but whose band-1/3 min-hashes collide (verified offline with the same
+    md5(band:shingle) scheme): a single band MISSES it, the default 4 bands
+    FIND it — the 1-(1-j)^b recall win multi-band banding exists for."""
+    a = "w37 w36 w40 w12 w23 w6 w35 w45 w4 w36 w3 w39"
+    b = "w37 w36 w40 w12 w23 w6 w35 w45 w4 w36 w31 w39"
     df = spark.createDataFrame(
         [(0, a, "en", "s", len(a)), (1, b, "en", "s", len(b))],
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
-    assert ngram_jaccard_pairs(df).count() == 0
+    assert ngram_jaccard_pairs(df, n_bands=1).count() == 0  # band-0 min differs
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df).collect()}
+    assert (0, 1) in got and got[(0, 1)] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_jaccard_candidate_shuffle_carries_no_shingle_arrays(spark, crafted):
+    """The scale contract: after AQE's final planning, NO shuffle exchange
+    carries the shingle arrays — candidates travel as (doc_id, n_sh, band,
+    min_h), and the arrays re-attach to the semi-join-reduced candidate docs
+    via broadcasts."""
+    from temporalvault_spark.plans import shuffle_inputs
+
+    df = ngram_jaccard_pairs(crafted)
+    df.collect()  # materialize so the plan reflects AQE's final join choices
+    shuffles = shuffle_inputs(df)
+    assert shuffles, "expected at least the banded candidate shuffle"
+    for cols in shuffles:
+        assert "shingles" not in cols, f"shingle array rides a shuffle: {cols}"
 
 
 def test_connected_components_crafted_graph(spark):
