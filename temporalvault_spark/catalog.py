@@ -159,9 +159,15 @@ _CURRENT: dict[int, Catalog] = {}
 
 def load_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
     """Cached per session; re-registers views whenever sf_dir changes (temp
-    view names are shared per session, so only one sf_dir is live at a time)."""
+    view names are shared per session, so only one sf_dir is live at a time).
+
+    The cache key is id(spark), which Python can REUSE after a stopped
+    session is garbage-collected — so a hit also verifies the cached catalog
+    holds the very same live object (``cat.spark is spark``); anything else
+    re-registers. (A WeakKeyDictionary would be cleaner but SparkSession
+    doesn't reliably support weak references across PySpark versions.)"""
     cat = _CURRENT.get(id(spark))
-    if cat is None or cat.sf_dir != sf_dir.rstrip("/"):
+    if cat is None or cat.spark is not spark or cat.sf_dir != sf_dir.rstrip("/"):
         cat = Catalog(spark, sf_dir)
         _CURRENT[id(spark)] = cat
     return cat

@@ -35,18 +35,28 @@ def asof_join(
     '7 days') — probes further than that from the matched row get nulls.
     """
     l_cols = left.columns
+    r_types = dict(right.dtypes)
+    # ONE struct per version row carries (_r_ts, *value_cols) and is filled
+    # atomically with a single last(ignorenulls): every value column comes
+    # from the SAME matched version row, and a matched row's legitimate NULL
+    # value stays NULL (per-column fill would skip it and leak an older
+    # row's value — pandas.merge_asof never mixes rows like that)
+    m_type = "struct<_r_ts:timestamp," + ",".join(
+        f"{c}:{r_types[c]}" for c in value_cols
+    ) + ">"
     probes = (
         left.withColumn("_ts", F.col(left_ts))
         .withColumn("_tag", F.lit(1))
-        .withColumns({f"_v_{c}": F.lit(None).cast(dict(right.dtypes)[c]) for c in value_cols})
-        .withColumn("_r_ts", F.lit(None).cast("timestamp"))
+        .withColumn("_m", F.lit(None).cast(m_type))
     )
-    versions = (
-        right.select(key, F.col(right_ts).alias("_ts"), *value_cols)
-        .withColumn("_tag", F.lit(0))
-        .withColumns({f"_v_{c}": F.col(c) for c in value_cols})
-        .withColumn("_r_ts", F.col("_ts"))
-        .drop(*[c for c in value_cols if c not in (key, "_ts")])
+    versions = right.select(
+        key,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.struct(
+            F.col(right_ts).cast("timestamp").alias("_r_ts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("_m"),
     )
     for c in l_cols:
         if c not in versions.columns:
@@ -59,16 +69,11 @@ def asof_join(
         .orderBy("_ts", "_tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.withColumns(
-        {f"_v_{c}": F.last(f"_v_{c}", ignorenulls=True).over(w) for c in value_cols}
-        | {"_r_ts": F.last("_r_ts", ignorenulls=True).over(w)}
-    )
+    filled = unioned.withColumn("_m", F.last("_m", ignorenulls=True).over(w))
     out = filled.filter(F.col("_tag") == 1)
     if tolerance is not None:
-        within = F.col("_r_ts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
-        out = out.withColumns(
-            {f"_v_{c}": F.when(within, F.col(f"_v_{c}")) for c in value_cols}
-        )
+        within = F.col("_m")["_r_ts"] >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        out = out.withColumn("_m", F.when(within, F.col("_m")))
     return out.select(
-        *l_cols, *[F.col(f"_v_{c}").alias(c) for c in value_cols]
+        *l_cols, *[F.col("_m")[c].alias(c) for c in value_cols]
     )

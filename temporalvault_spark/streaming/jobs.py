@@ -177,10 +177,18 @@ def ingest_into_vault(vault, events: DataFrame, available_now: bool = True):
 
     Retry safety: foreachBatch replays a micro-batch after failures/restarts,
     and a blind re-append would double every version. The sink records each
-    committed batch_id as a marker file under the vault root and skips
-    batches it has already committed — the standard idempotent-foreachBatch
-    pattern (marker write happens after the append; a crash between the two
-    re-appends at most the one in-flight batch)."""
+    committed batch_id as a marker under the vault root and skips batches it
+    has already committed — the standard idempotent-foreachBatch pattern.
+    Markers are written ATOMICALLY (temp file + fsync + rename), so a crash
+    can never leave a half-written marker that reads as committed; and they
+    are COMPACTED into a single floor file (all ids <= floor committed) so
+    the marker dir stays O(1) instead of one file per micro-batch forever.
+    Batch ids are scoped to the stream's checkpoint — restarting with a fresh
+    checkpoint restarts ids at 0, so pair each checkpoint with its own vault
+    (or clear the marker dir). Remaining window, acknowledged: a crash
+    BETWEEN record_bulk and the marker rename re-appends that one in-flight
+    batch on replay (at-least-once, double-versioning that batch's records;
+    exactly-once would need the log format itself to carry the batch id)."""
     import os
 
     rec = events.select(
@@ -190,14 +198,48 @@ def ingest_into_vault(vault, events: DataFrame, available_now: bool = True):
     )
     marker_dir = f"{vault.root}/_ingest_batches"
     os.makedirs(marker_dir, exist_ok=True)
+    floor_path = f"{marker_dir}/_floor"
+    _COMPACT_EVERY = 64
+
+    def _floor() -> int:
+        try:
+            with open(floor_path) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _write_atomic(path: str, content: str) -> None:
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
+    def _compact_markers() -> None:
+        ids = sorted(
+            int(n) for n in os.listdir(marker_dir) if n.isdigit()
+        )
+        if len(ids) < _COMPACT_EVERY:
+            return
+        new_floor = _floor()
+        for i in ids:  # advance over the contiguous committed prefix
+            if i == new_floor + 1:
+                new_floor = i
+        _write_atomic(floor_path, str(new_floor))
+        for i in ids:
+            if i <= new_floor:
+                os.remove(f"{marker_dir}/{i}")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         marker = f"{marker_dir}/{batch_id}"
-        if os.path.exists(marker):  # replayed batch — already committed
-            return
+        if batch_id <= _floor() or os.path.exists(marker):
+            return  # replayed batch — already committed
         vault.record_bulk(batch_df)
-        with open(marker, "w") as f:
-            f.write("committed")
+        _write_atomic(marker, "committed")
+        _compact_markers()
+
+    _compact_markers()  # markers left by earlier runs fold up-front too
 
     writer = rec.writeStream.foreachBatch(sink).outputMode("append")
     if available_now:

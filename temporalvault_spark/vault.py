@@ -91,6 +91,7 @@ class TemporalVault:
         self.snapshots_path = f"{self.root}/snapshots"
         self.rollback_log_path = f"{self.root}/rollback_log"
         os.makedirs(self.root, exist_ok=True)
+        self._recover_swaps()
         # query()-result cache: truncated-ts -> persisted DataFrame (the
         # engine analog of the reference's 1h-TTL Redis cache, main.py:115-147)
         self._cache: dict[str, DataFrame] = {}
@@ -105,6 +106,41 @@ class TemporalVault:
         m["total_sec"] += time.perf_counter() - t0
 
     # -- log access ----------------------------------------------------------
+
+    def _recover_swaps(self) -> None:
+        """Crash recovery for the two-rename directory swap used by
+        rollback()/compact() (tmp write → records->old → tmp->records →
+        rm old). A crash between the two renames leaves no records/ dir with
+        the data stranded in .records_old_*; a crash before/after leaves
+        orphaned .records_tmp_* / .records_old_* dirs that would otherwise
+        accumulate forever. Run at vault open and before every swap:
+
+        - records/ missing + a COMPLETE tmp (Spark's _SUCCESS marker, written
+          only when the job finished) → the swap had passed the point of no
+          return: promote the tmp.
+        - records/ missing + no complete tmp → the swap never completed:
+          restore the old dir (pre-op state).
+        - everything left over after that is garbage from finished or failed
+          ops → removed."""
+        olds = sorted(
+            f"{self.root}/{n}" for n in os.listdir(self.root) if n.startswith(".records_old_")
+        )
+        tmps = sorted(
+            f"{self.root}/{n}" for n in os.listdir(self.root) if n.startswith(".records_tmp_")
+        )
+        if not olds and not tmps:
+            return
+        if not os.path.isdir(self.records_path) and olds:
+            complete = [t for t in tmps if os.path.exists(f"{t}/_SUCCESS")]
+            if complete:
+                os.rename(complete[-1], self.records_path)
+                tmps.remove(complete[-1])
+            else:
+                os.rename(olds[-1], self.records_path)
+                olds.pop()
+        for d in olds + tmps:
+            if os.path.isdir(d):
+                shutil.rmtree(d)
 
     def _has_records(self) -> bool:
         return os.path.isdir(self.records_path) and any(
@@ -305,7 +341,13 @@ class TemporalVault:
         else:
             # tail read is partition-pruned: only dt >= date(snap_ts) dirs
             log = snap_df.unionByName(self.log(until=ts, since_exclusive=snap_ts))
-        w = Window.partitionBy("record_id").orderBy(F.desc("version_num"))
+        # ts/id tie-breakers: after a rollback the log can hold several rows
+        # with the SAME (record_id, version_num) (reference-faithful UPDATE
+        # keeps rewritten rows); their payloads are identical but id/ts
+        # differ, so the pick must still be deterministic
+        w = Window.partitionBy("record_id").orderBy(
+            F.desc("version_num"), F.desc("ts"), F.desc("id")
+        )
         out = (
             log.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -347,10 +389,16 @@ class TemporalVault:
         """Roll the table back to T: audit first (count + affected keys,
         main.py:174-188), then one job computes the post-rollback table —
         pre-T rows unchanged; post-T rows of keys alive at T rewritten to the
-        as-of state (main.py:200-214); keys born after T dropped
-        (main.py:217-224) — and atomically replaces the log directory.
-        One shuffle replaces the reference's per-record UPDATE/DELETE loop."""
+        as-of state's data AND version labels (version/version_num/
+        previous_version, matching the reference UPDATE main.py:200-214);
+        keys born after T dropped (main.py:217-224) — and atomically replaces
+        the log directory. One shuffle replaces the reference's per-record
+        UPDATE/DELETE loop. Deliberate deviation: the reference stamps
+        rewritten rows timestamp=CURRENT_TIMESTAMP (main.py:204), which makes
+        a rolled-back row look newer than the rollback target and breaks
+        subsequent as-of reads; we preserve each row's original ts instead."""
         t0 = time.perf_counter()
+        self._recover_swaps()
         ts = parse_time(timestamp)
         log = self.log()
         affected = log.filter(F.col("ts") > F.lit(ts))
@@ -368,11 +416,29 @@ class TemporalVault:
             self.rollback_log_path
         )
 
-        state = self.state_at(ts).select("record_id", F.col("data").alias("asof_data"))
+        # post-T rows of surviving keys are rewritten to the target version's
+        # data AND labels (version / version_num / previous_version), exactly
+        # like the reference UPDATE (main.py:200-214); only the reference's
+        # timestamp=CURRENT_TIMESTAMP is deviated from (ts preserved — see
+        # docstring)
+        state = self.state_at(ts).select(
+            "record_id",
+            F.col("data").alias("asof_data"),
+            F.col("version").alias("asof_version"),
+            F.col("version_num").alias("asof_version_num"),
+            F.col("previous_version").alias("asof_previous_version"),
+        )
         kept = log.filter(F.col("ts") <= F.lit(ts))
         rewritten = (
             affected.join(state, "record_id", "inner")
-            .withColumn("data", F.col("asof_data"))
+            .withColumns(
+                {
+                    "data": F.col("asof_data"),
+                    "version": F.col("asof_version"),
+                    "version_num": F.col("asof_version_num"),
+                    "previous_version": F.col("asof_previous_version"),
+                }
+            )
             .select([f.name for f in RECORD_SCHEMA.fields])
         )
         new_log = kept.unionByName(rewritten)
@@ -421,6 +487,7 @@ class TemporalVault:
         directory-swap as rollback; contents are row-identical, so readers
         never observe a difference."""
         t0 = time.perf_counter()
+        self._recover_swaps()
         if not self._has_records():
             return {"files_before": 0, "files_after": 0}
         before = sum(

@@ -74,6 +74,24 @@ def test_asof_join_is_single_shuffle(spark, frames):
     assert "Join" not in plan  # no join operator at all
     assert plan.count("Exchange hashpartitioning") <= 1
 
+def test_asof_join_null_payload_not_skipped(spark):
+    """A matched version row whose value column is legitimately NULL must
+    yield NULL — not fall back to an older version's value — and with
+    multiple value columns every column must come from the SAME matched row
+    (the single-struct fill guarantees both)."""
+    base = datetime(2026, 1, 1)
+    r = spark.createDataFrame(
+        [("k", base, 1, "b1"), ("k", base + timedelta(hours=1), None, "b2")],
+        "key string, vts timestamp, val_a int, val_b string",
+    )
+    l = spark.createDataFrame(
+        [("k", base + timedelta(hours=2))], "key string, pts timestamp"
+    )
+    row = asof_join(l, r, "key", "pts", "vts", ["val_a", "val_b"]).collect()[0]
+    # matched row is the h=1 version: val_a stays NULL (no leak of 1 from h=0)
+    assert row["val_a"] is None and row["val_b"] == "b2"
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -105,8 +123,13 @@ def test_asof_join_matches_pandas_merge_asof(spark, versions, probes):
     # unique for a well-defined comparison
     vmap = {}
     for i, (k, m) in enumerate(versions):
-        vmap[(k, m)] = f"p{i}"
-    vrows = [(k, base + timedelta(minutes=m), p) for (k, m), p in sorted(vmap.items())]
+        # every third version carries a NULL payload: matched-but-NULL must
+        # surface as NULL, never as an older row's value
+        vmap[(k, m)] = None if m % 3 == 0 else f"p{i}"
+    vrows = [
+        (k, base + timedelta(minutes=m), p)
+        for (k, m), p in sorted(vmap.items(), key=lambda kv: kv[0])
+    ]
     prows = [(k, base + timedelta(minutes=m)) for k, m in probes]
 
     r = spark.createDataFrame(vrows, "key string, vts timestamp, payload string")

@@ -206,3 +206,45 @@ def test_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
     # which the marker dir recognizes as already committed
     streaming.ingest_into_vault(v, streaming.events_stream(spark, sf_dir))
     assert v.log().count() == n1
+
+
+def test_ingest_marker_compaction_and_atomicity(spark, tmp_path):
+    """Marker files must compact into the floor file once they accumulate
+    (the dir stays O(1), committed-ness preserved through the floor), and a
+    batch id at-or-below the floor is never re-appended."""
+    import os
+
+    import temporalvault_spark.streaming.jobs as jobs
+    from temporalvault_spark.vault import TemporalVault
+
+    v = TemporalVault(spark, str(tmp_path / "compact_markers"))
+    marker_dir = f"{v.root}/_ingest_batches"
+    os.makedirs(marker_dir, exist_ok=True)
+    # simulate 70 previously committed batches (past the compaction trigger)
+    for i in range(70):
+        with open(f"{marker_dir}/{i}", "w") as f:
+            f.write("committed")
+
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS user_id", "'{}' AS props", "timestamp AS ts")
+    )
+    calls = []
+    orig = v.record_bulk
+    v.record_bulk = lambda df: calls.append(1) or orig(df)
+    jobs.ingest_into_vault(v, src)
+    v.record_bulk = orig
+
+    names = set(os.listdir(marker_dir))
+    assert "_floor" in names
+    with open(f"{marker_dir}/_floor") as f:
+        floor = int(f.read())
+    assert floor == 69
+    # individual markers at-or-below the floor are gone
+    assert not [n for n in names if n.isdigit() and int(n) <= floor]
+    # the drain's batch 0 was already committed per the floor -> skipped
+    assert not calls and v.log().count() == 0
+    # no stray temp files from the atomic writes
+    assert not [n for n in names if n.endswith(".tmp")]

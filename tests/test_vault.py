@@ -56,9 +56,16 @@ def test_rollback_semantics(vault):
     log = vault.log().collect()
     # b born after T -> deleted (main.py:217-224)
     assert not [r for r in log if r["record_id"] == "b"]
-    # a's post-T row rewritten to as-of-T payload (main.py:200-214)
-    a3 = [r for r in log if r["record_id"] == "a" and r["version"] == "v3"]
-    assert len(a3) == 1 and a3[0]["data"] == '{"x": "1", "y": "9"}'
+    # a's post-T row rewritten to the as-of-T payload AND labels
+    # (main.py:200-214: data, version, previous_version all set to target's);
+    # its original ts is preserved (documented deviation), so the rewritten
+    # row is the one at TS["a3"]
+    a_rw = [r for r in log if r["record_id"] == "a" and r["ts"] == TS["a3"]]
+    assert len(a_rw) == 1
+    assert a_rw[0]["data"] == '{"x": "1", "y": "9"}'
+    assert a_rw[0]["version"] == "v2" and a_rw[0]["version_num"] == 2
+    assert a_rw[0]["previous_version"] == "v1"
+    assert not [r for r in log if r["version"] == "v3"]  # no v3 label survives
     # audit entry recorded (main.py:174-188, 251-267)
     hist = vault.history(5).collect()
     assert len(hist) == 1 and hist[0]["n_affected"] == 2
@@ -234,3 +241,43 @@ def test_state_at_snapshot_tail_is_partition_pruned(vault):
     assert log_scans and any(">=" in p and "<=" in p for p in log_scans), prunes
     got = {r["record_id"]: r["version"] for r in vault.state_at(TS["a3"]).collect()}
     assert got == {"a": "v3", "b": "v1", "c": "v1"}
+
+
+def test_swap_crash_recovery(vault, spark):
+    """The two-rename directory swap must self-heal at vault open for every
+    crash window: (a) crash between the renames with the tmp write complete
+    -> promote tmp; (b) same but tmp incomplete -> restore old; (c) orphaned
+    tmp next to a live records/ -> removed."""
+    import os
+    import shutil
+
+    root = vault.root
+    rows_before = sorted(
+        (r["record_id"], r["version"]) for r in vault.log().collect()
+    )
+
+    # (c) orphaned tmp beside a live records dir
+    os.makedirs(f"{root}/.records_tmp_orphan/dt=2026-01-01", exist_ok=True)
+    v2 = TemporalVault(spark, root)
+    assert not os.path.isdir(f"{root}/.records_tmp_orphan")
+    assert sorted((r["record_id"], r["version"]) for r in v2.log().collect()) == rows_before
+
+    # (a) crash between renames, tmp complete (_SUCCESS present)
+    shutil.copytree(f"{root}/records", f"{root}/.records_tmp_done")
+    open(f"{root}/.records_tmp_done/_SUCCESS", "a").close()
+    os.rename(f"{root}/records", f"{root}/.records_old_x")
+    v3 = TemporalVault(spark, root)
+    assert os.path.isdir(f"{root}/records")
+    assert not os.path.isdir(f"{root}/.records_old_x")
+    assert sorted((r["record_id"], r["version"]) for r in v3.log().collect()) == rows_before
+
+    # (b) crash between renames, tmp incomplete (no _SUCCESS) -> restore old
+    shutil.copytree(f"{root}/records", f"{root}/.records_tmp_part")
+    if os.path.exists(f"{root}/.records_tmp_part/_SUCCESS"):
+        os.remove(f"{root}/.records_tmp_part/_SUCCESS")
+    os.rename(f"{root}/records", f"{root}/.records_old_y")
+    v4 = TemporalVault(spark, root)
+    assert os.path.isdir(f"{root}/records")
+    assert not os.path.isdir(f"{root}/.records_tmp_part")
+    assert not os.path.isdir(f"{root}/.records_old_y")
+    assert sorted((r["record_id"], r["version"]) for r in v4.log().collect()) == rows_before

@@ -42,8 +42,8 @@ class PyModel:
         for key, vnum, data, rts in self.rows:
             if rts <= ts:
                 new_rows.append((key, vnum, data, rts))
-            elif key in state:  # rewritten to as-of payload, row kept
-                new_rows.append((key, vnum, state[key][1], rts))
+            elif key in state:  # rewritten to as-of payload AND labels
+                new_rows.append((key, state[key][0], state[key][1], rts))
             # else: born after ts -> dropped
         self.rows = new_rows
 
