@@ -49,33 +49,89 @@ RECORD_SCHEMA = T.StructType(
 )
 
 
+_WEEKDAYS = ["monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday"]
+_MONTHS = {
+    name: i + 1
+    for i, name in enumerate(
+        ["january", "february", "march", "april", "may", "june", "july",
+         "august", "september", "october", "november", "december"]
+    )
+}
+_MONTHS.update({name[:3]: num for name, num in _MONTHS.items()})
+_CLOCK = r"(\d{1,2})(?::(\d{2}))?(?::(\d{2}))?\s*(am|pm)?"
+
+
+def _apply_clock(base: datetime, m: re.Match, g0: int) -> datetime:
+    """Set the time-of-day from a ``_CLOCK`` match starting at group g0."""
+    h = int(m.group(g0))
+    mer = m.group(g0 + 3)
+    if mer:
+        h = h % 12 + (12 if mer == "pm" else 0)
+    return base.replace(hour=h, minute=int(m.group(g0 + 1) or 0), second=int(m.group(g0 + 2) or 0))
+
+
 def parse_time(text: str | datetime, now: datetime | None = None) -> datetime:
     """Deterministic natural-language time shim (reference: parsedatetime at
     main.py:110-111). Lives at the API layer, never inside the engine; the
     reference's nondeterminism (datetime.now()) is injectable here via
-    ``now`` so tests stay reproducible. Truncates to seconds (main.py:112)."""
+    ``now`` so tests stay reproducible. Truncates to seconds (main.py:112).
+
+    Grammar (the common ``parsedatetime`` forms the reference accepts):
+    now / today / yesterday / tomorrow (optionally "at 4pm" / "at 16:30"),
+    noon / midnight, bare clock times ("3pm", "15:04"), "N units ago" /
+    "in N units" / "N units from now" (second..year), "last/next <weekday>",
+    "last/next week|month|year", month-name dates ("march 5", "5 march 2026",
+    "jan 5 at 3pm"), and ISO / "YYYY-MM-DD HH:MM:SS"."""
     if isinstance(text, datetime):
         return text.replace(microsecond=0)
     now = (now or datetime.now()).replace(microsecond=0)
-    s = text.strip().lower()
-    if s in ("now", "today"):
-        base = now if s == "now" else now.replace(hour=0, minute=0, second=0)
-        return base
-    day_offsets = {"yesterday": -1, "tomorrow": 1}
-    m = re.match(r"^(yesterday|today|tomorrow)(?:\s+at\s+(\d{1,2})(?::(\d{2}))?\s*(am|pm)?)?$", s)
+    s = re.sub(r"\s+", " ", text.strip().lower())
+    midnight = now.replace(hour=0, minute=0, second=0)
+    if s == "now":
+        return now
+    if s in ("noon", "midnight"):
+        return midnight.replace(hour=12 if s == "noon" else 0)
+    day_offsets = {"yesterday": -1, "today": 0, "tomorrow": 1}
+    m = re.match(rf"^(yesterday|today|tomorrow)(?: at {_CLOCK})?$", s)
     if m:
-        base = now.replace(hour=0, minute=0, second=0) + timedelta(
-            days=day_offsets.get(m.group(1), 0)
-        )
-        if m.group(2):
-            h = int(m.group(2)) % 12 if m.group(4) else int(m.group(2))
-            if m.group(4) == "pm":
-                h += 12
-            base = base.replace(hour=h, minute=int(m.group(3) or 0))
-        return base
-    m = re.match(r"^(\d+)\s+(second|minute|hour|day|week)s?\s+ago$", s)
+        base = midnight + timedelta(days=day_offsets[m.group(1)])
+        return _apply_clock(base, m, 2) if m.group(2) else base
+    # bare clock time -> today ("3pm", "15:04", "at 3 pm")
+    m = re.match(rf"^(?:at )?{_CLOCK}$", s)
+    if m and (m.group(4) or m.group(2)):  # needs am/pm or minutes to be a time
+        return _apply_clock(midnight, m, 1)
+    # relative offsets: "2 hours ago", "in 3 days", "3 weeks from now"
+    units = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+             "week": 7 * 86400, "month": 30 * 86400, "year": 365 * 86400}
+    m = re.match(
+        r"^(?:(?:in|after) )?(\d+) (second|minute|hour|day|week|month|year)s?"
+        r"(?: (ago|from now|later))?$", s)
+    if m and (m.group(3) or s.startswith(("in ", "after "))):
+        delta = timedelta(seconds=int(m.group(1)) * units[m.group(2)])
+        return now - delta if m.group(3) == "ago" else now + delta
+    # "last/next monday", "last week", "next month" (parsedatetime: strictly
+    # the previous/following occurrence, never today)
+    m = re.match(rf"^(last|next) ({'|'.join(_WEEKDAYS)}|week|month|year)(?: at {_CLOCK})?$", s)
     if m:
-        return now - timedelta(**{m.group(2) + "s": int(m.group(1))})
+        sign = -1 if m.group(1) == "last" else 1
+        unit = m.group(2)
+        if unit in ("week", "month", "year"):
+            base = midnight + timedelta(seconds=sign * units[unit])
+        else:
+            diff = (_WEEKDAYS.index(unit) - now.weekday()) % 7
+            days = (diff or 7) if sign > 0 else (diff - 7 if diff else -7)
+            base = midnight + timedelta(days=days)
+        return _apply_clock(base, m, 3) if m.group(3) else base
+    # month-name dates: "march 5", "mar 5 2026", "5 march", "january 5 at 3pm"
+    mon = "|".join(sorted(_MONTHS, key=len, reverse=True))
+    m = re.match(
+        rf"^(?:({mon})\.? (\d{{1,2}})|(\d{{1,2}}) ({mon})\.?)(?:,? (\d{{4}}))?"
+        rf"(?: at {_CLOCK})?$", s)
+    if m:
+        month = _MONTHS[m.group(1) or m.group(4)]
+        day = int(m.group(2) or m.group(3))
+        base = datetime(int(m.group(5) or now.year), month, day)
+        return _apply_clock(base, m, 6) if m.group(6) else base
     # ISO / "YYYY-MM-DD HH:MM:SS" forms
     return datetime.fromisoformat(text.strip()).replace(microsecond=0)
 

@@ -138,6 +138,47 @@ def test_parse_time_deterministic():
     assert parse_time("now", now) == now
 
 
+def test_parse_time_parsedatetime_grammar():
+    """Table-driven parity with the common parsedatetime forms the reference
+    accepts (main.py:110-111). now = Saturday 2026-01-10 12:00:00."""
+    now = datetime(2026, 1, 10, 12, 0, 0)
+    cases = {
+        "today": datetime(2026, 1, 10),
+        "tomorrow at 9": datetime(2026, 1, 11, 9, 0),
+        "noon": datetime(2026, 1, 10, 12, 0),
+        "midnight": datetime(2026, 1, 10, 0, 0),
+        "3pm": datetime(2026, 1, 10, 15, 0),
+        "3:30 pm": datetime(2026, 1, 10, 15, 30),
+        "15:04": datetime(2026, 1, 10, 15, 4),
+        "12am": datetime(2026, 1, 10, 0, 0),
+        "12pm": datetime(2026, 1, 10, 12, 0),
+        "in 3 days": datetime(2026, 1, 13, 12, 0),
+        "2 weeks from now": datetime(2026, 1, 24, 12, 0),
+        "45 seconds ago": datetime(2026, 1, 10, 11, 59, 15),
+        # strictly previous/following occurrence, never today (Sat)
+        "last monday": datetime(2026, 1, 5),
+        "last saturday": datetime(2026, 1, 3),
+        "next saturday": datetime(2026, 1, 17),
+        "next friday": datetime(2026, 1, 16),
+        "next monday at 3pm": datetime(2026, 1, 12, 15, 0),
+        "last week": datetime(2026, 1, 3),
+        "next month": datetime(2026, 2, 9),
+        "last year": datetime(2025, 1, 10),
+        "march 5": datetime(2026, 3, 5),
+        "5 march": datetime(2026, 3, 5),
+        "Mar 5, 2027": datetime(2027, 3, 5),
+        "january 5 at 3pm": datetime(2026, 1, 5, 15, 0),
+        "September 1 2026": datetime(2026, 9, 1),
+    }
+    for text, want in cases.items():
+        assert parse_time(text, now) == want, text
+    # plain integers are NOT times (fromisoformat rejects them)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_time("5", now)
+
+
 def test_asof_reads_prune_date_partitions(vault):
     """The dt= partition predicate must reach the scan: an as-of read at T
     touches only partitions <= date(T) (the layout's B-tree role)."""
