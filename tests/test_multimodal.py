@@ -24,8 +24,37 @@ def media(spark):
 
 
 def test_decode_requires_explicit_fake(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|real media codecs"):
+    # this sandbox has no Pillow/soundfile, so the real-codec tier must fail
+    # loudly with the install hint, never fall back silently
+    with pytest.raises(Exception, match="NotImplementedError|Pillow|soundfile"):
         mm.decode_media(media).collect()
+
+
+def test_decode_kernel_injection(spark, media):
+    """Tier 2: a caller-supplied kernel ships to the workers inside the task
+    closure and replaces the codec — the seam a real PIL/ffmpeg deployment
+    (or a test) plugs into."""
+
+    def kernel(payload: bytes, kind: str) -> dict:
+        return {
+            "width": 7,
+            "height": 9,
+            "n_frames": 1,
+            "sample_rate": 0,
+            "n_bytes": len(payload),
+        }
+
+    rows = mm.decode_media(media, kernel=kernel).collect()
+    assert len(rows) == 30
+    assert all(r["width"] == 7 and r["height"] == 9 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+
+    resized = mm.resize_images(
+        media,
+        max_side=10,
+        kernel=lambda p, m: {"width": m, "height": m, "payload": p[:4]},
+    ).collect()
+    assert resized and all(r["width"] == 10 and bytes(r["payload"]) for r in resized)
 
 
 def test_decode_schema_and_determinism(spark, media):
