@@ -22,23 +22,29 @@ from temporalvault_spark.operators.similarity import (
 )
 
 
-def build_ivf_index(emb: DataFrame, path: str) -> None:
-    """One-time index build: assign every vector to its nearest fixed
-    centroid (the SAME shared assignment the oracle-checked queries use) and
+def build_ivf_index(emb: DataFrame, path: str, centroids: DataFrame | None = None) -> None:
+    """One-time index build: assign every vector to its nearest centroid
+    (the SAME shared assignment the oracle-checked queries use) and
     write partitioned by centroid_id, plus a tiny ``_centroids`` sidecar —
     underscore-prefixed so Spark's reader ignores it when scanning the index
     — holding the centroid vectors. Probes then never touch the main index
     outside their nprobe partitions. At corpus scale this is the single
-    shuffle every subsequent probe amortizes."""
+    shuffle every subsequent probe amortizes.
+
+    ``centroids`` defaults to the deterministic fixed set (oracle-replayable);
+    pass ``similarity.train_centroids(e, seed=...)`` for k-means-quality
+    clusters — ivf_search works unchanged because probes rank whatever the
+    sidecar holds."""
     e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    cents = centroids if centroids is not None else centroid_frame(e)
     (
-        assign_to_centroids(e)
+        assign_to_centroids(e, cents)
         .repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path)
     )
-    centroid_frame(e).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
 
 
 def ivf_search(

@@ -97,7 +97,27 @@ def centroid_frame(e: DataFrame) -> DataFrame:
     )
 
 
-def assign_to_centroids(e: DataFrame) -> DataFrame:
+def train_centroids(
+    e: DataFrame, k: int = N_CENTROIDS, seed: int = 42, max_iter: int = 20
+) -> DataFrame:
+    """k-means||-trained centroids as a (centroid_id, ce) frame — the
+    production alternative to the fixed first-N stand-in (centroid_frame,
+    which exists so the DuckDB oracle can replay assignment). Seeded, so the
+    build is reproducible; distributed (pyspark.ml.KMeans), so training a
+    100 TB corpus' centroids is the same job as here. Feed the result to
+    assign_to_centroids / build_ivf_index via their ``centroids`` arg."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = e.select(array_to_vector(F.col("e").cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode="k-means||").fit(feats)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return e.sparkSession.createDataFrame(rows, "centroid_id bigint, ce array<double>")
+
+
+def assign_to_centroids(e: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
     """Nearest-centroid assignment for every vector — THE one implementation
     (q_sim_ivf_ann, embedding_cosine_pairs, and the persisted ivf_index all
     call it, so the tie-break and norm scaling can never drift between the
@@ -112,8 +132,12 @@ def assign_to_centroids(e: DataFrame) -> DataFrame:
     LOWER id, matching the oracle's ORDER BY sim DESC, centroid_id ASC).
     The vector side never exchanges — no N x C row blow-up, no
     row_number window shuffle (that earlier form shuffled N x 16 rows just
-    to take a 16-way argmax)."""
-    cent_row = centroid_frame(e).agg(
+    to take a 16-way argmax).
+
+    ``centroids`` defaults to the fixed oracle-replayable set; pass a
+    train_centroids frame for k-means assignment (same argmax, same
+    tie-break)."""
+    cent_row = (centroids if centroids is not None else centroid_frame(e)).agg(
         F.array_sort(F.collect_list(F.struct("centroid_id", "ce"))).alias("cents")
     )
     scored = F.transform(

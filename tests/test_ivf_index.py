@@ -48,3 +48,42 @@ def test_probe_matches_inmemory_ivf(spark, sf_dir, index_path):
         for r in entrymod.queries()["sim_ivf_ann"](spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_trained_centroids_deterministic_and_recall(spark, sf_dir, tmp_path_factory):
+    """k-means||-trained index: (a) the build is deterministic under a seed,
+    (b) probe recall@10 vs exact brute-force beats the fixed-centroid
+    stand-in's recall floor at the same nprobe — the reason to train at all."""
+    from pyspark.sql import functions as F
+
+    from temporalvault_spark.operators.similarity import (
+        cosine_scores,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    c1 = train_centroids(e, seed=7)
+    c2 = train_centroids(e, seed=7)
+    v1 = sorted(tuple(round(x, 9) for x in r["ce"]) for r in c1.collect())
+    v2 = sorted(tuple(round(x, 9) for x in r["ce"]) for r in c2.collect())
+    assert v1 == v2  # seeded build reproduces bit-for-bit
+
+    path = str(tmp_path_factory.mktemp("ivf_km") / "index")
+    build_ivf_index(emb, path, centroids=c1)
+
+    # recall@10 averaged over a few probes, vs exact cosine top-10
+    recalls = []
+    for pid in (0, 17, 101):
+        probe_row = emb.filter(F.col("vec_id") == pid)
+        probe = probe_row.selectExpr("cast(embedding as array<double>)").first()[0]
+        exact = {
+            r["vec_id"]
+            for r in cosine_scores(emb, probe_row)
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(10)
+            .collect()
+        }
+        got = {r["vec_id"] for r in ivf_search(spark, path, probe, k=10, nprobe=4).collect()}
+        recalls.append(len(exact & got) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
