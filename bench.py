@@ -25,8 +25,10 @@ HEADLINE = [
     "asof_latest_per_key",
     "asof_all_versions",
     "rollback_state",
+    "compare_diff",
     "join_asof",
     "agg_groupby_multi",
+    "agg_grouping_sets",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
@@ -41,6 +43,7 @@ HEADLINE = [
     "cohort_retention_weekly",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_components",
     "doc_fingerprint",
     "text_stats",
     "sim_topk_cosine",
