@@ -42,6 +42,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # raw edges (O(iter²) work and an ever-deepening plan)
     sym = sym.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
+
+    def label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("s")).first()["s"]
+
+    old_sum = label_sum(labels)
     for _ in range(max_iter):
         # (1) each node adopts min(own label, neighbors' labels)
         neighbor_labels = (
@@ -67,18 +72,23 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("c_comp"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the label-sum action right below materializes the
+            # checkpoint, so each round runs ONE job, not a checkpoint job
+            # plus a convergence job
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        # fixpoint check without a join: every node's label is non-increasing
+        # round over round (both steps take a min against the old label), so
+        # the label SUM strictly decreases until convergence and equality
+        # means no node changed. One narrow aggregate over the checkpointed
+        # frame instead of a new-vs-old join per round (the previous round's
+        # sum is carried, so it's ONE extra job per round, not two);
+        # decimal(38) so the sum can't overflow at any corpus size.
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == old_sum:
             return labels
+        old_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge within {max_iter} iterations "
         "— raise max_iter (component diameter exceeds 2^iterations)"

@@ -77,11 +77,14 @@ NGRAM_BANDS = 4
         SELECT doc_id, {_SHINGLE_DUCK} AS shingles,
                len({_SHINGLE_DUCK}) AS n_sh
         FROM toks WHERE len(t) >= 3),
+    shh AS (
+        SELECT doc_id, n_sh, list_transform(shingles, x -> md5(x)) AS hs
+        FROM sh),
     banded AS (
         SELECT doc_id, n_sh, band,
-               list_sort(list_transform(shingles,
-                   x -> md5(CAST(band AS VARCHAR) || ':' || x)))[1] AS min_h
-        FROM sh CROSS JOIN (SELECT unnest(range({NGRAM_BANDS})) AS band)),
+               list_sort(list_transform(hs,
+                   h -> substring(h, band * 8 + 1, 8)))[1] AS min_h
+        FROM shh CROSS JOIN (SELECT unnest(range({NGRAM_BANDS})) AS band)),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM banded a JOIN banded b
@@ -106,12 +109,18 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup detection: word-3-gram shingle Jaccard, MinHash-banded.
 
-    Candidate pairs = documents sharing the minimum md5 of any of ``n_bands``
-    independent band-salted hash families (md5(band || ':' || shingle)) — b
-    bands of r=1 rows, so a jaccard-j pair is a candidate with probability
-    1-(1-j)^b (b=4, j=0.6: 97% vs 60% single-band; the crafted-recall unit
-    test pins a pair only multi-band finds). Exact Jaccard then verifies
-    candidates, so precision is exact and only recall is probabilistic.
+    Candidate pairs = documents sharing the band-b minimum hash for any of
+    ``n_bands`` hash families — b bands of r=1 rows, so a jaccard-j pair is
+    a candidate with probability ~1-(1-j)^b (b=4, j=0.6: 97% vs 60%
+    single-band; the crafted-recall unit test pins a pair only multi-band
+    finds). Exact Jaccard then verifies candidates, so precision is exact
+    and only recall is probabilistic.
+
+    The b families cost ONE md5 per shingle, not b: family b is the b-th
+    8-hex-char (32-bit) slice of the single digest — one-permutation-hashing
+    style — so adding bands adds only substring+min work, never more md5
+    passes (the md5 over every shingle is the dominant CPU cost here;
+    band-salted re-hashing made the 4-band form ~3x the single-band cost).
 
     Scale shape — two deliberate properties:
       1. candidate generation is an equi-join on (band, 32-char min-hash)
@@ -138,20 +147,24 @@ def ngram_jaccard_pairs(
         F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")
     )
     sh = toks.select("doc_id", shingles.alias("shingles"), F.size(shingles).alias("n_sh"))
-    # slim banded sketch: per (doc, band) the min of the band-salted shingle
-    # md5s. coalesce() makes min_h non-nullable, so the self-join does NOT
+    # slim banded sketch: per (doc, band) the min of the band's digest slice.
+    # coalesce() makes min_h non-nullable, so the self-join does NOT
     # infer an isnotnull(min_h) predicate — which would otherwise be pushed
     # below the repartition and evaluate the whole md5-shingle expression
     # serially in the single-partition scan stage (observed: 6-8x slowdown)
     banded = sh.select(
         "doc_id",
         "n_sh",
+        F.expr("transform(shingles, x -> md5(x))").alias("hs"),
+    ).select(
+        "doc_id",
+        "n_sh",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {n_bands - 1}), b -> struct("
                 "b AS band, "
-                "coalesce(array_min(transform(shingles, "
-                "x -> md5(concat(cast(b AS string), ':', x)))), '') AS min_h))"
+                "coalesce(array_min(transform(hs, "
+                "h -> substring(h, b * 8 + 1, 8))), '') AS min_h))"
             )
         ).alias("bh"),
     ).select("doc_id", "n_sh", F.col("bh.band").alias("band"), F.col("bh.min_h").alias("min_h"))
