@@ -14,7 +14,7 @@ Design rules for 100 TB corpora:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog
@@ -438,4 +438,73 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("n_tokens") >= 20) & (F.col("ttr") >= 0.3), "keep")
         .otherwise("drop")
         .alias("verdict"),
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    """WITH terms AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS cnt,
+               SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS doc_len
+        FROM terms GROUP BY doc_id, term),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS n_docs_with
+        FROM terms GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(CAST(tf.cnt AS DOUBLE) / tf.doc_len
+                     * ln((n.n_docs + 1.0) / (df.n_docs_with + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tfidf FROM (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rn
+        FROM scored) x
+    WHERE rn <= 3""",
+)
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed TF-IDF — the classic relevance /
+    keyword-extraction primitive of a text pipeline.
+
+    Scale shape: term frequencies and document frequencies are two partial
+    aggregates over the exploded (doc_id, term) stream (map-side combine does
+    the heavy lifting — the shuffle carries one row per DISTINCT (doc, term)
+    / term, never per token); the corpus size joins in as a broadcast 1-row
+    frame (no .collect() round-trip, the plan stays fully declarative); the
+    per-doc top-3 is a WindowGroupLimit, pruned before the final sort-free
+    projection. Ties rank deterministically: rounded score desc, then term —
+    matching the oracle's ROW_NUMBER exactly."""
+    docs = _docs(spark, sf_dir)
+    terms = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    w_doc = Window.partitionBy("doc_id")
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("doc_len", F.sum("cnt").over(w_doc))
+    )
+    df_ = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("n_docs_with"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("cnt").cast("double")
+                / F.col("doc_len")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("n_docs_with") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
     )

@@ -1,5 +1,6 @@
 from temporalvault_spark.streaming.jobs import (
     clicks_to_purchases_join,
+    dedup_events_stream,
     events_stream,
     ingest_into_vault,
     latest_state_stream,
@@ -11,6 +12,7 @@ from temporalvault_spark.streaming.jobs import (
 
 __all__ = [
     "events_stream",
+    "dedup_events_stream",
     "tumbling_counts",
     "sliding_counts",
     "session_counts",

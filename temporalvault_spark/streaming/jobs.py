@@ -82,6 +82,19 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id via dropDuplicatesWithinWatermark:
+    at-least-once sources (Kafka redeliveries, file-source replays) emit the
+    same event twice, and this is the standard exactly-once repair. The
+    BOUNDED-state form: a key's dedup state is evicted once the watermark
+    passes its event time, so state size tracks the watermark window, not
+    the stream's lifetime (a plain dropDuplicates on a stream accumulates
+    every key forever — the 100 TB failure mode)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 _STATE_SCHEMA = "version_num int, ts timestamp, data string, n_total int"
 _OUT_SCHEMA = "record_id string, version string, data string, ts timestamp, n_versions int"
 

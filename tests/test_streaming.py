@@ -248,3 +248,20 @@ def test_ingest_marker_compaction_and_atomicity(spark, tmp_path):
     assert not calls and v.log().count() == 0
     # no stray temp files from the atomic writes
     assert not [n for n in names if n.endswith(".tmp")]
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    """A doubled stream (every event delivered twice, the at-least-once
+    redelivery shape) deduped on event_id must converge to exactly the batch
+    table's distinct event set."""
+    from pyspark.sql import functions as F
+
+    ev = streaming.events_stream(spark, sf_dir)
+    doubled = ev.withColumn("_d", F.explode(F.array(F.lit(0), F.lit(1)))).drop("_d")
+    out = streaming.run_available_now(
+        streaming.dedup_events_stream(doubled), "dedup_stream", output_mode="append"
+    )
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert out.count() == batch.select("event_id").distinct().count()
+    # payloads intact, one row per id
+    assert out.groupBy("event_id").count().filter("count > 1").count() == 0
