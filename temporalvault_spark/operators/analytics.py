@@ -376,3 +376,89 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""
     )
+
+
+@query(
+    "tpch_q10_returned_items",
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who cost us returned-item revenue — 3 joins + top-20.
+
+    Scale notes: the returnflag and orderdate predicates sit on the FACT
+    sides before any join (pushed to the scans), nation broadcasts (fixed
+    25 rows), customer/orders/lineitem shuffle on their join keys, and the
+    final top-20 plans as TakeOrderedAndProject — no total sort of the
+    aggregate.
+
+    The revenue sum runs in DECIMAL, not double: a per-customer sum has
+    enough terms that double addition order (partial-agg tree shape vs the
+    oracle's sequential fold) can flip the rounded cent — decimal addition
+    is exact, so the result is engine- and partitioning-independent. The
+    per-term double product is IEEE-identical in both engines; only the
+    ACCUMULATION needed hardening."""
+    c = _cat(spark, sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    li = c.table("lineitem").filter(F.col("l_returnflag") == "R")
+    orders = c.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        c.table("customer")
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.table("nation")), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    """SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 15 AND 40)""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+
+    The optimizer test here: Catalyst factors each disjunct's single-side
+    conjuncts into per-table prefilters (l_quantity BETWEEN 1 AND 40,
+    p_brand IN (...) AND p_size BETWEEN 1 AND 30 reach the scans as
+    PushedFilters), so the join sees pre-shrunk inputs and only the residual
+    cross-side OR is evaluated post-join — written as one declarative filter
+    and left to the optimizer, exactly as it should be."""
+    c = _cat(spark, sf_dir)
+    d1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(15, 40)
+    )
+    return (
+        c.table("lineitem")
+        .join(c.table("part"), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(d1 | d2)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
