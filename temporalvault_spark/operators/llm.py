@@ -508,3 +508,131 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@query(
+    "heavy_hitters_tokens",
+    """SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS term
+          FROM documents)
+    GROUP BY term ORDER BY n DESC, term LIMIT 20""",
+)
+def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level frequent terms (boilerplate / template detection): exact
+    top-20 by global count. Map-side combine collapses each partition to its
+    distinct terms before the shuffle, and the limit plans as
+    TakeOrderedAndProject — no total sort of the vocabulary. For the
+    sketch-tier scale twin (single pass, no exact counts) see
+    ``heavy_hitters_sketch``; this exact form IS the oracle."""
+    terms = _docs(spark, sf_dir).select(F.explode(_tokens()).alias("term"))
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def heavy_hitters_sketch(docs: DataFrame, support: float = 0.01) -> list[str]:
+    """Sketch-tier heavy hitters: Spark's single-pass lossy-count
+    (``df.stat.freqItems``) over the exploded token stream. Returns a
+    SUPERSET of the true >support-frequency terms with no exact counts —
+    the right tool when the vocabulary itself doesn't fit anywhere and one
+    pass is all you get; re-count just the candidates for exact figures."""
+    terms = docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"))
+    return terms.stat.freqItems(["term"], support).first()[0]
+
+
+@query(
+    "pii_scan",
+    r"""SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text,
+               '\b\d{3}[- .]\d{3}[- .]\d{4}\b')) AS BIGINT) AS n_phoneish
+    FROM documents
+    WHERE len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) > 0
+       OR len(regexp_extract_all(text, 'https?://[^ ]+')) > 0
+       OR len(regexp_extract_all(text, '\b\d{3}[- .]\d{3}[- .]\d{4}\b')) > 0""",
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII surface scan (the redaction-triage stage of a data pipeline):
+    per-doc counts of email-, URL- and phone-shaped spans, docs with any hit
+    only. Pure JVM regexp on the scan — one pass, no shuffle at all until
+    whatever aggregates downstream; the WHERE prunes the (usually vast)
+    clean majority before anything else sees the rows. The patterns are
+    deliberately simple/shared with the oracle — a production deployment
+    swaps in its compliance pack here."""
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    url = r"https?://[^ ]+"
+    phone = r"\b\d{3}[- .]\d{3}[- .]\d{4}\b"
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email))).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(url))).cast("bigint").alias("n_urls"),
+        F.size(F.regexp_extract_all("text", F.lit(phone))).cast("bigint").alias("n_phoneish"),
+    )
+    return d.filter((F.col("n_emails") > 0) | (F.col("n_urls") > 0) | (F.col("n_phoneish") > 0))
+
+
+DECONTAM_NGRAM = 13
+DECONTAM_BENCH_DOCS = 50
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    f"""WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(t) - {DECONTAM_NGRAM - 2}),
+                   i -> md5(list_aggregate(t[i:i+{DECONTAM_NGRAM - 1}], 'string_agg', ' '))
+               ))) AS g
+        FROM toks WHERE len(t) >= {DECONTAM_NGRAM}),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {DECONTAM_BENCH_DOCS}),
+    hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+        FROM grams JOIN bench USING (g)
+        WHERE doc_id >= {DECONTAM_BENCH_DOCS}
+        GROUP BY doc_id)
+    SELECT doc_id, n_shared_ngrams FROM hits""",
+)
+def q_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any 13-gram with
+    the benchmark set (here: doc_id < 50 stands in for the eval suite) — the
+    standard train/test-leak scan.
+
+    Scale shape: both sides reduce to md5 DIGESTS of their 13-grams before
+    the join — the shuffle carries (doc_id, 16-byte hash), never token
+    arrays; the benchmark side (eval suites are small: thousands of docs)
+    collapses to a distinct-hash set that broadcasts, so the corpus-side
+    gram stream joins map-side and aggregates per doc with combine. A
+    production run points ``bench`` at the real benchmark table; everything
+    else is unchanged."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _tokens().alias("t"))
+        .filter(F.size("t") >= DECONTAM_NGRAM)
+    )
+    n = DECONTAM_NGRAM
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {n}), "
+                    f"i -> md5(array_join(slice(t, i + 1, {n}), ' ')))"
+                )
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") < DECONTAM_BENCH_DOCS).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") >= DECONTAM_BENCH_DOCS)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared_ngrams"))
+    )
