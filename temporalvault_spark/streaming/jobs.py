@@ -188,20 +188,21 @@ def ingest_into_vault(vault, events: DataFrame, available_now: bool = True):
     window-assigned version numbers (the streaming form of the reference's
     POST /records write path, main.py:68-100, without per-row round trips).
 
-    Retry safety: foreachBatch replays a micro-batch after failures/restarts,
-    and a blind re-append would double every version. The sink records each
-    committed batch_id as a marker under the vault root and skips batches it
-    has already committed — the standard idempotent-foreachBatch pattern.
-    Markers are written ATOMICALLY (temp file + fsync + rename), so a crash
-    can never leave a half-written marker that reads as committed; and they
-    are COMPACTED into a single floor file (all ids <= floor committed) so
-    the marker dir stays O(1) instead of one file per micro-batch forever.
-    Batch ids are scoped to the stream's checkpoint — restarting with a fresh
-    checkpoint restarts ids at 0, so pair each checkpoint with its own vault
-    (or clear the marker dir). Remaining window, acknowledged: a crash
-    BETWEEN record_bulk and the marker rename re-appends that one in-flight
-    batch on replay (at-least-once, double-versioning that batch's records;
-    exactly-once would need the log format itself to carry the batch id)."""
+    Retry safety — EXACTLY-ONCE, not just idempotent-skip: foreachBatch
+    replays a micro-batch after failures/restarts, and a blind re-append
+    would double every version. Each batch commits through the vault's
+    staged-ingest protocol (record_bulk(stage_tag=...)): the batch's files
+    enter the log with the batch id embedded in their filenames, the sink
+    then writes its durable commit marker (temp file + fsync + rename —
+    never a half-written marker), and only then drops the stage. On start,
+    recovery walks vault.pending_ingest_tags(): tag with a marker → the
+    crash hit after commit, just clean up; tag without → the crash hit
+    mid-append or pre-marker, abort_ingest deletes the tagged files and the
+    replay re-ingests exactly once. Markers are COMPACTED into a single
+    floor file (all ids <= floor committed) so the marker dir stays O(1).
+    Batch ids are scoped to the stream's checkpoint — restarting with a
+    fresh checkpoint restarts ids at 0, so pair each checkpoint with its own
+    vault (or clear the marker dir)."""
     import os
 
     rec = events.select(
@@ -244,13 +245,23 @@ def ingest_into_vault(vault, events: DataFrame, available_now: bool = True):
             if i <= new_floor:
                 os.remove(f"{marker_dir}/{i}")
 
+    def _committed(batch_id: int) -> bool:
+        return batch_id <= _floor() or os.path.exists(f"{marker_dir}/{batch_id}")
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = f"{marker_dir}/{batch_id}"
-        if batch_id <= _floor() or os.path.exists(marker):
+        if _committed(batch_id):
             return  # replayed batch — already committed
-        vault.record_bulk(batch_df)
-        _write_atomic(marker, "committed")
+        vault.record_bulk(batch_df, stage_tag=f"b{batch_id}")
+        _write_atomic(f"{marker_dir}/{batch_id}", "committed")
+        vault.finish_ingest(f"b{batch_id}")
         _compact_markers()
+
+    # crash recovery: resolve every interrupted ingest before new batches run
+    for tag in vault.pending_ingest_tags():
+        if tag.startswith("b") and tag[1:].isdigit() and _committed(int(tag[1:])):
+            vault.finish_ingest(tag)  # committed, only the cleanup was lost
+        else:
+            vault.abort_ingest(tag)  # uncommitted — undo; the replay re-adds
 
     _compact_markers()  # markers left by earlier runs fold up-front too
 

@@ -279,11 +279,23 @@ class TemporalVault:
         )
         return row[0] or 0
 
-    def record_bulk(self, rows: DataFrame) -> int:
+    def record_bulk(self, rows: DataFrame, stage_tag: str | None = None) -> int:
         """Bulk append: ``rows`` needs (record_id, data, ts). Version numbers
         continue each key's chain — one window over the union of the existing
         per-key max and the new batch (set-based main.py:82, no per-row
-        lookups)."""
+        lookups).
+
+        ``stage_tag`` turns the append TRANSACTIONAL (the exactly-once seam
+        for streaming ingest): the batch first writes to a private staging
+        dir, then its part-files move into the log with the tag embedded in
+        every destination FILENAME (``ingest-<tag>-...``) — so a crash at any
+        point leaves a state that ``abort_ingest``/``finish_ingest`` can
+        roll back or complete deterministically (the tagged files ARE the
+        undo log). The caller then records its own durable commit marker and
+        calls ``finish_ingest``; on restart, ``pending_ingest_tags`` +
+        marker presence decide abort vs finish per tag. Single-writer: don't
+        run compact()/rollback() while a tagged ingest is in flight (they
+        rewrite the file layout the tag-undo relies on)."""
         t0 = time.perf_counter()
         base = (
             self.log()
@@ -319,7 +331,14 @@ class TemporalVault:
         batch = batch.persist()
         try:
             n = batch.count()
-            self._append(batch)
+            if stage_tag is None:
+                self._append(batch)
+            else:
+                stage = self._stage_path(stage_tag)
+                if os.path.isdir(stage):
+                    shutil.rmtree(stage)  # leftovers of a failed prior try
+                self._append(batch, stage)
+                self._promote_stage(stage_tag)
             if n:
                 min_ts = batch.agg(F.min("ts")).first()[0]
                 self._invalidate_snapshots_from(min_ts)
@@ -329,13 +348,68 @@ class TemporalVault:
         self._timed("record_bulk", t0)
         return n
 
-    def _append(self, df: DataFrame) -> None:
+    # -- transactional ingest (staged commit) --------------------------------
+
+    def _stage_path(self, tag: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9_-]+", tag):
+            raise ValueError(f"ingest tag must be filename-safe, got {tag!r}")
+        return f"{self.root}/.ingest_stage_{tag}"
+
+    def _promote_stage(self, tag: str) -> None:
+        """Move staged part-files into the live log, tagging every destination
+        filename with the ingest tag (per-file renames are atomic; the tag
+        makes any partial promotion identifiable and reversible)."""
+        stage = self._stage_path(tag)
+        for dt_dir in os.listdir(stage):
+            if not dt_dir.startswith("dt="):
+                continue
+            os.makedirs(f"{self.records_path}/{dt_dir}", exist_ok=True)
+            for fn in os.listdir(f"{stage}/{dt_dir}"):
+                if fn.endswith(".parquet"):
+                    os.rename(
+                        f"{stage}/{dt_dir}/{fn}",
+                        f"{self.records_path}/{dt_dir}/ingest-{tag}-{fn}",
+                    )
+
+    def pending_ingest_tags(self) -> list[str]:
+        """Tags whose staging dir still exists — i.e. ingests that never
+        reached ``finish_ingest``. For each, the caller checks its own commit
+        marker: present → ``finish_ingest`` (the data is live, only cleanup
+        was lost); absent → ``abort_ingest`` (roll the partial data back and
+        let the source replay the batch)."""
+        prefix = ".ingest_stage_"
+        return sorted(
+            n[len(prefix):] for n in os.listdir(self.root) if n.startswith(prefix)
+        )
+
+    def finish_ingest(self, tag: str) -> None:
+        """Drop the staging dir after the caller's commit marker is durable.
+        Idempotent."""
+        shutil.rmtree(self._stage_path(tag), ignore_errors=True)
+        self._invalidate()
+
+    def abort_ingest(self, tag: str) -> None:
+        """Undo an uncommitted ingest: delete every log file carrying the tag
+        (whether the promotion finished or died halfway) plus the staging
+        dir. Idempotent — safe to re-run after a crash during the abort."""
+        if os.path.isdir(self.records_path):
+            for dt_dir in os.listdir(self.records_path):
+                d = f"{self.records_path}/{dt_dir}"
+                if not (dt_dir.startswith("dt=") and os.path.isdir(d)):
+                    continue
+                for fn in os.listdir(d):
+                    if fn.startswith(f"ingest-{tag}-"):
+                        os.remove(f"{d}/{fn}")
+        shutil.rmtree(self._stage_path(tag), ignore_errors=True)
+        self._invalidate()
+
+    def _append(self, df: DataFrame, path: str | None = None) -> None:
         (
             df.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
             .repartition("dt")
             .write.mode("append")
             .partitionBy("dt")
-            .parquet(self.records_path)
+            .parquet(path or self.records_path)
         )
 
     def _invalidate_snapshots_from(self, ts: datetime) -> None:

@@ -265,3 +265,75 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     assert out.count() == batch.select("event_id").distinct().count()
     # payloads intact, one row per id
     assert out.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_ingest_exactly_once_crash_windows(spark, tmp_path):
+    """The staged-commit protocol must resolve every crash window without
+    loss or duplication: (a) crash mid/after promotion but BEFORE the commit
+    marker -> abort on recovery (files gone, replay re-ingests once);
+    (b) crash AFTER the marker but before stage cleanup -> finish on
+    recovery (data stays, no re-append); (c) a clean run leaves no stage."""
+    import os
+    from datetime import datetime
+
+    from temporalvault_spark.vault import TemporalVault
+
+    v = TemporalVault(spark, str(tmp_path / "xonce"))
+    base = spark.createDataFrame(
+        [("u1", "{}", datetime(2026, 1, 1)), ("u2", "{}", datetime(2026, 1, 2))],
+        "record_id string, data string, ts timestamp",
+    )
+    batch = spark.createDataFrame(
+        [("u1", '{"x":1}', datetime(2026, 1, 3))],
+        "record_id string, data string, ts timestamp",
+    )
+    assert v.record_bulk(base) == 2
+
+    # (a) staged commit ran, marker never written (crash before marker)
+    assert v.record_bulk(batch, stage_tag="b7") == 1
+    assert v.log().count() == 3  # promoted files are live pre-crash
+    assert v.pending_ingest_tags() == ["b7"]
+    v.abort_ingest("b7")  # what recovery does for a marker-less tag
+    assert v.log().count() == 2 and v.pending_ingest_tags() == []
+    # replay re-ingests: versions continue as if the aborted try never was
+    assert v.record_bulk(batch, stage_tag="b7") == 1
+    rows = {(r["record_id"], r["version"]) for r in v.log().collect()}
+    assert ("u1", "v2") in rows and len(rows) == 3
+
+    # (b) marker written, cleanup lost (crash after marker)
+    v.finish_ingest("b7")
+    batch2 = spark.createDataFrame(
+        [("u2", '{"y":2}', datetime(2026, 1, 4))],
+        "record_id string, data string, ts timestamp",
+    )
+    assert v.record_bulk(batch2, stage_tag="b8") == 1
+    assert v.pending_ingest_tags() == ["b8"]
+    v.finish_ingest("b8")  # what recovery does for a committed tag
+    assert v.pending_ingest_tags() == [] and v.log().count() == 4
+
+    # (c) abort is idempotent and touches nothing once clean
+    v.abort_ingest("b9")
+    assert v.log().count() == 4
+
+
+def test_ingest_recovery_via_stream_restart(spark, sf_dir, tmp_path):
+    """End-to-end: an uncommitted leftover stage from a 'crashed' run is
+    rolled back by ingest_into_vault's recovery, and the stream then ingests
+    everything exactly once."""
+    from temporalvault_spark.vault import TemporalVault
+
+    v = TemporalVault(spark, str(tmp_path / "xonce_stream"))
+    # fabricate a crashed half-ingest: batch b0 promoted, marker missing
+    ghost = spark.createDataFrame(
+        [("ghost", "{}", __import__("datetime").datetime(2026, 1, 1))],
+        "record_id string, data string, ts timestamp",
+    )
+    v.record_bulk(ghost, stage_tag="b0")
+    assert v.log().count() == 1
+
+    streaming.ingest_into_vault(v, streaming.events_stream(spark, sf_dir))
+    n = v.log().count()
+    # the ghost row was rolled back; batch 0 (the real data) landed once
+    assert v.log().filter("record_id = 'ghost'").count() == 0
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n == expected
