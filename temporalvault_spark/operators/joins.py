@@ -26,14 +26,27 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left (probe) row: attach ``value_cols`` from the right row
-    with the same ``key`` and the greatest ``right_ts`` <= ``left_ts``
-    (pandas.merge_asof semantics, direction='backward', allow_exact_matches).
+    """For each left (probe) row: attach ``value_cols`` from the matching
+    right row (pandas.merge_asof semantics, allow_exact_matches):
 
-    ``tolerance``: optional max lookback (SQL interval string, e.g.
+    - ``direction='backward'`` (default): greatest ``right_ts`` <= probe ts;
+    - ``'forward'``: smallest ``right_ts`` >= probe ts;
+    - ``'nearest'``: whichever of the two is closer in absolute distance
+      (exact ties pick backward, matching pandas).
+
+    ``tolerance``: optional max distance (SQL interval string, e.g.
     '7 days') — probes further than that from the matched row get nulls.
+
+    All three run in the same single-shuffle union-tag plan: one hash
+    exchange on ``key``, no join operator; forward adds a second sort of the
+    same partitioning (descending tag at equal ts so exact matches land in
+    the following frame), nearest fills both directions over that one
+    exchange and picks per row.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     l_cols = left.columns
     r_types = dict(right.dtypes)
     # ONE struct per version row carries (_r_ts, *value_cols) and is filled
@@ -63,16 +76,44 @@ def asof_join(
             versions = versions.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = probes.unionByName(versions.select(probes.columns))
 
-    # version rows (tag 0) sort before probes at equal ts → exact matches hit
-    w = (
+    # backward: version rows (tag 0) sort BEFORE probes at equal ts, so an
+    # exact match is inside the preceding frame; forward: descending tag
+    # puts versions AFTER probes at equal ts, so it's inside the following
+    # frame. Both windows share the one hash exchange on key.
+    w_b = (
         Window.partitionBy(key)
         .orderBy("_ts", "_tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.withColumn("_m", F.last("_m", ignorenulls=True).over(w))
+    w_f = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_tag").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    if direction == "backward":
+        filled = unioned.withColumn("_m", F.last("_m", ignorenulls=True).over(w_b))
+    elif direction == "forward":
+        filled = unioned.withColumn("_m", F.first("_m", ignorenulls=True).over(w_f))
+    else:
+        back, fwd = F.last("_m", ignorenulls=True).over(w_b), F.first(
+            "_m", ignorenulls=True
+        ).over(w_f)
+        filled = unioned.withColumn("_mb", back).withColumn("_mf", fwd)
+        bdiff = F.col("_ts").cast("double") - F.col("_mb")["_r_ts"].cast("double")
+        fdiff = F.col("_mf")["_r_ts"].cast("double") - F.col("_ts").cast("double")
+        filled = filled.withColumn(
+            "_m",
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(bdiff <= fdiff, F.col("_mb"))  # exact tie → backward (pandas)
+            .otherwise(F.col("_mf")),
+        ).drop("_mb", "_mf")
     out = filled.filter(F.col("_tag") == 1)
     if tolerance is not None:
-        within = F.col("_m")["_r_ts"] >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        i = F.expr(f"INTERVAL {tolerance}")
+        within = (F.col("_m")["_r_ts"] >= F.col("_ts") - i) & (
+            F.col("_m")["_r_ts"] <= F.col("_ts") + i
+        )
         out = out.withColumn("_m", F.when(within, F.col("_m")))
     return out.select(
         *l_cols, *[F.col("_m")[c].alias(c) for c in value_cols]

@@ -149,3 +149,64 @@ def test_asof_join_matches_pandas_merge_asof(spark, versions, probes):
         for row in merged.itertuples()
     )
     assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    versions=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 200)),
+        min_size=1, max_size=20,
+    ),
+    probes=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", "d"]), st.integers(0, 220)),
+        min_size=1, max_size=12,
+    ),
+    direction=st.sampled_from(["forward", "nearest"]),
+)
+def test_asof_join_directions_match_pandas(spark, versions, probes, direction):
+    """forward/nearest must equal pandas.merge_asof with the same direction
+    on random inputs — exact matches, equidistant ties (pandas: backward
+    wins), and keys with no versions included."""
+    import pandas as pd
+
+    base = datetime(2026, 1, 1)
+    vmap = {}
+    for i, (k, m) in enumerate(versions):
+        vmap[(k, m)] = f"p{i}"
+    vrows = [
+        (k, base + timedelta(minutes=m), p)
+        for (k, m), p in sorted(vmap.items(), key=lambda kv: kv[0])
+    ]
+    prows = [(k, base + timedelta(minutes=m)) for k, m in probes]
+
+    r = spark.createDataFrame(vrows, "key string, vts timestamp, payload string")
+    l = spark.createDataFrame(prows, "key string, pts timestamp")
+    got = sorted(
+        (row["key"], row["pts"], row["payload"])
+        for row in asof_join(
+            l, r, "key", "pts", "vts", ["payload"], direction=direction
+        ).collect()
+    )
+
+    pdl = pd.DataFrame(prows, columns=["key", "pts"]).sort_values("pts", kind="stable")
+    pdr = pd.DataFrame(vrows, columns=["key", "vts", "payload"]).sort_values("vts", kind="stable")
+    merged = pd.merge_asof(
+        pdl, pdr, left_on="pts", right_on="vts", by="key", direction=direction
+    )
+    expected = sorted(
+        (row.key, row.pts.to_pydatetime(), None if pd.isna(row.payload) else row.payload)
+        for row in merged.itertuples()
+    )
+    assert got == expected
+
+
+def test_asof_join_direction_plans_stay_single_exchange(spark, frames):
+    l, r = frames
+    for d in ("forward", "nearest"):
+        plan = asof_join(l, r, "key", "pts", "vts", ["payload"], direction=d)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 1, (d, plan)
