@@ -636,3 +636,39 @@ def q_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_shared_ngrams"))
     )
+
+
+@query(
+    "profile_documents",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(text) AS BIGINT) AS text_nulls,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS source_distinct,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_distinct,
+           CAST(MIN(n_chars) AS BIGINT) AS n_chars_min,
+           CAST(MAX(n_chars) AS BIGINT) AS n_chars_max,
+           ROUND(AVG(n_chars), 4) AS n_chars_avg,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id_min,
+           CAST(MAX(doc_id) AS BIGINT) AS doc_id_max
+    FROM documents""",
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (the sanity stage every pipeline run starts
+    with): row count, null counts, per-column distincts and numeric
+    extremes, as a SINGLE aggregate — one scan, one 1-row result; the two
+    COUNT(DISTINCT)s expand per-distinct-value but still shuffle only
+    (value) pairs, and everything else is a plain partial aggregate. At
+    100 TB swap the exact distincts for approx_count_distinct and this is
+    exactly the profile job you'd run — kept exact here so DuckDB can
+    replay it bit-for-bit."""
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.count("*") - F.count("text")).cast("bigint").alias("text_nulls"),
+        F.count_distinct("source").cast("bigint").alias("source_distinct"),
+        F.count_distinct("lang").cast("bigint").alias("lang_distinct"),
+        F.min("n_chars").cast("bigint").alias("n_chars_min"),
+        F.max("n_chars").cast("bigint").alias("n_chars_max"),
+        F.round(F.avg("n_chars"), 4).alias("n_chars_avg"),
+        F.min("doc_id").cast("bigint").alias("doc_id_min"),
+        F.max("doc_id").cast("bigint").alias("doc_id_max"),
+    )
