@@ -125,3 +125,72 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "session_paths_top",
+    """WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+        FROM seq),
+    paths AS (
+        SELECT user_id, sess_id,
+               array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+        FROM sess GROUP BY user_id, sess_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10""",
+)
+def q_session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: sessionize (30-min inactivity gap), express
+    each session as its first-5 event-type sequence, count the top-10 paths
+    — the behavioral-analytics twin of the session window.
+
+    Scale shape: ONE user_id exchange covers the lag() boundary flag, the
+    running-sum session id, and (being a prefix of the grouping key) the
+    per-session path aggregate; the path itself is built by sorting each
+    session's collected (ts, event_id, type) structs INSIDE the aggregate —
+    no second data-wide shuffle — and only (path, count) rows reach the
+    final few-group exchange, with the top-10 as TakeOrderedAndProject.
+    Ties order deterministically via (ts, event_id) in both engines."""
+    ev = _cat(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+    )
+    paths = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        ),
+                        lambda x: x["event_type"],
+                    ),
+                    1,
+                    5,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
