@@ -44,6 +44,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "decontaminate_ngram_overlap",
+    "text_tfidf_topk",
+    "session_paths_top",
     "doc_fingerprint",
     "text_stats",
     "sim_topk_cosine",

@@ -168,6 +168,17 @@ def ngram_jaccard_pairs(
             )
         ).alias("bh"),
     ).select("doc_id", "n_sh", F.col("bh.band").alias("band"), F.col("bh.min_h").alias("min_h"))
+    # materialize the SLIM frames that the plan references repeatedly.
+    # DataFrame reuse is by-lineage, not by-result: `banded` feeds both
+    # self-join sides and `cand` feeds the pair output PLUS both semi-join
+    # reducers — without materialization Catalyst expands each reference
+    # into its own subtree and the tokenize+shingle+md5 scan runs EIGHT
+    # times (observed: 8 FileScans, ~4x the query's whole useful work; at
+    # corpus scale that's 8 passes over 100 TB). Checkpointing costs one
+    # extra job each but the frames are tiny by construction — 4 sketch
+    # rows/doc, |candidate| id pairs — which is exactly why they, and never
+    # the shingle arrays, are what gets pinned.
+    banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -180,7 +191,7 @@ def ngram_jaccard_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()  # a pair may collide in several bands
-    )
+    ).localCheckpoint(eager=True)  # referenced 3x below — see note above
     # semi-join-reduce the array side to candidate docs BEFORE any join that
     # could shuffle it: cand_docs is the slimmest possible frame (distinct
     # ids), so AQE broadcasts it and the full sh never exchanges; even the
@@ -189,7 +200,11 @@ def ngram_jaccard_pairs(
     cand_docs = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    sh_red = sh.join(cand_docs, "doc_id", "semi")
+    # the broadcast hint is load-bearing: cand sits behind a localCheckpoint
+    # (LogicalRDD, unknown size stats), so without the hint the planner
+    # assumes it huge and sort-merge-joins — which would shuffle the FULL
+    # shingle-array side, the exact thing the semi-reduce exists to prevent
+    sh_red = sh.join(F.broadcast(cand_docs), "doc_id", "semi")
     sa, sb = sh_red.alias("sa"), sh_red.alias("sb")
     jac = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))).cast(
         "double"
