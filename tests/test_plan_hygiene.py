@@ -87,3 +87,20 @@ def test_centroid_assignment_never_shuffles_vectors(spark, sf_dir):
     assert c["Exchange SinglePartition"] == 1  # the 16-row centroid fold only
     assert c["BroadcastNestedLoopJoin"] == 1  # 1-row centroid array attach
     assert "row_number" not in executed_plan(df)
+
+
+def test_ngram_dedup_scans_once_and_broadcasts_reducer(spark, sf_dir):
+    """The near-dup verify phase must (a) not re-expand the corpus subtree —
+    the slim banded/candidate frames are checkpointed, so the FINAL job plan
+    contains exactly the two shingle-side scans (sa/sb), never the 8-scan
+    blowup of by-lineage reuse — and (b) keep the semi-reducer a broadcast
+    (the hint is load-bearing: checkpointed inputs have no size stats), so
+    the full shingle-array side never rides an exchange."""
+    from temporalvault_spark.operators.llm import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = ngram_jaccard_pairs(docs)
+    plan = executed_plan(df)
+    assert plan.count("FileScan") == 2, plan.count("FileScan")
+    c = plan_counts(df)
+    assert c["BroadcastHashJoin"] >= 1  # the semi-reduce (+ AQE-chosen joins)
