@@ -10,6 +10,7 @@ bench.py.
 
 from temporalvault_spark.operators import (  # noqa: F401
     analytics,
+    analytics_tpch2,
     dedup_cluster,
     llm,
     relational,
