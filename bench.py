@@ -33,6 +33,10 @@ HEADLINE = [
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_orders",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_supplier",
     "join_broadcast",
     "join_inner_hash",
     "topn_per_group",
