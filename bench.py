@@ -45,6 +45,9 @@ HEADLINE = [
     "win_tumbling_hour",
     "funnel_signup_click_purchase",
     "cohort_retention_weekly",
+    "text_chunking",
+    "gopher_quality_rules",
+    "knn_join",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_components",

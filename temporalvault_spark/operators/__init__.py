@@ -11,6 +11,7 @@ bench.py.
 from temporalvault_spark.operators import (  # noqa: F401
     analytics,
     analytics_tpch2,
+    corpus,
     dedup_cluster,
     llm,
     relational,

@@ -212,6 +212,68 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_N_PROBES = 8
+KNN_K = 5
+
+
+def knn_join(emb: DataFrame, probes: DataFrame, k: int = KNN_K) -> DataFrame:
+    """Exact k-NN join: for every probe vector, its k nearest neighbors in
+    ``emb`` by cosine (self excluded), with a dense 1..k rank.
+
+    Shape: the probe set broadcasts (it is the small side by construction —
+    a query batch, not the corpus); the corpus side never shuffles to score.
+    The per-probe top-k is a rank-filter window, which Spark ≥3.5 plans as
+    WindowGroupLimit: each scan partition keeps only its local top-k per
+    probe BEFORE the exchange, so the shuffle carries ≤ k·partitions slim
+    (probe_id, vec_id, cosine) rows — not N·|probes| — and that bound is
+    independent of corpus size."""
+    from pyspark.sql import Window
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").cast("array<double>").alias("p")
+    )
+    cos = _dot(F.col("e"), F.col("p")) / (_norm(F.col("e")) * _norm(F.col("p")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        e.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "knn_join",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        p AS (SELECT vec_id AS probe_id, e AS p FROM e WHERE vec_id < {KNN_N_PROBES})
+    SELECT probe_id, neighbor_id, rank, cosine FROM (
+        SELECT p.probe_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.probe_id
+                   ORDER BY list_dot_product(a.e, p.p)
+                            / (sqrt(list_dot_product(a.e, a.e))
+                               * sqrt(list_dot_product(p.p, p.p))) DESC,
+                            a.vec_id) AS rank,
+               ROUND(list_dot_product(a.e, p.p)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(p.p, p.p))), 6) AS cosine
+        FROM e a CROSS JOIN p
+        WHERE a.vec_id != p.probe_id) t
+    WHERE rank <= {KNN_K}""",
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return knn_join(emb, emb.filter(F.col("vec_id") < KNN_N_PROBES))
+
+
 EMB_DUP_THRESHOLD = 0.45
 
 

@@ -327,3 +327,34 @@ def q_history_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("id", "record_id", "version", "ts")
     )
+
+
+PROBE_VERSION = 10
+
+
+@query(
+    "asof_by_version",
+    temporal_oracle(
+        f"""SELECT record_id, version, data, ts FROM (
+          SELECT record_id, version, data, ts,
+                 ROW_NUMBER() OVER (PARTITION BY record_id ORDER BY version_num DESC) AS rn
+          FROM temporal_records WHERE version_num <= {PROBE_VERSION}
+        ) t WHERE rn = 1"""
+    ),
+)
+def q_asof_by_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style ``VERSION AS OF``: each key's state at its version number
+    ≤ N (vs asof_latest_per_key's timestamp probe). The reference addresses
+    history only by timestamp (main.py:103-152); version-number time travel
+    is the natural companion its ``version`` column implies (models.py:12).
+    Same single-window shape as asof_latest_per_key: the version_num
+    predicate is pushed to the scan, WindowGroupLimit keeps only one row per
+    key per partition ahead of the shuffle."""
+    w = Window.partitionBy("record_id").orderBy(F.desc("version_num"))
+    return (
+        _tr(spark, sf_dir)
+        .filter(F.col("version_num") <= PROBE_VERSION)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("record_id", "version", "data", "ts")
+    )

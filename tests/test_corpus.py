@@ -1,0 +1,78 @@
+"""Semantics tests for corpus-prep operators (chunking, Gopher quality
+rules, knn_join) on crafted inputs — the oracle parity test covers the
+bulk corpus; these pin the contracts on edge shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporalvault_spark.operators.corpus import chunk_documents, gopher_quality
+from temporalvault_spark.operators.similarity import knn_join
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_chunks_cover_every_token_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(80))
+    out = chunk_documents(_docs(spark, [(1, text)]), window=32, stride=16).collect()
+    # starts 0,16,32,48,64 -> 5 chunks; last is the 16-token tail
+    assert [r.chunk_id for r in out] == [0, 1, 2, 3, 4]
+    assert [r.n_chunk_tokens for r in out] == [32, 32, 32, 32, 16]
+    # stride < window => consecutive chunks overlap by window - stride tokens
+    a, b = out[0].chunk_text.split(" "), out[1].chunk_text.split(" ")
+    assert a[16:] == b[:16]
+    # every token appears in some chunk, in order
+    seen = dict()
+    for r in out:
+        for tok in r.chunk_text.split(" "):
+            seen[tok] = True
+    assert len(seen) == 80
+
+
+def test_short_doc_is_one_chunk(spark):
+    out = chunk_documents(_docs(spark, [(1, "a b c")]), window=32, stride=16).collect()
+    assert len(out) == 1
+    assert out[0].chunk_text == "a b c" and out[0].n_chunk_tokens == 3
+
+
+def test_single_token_doc_has_no_bigram_artifacts(spark):
+    # Spark's sequence(1, 0) descends; the guard must keep this doc's
+    # metrics sane instead of fabricating bigrams
+    out = gopher_quality(_docs(spark, [(1, "solo"), (2, "a b a b a b a b")])).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert 1 not in by_id  # no bigrams -> excluded, same as the SQL inner join
+    assert by_id[2].top_bg_frac == pytest.approx(4 / 7)
+
+
+def test_gopher_rules_reject_each_dimension(spark):
+    rows = [
+        (1, " ".join(f"w{i:03d}" for i in range(60))),  # clean -> keep
+        (2, "short doc here"),  # too few tokens
+        (3, " ".join(["dup"] * 60)),  # top-token + top-bigram dominated
+        (4, " ".join(["supercalifragilistic"] * 30 + [f"w{i:03d}" for i in range(30)])),
+    ]
+    out = {r.doc_id: r for r in gopher_quality(_docs(spark, rows)).collect()}
+    assert out[1].keep is True
+    assert out[2].keep is False and out[2].n_tokens == 3
+    assert out[3].keep is False and out[3].top_tok_frac == 1.0
+    # doc 4: mean token length pushed above the ceiling by the long word
+    assert out[4].keep is False and out[4].mean_tok_len > 10
+
+
+def test_knn_join_exact_neighbors(spark):
+    # 2-d unit-ish vectors with known cosine ordering around probe (1, 0)
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),  # nearest
+        (2, [0.5, 0.5], 0),
+        (3, [0.0, 1.0], 0),  # orthogonal
+        (4, [-1.0, 0.0], 0),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    probes = emb.filter(F.col("vec_id") == 0)
+    out = knn_join(emb, probes, k=3).collect()
+    assert [r.neighbor_id for r in out] == [1, 2, 3]
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].cosine > out[1].cosine > out[2].cosine
+    assert all(r.probe_id == 0 for r in out)

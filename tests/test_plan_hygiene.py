@@ -104,3 +104,20 @@ def test_ngram_dedup_scans_once_and_broadcasts_reducer(spark, sf_dir):
     assert plan.count("FileScan") == 2, plan.count("FileScan")
     c = plan_counts(df)
     assert c["BroadcastHashJoin"] >= 1  # the semi-reduce (+ AQE-chosen joins)
+
+
+def test_chunking_is_shuffle_free(q):
+    c = plan_counts(q("text_chunking"))
+    assert c["Exchange hashpartitioning"] == 0
+    assert c["Exchange rangepartitioning"] == 0
+    assert c["Exchange SinglePartition"] == 0
+
+
+def test_knn_join_broadcasts_probes_and_group_limits(q):
+    c = plan_counts(q("knn_join"))
+    # probe batch broadcasts; corpus side never shuffles to score
+    assert c["BroadcastNestedLoopJoin"] == 1
+    assert c["SortMergeJoin"] == 0 and c["CartesianProduct"] == 0
+    # rank<=k plans as WindowGroupLimit: per-partition top-k BEFORE the
+    # exchange, so the shuffle is bounded by k rows per probe per partition
+    assert c["WindowGroupLimit"] >= 1
