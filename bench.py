@@ -46,7 +46,10 @@ HEADLINE = [
     "funnel_signup_click_purchase",
     "cohort_retention_weekly",
     "text_chunking",
+    "pack_sequences",
     "gopher_quality_rules",
+    "corpus_mix_sample",
+    "embed_quantize_int8",
     "knn_join",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -164,6 +164,206 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     return m.withColumn("keep", keep)
 
 
+# --- deterministic sampling: domain mixing + train/val/test split ---------
+#
+# Both use the salted-md5-prefix trick already proven portable in llm.py's
+# minhash bands: the first 8 hex chars of md5(salt || doc_id) are a uniform
+# draw in [0, 2^32), and FIXED-WIDTH LOWERCASE hex compares lexically ==
+# numerically, so "keep iff prefix < threshold_hex" is an exact, seedable
+# Bernoulli that DuckDB replays verbatim. No rand() (non-deterministic, not
+# oracle-able), no shuffle — the filter is a scan-level projection, and at
+# 100 TB sampling runs at scan speed with the predicate's selectivity
+# reported to AQE downstream.
+
+
+def _hex_thr(p: float) -> str:
+    """8-hex-char threshold such that P(md5_prefix < thr) == p."""
+    return format(int(p * 0xFFFFFFFF), "08x")
+
+
+def _u32_hex(salt: str):
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))), 1, 8
+    )
+
+
+# per-source mixing weights, derived from the source's numeric suffix so the
+# rule is scale-factor-independent: src0,3,6,... -> 0.25x, src1,4,... ->
+# 0.5x, src2,5,... -> 1.0x (the Pile/Dolma-style domain reweighting shape)
+MIX_WEIGHTS = (0.25, 0.5, 1.0)
+
+
+def corpus_mix_sample(docs: DataFrame) -> DataFrame:
+    """Weighted domain mixing: keep each document with its source's sampling
+    weight, deterministically (salted md5 Bernoulli, see module comment)."""
+    grp = F.regexp_extract("source", r"(\d+)$", 1).cast("int") % len(MIX_WEIGHTS)
+    thr = F.when(grp == 0, F.lit(_hex_thr(MIX_WEIGHTS[0]))).when(
+        grp == 1, F.lit(_hex_thr(MIX_WEIGHTS[1]))
+    ).otherwise(F.lit(_hex_thr(MIX_WEIGHTS[2])))
+    weight = F.when(grp == 0, F.lit(MIX_WEIGHTS[0])).when(
+        grp == 1, F.lit(MIX_WEIGHTS[1])
+    ).otherwise(F.lit(MIX_WEIGHTS[2]))
+    return (
+        docs.filter(_u32_hex("mix") < thr)
+        .select("doc_id", "source", "lang", weight.alias("weight"))
+    )
+
+
+@query(
+    "corpus_mix_sample",
+    f"""SELECT doc_id, source, lang,
+           CAST(CASE grp WHEN 0 THEN {MIX_WEIGHTS[0]} WHEN 1 THEN {MIX_WEIGHTS[1]}
+                ELSE {MIX_WEIGHTS[2]} END AS DOUBLE) AS weight
+    FROM (
+      SELECT doc_id, source, lang,
+             substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u,
+             CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 3 AS grp
+      FROM documents) t
+    WHERE u < CASE grp WHEN 0 THEN '{_hex_thr(MIX_WEIGHTS[0])}'
+                       WHEN 1 THEN '{_hex_thr(MIX_WEIGHTS[1])}'
+                       ELSE '{_hex_thr(MIX_WEIGHTS[2])}' END""",
+)
+def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_mix_sample(_docs(spark, sf_dir))
+
+
+SPLIT_TRAIN = 0.8
+SPLIT_VAL = 0.9  # cumulative: [0.8, 0.9) val, rest test
+
+
+def split_train_val_test(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) keyed by salted
+    doc_id hash — stable across runs, cluster sizes, and partitionings, which
+    is the property a training pipeline needs (a doc never migrates between
+    splits when the corpus is re-partitioned or appended to)."""
+    u = _u32_hex("split")
+    split = (
+        F.when(u < F.lit(_hex_thr(SPLIT_TRAIN)), F.lit("train"))
+        .when(u < F.lit(_hex_thr(SPLIT_VAL)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "source", split.alias("split"))
+
+
+@query(
+    "split_train_val_test",
+    f"""SELECT doc_id, source,
+           CASE WHEN u < '{_hex_thr(SPLIT_TRAIN)}' THEN 'train'
+                WHEN u < '{_hex_thr(SPLIT_VAL)}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, source,
+                 substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u
+          FROM documents) t""",
+)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_train_val_test(_docs(spark, sf_dir))
+
+
+# --- sequence packing ------------------------------------------------------
+
+PACK_BUDGET = 64
+
+
+def pack_sequences(
+    docs: DataFrame, window: int = CHUNK_TOKENS, budget: int = PACK_BUDGET
+) -> DataFrame:
+    """Pack each document's NON-overlapping chunks (stride == window) into
+    training sequences of ~``budget`` tokens: a chunk joins the sequence its
+    exclusive running token sum falls in (band ``cum // budget``), so a
+    straddling chunk goes with the band of its start offset and a sequence
+    can exceed budget by < window tokens — the GPT-style concat-and-cut
+    packing at chunk granularity, precisely specified so the oracle can
+    replay it.
+
+    Scale: the running sum windows per doc_id (no global order, no single
+    partition); the groupBy reuses the same key so at 100 TB both stages
+    hash-partition on doc_id once."""
+    from pyspark.sql import Window
+
+    ch = chunk_documents(docs, window=window, stride=window)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_chunk_tokens").over(w), F.lit(0))
+    return (
+        ch.withColumn("seq_id", F.floor(cum / budget).cast("long"))
+        .groupBy("doc_id", "seq_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("n_tokens"),
+            F.min("chunk_id").alias("first_chunk"),
+            F.max("chunk_id").alias("last_chunk"),
+        )
+    )
+
+
+@query(
+    "pack_sequences",
+    f"""WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+    ch AS (
+        SELECT doc_id, CAST(start // {CHUNK_TOKENS} AS BIGINT) AS chunk_id,
+               len(t[start + 1 : start + {CHUNK_TOKENS}]) AS n
+        FROM (SELECT doc_id, t, unnest(range(0, len(t), {CHUNK_TOKENS})) AS start
+              FROM toks)),
+    cum AS (
+        SELECT doc_id, chunk_id, n,
+               COALESCE(SUM(n) OVER (PARTITION BY doc_id ORDER BY chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        FROM ch)
+    SELECT doc_id, CAST(c // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           MIN(chunk_id) AS first_chunk, MAX(chunk_id) AS last_chunk
+    FROM cum GROUP BY 1, 2""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(_docs(spark, sf_dir))
+
+
+# --- per-source corpus profiling -------------------------------------------
+
+
+@query(
+    "source_length_quantiles",
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+           ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
+           ROUND(quantile_cont(n_chars, 0.95), 6) AS p95
+    FROM documents GROUP BY source""",
+)
+def q_source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length profile: exact interpolated quantiles
+    (Spark ``percentile`` ≡ DuckDB/Postgres ``quantile_cont``, both type-7
+    linear interpolation at p·(n−1)). Exact percentile shuffles each group's
+    values once; at 100 TB swap in ``approx_percentile`` (t-digest, map-side
+    combinable) — the sketch twin of the same shape exists for distincts in
+    functions/approx.py."""
+    pct = F.expr("percentile(n_chars, array(0.25, 0.50, 0.75, 0.95))")
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            pct.alias("pct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "avg_chars",
+            F.round(F.element_at("pct", 1), 6).alias("p25"),
+            F.round(F.element_at("pct", 2), 6).alias("p50"),
+            F.round(F.element_at("pct", 3), 6).alias("p75"),
+            F.round(F.element_at("pct", 4), 6).alias("p95"),
+        )
+    )
+
+
 @query(
     "gopher_quality_rules",
     f"""WITH toks AS (

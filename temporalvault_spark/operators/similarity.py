@@ -274,6 +274,49 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(emb, emb.filter(F.col("vec_id") < KNN_N_PROBES))
 
 
+def embed_quantize_int8(emb: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the standard
+    vector-store compression): per-vector scale = max|x|/127, values
+    round-half-up via floor(x/scale + 0.5), clamped to [-127, 127].
+    Zero vectors quantize to zeros with scale 0.
+
+    Pure projection — zero shuffles, zero Python; at 100 TB this is a
+    scan-speed rewrite whose output is 4x narrower than the float32 input
+    (the reason a 100 TB ANN corpus quantizes before indexing)."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    maxabs = F.array_max(F.transform("e", lambda x: F.abs(x)))
+    scale = maxabs / F.lit(127.0)
+    q = F.when(
+        maxabs == 0, F.transform("e", lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(
+            "e",
+            lambda x: F.least(
+                F.greatest(F.floor(x / scale + F.lit(0.5)), F.lit(-127)), F.lit(127)
+            ).cast("long"),
+        )
+    )
+    return e.select("vec_id", F.round(scale, 6).alias("scale"), q.alias("q"))
+
+
+@query(
+    "embed_quantize_int8",
+    """WITH m AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs
+        FROM embeddings)
+    SELECT vec_id, ROUND(maxabs / 127.0, 6) AS scale,
+           CASE WHEN maxabs = 0
+                THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(e, x -> CAST(
+                    least(greatest(floor(x / (maxabs / 127.0) + 0.5), -127), 127)
+                    AS BIGINT)) END AS q
+    FROM m""",
+)
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embed_quantize_int8(_emb(spark, sf_dir))
+
+
 EMB_DUP_THRESHOLD = 0.45
 
 

@@ -1,0 +1,112 @@
+"""Incremental time-bucket rollup — the continuous-aggregate / hypertable-
+rollup analog for the events log.
+
+The reference stack ships TimescaleDB but never calls a hypertable or
+continuous-aggregate API (no SELECT create_hypertable / time_bucket anywhere
+in app/ — main.py uses plain ORM tables). This module supplies that missing
+tier Spark-first: an append-only base log partitioned by time bucket, plus a
+materialized per-bucket aggregate that refreshes ONLY the buckets an append
+touched ("dirty" buckets), via dynamic partition overwrite.
+
+Why recompute-dirty rather than merge-additive: recomputing a bucket from
+the base makes the rollup correct under late data, replays, and non-additive
+aggregates (min/max/distinct) with no tombstone bookkeeping — and the
+recompute reads only the dirty buckets' base partitions (partition-pruned
+scan), so its cost is O(appended time range), not O(history). That is the
+same contract TimescaleDB's continuous-aggregate refresh window provides.
+
+Scale shape for a 1000-executor cluster over years of 100 TB history:
+  * ingest appends partition-aligned parquet (bounded-salt write via
+    sources.io.write_partitioned keeps hot hours parallel);
+  * refresh = groupBy(bucket, event_type) over ONLY dirty partitions —
+    map-side combined, shuffle carries one row per (bucket, type, task);
+  * dynamic partition overwrite swaps just those rollup directories;
+    untouched history is never read or rewritten.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporalvault_spark.session import tune
+from temporalvault_spark.sources.io import write_partitioned
+
+BUCKET_FMT = "yyyy-MM-dd-HH"
+
+
+class ContinuousAggregate:
+    """Hourly rollup of an events stream (schema: ts, user_id, event_type,
+    value, ...), maintained incrementally per appended batch."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        tune(spark)
+        self.spark = spark
+        self.base_path = os.path.join(path, "base")
+        self.rollup_path = os.path.join(path, "rollup")
+
+    # -- write path ---------------------------------------------------------
+
+    def ingest(self, batch: DataFrame) -> list[str]:
+        """Append a batch to the base log and refresh the rollup's dirty
+        buckets. Returns the bucket ids refreshed (sorted)."""
+        b = batch.withColumn(
+            "bucket", F.date_format(F.date_trunc("hour", "ts"), BUCKET_FMT)
+        )
+        write_partitioned(b, self.base_path, partition_by=("bucket",), mode="append")
+        # the dirty set is tiny by construction (distinct hours in ONE batch),
+        # and collecting it is what lets the refresh prune to those partitions
+        dirty = sorted(r[0] for r in b.select("bucket").distinct().collect())
+        self._refresh(dirty)
+        return dirty
+
+    def _refresh(self, buckets: list[str]) -> None:
+        if not buckets:
+            return
+        base = self.spark.read.parquet(self.base_path)
+        agg = (
+            base.filter(F.col("bucket").isin(buckets))  # partition-pruned
+            .groupBy("bucket", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+                F.round(F.min("value"), 6).alias("min_value"),
+                F.round(F.max("value"), 6).alias("max_value"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+        )
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # dynamic mode: ONLY the partitions present in `agg` (== the
+            # dirty buckets) are replaced; untouched history stays on disk
+            (
+                agg.repartition("bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(self.rollup_path)
+            )
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # -- read path ----------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.rollup_path)
+
+    def recompute_full(self) -> DataFrame:
+        """The rollup's defining query over the whole base — the oracle the
+        incremental path must equal (tests assert exactly this)."""
+        return (
+            self.spark.read.parquet(self.base_path)
+            .groupBy("bucket", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+                F.round(F.min("value"), 6).alias("min_value"),
+                F.round(F.max("value"), 6).alias("max_value"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+        )

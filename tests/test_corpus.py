@@ -2,11 +2,20 @@
 rules, knn_join) on crafted inputs — the oracle parity test covers the
 bulk corpus; these pin the contracts on edge shapes."""
 
+import hashlib
+
 import pytest
 from pyspark.sql import functions as F
 
-from temporalvault_spark.operators.corpus import chunk_documents, gopher_quality
-from temporalvault_spark.operators.similarity import knn_join
+from temporalvault_spark.operators.corpus import (
+    MIX_WEIGHTS,
+    chunk_documents,
+    corpus_mix_sample,
+    gopher_quality,
+    pack_sequences,
+    split_train_val_test,
+)
+from temporalvault_spark.operators.similarity import embed_quantize_int8, knn_join
 
 
 def _docs(spark, rows):
@@ -76,3 +85,67 @@ def test_knn_join_exact_neighbors(spark):
     assert [r.rank for r in out] == [1, 2, 3]
     assert out[0].cosine > out[1].cosine > out[2].cosine
     assert all(r.probe_id == 0 for r in out)
+
+
+def _docs_with_source(spark, n=400):
+    rows = [(i, f"doc {i}", "en", f"src{i % 6}", 10) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+def _md5_u32(salt, doc_id):
+    return hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:8]
+
+
+def test_mix_sample_matches_python_md5_bernoulli(spark):
+    docs = _docs_with_source(spark)
+    kept = {r.doc_id: r.weight for r in corpus_mix_sample(docs).collect()}
+    for i in range(400):
+        w = MIX_WEIGHTS[(i % 6) % 3]
+        expect = _md5_u32("mix", i) < format(int(w * 0xFFFFFFFF), "08x")
+        assert (i in kept) == expect, i
+        if i in kept:
+            assert kept[i] == w
+
+
+def test_split_is_stable_disjoint_and_roughly_80_10_10(spark):
+    docs = _docs_with_source(spark, n=1000)
+    rows = split_train_val_test(docs).collect()
+    assert len(rows) == 1000  # exhaustive: every doc gets exactly one split
+    frac = {s: sum(r.split == s for r in rows) / 1000 for s in ("train", "val", "test")}
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.06 < frac["val"] < 0.14
+    assert 0.06 < frac["test"] < 0.14
+    # stability: assignment is a pure function of doc_id, not partitioning
+    again = {r.doc_id: r.split for r in split_train_val_test(docs.repartition(7)).collect()}
+    assert all(again[r.doc_id] == r.split for r in rows)
+
+
+def test_pack_sequences_bands_and_straddle(spark):
+    # 80 tokens, window=stride=32 -> chunks of 32,32,16; budget 64:
+    # chunk0 (cum 0) and chunk1 (cum 32) -> seq 0; chunk2 (cum 64) -> seq 1
+    text = " ".join(f"t{i}" for i in range(80))
+    out = {r.seq_id: r for r in pack_sequences(
+        spark.createDataFrame([(1, text)], "doc_id bigint, text string"),
+        window=32, budget=64).collect()}
+    assert out[0].n_chunks == 2 and out[0].n_tokens == 64
+    assert out[1].n_chunks == 1 and out[1].n_tokens == 16
+    # straddle: chunks 30,30 -> cum 0,30 both in band 0 -> one 60-token seq…
+    out2 = pack_sequences(
+        spark.createDataFrame([(1, " ".join("x" * 1 for _ in range(60)))],
+                              "doc_id bigint, text string"),
+        window=30, budget=50).collect()
+    # …which exceeds budget by < window (concat-and-cut at chunk granularity)
+    assert len(out2) == 1 and out2[0].n_tokens == 60
+
+
+def test_embed_quantize_int8_values_and_zero_guard(spark):
+    emb = spark.createDataFrame(
+        [(1, [2.54, -1.27, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in embed_quantize_int8(emb).collect()}
+    assert out[1].scale == pytest.approx(0.02)
+    assert out[1].q == [127, -63, 0]  # -1.27/0.02=-63.5 -> floor(-63)=-63 half-up
+    assert out[2].scale == 0.0 and out[2].q == [0, 0, 0]
