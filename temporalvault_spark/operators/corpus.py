@@ -93,6 +93,33 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir))
 
 
+@query("source_length_quantiles_approx")  # sketch tier: rows-only by design
+def q_source_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of source_length_quantiles: ``approx_percentile``
+    (Greenwald-Khanna sketch) is map-side combinable — each task folds its
+    partition into a bounded sketch and the shuffle carries one sketch per
+    (source, task) instead of every value, so the aggregation cost is
+    O(groups), not O(rows). Returns actual data values (no interpolation),
+    hence no DuckDB value-hash oracle; the unit test pins it against the
+    exact quantiles within sketch tolerance."""
+    pct = F.expr(
+        "approx_percentile(n_chars, array(0.25, 0.50, 0.75, 0.95), 10000)"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), pct.alias("pct"))
+        .select(
+            "source",
+            "n_docs",
+            F.element_at("pct", 1).alias("p25"),
+            F.element_at("pct", 2).alias("p50"),
+            F.element_at("pct", 3).alias("p75"),
+            F.element_at("pct", 4).alias("p95"),
+        )
+    )
+
+
 # --- Gopher repetition / quality rules -------------------------------------
 
 

@@ -49,13 +49,37 @@ class ContinuousAggregate:
 
     # -- write path ---------------------------------------------------------
 
-    def ingest(self, batch: DataFrame) -> list[str]:
+    def ingest(self, batch: DataFrame, batch_id: int | None = None) -> list[str]:
         """Append a batch to the base log and refresh the rollup's dirty
-        buckets. Returns the bucket ids refreshed (sorted)."""
+        buckets. Returns the bucket ids refreshed (sorted).
+
+        ``batch_id`` (the streaming foreachBatch epoch) makes the append
+        IDEMPOTENT: the base is then partitioned by (batch_id, bucket) and
+        the batch written with dynamic partition overwrite, so a replayed
+        epoch replaces its own partitions instead of double-appending —
+        exactly-once rollup ingestion without markers or a transaction log.
+        Bucket-level pruning is unaffected (bucket stays a partition
+        column). Use ONE mode per rollup instance — the two layouts
+        (bucket=... vs batch_id=.../bucket=...) cannot mix in a base dir."""
         b = batch.withColumn(
             "bucket", F.date_format(F.date_trunc("hour", "ts"), BUCKET_FMT)
         )
-        write_partitioned(b, self.base_path, partition_by=("bucket",), mode="append")
+        if batch_id is None:
+            write_partitioned(b, self.base_path, partition_by=("bucket",), mode="append")
+        else:
+            b = b.withColumn("batch_id", F.lit(int(batch_id)))
+            prev = self.spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    b.write.mode("overwrite")
+                    .partitionBy("batch_id", "bucket")
+                    .parquet(self.base_path)
+                )
+            finally:
+                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         # the dirty set is tiny by construction (distinct hours in ONE batch),
         # and collecting it is what lets the refresh prune to those partitions
         dirty = sorted(r[0] for r in b.select("bucket").distinct().collect())

@@ -273,6 +273,33 @@ def ingest_into_vault(vault, events: DataFrame, available_now: bool = True):
     return writer.start()
 
 
+def stream_into_rollup(rollup, events: DataFrame, checkpoint: str, available_now: bool = True):
+    """Continuous materialized aggregation: the event stream feeds the
+    incremental hourly rollup (rollup.ContinuousAggregate) via foreachBatch,
+    passing the epoch id through so each micro-batch's base append is an
+    IDEMPOTENT dynamic-partition overwrite of its own (batch_id, bucket)
+    partitions — a replayed epoch rewrites identical files instead of
+    double-appending, and the dirty-bucket recompute then yields the same
+    rollup. Exactly-once without the vault's marker protocol: the parquet
+    partition layout IS the commit log. This is the TimescaleDB
+    continuous-aggregate-on-a-live-hypertable shape (the tier the reference
+    ships but never uses) expressed as Structured Streaming + parquet."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rollup.ingest(batch_df, batch_id=batch_id)
+
+    writer = (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()
+
+
 def run_available_now(
     stream_df: DataFrame,
     name: str,

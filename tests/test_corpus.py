@@ -149,3 +149,21 @@ def test_embed_quantize_int8_values_and_zero_guard(spark):
     assert out[1].scale == pytest.approx(0.02)
     assert out[1].q == [127, -63, 0]  # -1.27/0.02=-63.5 -> floor(-63)=-63 half-up
     assert out[2].scale == 0.0 and out[2].q == [0, 0, 0]
+
+
+def test_approx_quantiles_within_tolerance_of_exact(spark, sf_dir):
+    from temporalvault_spark.operators.corpus import (
+        q_source_length_quantiles,
+        q_source_length_quantiles_approx,
+    )
+
+    exact = {r.source: r for r in q_source_length_quantiles(spark, sf_dir).collect()}
+    approx = {r.source: r for r in q_source_length_quantiles_approx(spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for src, a in approx.items():
+        e = exact[src]
+        assert a.n_docs == e.n_docs
+        for p in ("p25", "p50", "p75", "p95"):
+            # GK sketch at accuracy 10000 on these group sizes: within 5%
+            # (approx returns a data value; exact interpolates between two)
+            assert abs(getattr(a, p) - getattr(e, p)) <= 0.05 * max(getattr(e, p), 1)

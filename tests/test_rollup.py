@@ -79,3 +79,49 @@ def test_replayed_batch_is_recomputed_not_merged_wrong(spark, tmp_path):
     _eq(ca.read(), ca.recompute_full())
     row = ca.read().collect()[0]
     assert row.n_events == 2 and row.n_users == 1
+
+
+def test_batch_id_ingest_is_idempotent_under_replay(spark, tmp_path):
+    ca = ContinuousAggregate(spark, str(tmp_path / "ca3"))
+    t = dt.datetime(2026, 1, 2, 0, 0, 0)
+    b0 = _events(spark, [(1, t, 1, "click", 1.0), (2, t, 2, "view", 2.0)])
+    b1 = _events(spark, [(3, t + dt.timedelta(hours=1), 1, "click", 3.0)])
+    ca.ingest(b0, batch_id=0)
+    ca.ingest(b1, batch_id=1)
+    snap = rows_canon(ca.read().columns, [tuple(r) for r in ca.read().collect()])
+    # replay epoch 0 (crash-after-append, pre-checkpoint): same partitions
+    # rewritten, rollup unchanged — no double counting
+    ca.ingest(b0, batch_id=0)
+    _eq(ca.read(), ca.recompute_full())
+    again = rows_canon(ca.read().columns, [tuple(r) for r in ca.read().collect()])
+    assert again == snap
+    assert {r.n_events for r in ca.read().collect()} == {1}
+
+
+def test_stream_into_rollup_equals_batch(spark, tmp_path, sf_dir):
+    from temporalvault_spark.streaming.jobs import events_stream, stream_into_rollup
+
+    ca = ContinuousAggregate(spark, str(tmp_path / "ca_stream"))
+    stream_into_rollup(ca, events_stream(spark, sf_dir), str(tmp_path / "ckpt"))
+    got = ca.read().drop("batch_id")
+    _eq(got, ca.recompute_full().drop("batch_id"))
+    # spot-check against a direct batch aggregation of the source table
+    from temporalvault_spark.catalog import load_catalog
+
+    ev = load_catalog(spark, sf_dir).table("events")
+    import pyspark.sql.functions as F
+
+    expect = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd-HH").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    _eq(got, expect)
