@@ -49,6 +49,7 @@ HEADLINE = [
     "pack_sequences",
     "gopher_quality_rules",
     "corpus_mix_sample",
+    "temperature_sample_by_lang",
     "embed_quantize_int8",
     "knn_join",
     "dedup_exact",

@@ -93,6 +93,64 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir))
 
 
+def temperature_sample_by_lang(docs: DataFrame) -> DataFrame:
+    """Temperature-balanced language sampling (the XLM-R/mBERT exponential
+    smoothing, T=2): sample language l at a rate ∝ sqrt(p_l)/p_l, so
+    low-resource languages are upweighted relative to their corpus share,
+    with a total budget of ~N/2 documents.
+
+    Determinism engineering (what makes this oracle-able): the smoothing
+    weight uses floor(sqrt(n_l)) — an INTEGER — so the cross-language
+    normalizer S = Σ floor(sqrt(n_l)) is an exact sum whose value cannot
+    depend on aggregation order (float sqrt sums would differ in the last
+    ulp between engines/partitionings). The per-language rate
+    0.5·N·isq/S/n_l is then a fixed sequence of IEEE ops on integers —
+    bit-identical in Spark and DuckDB — and the keep decision compares it
+    to the salted-md5 uniform, as in corpus_mix_sample.
+
+    Scale shape: the per-language stats are a two-level aggregate (5 rows);
+    the rate table broadcasts back onto the corpus, so the only full-data
+    pass is a scan + broadcast-join + filter at scan speed."""
+    c = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    stats = c.agg(
+        F.sum("n_l").alias("n_total"),
+        F.sum(F.floor(F.sqrt(F.col("n_l")))).alias("s_total"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(0.5)
+        * F.col("n_total")
+        * F.floor(F.sqrt(F.col("n_l")))
+        / F.col("s_total")
+        / F.col("n_l"),
+    )
+    rates = c.crossJoin(F.broadcast(stats)).select("lang", rate.alias("rate"))
+    u = F.conv(_u32_hex("temp"), 16, 10).cast("long") / F.lit(4294967296.0)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "lang", F.round("rate", 6).alias("rate"))
+    )
+
+
+@query(
+    "temperature_sample_by_lang",
+    """WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+    s AS (SELECT SUM(n_l) AS n_total,
+                 SUM(CAST(floor(sqrt(n_l)) AS BIGINT)) AS s_total FROM c),
+    r AS (SELECT lang,
+                 least(1.0, 0.5 * n_total * floor(sqrt(n_l)) / s_total / n_l)
+                     AS rate
+          FROM c CROSS JOIN s)
+    SELECT d.doc_id, d.lang, ROUND(r.rate, 6) AS rate
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE CAST(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) / 4294967296.0 < r.rate""",
+)
+def q_temperature_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_sample_by_lang(_docs(spark, sf_dir))
+
+
 @query("source_length_quantiles_approx")  # sketch tier: rows-only by design
 def q_source_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of source_length_quantiles: ``approx_percentile``

@@ -167,3 +167,24 @@ def test_approx_quantiles_within_tolerance_of_exact(spark, sf_dir):
             # GK sketch at accuracy 10000 on these group sizes: within 5%
             # (approx returns a data value; exact interpolates between two)
             assert abs(getattr(a, p) - getattr(e, p)) <= 0.05 * max(getattr(e, p), 1)
+
+
+def test_temperature_sample_upweights_low_resource_langs(spark):
+    from temporalvault_spark.operators.corpus import temperature_sample_by_lang
+
+    rows = [(i, f"d{i}", "big" if i < 900 else "small", "src0", 5) for i in range(1000)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    out = temperature_sample_by_lang(docs).collect()
+    rates = {r.lang: r.rate for r in out}
+    # N=1000, isq: floor(sqrt(900))=30, floor(sqrt(100))=10, S=40
+    # big: 0.5*1000*30/40/900 = 0.416667; small: capped at 1.0
+    assert rates["big"] == pytest.approx(0.416667)
+    assert rates["small"] == 1.0
+    kept = {r.doc_id for r in out}
+    assert all(i in kept for i in range(900, 1000))  # rate 1.0 keeps all
+    # python-md5 differential for the stochastic lang
+    for i in range(900):
+        u = int(_md5_u32("temp", i), 16) / 4294967296.0
+        assert (i in kept) == (u < 0.5 * 1000 * 30 / 40 / 900), i
