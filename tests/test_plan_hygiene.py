@@ -121,3 +121,19 @@ def test_knn_join_broadcasts_probes_and_group_limits(q):
     # rank<=k plans as WindowGroupLimit: per-partition top-k BEFORE the
     # exchange, so the shuffle is bounded by k rows per probe per partition
     assert c["WindowGroupLimit"] >= 1
+
+
+def test_pack_sequences_single_exchange(q):
+    # the running-sum window and the groupBy share the doc_id partitioning:
+    # Catalyst must plan exactly ONE hash exchange for both
+    c = plan_counts(q("pack_sequences"))
+    assert c["Exchange hashpartitioning"] == 1
+    assert c["SortMergeJoin"] == 0
+
+
+def test_temperature_sample_broadcasts_rates(q):
+    # the 5-row per-language rate table must broadcast onto the corpus —
+    # a sort-merge join here would shuffle the full document table
+    c = plan_counts(q("temperature_sample_by_lang"))
+    assert c["BroadcastHashJoin"] >= 1
+    assert c["SortMergeJoin"] == 0
