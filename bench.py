@@ -53,6 +53,8 @@ HEADLINE = [
     "embed_quantize_int8",
     "knn_join",
     "dedup_exact",
+    "dedup_apply",
+    "corpus_shuffle_shards",
     "dedup_ngram_jaccard",
     "dedup_components",
     "decontaminate_ngram_overlap",

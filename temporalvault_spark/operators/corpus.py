@@ -408,6 +408,81 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir))
 
 
+# --- dedup apply + deterministic corpus shuffle ----------------------------
+
+
+def dedup_apply(docs: DataFrame) -> DataFrame:
+    """The APPLY step of exact dedup (llm.dedup_exact is the report): keep
+    the lowest-doc_id copy of every distinct normalized text, dropping the
+    rest — the corpus a downstream pipeline actually trains on.
+
+    Shuffle discipline: the window sees only (fingerprint, doc_id, source,
+    lang) — the text never rides the exchange, and rank<=1 plans as
+    WindowGroupLimit so each map task forwards one candidate row per
+    fingerprint (plan-asserted)."""
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"), "doc_id", "source", "lang"
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "lang")
+    )
+
+
+@query(
+    "dedup_apply",
+    """SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+               ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                  ORDER BY doc_id) AS rn
+        FROM documents) t
+    WHERE rn = 1""",
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_apply(_docs(spark, sf_dir))
+
+
+SHUFFLE_SALT = "shuffle"  # 2 hex chars of the salted digest -> 256 shards
+
+
+def corpus_shuffle_shards(docs: DataFrame) -> DataFrame:
+    """Deterministic global corpus shuffle for training order: each doc's
+    salted md5 digest gives (a) its shard — first digest byte, 256 shards —
+    and (b) its position within the shard (rank of the full digest). The
+    result is a reproducible random permutation addressed as (shard, pos),
+    with no global sort: shards sort independently in parallel, so at
+    100 TB this is 256 concurrent ~400 GB sorts instead of one total
+    order — the standard shuffled-shard export every training run reads."""
+    from pyspark.sql import Window
+
+    u = F.md5(F.concat(F.lit(SHUFFLE_SALT + ":"), F.col("doc_id").cast("string")))
+    d = docs.select(
+        "doc_id", u.alias("u"), F.conv(F.substring(u, 1, 2), 16, 10).cast("long").alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("u", "doc_id")
+    return d.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+@query(
+    "corpus_shuffle_shards",
+    f"""SELECT doc_id,
+           CAST(('0x' || substr(md5('{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 2))
+                AS BIGINT) AS shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY substr(md5('{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 2)
+               ORDER BY md5('{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+    FROM documents""",
+)
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_shuffle_shards(_docs(spark, sf_dir))
+
+
 # --- per-source corpus profiling -------------------------------------------
 
 

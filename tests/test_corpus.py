@@ -188,3 +188,90 @@ def test_temperature_sample_upweights_low_resource_langs(spark):
     for i in range(900):
         u = int(_md5_u32("temp", i), 16) / 4294967296.0
         assert (i in kept) == (u < 0.5 * 1000 * 30 / 40 / 900), i
+
+
+def test_dedup_apply_keeps_lowest_id_copy(spark):
+    from temporalvault_spark.operators.corpus import dedup_apply
+
+    rows = [
+        (5, "same text here", "en", "src0", 10),
+        (2, "same text here", "en", "src1", 10),
+        (9, "SAME   text here", "en", "src2", 10),  # different after normalize
+        (7, "unique", "de", "src0", 6),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    kept = sorted(r.doc_id for r in dedup_apply(docs).collect())
+    assert kept == [2, 7, 9]
+
+
+def test_corpus_shuffle_is_a_permutation_and_seed_stable(spark):
+    from temporalvault_spark.operators.corpus import corpus_shuffle_shards
+
+    docs = _docs_with_source(spark, n=500)
+    out = corpus_shuffle_shards(docs).collect()
+    assert len(out) == 500 and len({r.doc_id for r in out}) == 500
+    # positions within each shard are 1..n_shard with no gaps
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+        assert 0 <= shard <= 255
+    # stable under repartitioning (pure function of doc_id)
+    again = {r.doc_id: (r.shard, r.pos) for r in corpus_shuffle_shards(docs.repartition(13)).collect()}
+    assert all(again[r.doc_id] == (r.shard, r.pos) for r in out)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _corpus(draw):
+    n_docs = draw(st.integers(1, 4))
+    docs = []
+    for i in range(n_docs):
+        n_tok = draw(st.integers(1, 90))
+        docs.append((i, " ".join(f"w{draw(st.integers(0, 9))}" for _ in range(n_tok))))
+    return docs
+
+
+def _py_chunks(text, window, stride):
+    toks = text.lower().strip().split(" ")
+    out = []
+    for cid, start in enumerate(range(0, len(toks), stride)):
+        piece = toks[start : start + window]
+        out.append((cid, len(piece), " ".join(piece)))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus(), st.sampled_from([(8, 4), (8, 8), (5, 3)]), st.sampled_from([10, 16]))
+def test_chunk_and_pack_match_python_model(spark, docs, ws, budget):
+    window, stride = ws
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(df, window=window, stride=stride).collect()
+    }
+    expect = {}
+    for doc_id, text in docs:
+        for cid, n, ctext in _py_chunks(text, window, stride):
+            expect[(doc_id, cid)] = (n, ctext)
+    assert got == expect
+
+    # packing model: seq = exclusive-cumsum // budget over non-overlapping chunks
+    packed = {
+        (r.doc_id, r.seq_id): (r.n_chunks, r.n_tokens)
+        for r in pack_sequences(df, window=window, budget=budget).collect()
+    }
+    expect_p = {}
+    for doc_id, text in docs:
+        cum = 0
+        for cid, n, _ in _py_chunks(text, window, window):
+            key = (doc_id, cum // budget)
+            c0, t0 = expect_p.get(key, (0, 0))
+            expect_p[key] = (c0 + 1, t0 + n)
+            cum += n
+    assert packed == expect_p

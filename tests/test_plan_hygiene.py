@@ -137,3 +137,13 @@ def test_temperature_sample_broadcasts_rates(q):
     c = plan_counts(q("temperature_sample_by_lang"))
     assert c["BroadcastHashJoin"] >= 1
     assert c["SortMergeJoin"] == 0
+
+
+def test_dedup_apply_group_limits_and_sheds_text(q):
+    df = q("dedup_apply")
+    c = plan_counts(df)
+    # rank<=1 must plan as WindowGroupLimit (one candidate per fingerprint
+    # leaves each map task), and the text column must not ride the exchange
+    assert c["WindowGroupLimit"] >= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in str(df.schema.fieldNames())
