@@ -55,6 +55,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_apply",
     "corpus_shuffle_shards",
+    "sample_fixed_k",
+    "events_zscore_outliers",
     "dedup_ngram_jaccard",
     "dedup_components",
     "decontaminate_ngram_overlap",

@@ -560,3 +560,32 @@ def q_source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(_docs(spark, sf_dir))
+
+
+SAMPLE_K = 200
+
+
+def sample_fixed_k(docs: DataFrame, k: int = SAMPLE_K) -> DataFrame:
+    """Fixed-size uniform sample WITHOUT replacement: the k documents with
+    the smallest salted-md5 draw — the distributed reservoir. Spark plans
+    orderBy+limit as TakeOrderedAndProject (plan-asserted): each partition
+    keeps its local top-k and only k·partitions slim rows merge at the
+    driver side of the exchange — no global sort, no full-data shuffle,
+    and the chosen set is a pure function of doc_id (stable across runs
+    and partitionings, unlike df.sample)."""
+    u = F.md5(F.concat(F.lit("fix:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "source", "lang", u.alias("u"))
+        .orderBy("u")
+        .limit(k)
+        .select("doc_id", "source", "lang")
+    )
+
+
+@query(
+    "sample_fixed_k",
+    f"""SELECT doc_id, source, lang FROM documents
+    ORDER BY md5('fix:' || CAST(doc_id AS VARCHAR)) LIMIT {SAMPLE_K}""",
+)
+def q_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_fixed_k(_docs(spark, sf_dir))

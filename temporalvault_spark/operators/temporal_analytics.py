@@ -194,3 +194,32 @@ def q_session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(10)
     )
+
+
+@query(
+    "events_zscore_outliers",
+    """WITH s AS (
+        SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+        FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.m) / s.sd, 6) AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE (e.value - s.m) / s.sd > 3""",
+)
+def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier scan (the monitoring query behind every
+    'alert on anomalous event values' dashboard). Scale shape: the per-type
+    moments aggregate to ~|event_types| rows and BROADCAST back onto the
+    stream — never a window over event_type, whose 5 giant hash partitions
+    would serialize a 100 TB scan through 5 tasks. The outlier predicate is
+    then a scan-speed projection."""
+    ev = _cat(spark, sf_dir).table("events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter(z > 3)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )

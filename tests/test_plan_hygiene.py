@@ -147,3 +147,17 @@ def test_dedup_apply_group_limits_and_sheds_text(q):
     assert c["WindowGroupLimit"] >= 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "text" not in str(df.schema.fieldNames())
+
+
+def test_sample_fixed_k_is_take_ordered(q):
+    # orderBy+limit must plan as TakeOrderedAndProject — per-partition local
+    # top-k, never a global sort of the corpus
+    c = plan_counts(q("sample_fixed_k"))
+    assert c["TakeOrderedAndProject"] >= 1
+    assert c["Exchange rangepartitioning"] == 0
+
+
+def test_zscore_outliers_broadcast_stats(q):
+    c = plan_counts(q("events_zscore_outliers"))
+    assert c["BroadcastHashJoin"] >= 1
+    assert c["SortMergeJoin"] == 0
