@@ -93,32 +93,43 @@ def main() -> None:
         spark.table(t).limit(1).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = QUERIES[name]
-        # best-of-2: single-run numbers at sub-second scale are dominated by
-        # scheduler/GC jitter, not the plan; the min is the plan's cost
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        total += best
+        fn = QUERIES.get(name)
+        if fn is None:
+            errors[name] = "not registered"
+            continue
+        # Per-query isolation: ONE broken query must never destroy the whole
+        # round's perf signal — failures are reported inside the JSON and the
+        # process exits 0 unless literally everything failed.
+        try:
+            # best-of-2: single-run numbers at sub-second scale are dominated
+            # by scheduler/GC jitter, not the plan; the min is the plan's cost
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            total += best
+        except Exception as exc:  # noqa: BLE001 — report, don't crash
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    if not timings:
+        sys.exit(1)  # only if EVERY query failed is the run itself a failure
 
 
 if __name__ == "__main__":

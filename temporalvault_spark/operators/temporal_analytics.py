@@ -161,12 +161,19 @@ def q_session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties order deterministically via (ts, event_id) in both engines."""
     ev = _cat(spark, sf_dir).table("events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Interval comparison, not cast("long") arithmetic: NTZ→BIGINT casts are
+    # illegal, while timestamp difference vs INTERVAL works for both LTZ and
+    # NTZ inputs (same form win_session's oracle uses, timewindow.py).
+    prev_ts = F.lag("ts").over(w)
     sess = (
         ev.select("user_id", "event_id", "ts", "event_type")
         .withColumn(
             "new_sess",
-            F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+            F.when(
+                prev_ts.isNull()
+                | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
         )
         .withColumn("sess_id", F.sum("new_sess").over(w))
     )

@@ -31,6 +31,13 @@ RUNTIME_CONFS = {
     # The testdata parquet carries TIMESTAMP(NANOS) (pandas writer default),
     # which Spark rejects; read as int64 nanos and convert in the catalog.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Testdata timestamps are tz-naive parquet (isAdjustedToUTC=false); Spark
+    # 4 would infer TIMESTAMP_NTZ, which breaks watermarks
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and NTZ→BIGINT casts. Read them
+    # as session-tz (UTC) TIMESTAMP — the reference's own semantic is
+    # tz-aware timestamps (app/models.py:14-18), and DuckDB oracle
+    # comparisons are bit-exact under a UTC session either way.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
@@ -78,18 +85,29 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 def normalize_ts_cols(df, cols):
-    """Convert int64-nanos columns (parquet TIMESTAMP(NANOS) read under
-    nanosAsLong) back to timestamps. THE one shared implementation — catalog,
-    sources.io and streaming all route through it so the conversion can never
-    drift between batch and stream paths. Integer DIV keeps full int64
-    precision (a double cast loses sub-ms precision at epoch-nanos
-    magnitude); backquotes keep non-identifier column names parseable."""
+    """Normalize timestamp columns to session-tz TIMESTAMP (LTZ), whatever
+    physical form the parquet handed us:
+
+      - int64 nanos (TIMESTAMP(NANOS) read under nanosAsLong) → integer DIV
+        keeps full int64 precision (a double cast loses sub-ms precision at
+        epoch-nanos magnitude);
+      - TIMESTAMP_NTZ (tz-naive parquet read before inferTimestampNTZ was
+        disabled, or on a driver-owned session whose conf is locked) →
+        plain cast; under a UTC session the wall-clock values are unchanged.
+
+    THE one shared implementation — catalog, sources.io and streaming all
+    route through it so the conversion can never drift between batch and
+    stream paths. Backquotes keep non-identifier column names parseable.
+    Watermarks and ts arithmetic both require LTZ (models.py:14-18 semantic).
+    """
     from pyspark.sql import functions as F
 
     dtypes = dict(df.dtypes)
     for c in cols:
         if dtypes.get(c) in ("bigint", "long"):
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -98,6 +116,13 @@ def get_spark(app_name: str = "temporalvault-spark", cpus: int | None = None) ->
     AQE on, generous broadcast). Used by tests and bench.py."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Per-process warehouse dir: managed tables (bucketing tests) land in a
+    # fresh tmpdir, so an orphaned spark-warehouse/ from a previous crashed
+    # run can never poison saveAsTable with LOCATION_ALREADY_EXISTS.
+    # (warehouse.dir is a static conf — builder-time only.)
+    import tempfile
+
+    warehouse = tempfile.mkdtemp(prefix="tv_spark_warehouse_")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -105,6 +130,7 @@ def get_spark(app_name: str = "temporalvault-spark", cpus: int | None = None) ->
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.sql.warehouse.dir", warehouse)
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

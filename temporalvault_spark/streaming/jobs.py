@@ -34,10 +34,15 @@ from temporalvault_spark.session import tune
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table. The testdata stores ts as
-    parquet TIMESTAMP(NANOS) (→ int64 under nanosAsLong), converted here like
-    the batch catalog does; a production deployment points this at a
-    date-partitioned directory and new files stream in incrementally."""
+    """File-source stream over the events table. Whatever physical type the
+    testdata parquet stores ts as (int64 nanos under nanosAsLong, tz-naive
+    TIMESTAMP_NTZ, or LTZ), it is normalized to session-tz TIMESTAMP via the
+    same shared normalize_ts_cols the batch catalog uses — watermarks REQUIRE
+    LTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise), so the conversion
+    must hold for every source variant. A production deployment points this
+    at a date-partitioned directory and new files stream in incrementally."""
+    from temporalvault_spark.session import normalize_ts_cols
+
     tune(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     df = (
@@ -45,9 +50,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return df
+    return normalize_ts_cols(df, ("ts",))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -1,6 +1,8 @@
 """Bucketed tables must join and aggregate WITHOUT shuffling — the plan is
 the proof."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -11,7 +13,16 @@ from temporalvault_spark.sources.bucketing import bucketed_join, write_bucketed
 @pytest.fixture(scope="module")
 def bucketed(spark, sf_dir):
     # warehouse.dir is a static conf — managed tables land in the session's
-    # default warehouse; DROP TABLE below removes the files
+    # default warehouse (a per-process tmpdir via get_spark). Belt and
+    # braces for driver-owned sessions: DROP TABLE can't see orphan
+    # directories left by a SIGKILL'd run, so rmtree the locations too.
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
         "l_orderkey", "o_orderkey"

@@ -157,6 +157,23 @@ def test_sample_fixed_k_is_take_ordered(q):
     assert c["Exchange rangepartitioning"] == 0
 
 
+def test_join_asof_broadcasts_probes_single_exchange(q):
+    """The as-of join must stay: 3-row probe list broadcast onto the log
+    (BroadcastNestedLoopJoin from crossJoin+broadcast), ONE hash exchange
+    for the (record_id, probe_ts) window, and the rn=1 filter planned as
+    WindowGroupLimit. Any type-mismatch-induced degradation (e.g. NTZ casts
+    blocking the broadcast) fails here instead of only showing up in bench."""
+    df = q("join_asof")
+    c = plan_counts(df)
+    assert c["BroadcastNestedLoopJoin"] == 1
+    assert c["SortMergeJoin"] == 0 and c["CartesianProduct"] == 0
+    # <=2: one exchange belongs to the query's (record_id, probe_ts) window;
+    # the other sits INSIDE the cached temporal_records build subtree (paid
+    # once at cache fill, printed as part of the InMemoryRelation lineage)
+    assert c["Exchange hashpartitioning"] <= 2
+    assert c["WindowGroupLimit"] >= 1
+
+
 def test_zscore_outliers_broadcast_stats(q):
     c = plan_counts(q("events_zscore_outliers"))
     assert c["BroadcastHashJoin"] >= 1

@@ -13,6 +13,22 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def test_events_stream_ts_is_ltz_timestamp(spark, sf_dir):
+    """Watermarks hard-require session-tz TIMESTAMP (LTZ). Whatever physical
+    type the source parquet carries — int64 nanos, TIMESTAMP_NTZ, or LTZ —
+    events_stream must emit ts as plain 'timestamp'. This is the guard that
+    catches an inferTimestampNTZ regression at commit time instead of as six
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE failures."""
+    ev = streaming.events_stream(spark, sf_dir)
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # and the batch catalog agrees — stream and batch must see one type
+    from temporalvault_spark.catalog import load_catalog
+
+    cat = load_catalog(spark, sf_dir)
+    assert dict(cat.table("events").dtypes)["ts"] == "timestamp"
+    assert dict(cat.temporal_records.dtypes)["ts"] == "timestamp"
+
+
 @pytest.mark.parametrize(
     "stream_fn,batch_key",
     [
@@ -52,10 +68,13 @@ def test_latest_state_stream(spark, sf_dir):
     rows = out.collect()
     assert len(rows) > 0
     # every key's reported state is its max event_id at or before the probe
+    from temporalvault_spark.session import normalize_ts_cols
+
     expected = {
         str(r["user_id"]): r["m"]
-        for r in spark.read.parquet(f"{cat_dir}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        for r in normalize_ts_cols(
+            spark.read.parquet(f"{cat_dir}/events.parquet"), ("ts",)
+        )
         .filter(F.col("ts") <= F.lit(PROBE_TS).cast("timestamp"))
         .groupBy("user_id")
         .agg(F.max("event_id").alias("m"))
@@ -151,8 +170,10 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     out = streaming.run_available_now(
         streaming.clicks_to_purchases_join(ev_stream), "ss_join", output_mode="append"
     )
-    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts DIV 1000)")
+    from temporalvault_spark.session import normalize_ts_cols
+
+    ev_batch = normalize_ts_cols(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), ("ts",)
     )
     batch = streaming.clicks_to_purchases_join(ev_batch)
     got = sorted(tuple(r) for r in out.collect())
