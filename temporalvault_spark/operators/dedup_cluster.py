@@ -30,7 +30,12 @@ from temporalvault_spark.registry import query
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges(src, dst) → (node, component) where component is the minimum
     node id reachable. Undirected."""
-    sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst AS src", "src AS dst"))
+    # checkpoint the edge list BEFORE symmetrizing: the union references the
+    # edges subtree twice by lineage, so an expensive upstream producer
+    # (e.g. the LSH pair pipeline) would otherwise execute twice inside the
+    # first materialization — and again in every loop round via sym
+    edges = edges.selectExpr("src", "dst").localCheckpoint(eager=True)
+    sym = edges.union(edges.selectExpr("dst AS src", "src AS dst"))
     labels = (
         sym.select(F.col("src").alias("node"))
         .union(sym.select(F.col("dst").alias("node")))

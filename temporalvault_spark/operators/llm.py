@@ -119,18 +119,26 @@ def ngram_jaccard_pairs(
     The b families cost ONE md5 per shingle, not b: family b is the b-th
     8-hex-char (32-bit) slice of the single digest — one-permutation-hashing
     style — so adding bands adds only substring+min work, never more md5
-    passes (the md5 over every shingle is the dominant CPU cost here;
-    band-salted re-hashing made the 4-band form ~3x the single-band cost).
+    passes (the md5 over every shingle is the dominant CPU cost here).
 
-    Scale shape — two deliberate properties:
-      1. candidate generation is an equi-join on (band, 32-char min-hash)
+    Scale shape — the corpus is parsed and hashed EXACTLY ONCE:
+      1. the tokenize→shingle→md5 pass materializes the per-doc SIGNATURE
+         SET (doc_id, hs[], n_sh) via localCheckpoint — the standard
+         signature-materialization trade of production MinHash pipelines
+         (at cluster scale this frame is a parquet staging table). Every
+         downstream frame — band sketch, candidate join, exact verify —
+         derives from the checkpoint, so there is never a second scan of
+         the text (the previous 3-pass form re-ran the md5 pass for the
+         verify sides; measured ~2x slower at sf0.1);
+      2. candidate generation is an equi-join on (band, 32-bit min-slice)
          whose shuffle carries ONLY (doc_id, n_sh, band, min_h) — the
-         shingle arrays never ride an exchange (at corpus scale the arrays
-         are the row width);
-      2. the expensive exact-Jaccard runs on ~|candidate pairs| rows: the
-         slim pair list joins BACK to the shingle arrays by doc_id, and
-         since candidates ≪ corpus that join broadcasts (AQE picks it at
-         runtime), so the array side still never shuffles.
+         signature arrays never ride that exchange;
+      3. exact Jaccard verifies candidates on the md5 sets themselves —
+         identical values to shingle-set Jaccard (md5 is injective here),
+         which is why the DuckDB oracle over raw shingles still matches
+         bit-for-bit — and runs on ~|candidate| rows: the signature side is
+         first semi-reduced to candidate docs, and candidates ≪ corpus by
+         construction, so broadcasting the reduced arrays is bounded.
     Everything is md5-deterministic, so the DuckDB oracle replays it exactly.
     """
     spark = docs.sparkSession
@@ -146,17 +154,18 @@ def ngram_jaccard_pairs(
     shingles = F.array_distinct(
         F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")
     )
-    sh = toks.select("doc_id", shingles.alias("shingles"), F.size(shingles).alias("n_sh"))
+    # THE one corpus pass: signature set per doc (md5 per distinct shingle).
+    # Eager checkpoint = by-result reuse; by-lineage reuse would re-expand
+    # this subtree into every downstream reference (observed: 8 FileScans,
+    # 8 passes over the text at corpus scale).
+    sh = (
+        toks.select("doc_id", F.transform(shingles, lambda x: F.md5(x)).alias("hs"))
+        .withColumn("n_sh", F.size("hs"))
+        .localCheckpoint(eager=True)
+    )
     # slim banded sketch: per (doc, band) the min of the band's digest slice.
-    # coalesce() makes min_h non-nullable, so the self-join does NOT
-    # infer an isnotnull(min_h) predicate — which would otherwise be pushed
-    # below the repartition and evaluate the whole md5-shingle expression
-    # serially in the single-partition scan stage (observed: 6-8x slowdown)
+    # coalesce() keeps min_h non-nullable (no inferred isnotnull pushdown).
     banded = sh.select(
-        "doc_id",
-        "n_sh",
-        F.expr("transform(shingles, x -> md5(x))").alias("hs"),
-    ).select(
         "doc_id",
         "n_sh",
         F.explode(
@@ -168,17 +177,6 @@ def ngram_jaccard_pairs(
             )
         ).alias("bh"),
     ).select("doc_id", "n_sh", F.col("bh.band").alias("band"), F.col("bh.min_h").alias("min_h"))
-    # materialize the SLIM frames that the plan references repeatedly.
-    # DataFrame reuse is by-lineage, not by-result: `banded` feeds both
-    # self-join sides and `cand` feeds the pair output PLUS both semi-join
-    # reducers — without materialization Catalyst expands each reference
-    # into its own subtree and the tokenize+shingle+md5 scan runs EIGHT
-    # times (observed: 8 FileScans, ~4x the query's whole useful work; at
-    # corpus scale that's 8 passes over 100 TB). Checkpointing costs one
-    # extra job each but the frames are tiny by construction — 4 sketch
-    # rows/doc, |candidate| id pairs — which is exactly why they, and never
-    # the shingle arrays, are what gets pinned.
-    banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -191,27 +189,25 @@ def ngram_jaccard_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()  # a pair may collide in several bands
-    ).localCheckpoint(eager=True)  # referenced 3x below — see note above
-    # semi-join-reduce the array side to candidate docs BEFORE any join that
-    # could shuffle it: cand_docs is the slimmest possible frame (distinct
-    # ids), so AQE broadcasts it and the full sh never exchanges; even the
-    # pathological fallback (candidate list too big to broadcast) shuffles
-    # only candidate-doc arrays, never the whole corpus's
+    )
+    # semi-join-reduce the signature side to candidate docs BEFORE the pair
+    # join: cand_docs is the slimmest possible frame (distinct ids), and the
+    # reduced arrays are |candidate docs|-bounded. The broadcast hints are
+    # load-bearing: everything here derives from a localCheckpoint
+    # (LogicalRDD, no size stats), so an unhinted planner assumes huge and
+    # sort-merge-joins — measured ~40% slower even at sf0.1.
     cand_docs = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    # the broadcast hint is load-bearing: cand sits behind a localCheckpoint
-    # (LogicalRDD, unknown size stats), so without the hint the planner
-    # assumes it huge and sort-merge-joins — which would shuffle the FULL
-    # shingle-array side, the exact thing the semi-reduce exists to prevent
     sh_red = sh.join(F.broadcast(cand_docs), "doc_id", "semi")
-    sa, sb = sh_red.alias("sa"), sh_red.alias("sb")
-    jac = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))).cast(
+    sa = F.broadcast(sh_red.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("a_hs")))
+    sb = F.broadcast(sh_red.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("b_hs")))
+    jac = F.size(F.array_intersect(F.col("a_hs"), F.col("b_hs"))).cast(
         "double"
-    ) / F.size(F.array_union(F.col("sa.shingles"), F.col("sb.shingles")))
+    ) / F.size(F.array_union(F.col("a_hs"), F.col("b_hs")))
     return (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(sa, F.col("doc_a") == F.col("a_id"))
+        .join(sb, F.col("doc_b") == F.col("b_id"))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(jac >= threshold)
     )

@@ -90,20 +90,21 @@ def test_centroid_assignment_never_shuffles_vectors(spark, sf_dir):
 
 
 def test_ngram_dedup_scans_once_and_broadcasts_reducer(spark, sf_dir):
-    """The near-dup verify phase must (a) not re-expand the corpus subtree —
-    the slim banded/candidate frames are checkpointed, so the FINAL job plan
-    contains exactly the two shingle-side scans (sa/sb), never the 8-scan
-    blowup of by-lineage reuse — and (b) keep the semi-reducer a broadcast
-    (the hint is load-bearing: checkpointed inputs have no size stats), so
-    the full shingle-array side never rides an exchange."""
+    """The corpus text is parsed+hashed in EXACTLY one pass: the signature
+    set is checkpointed, so the final job's plan contains ZERO FileScans of
+    the text (never the 8-scan blowup of by-lineage reuse), and the
+    semi-reduce + pair joins stay broadcasts (the hints are load-bearing:
+    checkpointed inputs have no size stats), so full-corpus signature
+    arrays never ride an exchange."""
     from temporalvault_spark.operators.llm import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     df = ngram_jaccard_pairs(docs)
     plan = executed_plan(df)
-    assert plan.count("FileScan") == 2, plan.count("FileScan")
+    assert plan.count("FileScan") == 0, plan.count("FileScan")
     c = plan_counts(df)
-    assert c["BroadcastHashJoin"] >= 1  # the semi-reduce (+ AQE-chosen joins)
+    assert c["BroadcastHashJoin"] >= 3  # semi-reduce + both pair-join sides
+    assert c["SortMergeJoin"] == 0
 
 
 def test_chunking_is_shuffle_free(q):
