@@ -12,6 +12,7 @@ serialization).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -116,6 +117,14 @@ def main() -> None:
             total += best
         except Exception as exc:  # noqa: BLE001 — report, don't crash
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        # Drop this query's Python-side DataFrame/RDD refs so Spark's
+        # ContextCleaner can release localCheckpoint blocks before the next
+        # query runs. Without this, checkpoint blocks from the dedup
+        # heavyweights stay resident and late-positioned queries measure
+        # 2-3x slower than the same plan in a fresh session (GC pressure,
+        # not plan cost).
+        df = None
+        gc.collect()
 
     out = {
         "metric": "headline_queries_total",
