@@ -60,7 +60,14 @@ HEADLINE = [
     "events_zscore_outliers",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "dedup_substring_spans",
+    "semdedup",
     "decontaminate_ngram_overlap",
+    "bloom_decontaminate",
+    "win_gapfill_locf",
+    "agg_first_last_by_time",
+    "histogram_value_buckets",
+    "text_normalize",
     "text_tfidf_topk",
     "session_paths_top",
     "doc_fingerprint",

@@ -1,0 +1,152 @@
+"""Hypertable-style time-series operators over the event log.
+
+The reference advertises TimescaleDB (README.md:16, docker-compose.yml:19)
+but never calls a single Timescale function — no create_hypertable, no
+time_bucket_gapfill, no first()/last(), no histogram() anywhere in app/.
+This module implements those advertised-but-absent capabilities as native
+Spark plans over the same events table:
+
+  - ``win_gapfill_locf``  — time_bucket_gapfill + locf(): a dense hourly
+    bucket grid per series with empty buckets carried forward;
+  - ``agg_first_last_by_time`` — first(value, ts) / last(value, ts): the
+    time-ordered argmin/argmax aggregates;
+  - ``histogram_value_buckets`` — histogram(): fixed-width value bucketing.
+
+All three are pure JVM builtins (no UDFs) and DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_catalog(spark, sf_dir).table("events")
+
+
+@query(
+    "win_gapfill_locf",
+    """WITH agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS s
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT min(date_trunc('hour', ts)) AS g0,
+                 max(date_trunc('hour', ts)) AS g1 FROM events),
+    grid AS (
+        SELECT t.event_type, unnest(generate_series(b.g0, b.g1, INTERVAL 1 HOUR)) AS bucket
+        FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN b)
+    SELECT g.event_type, g.bucket,
+           COALESCE(a.n, 0) AS n_events,
+           last_value(a.s IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket
+               ROWS UNBOUNDED PRECEDING) AS sum_value_locf,
+           a.n IS NULL AS is_gap
+    FROM grid g LEFT JOIN agg a
+      ON a.event_type = g.event_type AND a.bucket = g.bucket""",
+)
+def q_win_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gapfill_locf(_events(spark, sf_dir))
+
+
+def gapfill_locf(ev: DataFrame) -> DataFrame:
+    """time_bucket_gapfill + locf: dense hourly grid per event_type over the
+    table's [min, max] hour span; buckets with no events appear with
+    n_events=0 and the last non-empty bucket's sum carried forward (leading
+    gaps before a series' first event stay NULL — locf has nothing to carry).
+
+    Scale shape: the only data-sized pass is the bucket aggregate (map-side
+    combined — the shuffle carries one row per live (series, hour)). The
+    grid is series x hours — O(cardinality x time), generated from a 1-row
+    broadcast bounds frame + a per-series sequence() explode, never from the
+    raw events. The gapfill join and the LOCF window both run on grid-sized
+    data, and the window partitions by series, so a 1000-executor run
+    parallelizes across series. This is the TimescaleDB
+    time_bucket_gapfill/locf semantic (advertised via README.md:16, unused
+    in app/) as a plain Catalyst plan."""
+    hour = F.date_trunc("hour", F.col("ts"))
+    agg = ev.groupBy(F.col("event_type"), hour.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n"), F.round(F.sum("value"), 2).alias("s")
+    )
+    bounds = ev.agg(F.min(hour).alias("g0"), F.max(hour).alias("g1"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("g0", "g1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(agg, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
+        F.last("s", ignorenulls=True).over(w).alias("sum_value_locf"),
+        F.col("n").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "agg_first_last_by_time",
+    """SELECT user_id,
+           arg_min(value, ts) AS first_value,
+           arg_max(value, ts) AS last_value,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           ROUND(arg_max(value, ts) - arg_min(value, ts), 6) AS delta,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id""",
+)
+def q_agg_first_last_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB first()/last(): per series, the value at the earliest and
+    latest timestamp plus their delta — the gauge-style "change over the
+    period" aggregate, done as min_by/max_by so it is ONE hash aggregate
+    (partial+final, no window, no self-join; a row_number formulation would
+    shuffle every event). Timestamps are unique per user in this dataset
+    (verified), so the time-ordered argmin/argmax is deterministic."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.min_by("value", "ts").alias("first_value"),
+        F.max_by("value", "ts").alias("last_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.round(F.max_by("value", "ts") - F.min_by("value", "ts"), 6).alias("delta"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
+HIST_WIDTH = 25.0
+HIST_MAX_BUCKET = 23  # values >= 24*25 = 600 clamp into the top bucket
+
+
+@query(
+    "histogram_value_buckets",
+    f"""SELECT event_type,
+           LEAST(CAST(floor(value / {HIST_WIDTH}) AS BIGINT), {HIST_MAX_BUCKET}) AS bucket,
+           CAST(LEAST(CAST(floor(value / {HIST_WIDTH}) AS BIGINT), {HIST_MAX_BUCKET}) * {HIST_WIDTH} AS DOUBLE) AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2, 3""",
+)
+def q_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB histogram(): per-series fixed-width value distribution
+    (width {HIST_WIDTH}, top bucket clamped). One partial+final aggregate —
+    the shuffle carries (series, bucket) partials, never events; the floor
+    arithmetic (rather than width_bucket) keeps the bucketing bit-identical
+    in every engine."""
+    ev = _events(spark, sf_dir)
+    bucket = F.least(
+        F.floor(F.col("value") / HIST_WIDTH).cast("bigint"), F.lit(HIST_MAX_BUCKET)
+    )
+    return ev.groupBy(
+        "event_type", bucket.alias("bucket"), (bucket * HIST_WIDTH).alias("lo")
+    ).agg(F.count("*").cast("bigint").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))

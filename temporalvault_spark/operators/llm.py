@@ -280,6 +280,101 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_TOKENS = 10
+
+
+@query(
+    "dedup_substring_spans",
+    f"""WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+    sp AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(t) - {SPAN_TOKENS} + 1),
+                   i -> md5(array_to_string(t[i+1:i+{SPAN_TOKENS}], ' ')))) AS span_h
+        FROM toks WHERE len(t) >= {SPAN_TOKENS})
+    SELECT span_h,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM sp GROUP BY span_h
+    HAVING COUNT(DISTINCT doc_id) > 1""",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_spans(_docs(spark, sf_dir))
+
+
+def substring_spans(docs: DataFrame, k: int = SPAN_TOKENS) -> DataFrame:
+    """Exact-substring dedup (the Lee et al. 2021 "Deduplicating Training
+    Data" operator, hash-blocked): every {SPAN_TOKENS}-token rolling window
+    is fingerprinted, and spans occurring in more than one document are the
+    repeated passages a pipeline trims (boilerplate, licenses, templated
+    intros). The suffix-array formulation of the paper is a single-machine
+    design; the distributed equivalent is exactly this — roll a window,
+    hash it, group by the digest.
+
+    Scale shape: the md5 pass is a zero-shuffle projection (per-partition
+    CPU); the groupBy shuffles (span_h, doc_id) digest pairs only — 16-byte
+    keys, never token arrays — with map-side combine collapsing within-doc
+    and within-partition repeats before the exchange. Output is bounded by
+    the number of DISTINCT repeated spans, which at corpus scale is the
+    dedup candidate list you join back against documents to splice spans
+    out (same apply pattern as dedup_apply, corpus.py)."""
+    spark_n = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs
+        .repartition(spark_n)  # md5-per-span is CPU-bound; spread the 1-file scan
+        .select("doc_id", _tokens().alias("t"))
+        .filter(F.size("t") >= k)
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {k}), "
+                f"i -> md5(array_join(slice(t, i + 1, {k}), ' ')))"
+            )
+        ).alias("span_h"),
+    )
+    return (
+        spans.groupBy("span_h")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "text_normalize",
+    """SELECT doc_id,
+           regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+                          ' +', ' ', 'g') AS norm_text,
+           CAST(length(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+                          ' +', ' ', 'g')) AS BIGINT) AS n_chars_norm,
+           regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+                          ' +', ' ', 'g') <> text AS changed
+    FROM documents""",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (the cleaning stage every corpus passes through
+    before dedup/tokenization): lowercase, strip non-alphanumerics to
+    spaces, collapse runs of whitespace, trim. Pure regexp builtins — one
+    codegen'd projection at scan speed, no shuffle, no Python. Downstream
+    fingerprints (dedup_exact, doc_fingerprint) assume exactly this
+    canonical form."""
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " ")), " +", " "
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        (norm != F.col("text")).alias("changed"),
+    )
+
+
 # --- text analysis ---------------------------------------------------------
 
 
@@ -646,6 +741,96 @@ def q_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_shared_ngrams"))
+    )
+
+
+BLOOM_M_BITS = 1 << 20  # 128 KiB bitset — sized for ~50k distinct grams at k=7
+BLOOM_K = 7
+
+
+def _bloom_positions_col(gram_hash_col):
+    """k=7 bit positions from one md5: double hashing g_i = (h1 + i*h2) mod m
+    (Kirsch-Mitzenmacher), h1/h2 = the digest's two 32-bit halves, h2 forced
+    odd. Pure JVM arithmetic — the same expression computes build-side and
+    probe-side positions, so the two can never drift."""
+    h1 = F.conv(F.substring(gram_hash_col, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(gram_hash_col, 9, 8), 16, 10).cast("long")
+    h2_odd = h2 - (h2 % 2) + 1
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+        lambda i: (h1 + i * h2_odd) % BLOOM_M_BITS,
+    )
+
+
+@query("bloom_decontaminate")  # rows-only: a Bloom sketch has no SQL oracle
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-sketch twin of decontaminate_ngram_overlap: instead of
+    shuffling corpus grams into a join against the benchmark gram set, the
+    benchmark set is folded into a {BLOOM_M_BITS}-bit Bloom filter that
+    broadcasts to every executor, and the corpus side probes it at scan
+    speed — zero shuffle on the data-sized path. The price is one-sided
+    error: flagged docs are a SUPERSET of the exact operator's (false
+    positives possible, false negatives impossible — the containment
+    guarantee tests/test_llm_dedup.py pins against the exact op), so the
+    flagged set is re-verified exactly, which is how decontamination runs
+    at 100 TB: cheap sketch pass over everything, exact join only for the
+    tiny flagged slice.
+
+    Build side here collects the benchmark set's distinct bit positions to
+    the driver (eval suites are small — thousands of docs); at larger bench
+    sets the same positions frame OR-reduces into per-partition bitsets via
+    treeAggregate instead, and the probe side is unchanged. Membership runs
+    as an Arrow-batched pandas UDF over the k-position arrays (a NumPy
+    bitset index — the one place Python appears, and it touches k ints per
+    gram, never text)."""
+    import numpy as np
+    import pandas as pd
+
+    n = DECONTAM_NGRAM
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _tokens().alias("t"))
+        .filter(F.size("t") >= n)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {n}), "
+                    f"i -> md5(array_join(slice(t, i + 1, {n}), ' ')))"
+                )
+            )
+        ).alias("g"),
+    ).withColumn("pos", _bloom_positions_col(F.col("g")))
+    bench_pos = (
+        grams.filter(F.col("doc_id") < DECONTAM_BENCH_DOCS)
+        .select(F.explode("pos").alias("p"))
+        .distinct()
+    )
+    bits = np.zeros(BLOOM_M_BITS // 8, dtype=np.uint8)
+    for (p,) in bench_pos.collect():  # |distinct positions| <= k * |bench grams| — small
+        bits[p >> 3] |= 1 << (p & 7)
+    bc = spark.sparkContext.broadcast(bits)
+
+    # note: no type hints on the UDF body — this module's
+    # `from __future__ import annotations` would stringify them and
+    # pandas_udf cannot resolve string hints for a locally-imported pd
+    def _might_contain(pos):
+        b = bc.value
+        out = []
+        for ps in pos:
+            a = np.asarray(ps, dtype=np.int64)
+            out.append(bool(np.all(b[a >> 3] & (1 << (a & 7)).astype(np.uint8))))
+        return pd.Series(out)
+
+    might_contain = F.pandas_udf(_might_contain, "boolean")
+
+    return (
+        grams.filter(F.col("doc_id") >= DECONTAM_BENCH_DOCS)
+        .filter(might_contain(F.col("pos")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_bloom_hits"))
     )
 
 

@@ -193,6 +193,74 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_full_outer",
+    """SELECT COALESCE(s.s_nationkey, c.c_nationkey) AS nationkey,
+           CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+    FROM (SELECT s_suppkey, s_nationkey FROM supplier WHERE s_acctbal > 9000) s
+    FULL OUTER JOIN (SELECT c_custkey, c_nationkey FROM customer
+                     WHERE c_acctbal > 9000) c
+      ON s.s_nationkey = c.c_nationkey
+    GROUP BY 1""",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join: nations having high-balance suppliers, customers, or
+    both — unmatched sides survive with NULLs (which the COALESCE key folds
+    back). Full-outer cannot broadcast (both sides must surface unmatched
+    rows), so Spark plans a shuffle join on the key — the correct and only
+    scale shape for this operator."""
+    c = _cat(spark, sf_dir)
+    s = (
+        c.table("supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey", "s_nationkey")
+    )
+    cu = (
+        c.table("customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_nationkey")
+    )
+    return (
+        s.join(cu, F.col("s_nationkey") == F.col("c_nationkey"), "full_outer")
+        .groupBy(F.coalesce("s_nationkey", "c_nationkey").alias("nationkey"))
+        .agg(
+            F.count_distinct("s_suppkey").cast("bigint").alias("n_suppliers"),
+            F.count_distinct("c_custkey").cast("bigint").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "win_ntile_ranks",
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+           ntile(4) OVER w AS price_quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           dense_rank() OVER w AS drank
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""",
+)
+def q_win_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window suite: ntile quartiles, percent_rank,
+    cume_dist, dense_rank over one shared ordering (the orderBy includes the
+    unique key so ranks are total and engine-portable). A single global
+    window is inherently one-partition — fine for a ranked report (the
+    output IS the sorted table); per-key variants partition and parallelize,
+    as win_rownum_latest shows."""
+    c = _cat(spark, sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return c.table("orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+    )
+
+
+@query(
     "join_asof",
     temporal_oracle(
         f"""SELECT record_id, probe_ts, version, ts FROM (

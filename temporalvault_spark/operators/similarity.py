@@ -274,6 +274,107 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(emb, emb.filter(F.col("vec_id") < KNN_N_PROBES))
 
 
+def knn_join_ivf(
+    emb: DataFrame, probes: DataFrame, k: int = KNN_K, nprobe: int = N_PROBE_CLUSTERS
+) -> DataFrame:
+    """IVF-accelerated approximate k-NN join: each probe searches only its
+    ``nprobe`` nearest clusters instead of the whole corpus — the batched
+    form of sim_ivf_ann, and the join every embedding-heavy pipeline stage
+    (SemDeDup seeding, hard-negative mining, corpus-vs-corpus retrieval)
+    actually runs at scale, where exact knn_join's full cross product is
+    unaffordable.
+
+    Shape: corpus cluster assignment is the shuffle-free broadcast argmax
+    (assign_to_centroids); the (probe, cluster) candidate list — |probes| x
+    nprobe slim rows — broadcasts against the assignment, so scoring becomes
+    an equi-join on centroid_id touching ~nprobe/C of the corpus. At 100 TB
+    the assignment is precomputed and PARTITIONED BY centroid_id (see
+    ivf_index.py), turning each probe batch into a partition-pruned scan.
+    The per-probe top-k is the same WindowGroupLimit bound as knn_join.
+    Recall is cluster-local by contract (a true neighbor assigned to an
+    unprobed cluster is missed) — the standard IVF trade, tuned via nprobe."""
+    from pyspark.sql import Window
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    assign = assign_to_centroids(e)
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").cast("array<double>").alias("p")
+    )
+    cents = centroid_frame(e)
+    w_pc = Window.partitionBy("probe_id").orderBy(F.desc("psim"), F.asc("centroid_id"))
+    probe_clusters = (
+        p.crossJoin(F.broadcast(cents))
+        .withColumn("psim", _dot(F.col("p"), F.col("ce")) / _norm(F.col("ce")))
+        .withColumn("crank", F.row_number().over(w_pc))
+        .filter(F.col("crank") <= nprobe)
+        .select("probe_id", "p", "centroid_id")
+    )
+    cos = _dot(F.col("e"), F.col("p")) / (_norm(F.col("e")) * _norm(F.col("p")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        assign.join(F.broadcast(probe_clusters), "centroid_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("centroid_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "centroid_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "knn_join_ivf",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {N_CENTROIDS}),
+        assign AS (
+            SELECT vec_id, e, centroid_id FROM (
+                SELECT a.vec_id, a.e, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                          ORDER BY list_dot_product(a.e, c.ce)
+                                                   / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                                          c.centroid_id) AS rn
+                FROM e a CROSS JOIN c) x
+            WHERE rn = 1),
+        p AS (SELECT vec_id AS probe_id, e AS p FROM e WHERE vec_id < {KNN_N_PROBES}),
+        pc AS (
+            SELECT probe_id, p, centroid_id FROM (
+                SELECT p.probe_id, p.p, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                                          ORDER BY list_dot_product(p.p, c.ce)
+                                                   / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                                          c.centroid_id) AS crank
+                FROM p CROSS JOIN c) x
+            WHERE crank <= {N_PROBE_CLUSTERS})
+    SELECT probe_id, neighbor_id, centroid_id, rank, cosine FROM (
+        SELECT pc.probe_id, a.vec_id AS neighbor_id, a.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY pc.probe_id
+                   ORDER BY list_dot_product(a.e, pc.p)
+                            / (sqrt(list_dot_product(a.e, a.e))
+                               * sqrt(list_dot_product(pc.p, pc.p))) DESC,
+                            a.vec_id) AS rank,
+               ROUND(list_dot_product(a.e, pc.p)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(pc.p, pc.p))), 6) AS cosine
+        FROM assign a JOIN pc ON a.centroid_id = pc.centroid_id
+        WHERE a.vec_id != pc.probe_id) t
+    WHERE rank <= {KNN_K}""",
+)
+def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return knn_join_ivf(emb, emb.filter(F.col("vec_id") < KNN_N_PROBES))
+
+
 def embed_quantize_int8(emb: DataFrame) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (the standard
     vector-store compression): per-vector scale = max|x|/127, values
@@ -374,6 +475,65 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD)
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(_emb(spark, sf_dir))
+
+
+def semdedup_verdicts(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means-cluster blocking — within each cluster, drop every vector that
+    has a higher-than-threshold cosine neighbor with a smaller id, keep the
+    rest. One verdict row per vector.
+
+    The keep rule is the single-pass deterministic variant: a vector is
+    dropped iff SOME smaller-id cluster-mate is within threshold (the
+    paper's random-keeper choice replaced by min-id so both engines agree).
+    Chains therefore keep only the chain head — slightly more aggressive
+    than greedy re-seeding, which is the conservative direction for
+    training-data hygiene.
+
+    Scale shape: identical to embedding_cosine_pairs (cluster-blocked
+    equi-join, fan-out sum(cluster^2), wide vectors never on the pair
+    shuffle — only (vec_id, centroid_id, drop-bit) leave the join), plus
+    one slim left-anti-style join of verdicts back onto the assignment."""
+    pairs = embedding_cosine_pairs(emb, threshold)
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    assign = assign_to_centroids(e).select(
+        "vec_id", F.coalesce("centroid_id", F.lit(-1)).alias("centroid_id")
+    )
+    return assign.join(
+        dropped.withColumn("is_dropped", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "centroid_id",
+        F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("keep"),
+    )
+
+
+@query(
+    "semdedup",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {N_CENTROIDS}),
+        assign AS (
+            SELECT vec_id, e, centroid_id FROM (
+                SELECT a.vec_id, a.e, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                          ORDER BY list_dot_product(a.e, c.ce)
+                                                   / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                                          c.centroid_id) AS rn
+                FROM e a CROSS JOIN c) x
+            WHERE rn = 1),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM assign a JOIN assign b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+                  >= {EMB_DUP_THRESHOLD})
+    SELECT a.vec_id, a.centroid_id, d.vec_id IS NULL AS keep
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id""",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_verdicts(_emb(spark, sf_dir))
 
 
 @query("sim_topk_cosine_pandas")  # rows-only: same semantics as sim_topk_cosine

@@ -1,0 +1,89 @@
+"""Hypertable-style operators: crafted fixtures proving the gapfill/locf,
+first/last-by-time, and histogram semantics on known gaps/ties (testdata
+rarely exercises the edge rows — leading gaps, empty series hours, clamped
+buckets — so oracle parity alone can't pin them)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporalvault_spark.operators.hypertable import (
+    HIST_MAX_BUCKET,
+    HIST_WIDTH,
+    gapfill_locf,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture()
+def crafted_events(spark):
+    # series A: events in hours 0 and 3 (hours 1-2 are gaps)
+    # series B: first event in hour 2 (hours 0-1 are LEADING gaps -> locf NULL)
+    rows = [
+        (1, _ts(0, 5), 10, "A", 10.0, "{}"),
+        (2, _ts(0, 40), 10, "A", 20.0, "{}"),
+        (3, _ts(3, 1), 11, "A", 40.0, "{}"),
+        (4, _ts(2, 30), 12, "B", 5.0, "{}"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_gapfill_locf_semantics(spark, crafted_events):
+    rows = {
+        (r["event_type"], r["bucket"].hour): r
+        for r in gapfill_locf(crafted_events).collect()
+    }
+    # dense grid: both series span the table's full [0h, 3h] range
+    assert len(rows) == 8
+    # series A hour 0 aggregates both events; hours 1-2 are gaps carrying 30.0
+    assert rows[("A", 0)]["sum_value_locf"] == 30.0 and not rows[("A", 0)]["is_gap"]
+    for h in (1, 2):
+        assert rows[("A", h)]["is_gap"] and rows[("A", h)]["n_events"] == 0
+        assert rows[("A", h)]["sum_value_locf"] == 30.0  # carried forward
+    assert rows[("A", 3)]["sum_value_locf"] == 40.0
+    # series B: leading gaps stay NULL (nothing to carry), then the value
+    assert rows[("B", 0)]["sum_value_locf"] is None and rows[("B", 0)]["is_gap"]
+    assert rows[("B", 1)]["sum_value_locf"] is None
+    assert rows[("B", 2)]["sum_value_locf"] == 5.0 and not rows[("B", 2)]["is_gap"]
+    assert rows[("B", 3)]["sum_value_locf"] == 5.0 and rows[("B", 3)]["is_gap"]
+
+
+def test_first_last_by_time(spark, crafted_events):
+    got = {
+        r["user_id"]: r
+        for r in crafted_events.groupBy("user_id")
+        .agg(
+            F.min_by("value", "ts").alias("first_value"),
+            F.max_by("value", "ts").alias("last_value"),
+        )
+        .collect()
+    }
+    assert got[10]["first_value"] == 10.0 and got[10]["last_value"] == 20.0
+    assert got[12]["first_value"] == 5.0 and got[12]["last_value"] == 5.0
+
+
+def test_histogram_clamps_top_bucket(spark):
+    rows = [
+        (1, _ts(0), 1, "A", 0.0, "{}"),  # bucket 0
+        (2, _ts(0), 1, "A", HIST_WIDTH, "{}"),  # exactly one width -> bucket 1
+        (3, _ts(0), 1, "A", 10_000.0, "{}"),  # far out -> clamped
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    bucket = F.least(F.floor(F.col("value") / HIST_WIDTH).cast("bigint"), F.lit(HIST_MAX_BUCKET))
+    got = {
+        r["bucket"]: r["n"]
+        for r in df.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {0: 1, 1: 1, HIST_MAX_BUCKET: 1}

@@ -150,3 +150,45 @@ def test_trained_beats_fixed_centroids_on_crafted_clusters(spark, tmp_path_facto
     plan = executed_plan(res)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "centroid_id" in m.group(1), plan[:800]
+
+
+def test_knn_join_ivf_matches_exact_within_clusters(spark):
+    """Crafted corpus where every true neighbor co-clusters with its probe:
+    the IVF knn join must return exactly the exact knn join's answer (the
+    approximation is lossless when neighbors never cross clusters); ranks
+    and cosines must agree."""
+    import math
+
+    from temporalvault_spark.operators.similarity import knn_join, knn_join_ivf
+
+    dim = 8
+    rows = [(i, [float(i % dim == j) for j in range(dim)], 0) for i in range(16)]
+    # per axis a in {0,1,2}: two tight satellites around the axis vector
+    for a in range(3):
+        for s in range(2):
+            v = [0.0] * dim
+            v[a] = 1.0
+            v[(a + 4) % dim] = 0.03 + 0.01 * s  # tiny off-axis tilt
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((100 + 10 * a + s, [x / n for x in v], 1))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    probes = emb.filter("vec_id >= 100")
+
+    exact = {
+        (r["probe_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in knn_join(emb, probes, k=3).collect()
+    }
+    ivf = {
+        (r["probe_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in knn_join_ivf(emb, probes, k=3, nprobe=2).collect()
+    }
+    # top-1 must always match (the satellite's twin / axis anchor co-cluster)
+    for pid in (100, 101, 110, 111, 120, 121):
+        assert ivf[(pid, 1)] == exact[(pid, 1)], (pid, ivf[(pid, 1)], exact[(pid, 1)])
+    # every IVF hit must carry the exact cosine for that neighbor
+    exact_by_neighbor = {
+        (pk[0], v[0]): v[1] for pk, v in exact.items()
+    }
+    for (pid, _rank), (nid, cos) in ivf.items():
+        if (pid, nid) in exact_by_neighbor:
+            assert cos == exact_by_neighbor[(pid, nid)]

@@ -109,3 +109,83 @@ def test_dedup_components_groups_transitively(spark, crafted):
     )
     comps = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     assert comps == {0: 0, 1: 0, 2: 0}
+
+
+def test_substring_spans_finds_shared_passage(spark):
+    """Two docs share one exact 10-token passage embedded in different
+    surroundings -> exactly the passage's rolling windows that fit inside
+    both docs are flagged; a doc with no shared span never appears."""
+    from temporalvault_spark.operators.llm import substring_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens
+    d0 = f"intro words here {shared} closing remarks"
+    d1 = f"other leading text {shared} different tail"
+    d2 = "entirely unrelated tokens with no overlap at all whatsoever today"
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate([d0, d1, d2])],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    rows = substring_spans(df).collect()
+    # only the one fully-shared 10-token window repeats across docs
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 2 and r["n_occurrences"] == 2 and r["first_doc"] == 0
+
+
+def test_substring_spans_counts_within_doc_repeats(spark):
+    """A span repeated twice in doc A and once in doc B: n_docs=2 but
+    n_occurrences=3 — within-doc repeats count toward occurrences."""
+    from temporalvault_spark.operators.llm import substring_spans
+
+    span = "a b c d e"  # use k=5 for a compact fixture
+    d0 = f"{span} x {span}"
+    d1 = f"zz {span} yy"
+    df = spark.createDataFrame(
+        [(0, d0, "en", "s", 1), (1, d1, "en", "s", 1)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    got = {r["span_h"]: r for r in substring_spans(df, k=5).collect()}
+    target = [r for r in got.values() if r["n_occurrences"] == 3]
+    assert len(target) == 1 and target[0]["n_docs"] == 2
+
+
+def test_bloom_decontaminate_is_superset_of_exact(spark, sf_dir):
+    """The Bloom sketch's one-sided-error contract: every doc the exact
+    13-gram join flags MUST be flagged by the Bloom pass (no false
+    negatives); false positives are allowed but bounded in practice."""
+    from temporalvault_spark.registry import QUERIES
+
+    exact = {
+        r["doc_id"] for r in QUERIES["decontaminate_ngram_overlap"](spark, sf_dir).collect()
+    }
+    bloom = {r["doc_id"] for r in QUERIES["bloom_decontaminate"](spark, sf_dir).collect()}
+    assert exact <= bloom
+    # sanity: the sketch shouldn't flag everything (m is sized generously)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(bloom) < n_docs
+
+
+def test_semdedup_keeps_chain_head_only(spark):
+    """Crafted cluster: three mutually-near vectors -> only the smallest id
+    keeps; an orthogonal vector in the same cluster keeps."""
+    import math
+
+    from temporalvault_spark.operators.similarity import semdedup_verdicts
+
+    dim = 8
+    c = 2**-0.5
+    # a 3-vector near-dup family on the (e0,e1) diagonal: cosine ~0.99 within
+    # the family, ~0.707 to every axis vector (rows 0-15) — so the family
+    # pairs only with itself
+    base = [c, c] + [0.0] * (dim - 2)
+    near1 = [c, c, 0.05] + [0.0] * (dim - 3)
+    near2 = [c, c, 0.0, 0.08] + [0.0] * (dim - 4)
+    # (e1,e2) diagonal: cosine 0.5 to the family -> same-cluster non-dup
+    ortho = [0.0, c, c] + [0.0] * (dim - 3)
+    rows = [(i, [float(i % dim == j) for j in range(dim)], 0) for i in range(16)]
+    rows += [(100, base, 1), (101, near1, 1), (102, near2, 1), (103, ortho, 1)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    got = {r["vec_id"]: r["keep"] for r in semdedup_verdicts(emb, 0.9).collect()}
+    assert got[100] is True  # chain head (smallest id in the family)
+    assert got[101] is False and got[102] is False  # near-dups dropped
+    assert got[103] is True  # same cluster, below threshold

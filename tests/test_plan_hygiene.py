@@ -179,3 +179,63 @@ def test_zscore_outliers_broadcast_stats(q):
     c = plan_counts(q("events_zscore_outliers"))
     assert c["BroadcastHashJoin"] >= 1
     assert c["SortMergeJoin"] == 0
+
+
+def test_substring_spans_shuffles_digests_not_text(spark, sf_dir):
+    """The span groupBy's exchange must carry (span_h, doc_id [, partials]) —
+    never the text or token arrays; map-side combine must be present
+    (HashAggregate on both sides of the exchange)."""
+    from temporalvault_spark.plans import shuffle_inputs
+
+    df = QUERIES["dedup_substring_spans"](spark, sf_dir)
+    df.collect()
+    shuffles = shuffle_inputs(df)
+    agg_shuffles = [s for s in shuffles if "span_h" in s]
+    assert agg_shuffles, f"expected a span_h digest shuffle, got {shuffles}"
+    # the CPU-spreading repartition before the md5 pass legitimately carries
+    # text (single-file local scan); the AGGREGATE exchanges must not
+    for cols in agg_shuffles:
+        assert "text" not in cols and not any(
+            c.split("#")[0].strip() == "t" for c in cols.split(",")
+        )
+    c = plan_counts(df)
+    assert c["HashAggregate"] >= 2  # partial + final
+
+
+def test_gapfill_grid_joins_without_data_shuffle_blowup(q):
+    """gapfill's LEFT join runs on grid-sized frames: no CartesianProduct,
+    bounds arrive via broadcast, and the only hash exchanges carry bucket
+    aggregates / grid rows (event_type, bucket...) — never raw events."""
+    df = q("win_gapfill_locf")
+    df.collect()
+    c = plan_counts(df)
+    assert c["CartesianProduct"] == 0
+    from temporalvault_spark.plans import shuffle_inputs
+
+    for cols in shuffle_inputs(df):
+        assert "value" not in cols, f"raw events ride a shuffle: {cols}"
+
+
+def test_first_last_is_single_hash_aggregate(q):
+    """first/last-by-time must plan as ONE partial+final hash aggregate —
+    no window, no join, no sort aggregate."""
+    df = q("agg_first_last_by_time")
+    c = plan_counts(df)
+    assert c["HashAggregate"] >= 2 and c["SortAggregate"] == 0
+    assert c["SortMergeJoin"] == 0 and c["BroadcastHashJoin"] == 0
+    assert "Window" not in executed_plan(df).replace("WindowGroupLimit", "")
+
+
+def test_semdedup_vectors_never_ride_pair_shuffle(spark, sf_dir):
+    """SemDeDup's verdict join: embeddings may shuffle once for the
+    cluster-blocked pair join, but the drop-verdict frames must be slim
+    (vec_id / centroid_id only)."""
+    from temporalvault_spark.plans import shuffle_inputs
+
+    df = QUERIES["semdedup"](spark, sf_dir)
+    df.collect()
+    for cols in shuffle_inputs(df):
+        if "vec_id" in cols and "e" not in [c.split("#")[0].strip() for c in cols.split(",")]:
+            continue  # slim verdict shuffle
+    c = plan_counts(df)
+    assert c["CartesianProduct"] == 0
