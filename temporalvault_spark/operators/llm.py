@@ -780,9 +780,11 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver (eval suites are small — thousands of docs); at larger bench
     sets the same positions frame OR-reduces into per-partition bitsets via
     treeAggregate instead, and the probe side is unchanged. Membership runs
-    as an Arrow-batched pandas UDF over the k-position arrays (a NumPy
-    bitset index — the one place Python appears, and it touches k ints per
-    gram, never text)."""
+    as an Arrow-batched pandas UDF over the k-position arrays — one
+    vectorized NumPy gather per batch, no per-row Python. (A pure-JVM
+    variant broadcasting the bitset as an array<int> column was measured
+    SLOWER: the joined array column is copied per gram row — 128 KiB × rows
+    — where the Python-worker broadcast ships the bitset once per core.)"""
     import numpy as np
     import pandas as pd
 
@@ -818,11 +820,13 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pandas_udf cannot resolve string hints for a locally-imported pd
     def _might_contain(pos):
         b = bc.value
-        out = []
-        for ps in pos:
-            a = np.asarray(ps, dtype=np.int64)
-            out.append(bool(np.all(b[a >> 3] & (1 << (a & 7)).astype(np.uint8))))
-        return pd.Series(out)
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        # every row carries exactly BLOOM_K positions -> one (n, k) matrix,
+        # one vectorized gather, one all-reduce — no per-row Python loop
+        a = np.vstack([np.asarray(p, dtype=np.int64) for p in pos])
+        hits = (b[a >> 3] & (1 << (a & 7)).astype(np.uint8)) != 0
+        return pd.Series(hits.all(axis=1))
 
     might_contain = F.pandas_udf(_might_contain, "boolean")
 

@@ -45,13 +45,21 @@ def _norm(a):
 
 def cosine_scores(emb: DataFrame, probe: DataFrame) -> DataFrame:
     """score(vec, probe) for every vector: one broadcast of the 1-row probe,
-    one codegen'd projection — the fact side never shuffles."""
+    one codegen'd projection — the fact side never shuffles.
+
+    Norm hoisting (the module-wide pattern): Spark evaluates higher-order
+    array folds INTERPRETED (no codegen), so every fold per row matters.
+    The probe's norm is folded once on the broadcast side instead of once
+    per corpus row — the value is the same fold over the same array, so
+    scores stay bit-identical to the inline form the oracle replays."""
     e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
-    p = probe.select(F.col("embedding").cast("array<double>").alias("p"))
+    p = probe.select(F.col("embedding").cast("array<double>").alias("p")).withColumn(
+        "pn", _norm(F.col("p"))
+    )
     return e.crossJoin(F.broadcast(p)).select(
         "vec_id",
         "label",
-        (_dot(F.col("e"), F.col("p")) / (_norm(F.col("e")) * _norm(F.col("p")))).alias("cosine"),
+        (_dot(F.col("e"), F.col("p")) / (_norm(F.col("e")) * F.col("pn"))).alias("cosine"),
     )
 
 
@@ -136,14 +144,18 @@ def assign_to_centroids(e: DataFrame, centroids: DataFrame | None = None) -> Dat
 
     ``centroids`` defaults to the fixed oracle-replayable set; pass a
     train_centroids frame for k-means assignment (same argmax, same
-    tie-break)."""
-    cent_row = (centroids if centroids is not None else centroid_frame(e)).agg(
-        F.array_sort(F.collect_list(F.struct("centroid_id", "ce"))).alias("cents")
+    tie-break). Centroid norms are folded ONCE into the broadcast struct
+    (not per vector x centroid — array folds are interpreted, so that
+    factor-C saving is real); same fold, same value, bit-identical argmax."""
+    cent_row = (
+        (centroids if centroids is not None else centroid_frame(e))
+        .withColumn("cn", _norm(F.col("ce")))
+        .agg(F.array_sort(F.collect_list(F.struct("centroid_id", "ce", "cn"))).alias("cents"))
     )
     scored = F.transform(
         F.col("cents"),
         lambda c: F.struct(
-            (_dot(F.col("e"), c["ce"]) / _norm(c["ce"])).alias("csim"),
+            (_dot(F.col("e"), c["ce"]) / c["cn"]).alias("csim"),
             (-c["centroid_id"]).alias("neg_cid"),
         ),
     )
@@ -193,7 +205,11 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
     cent = centroid_frame(e)
     assign = assign_to_centroids(e).select("vec_id", "label", "e", "centroid_id")
-    probe = e.filter(F.col("vec_id") == SIM_PROBE_VEC_ID).select(F.col("e").alias("pe"))
+    probe = (
+        e.filter(F.col("vec_id") == SIM_PROBE_VEC_ID)
+        .select(F.col("e").alias("pe"))
+        .withColumn("pn", _norm(F.col("pe")))  # folded once, not per corpus row
+    )
     probe_clusters = (
         cent.crossJoin(F.broadcast(probe))
         .withColumn("psim", _dot(F.col("pe"), F.col("ce")) / _norm(F.col("ce")))
@@ -201,7 +217,7 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(N_PROBE_CLUSTERS)
         .select("centroid_id")
     )
-    cos = _dot(F.col("e"), F.col("pe")) / (_norm(F.col("e")) * _norm(F.col("pe")))
+    cos = _dot(F.col("e"), F.col("pe")) / (_norm(F.col("e")) * F.col("pn"))
     return (
         assign.join(F.broadcast(probe_clusters), "centroid_id")
         .crossJoin(F.broadcast(probe))
@@ -229,11 +245,15 @@ def knn_join(emb: DataFrame, probes: DataFrame, k: int = KNN_K) -> DataFrame:
     independent of corpus size."""
     from pyspark.sql import Window
 
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    # norms fold once per side, not once per (vector x probe) pair — the
+    # same folds over the same arrays, so cosines are bit-identical
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("na", _norm(F.col("e")))
     p = probes.select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").cast("array<double>").alias("p")
-    )
-    cos = _dot(F.col("e"), F.col("p")) / (_norm(F.col("e")) * _norm(F.col("p")))
+    ).withColumn("pn", _norm(F.col("p")))
+    cos = _dot(F.col("e"), F.col("p")) / (F.col("na") * F.col("pn"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         e.crossJoin(F.broadcast(p))
@@ -296,10 +316,10 @@ def knn_join_ivf(
     from pyspark.sql import Window
 
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    assign = assign_to_centroids(e)
+    assign = assign_to_centroids(e).withColumn("na", _norm(F.col("e")))
     p = probes.select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").cast("array<double>").alias("p")
-    )
+    ).withColumn("pn", _norm(F.col("p")))
     cents = centroid_frame(e)
     w_pc = Window.partitionBy("probe_id").orderBy(F.desc("psim"), F.asc("centroid_id"))
     probe_clusters = (
@@ -307,9 +327,9 @@ def knn_join_ivf(
         .withColumn("psim", _dot(F.col("p"), F.col("ce")) / _norm(F.col("ce")))
         .withColumn("crank", F.row_number().over(w_pc))
         .filter(F.col("crank") <= nprobe)
-        .select("probe_id", "p", "centroid_id")
+        .select("probe_id", "p", "pn", "centroid_id")
     )
-    cos = _dot(F.col("e"), F.col("p")) / (_norm(F.col("e")) * _norm(F.col("p")))
+    cos = _dot(F.col("e"), F.col("p")) / (F.col("na") * F.col("pn"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         assign.join(F.broadcast(probe_clusters), "centroid_id")
@@ -421,19 +441,43 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_DUP_THRESHOLD = 0.45
 
 
-def embedding_cosine_pairs(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> DataFrame:
+def assign_with_norm(emb: DataFrame) -> DataFrame:
+    """Materialized (vec_id, e, nrm, centroid_id) assignment — THE shared
+    input of the pair-join family (embedding_cosine_pairs, semdedup). The
+    per-vector norm folds once here instead of once per PAIR side (array
+    folds are interpreted — 3 folds/pair vs 1 is a real 3x), and the eager
+    localCheckpoint materializes the argmax once for every downstream
+    reference (self-join aliases + verdict base would otherwise each re-run
+    the full assignment). At cluster scale this frame is the precomputed,
+    centroid-partitioned assignment table (ivf_index.py persists exactly
+    this). Values are bit-identical to the inline forms: same folds, same
+    arrays, same order — only computed once."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    return (
+        assign_to_centroids(e)
+        .select(
+            "vec_id",
+            "e",
+            _norm(F.col("e")).alias("nrm"),
+            F.coalesce("centroid_id", F.lit(-1)).alias("centroid_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD, assign: DataFrame | None = None
+) -> DataFrame:
     """Embedding-cosine near-dup: pairs of vectors in the SAME IVF cluster
     with cosine >= threshold. Cluster blocking makes the self-join an
     equi-join on centroid_id — candidate fan-out is sum(cluster²), never
     corpus² — which is exactly how embedding dedup runs at corpus scale
     (cluster assignment precomputed + partitioned-by). Recall is cluster-local
     by contract; crafted-duplicate recall is pinned in tests/test_llm_dedup.py."""
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    assign = assign_to_centroids(e).select(
-        "vec_id", "e", F.coalesce("centroid_id", F.lit(-1)).alias("centroid_id")
-    )
+    if assign is None:
+        assign = assign_with_norm(emb)
     a, b = assign.alias("a"), assign.alias("b")
-    cos = _dot(F.col("a.e"), F.col("b.e")) / (_norm(F.col("a.e")) * _norm(F.col("b.e")))
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
@@ -493,13 +537,13 @@ def semdedup_verdicts(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> D
     Scale shape: identical to embedding_cosine_pairs (cluster-blocked
     equi-join, fan-out sum(cluster^2), wide vectors never on the pair
     shuffle — only (vec_id, centroid_id, drop-bit) leave the join), plus
-    one slim left-anti-style join of verdicts back onto the assignment."""
-    pairs = embedding_cosine_pairs(emb, threshold)
+    one slim left-anti-style join of verdicts back onto the assignment.
+    The assignment materializes ONCE (assign_with_norm) and feeds both
+    pair sides and the verdict base."""
+    shared = assign_with_norm(emb)
+    pairs = embedding_cosine_pairs(emb, threshold, assign=shared)
     dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    assign = assign_to_centroids(e).select(
-        "vec_id", F.coalesce("centroid_id", F.lit(-1)).alias("centroid_id")
-    )
+    assign = shared.select("vec_id", "centroid_id")
     return assign.join(
         dropped.withColumn("is_dropped", F.lit(True)), "vec_id", "left"
     ).select(

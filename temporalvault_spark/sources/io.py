@@ -3,9 +3,9 @@ handling centralized.
 
 The reference's only 'source' is PostgreSQL-via-ORM (database.py:18-36) and
 its only 'sink' JSON-over-HTTP; the engine reads/writes columnar files. All
-three text/columnar formats route through one reader so the
-TIMESTAMP(NANOS)→timestamp normalization (see session.RUNTIME_CONFS) happens
-in exactly one place.
+formats (parquet/orc/csv/json — anything Spark's DataSource API names) route
+through one reader so the TIMESTAMP(NANOS)→timestamp normalization (see
+session.RUNTIME_CONFS) happens in exactly one place.
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ def read_table(
     ts_cols: tuple[str, ...] = (),
     **options,
 ) -> DataFrame:
-    """Read parquet/csv/json with explicit schema (never inferred at scale —
+    """Read parquet/orc/csv/json with explicit schema (never inferred at scale —
     inference is a full extra pass over text formats) and nanos-as-long
     timestamp normalization for the named ``ts_cols``."""
     tune(spark)

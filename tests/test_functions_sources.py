@@ -36,7 +36,7 @@ def test_csv_json_roundtrip(spark, tmp_path):
         (F.col("id") % 3).cast("string").alias("part"),
         (F.col("id") * 1.5).alias("x"),
     )
-    for fmt in ("csv", "json", "parquet"):
+    for fmt in ("csv", "json", "parquet", "orc"):
         path = str(tmp_path / f"rt_{fmt}")
         write_partitioned(df, path, fmt=fmt, partition_by=("part",))
         back = read_table(
