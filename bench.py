@@ -61,7 +61,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_components",
     "dedup_substring_spans",
+    "dedup_substring_apply",
     "semdedup",
+    "knn_join_ivf",
     "decontaminate_ngram_overlap",
     "bloom_decontaminate",
     "win_gapfill_locf",

@@ -347,6 +347,107 @@ def substring_spans(docs: DataFrame, k: int = SPAN_TOKENS) -> DataFrame:
 
 
 @query(
+    "dedup_substring_apply",
+    f"""WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+    sp AS (
+        SELECT doc_id, i,
+               md5(array_to_string(t[i+1:i+{SPAN_TOKENS}], ' ')) AS span_h
+        FROM toks, (SELECT unnest(range(0, 10000)) AS i) ix
+        WHERE len(t) >= {SPAN_TOKENS} AND i <= len(t) - {SPAN_TOKENS}),
+    rep AS (
+        SELECT span_h, MIN(doc_id) AS first_doc
+        FROM sp GROUP BY span_h HAVING COUNT(DISTINCT doc_id) > 1),
+    bad AS (
+        SELECT s.doc_id, s.i FROM sp s JOIN rep r ON s.span_h = r.span_h
+        WHERE s.doc_id != r.first_doc),
+    cov AS (
+        SELECT DISTINCT doc_id, unnest(range(i, i + {SPAN_TOKENS})) AS idx
+        FROM bad),
+    pos AS (
+        SELECT doc_id, i AS idx, t[i+1] AS tok
+        FROM toks, (SELECT unnest(range(0, 10000)) AS i) ix
+        WHERE i < len(t)),
+    kept AS (
+        SELECT p.doc_id, p.idx, p.tok
+        FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.idx = c.idx
+        WHERE c.doc_id IS NULL)
+    SELECT tk.doc_id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           CAST(len(tk.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_removed
+    FROM toks tk LEFT JOIN (
+        SELECT doc_id,
+               array_to_string(list(tok ORDER BY idx), ' ') AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id) k
+      ON tk.doc_id = k.doc_id""",
+)
+def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_spans_apply(_docs(spark, sf_dir))
+
+
+def substring_spans_apply(docs: DataFrame, k: int = SPAN_TOKENS) -> DataFrame:
+    """The APPLY stage of exact-substring dedup (Lee et al. 2021 §3: cut the
+    repeated span from all but one occurrence): every {SPAN_TOKENS}-token
+    window that also appears in an earlier document (first_doc = MIN doc_id
+    keeps its copy) marks its token range; marked ranges are spliced out and
+    the surviving tokens rejoined. Overlapping repeated spans merge by
+    construction (coverage is a set of token indexes, not intervals).
+
+    Scale shape, stage by stage: span fingerprints and the repeated-span
+    list are digest-only (16-byte hashes) — same as dedup_substring_spans;
+    the bad-window join is an equi-join on span_h whose build side (repeated
+    spans) is the small side by construction. Only the REBUILD stage carries
+    tokens across an exchange — (doc_id, idx, tok) rows grouped back per
+    doc — which is the irreducible cost of physically rewriting text, and it
+    shuffles each surviving token exactly once. Docs needing no splice pass
+    through the final left join unchanged (clean_text = original tokens)."""
+    toks = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", _tokens().alias("t"))
+    )
+    spans = toks.filter(F.size("t") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {k}), "
+                f"i -> md5(array_join(slice(t, i + 1, {k}), ' ')))"
+            )
+        ).alias("i", "span_h"),
+    )
+    rep = (
+        spans.groupBy("span_h")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("span_h", "first_doc")
+    )
+    bad = spans.join(rep, "span_h").filter(F.col("doc_id") != F.col("first_doc"))
+    cov = (
+        bad.select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("idx"))
+        .distinct()
+    )
+    pos = toks.select("doc_id", F.posexplode("t").alias("idx", "tok"))
+    kept = pos.join(cov, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return toks.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.size("t") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias("n_tokens_removed"),
+    )
+
+
+@query(
     "text_normalize",
     """SELECT doc_id,
            regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),

@@ -189,3 +189,42 @@ def test_semdedup_keeps_chain_head_only(spark):
     assert got[100] is True  # chain head (smallest id in the family)
     assert got[101] is False and got[102] is False  # near-dups dropped
     assert got[103] is True  # same cluster, below threshold
+
+
+def test_substring_apply_splices_repeats_keeps_first(spark):
+    """The shared 10-token passage survives in the FIRST doc and is cut from
+    the second; non-shared surroundings survive everywhere; an untouched doc
+    passes through identical."""
+    from temporalvault_spark.operators.llm import substring_spans_apply
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d0 = f"intro words here {shared} closing remarks"
+    d1 = f"other leading text {shared} different tail"
+    d2 = "entirely unrelated tokens with no overlap at all whatsoever today"
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate([d0, d1, d2])],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    got = {r["doc_id"]: r for r in substring_spans_apply(df).collect()}
+    assert got[0]["clean_text"] == d0 and got[0]["n_tokens_removed"] == 0
+    assert got[1]["clean_text"] == "other leading text different tail"
+    assert got[1]["n_tokens_removed"] == 10
+    assert got[2]["clean_text"] == d2 and got[2]["n_tokens_removed"] == 0
+
+
+def test_substring_apply_merges_overlapping_spans(spark):
+    """Two repeated spans overlapping in the victim doc: coverage merges (a
+    token counted once), so an 11-token shared run removes exactly 11."""
+    from temporalvault_spark.operators.llm import substring_spans_apply
+
+    run = "a b c d e f g h i j k"  # 11 tokens -> two overlapping 10-windows
+    d0 = f"{run} first home"
+    d1 = f"start {run} end"
+    df = spark.createDataFrame(
+        [(0, d0, "en", "s", 1), (1, d1, "en", "s", 1)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    got = {r["doc_id"]: r for r in substring_spans_apply(df).collect()}
+    assert got[0]["n_tokens_removed"] == 0
+    assert got[1]["clean_text"] == "start end"
+    assert got[1]["n_tokens_removed"] == 11
