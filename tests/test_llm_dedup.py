@@ -228,3 +228,63 @@ def test_substring_apply_merges_overlapping_spans(spark):
     assert got[0]["n_tokens_removed"] == 0
     assert got[1]["clean_text"] == "start end"
     assert got[1]["n_tokens_removed"] == 11
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_substring_apply(texts, k):
+    """Pure-Python reference of substring_spans_apply: rolling k-windows,
+    cross-doc repeats keep only MIN doc_id's copy, covered indexes spliced."""
+    toks = {i: t.lower().strip().split(" ") for i, t in enumerate(texts)}
+    first_doc: dict[tuple, int] = {}
+    docs_with: dict[tuple, set] = {}
+    for d in sorted(toks):
+        t = toks[d]
+        for i in range(len(t) - k + 1):
+            w = tuple(t[i : i + k])
+            first_doc.setdefault(w, d)
+            docs_with.setdefault(w, set()).add(d)
+    out = {}
+    for d, t in toks.items():
+        covered = set()
+        for i in range(len(t) - k + 1):
+            w = tuple(t[i : i + k])
+            if len(docs_with[w]) > 1 and first_doc[w] != d:
+                covered.update(range(i, i + k))
+        kept = [tok for j, tok in enumerate(t) if j not in covered]
+        out[d] = (" ".join(kept), len(t) - len(kept))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_substring_apply_matches_python_reference(spark, docs):
+    """Differential property test: the Spark splice pipeline must equal the
+    direct Python reference on random tiny corpora — same cleaned text and
+    removal counts for every doc (tiny alphabet makes cross-doc repeated
+    3-windows common, so the splice path is actually exercised)."""
+    from temporalvault_spark.operators.llm import substring_spans_apply
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in substring_spans_apply(df, k=3).collect()
+    }
+    assert got == _py_substring_apply(docs, 3)
