@@ -104,6 +104,46 @@ def _q_dedup_ngram_jaccard_decorated(spark: SparkSession, sf_dir: str) -> DataFr
     return ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def shingle_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs, n_sh): each doc's distinct word-3-gram shingle set as md5
+    digests — the signature frame every minhash consumer (in-memory pair
+    join, persisted band index) derives from. The explicit numbered
+    repartition spreads the CPU-bound md5 pass across cores (the testdata
+    corpus arrives as one file = one partition; AQE won't coalesce a
+    user-numbered repartition)."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(n_parts)
+        .select("doc_id", _tokens().alias("t"))
+        .filter(F.size("t") >= 3)
+    )
+    shingles = F.array_distinct(
+        F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")
+    )
+    return toks.select(
+        "doc_id", F.transform(shingles, lambda x: F.md5(x)).alias("hs")
+    ).withColumn("n_sh", F.size("hs"))
+
+
+def band_sketch(sh: DataFrame, n_bands: int = NGRAM_BANDS) -> DataFrame:
+    """Slim banded sketch from a signature frame: per (doc, band) the min of
+    the band's 8-hex digest slice (one-permutation hashing — the b families
+    cost ONE md5 per shingle, band b reads the b-th 32-bit slice).
+    coalesce() keeps min_h non-nullable (no inferred isnotnull pushdown)."""
+    return sh.select(
+        "doc_id",
+        "n_sh",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> struct("
+                "b AS band, "
+                "coalesce(array_min(transform(hs, "
+                "h -> substring(h, b * 8 + 1, 8))), '') AS min_h))"
+            )
+        ).alias("bh"),
+    ).select("doc_id", "n_sh", F.col("bh.band").alias("band"), F.col("bh.min_h").alias("min_h"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.6, n_bands: int = NGRAM_BANDS
 ) -> DataFrame:
@@ -141,42 +181,12 @@ def ngram_jaccard_pairs(
          construction, so broadcasting the reduced arrays is bounded.
     Everything is md5-deterministic, so the DuckDB oracle replays it exactly.
     """
-    spark = docs.sparkSession
-    # explicit numbered repartition: the corpus arrives as one small file =
-    # one partition, and the per-shingle md5 work below is CPU-bound — spread
-    # it before computing (AQE won't coalesce a user-numbered repartition)
-    n_parts = spark.sparkContext.defaultParallelism
-    toks = (
-        docs.repartition(n_parts)
-        .select("doc_id", _tokens().alias("t"))
-        .filter(F.size("t") >= 3)
-    )
-    shingles = F.array_distinct(
-        F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")
-    )
     # THE one corpus pass: signature set per doc (md5 per distinct shingle).
     # Eager checkpoint = by-result reuse; by-lineage reuse would re-expand
     # this subtree into every downstream reference (observed: 8 FileScans,
     # 8 passes over the text at corpus scale).
-    sh = (
-        toks.select("doc_id", F.transform(shingles, lambda x: F.md5(x)).alias("hs"))
-        .withColumn("n_sh", F.size("hs"))
-        .localCheckpoint(eager=True)
-    )
-    # slim banded sketch: per (doc, band) the min of the band's digest slice.
-    # coalesce() keeps min_h non-nullable (no inferred isnotnull pushdown).
-    banded = sh.select(
-        "doc_id",
-        "n_sh",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_bands - 1}), b -> struct("
-                "b AS band, "
-                "coalesce(array_min(transform(hs, "
-                "h -> substring(h, b * 8 + 1, 8))), '') AS min_h))"
-            )
-        ).alias("bh"),
-    ).select("doc_id", "n_sh", F.col("bh.band").alias("band"), F.col("bh.min_h").alias("min_h"))
+    sh = shingle_signatures(docs).localCheckpoint(eager=True)
+    banded = band_sketch(sh, n_bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -1,0 +1,124 @@
+"""Persisted MinHash band index: incremental near-dup detection against an
+existing corpus WITHOUT rescanning it.
+
+The in-memory form (llm.ngram_jaccard_pairs) is a self-join — right for a
+one-shot dedup of a whole corpus. But a training-data pipeline mostly asks
+the incremental question: "is this NEW batch a near-dup of anything already
+ingested?" At 100 TB you cannot re-shingle the corpus per batch, so the
+band sketch becomes a TABLE: (doc_id, n_sh, band, min_h) written partitioned
+by (band, bkt) where bkt is the first two hex chars of the band minimum —
+up to 4 x 256 directories, each holding one band-bucket slice. A query
+batch's sketch touches only its own (band, bkt) partitions (directory-level
+pruning, PartitionFilters in the plan is the proof), so probe cost scales
+with the BATCH, not the corpus. Signatures live in an underscore-prefixed
+sidecar (ignored by index scans) for the exact-Jaccard verify, read only
+for candidate docs.
+
+Same one-permutation md5 scheme as the oracle-checked dedup_ngram_jaccard
+(llm.shingle_signatures / band_sketch — shared code, cannot drift), so an
+index build is deterministic and reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporalvault_spark.operators.llm import (
+    NGRAM_BANDS,
+    band_sketch,
+    shingle_signatures,
+)
+
+
+def build_minhash_index(docs: DataFrame, path: str, n_bands: int = NGRAM_BANDS) -> None:
+    """One-time (or per-ingest-append) index build: shingle+hash the corpus
+    once, write the slim band sketch partitioned by (band, bkt) and the
+    signature sets as the `_signatures` sidecar. The sketch rows are
+    16-ish bytes of payload — the index is a small fraction of the corpus,
+    and the expensive md5 pass is paid once here instead of once per query
+    batch."""
+    sh = shingle_signatures(docs).localCheckpoint(eager=True)  # one md5 pass
+    banded = band_sketch(sh, n_bands).withColumn("bkt", F.substring("min_h", 1, 2))
+    (
+        banded.repartition("band", "bkt")
+        .write.mode("overwrite")
+        .partitionBy("band", "bkt")
+        .parquet(path)
+    )
+    sh.write.mode("overwrite").parquet(f"{path}/_signatures")
+
+
+def query_minhash_index(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.6,
+    n_bands: int = NGRAM_BANDS,
+) -> DataFrame:
+    """Near-dup pairs (query_doc, index_doc, jaccard >= threshold) between a
+    new batch and the indexed corpus.
+
+    Probe shape: the batch's own sketch is computed fresh (batch-sized md5
+    pass); its distinct (band, bkt) keys — at most n_bands x |batch| of
+    them — collect to the driver and become an explicit partition-pruning
+    predicate, so the index scan reads only those directories. Candidates
+    equi-join on (band, min_h) with the same lossless size-ratio prefilter
+    as the in-memory operator; the exact verify broadcasts the batch's
+    signature sets (a query batch is small by contract) against the
+    sidecar's signatures semi-reduced to candidate index docs."""
+    qsh = shingle_signatures(new_docs).localCheckpoint(eager=True)
+    qbanded = band_sketch(qsh, n_bands).withColumn("bkt", F.substring("min_h", 1, 2))
+
+    hit_bkts: dict[int, list[str]] = {}
+    for r in qbanded.select("band", "bkt").distinct().collect():
+        hit_bkts.setdefault(r["band"], []).append(r["bkt"])
+    if not hit_bkts:
+        schema = "query_doc bigint, index_doc bigint, jaccard double"
+        return spark.createDataFrame([], schema)
+    prune = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("band") == band) & F.col("bkt").isin(bkts)
+            for band, bkts in hit_bkts.items()
+        ],
+    )
+    idx = spark.read.parquet(index_path).filter(prune)
+
+    q = qbanded.select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("n_sh").alias("q_n_sh"),
+        "band",
+        "min_h",
+    )
+    cand = (
+        idx.join(F.broadcast(q), ["band", "min_h"])
+        .filter(
+            # lossless prefilter: jaccard >= 0.6 bounds the set-size ratio
+            F.least("n_sh", "q_n_sh") * 5 >= F.greatest("n_sh", "q_n_sh") * 3
+        )
+        .select(F.col("q_doc"), F.col("doc_id").alias("index_doc"))
+        .distinct()
+    )
+    sig = spark.read.parquet(f"{index_path}/_signatures")
+    sig_red = sig.join(
+        F.broadcast(cand.select(F.col("index_doc").alias("doc_id")).distinct()),
+        "doc_id",
+        "semi",
+    ).select(F.col("doc_id").alias("i_id"), F.col("hs").alias("i_hs"))
+    qsig = F.broadcast(qsh.select(F.col("doc_id").alias("q_id"), F.col("hs").alias("q_hs")))
+    jac = F.size(F.array_intersect(F.col("q_hs"), F.col("i_hs"))).cast("double") / F.size(
+        F.array_union(F.col("q_hs"), F.col("i_hs"))
+    )
+    return (
+        cand.join(qsig, F.col("q_doc") == F.col("q_id"))
+        .join(sig_red, F.col("index_doc") == F.col("i_id"))
+        .select(
+            F.col("q_doc").alias("query_doc"),
+            "index_doc",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(jac >= threshold)
+    )
