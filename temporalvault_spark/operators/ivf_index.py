@@ -22,6 +22,26 @@ from temporalvault_spark.operators.similarity import (
 )
 
 
+def append_to_ivf_index(emb: DataFrame, path: str) -> None:
+    """Incremental index ingest: assign a NEW batch of vectors against the
+    index's OWN persisted centroids (the `_centroids` sidecar — never
+    recomputed, so assignment stays consistent with every earlier batch)
+    and append into the same centroid_id partition directories. An
+    append-only job touching only the batch; probes see the new vectors
+    immediately through the unchanged partition layout. vec_id uniqueness
+    across appends is the caller's contract."""
+    spark = emb.sparkSession
+    cents = spark.read.parquet(f"{path}/_centroids")
+    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    (
+        assign_to_centroids(e, cents)
+        .repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
 def build_ivf_index(emb: DataFrame, path: str, centroids: DataFrame | None = None) -> None:
     """One-time index build: assign every vector to its nearest centroid
     (the SAME shared assignment the oracle-checked queries use) and

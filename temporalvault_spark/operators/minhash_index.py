@@ -33,22 +33,29 @@ from temporalvault_spark.operators.llm import (
 )
 
 
-def build_minhash_index(docs: DataFrame, path: str, n_bands: int = NGRAM_BANDS) -> None:
-    """One-time (or per-ingest-append) index build: shingle+hash the corpus
-    once, write the slim band sketch partitioned by (band, bkt) and the
-    signature sets as the `_signatures` sidecar. The sketch rows are
-    16-ish bytes of payload — the index is a small fraction of the corpus,
-    and the expensive md5 pass is paid once here instead of once per query
-    batch."""
+def build_minhash_index(
+    docs: DataFrame, path: str, n_bands: int = NGRAM_BANDS, append: bool = False
+) -> None:
+    """Index build: shingle+hash the corpus once, write the slim band sketch
+    partitioned by (band, bkt) and the signature sets as the `_signatures`
+    sidecar. The sketch rows are 16-ish bytes of payload — the index is a
+    small fraction of the corpus, and the expensive md5 pass is paid once
+    here instead of once per query batch.
+
+    ``append=True`` adds a new batch's sketch+signatures to an existing
+    index (new parquet files inside the same (band, bkt) directories — an
+    append-only ingest, no rewrite of existing data); doc_ids are the
+    caller's contract to keep unique across appends."""
+    mode = "append" if append else "overwrite"
     sh = shingle_signatures(docs).localCheckpoint(eager=True)  # one md5 pass
     banded = band_sketch(sh, n_bands).withColumn("bkt", F.substring("min_h", 1, 2))
     (
         banded.repartition("band", "bkt")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("band", "bkt")
         .parquet(path)
     )
-    sh.write.mode("overwrite").parquet(f"{path}/_signatures")
+    sh.write.mode(mode).parquet(f"{path}/_signatures")
 
 
 def query_minhash_index(

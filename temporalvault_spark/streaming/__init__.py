@@ -1,6 +1,7 @@
 from temporalvault_spark.streaming.jobs import (
     clicks_to_purchases_join,
     dedup_events_stream,
+    dedup_ingest_stream,
     events_stream,
     ingest_into_vault,
     latest_state_stream,
@@ -19,5 +20,6 @@ __all__ = [
     "latest_state_stream",
     "run_available_now",
     "ingest_into_vault",
+    "dedup_ingest_stream",
     "clicks_to_purchases_join",
 ]

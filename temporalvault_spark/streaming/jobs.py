@@ -303,6 +303,79 @@ def stream_into_rollup(rollup, events: DataFrame, checkpoint: str, available_now
     return writer.start()
 
 
+def dedup_ingest_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint: str,
+    threshold: float = 0.6,
+    available_now: bool = True,
+):
+    """Streaming incremental near-dup gate: each micro-batch of documents is
+    probed against the persisted MinHash band index
+    (operators/minhash_index.py); batch docs that near-dup an already-
+    ingested doc (jaccard >= threshold) are REJECTED, the survivors are
+    appended to the accepted-corpus parquet AND their sketch+signatures are
+    appended to the index — so later batches dedup against them too. This
+    is the composition a continuous training-data ingest actually runs:
+    sketch once per batch, probe partition-pruned, corpus never rescanned.
+
+    Within-batch duplicates are also collapsed (the in-memory pair join on
+    just the batch — batch-sized, cheap): the lowest doc_id of each
+    batch-local near-dup group survives, mirroring dedup_apply's keeper
+    rule. Exactly-once: batch_id-tagged marker files make the append
+    idempotent under foreachBatch replays (replayed batches skip)."""
+    import os
+
+    from temporalvault_spark.operators.llm import ngram_jaccard_pairs
+    from temporalvault_spark.operators.minhash_index import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    marker_dir = f"{accepted_path}/_ingest_batches"
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{marker_dir}/{batch_id}"
+        if os.path.exists(marker):
+            return  # replayed batch — already committed
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)  # stream source -> plain frame
+        # cross-batch rejects: anything near-dupping the indexed corpus
+        idx_exists = os.path.exists(f"{index_path}/_signatures")
+        if idx_exists:
+            hits = query_minhash_index(spark, index_path, batch, threshold)
+            cross_rej = hits.select(F.col("query_doc").alias("doc_id")).distinct()
+        else:
+            cross_rej = None
+        # within-batch rejects: keep the lowest doc_id of each local pair
+        local_rej = (
+            ngram_jaccard_pairs(batch, threshold)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        survivors = batch.join(local_rej, "doc_id", "left_anti")
+        if cross_rej is not None:
+            survivors = survivors.join(cross_rej, "doc_id", "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(accepted_path)
+        build_minhash_index(survivors, index_path, append=idx_exists)
+        with open(marker, "w") as f:
+            f.write("committed")
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()
+
+
 def run_available_now(
     stream_df: DataFrame,
     name: str,

@@ -192,3 +192,32 @@ def test_knn_join_ivf_matches_exact_within_clusters(spark):
     for (pid, _rank), (nid, cos) in ivf.items():
         if (pid, nid) in exact_by_neighbor:
             assert cos == exact_by_neighbor[(pid, nid)]
+
+
+def test_append_to_ivf_index_searchable_and_consistent(spark, sf_dir, tmp_path_factory):
+    """Appended vectors assign against the index's persisted centroids (not
+    recomputed), land in the same partition layout, and become immediately
+    searchable: an appended near-copy of the probe must rank first."""
+    from temporalvault_spark.operators.ivf_index import append_to_ivf_index
+
+    path = str(tmp_path_factory.mktemp("ivf_app") / "index")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    build_ivf_index(emb, path)
+    n0 = spark.read.parquet(path).count()
+
+    probe_row = emb.filter("vec_id = 0").first()
+    probe = [float(x) for x in probe_row["embedding"]]
+    twin = [x * 0.999 for x in probe]  # near-identical direction, new id
+    batch = spark.createDataFrame(
+        [(900000, twin, 9)], "vec_id bigint, embedding array<float>, label int"
+    )
+    append_to_ivf_index(batch, path)
+
+    idx = spark.read.parquet(path)
+    assert idx.count() == n0 + 1
+    # the appended vector shares the probe's cluster (same centroid set)
+    c_twin = idx.filter("vec_id = 900000").first()["centroid_id"]
+    c_probe = idx.filter("vec_id = 0").first()["centroid_id"]
+    assert c_twin == c_probe
+    top = ivf_search(spark, path, probe, k=2, nprobe=4).collect()
+    assert {r["vec_id"] for r in top} >= {900000}  # twin in the top-2

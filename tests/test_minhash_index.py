@@ -68,3 +68,52 @@ def test_query_scan_is_partition_pruned(spark, index_path):
 def test_empty_batch_returns_empty(spark, index_path):
     batch = _docs_df(spark, ["xx yy"], id0=200)  # < 3 tokens -> no shingles
     assert query_minhash_index(spark, index_path, batch).count() == 0
+
+
+def test_dedup_ingest_stream_end_to_end(spark, tmp_path_factory):
+    """Streaming incremental-dedup gate over two micro-batches:
+    batch 1 seeds the corpus+index; batch 2's cross-batch near-dup is
+    rejected, its within-batch dup group keeps only the lowest id, its
+    novel doc is accepted and indexed. A replay with a fresh checkpoint
+    (same batch ids) must be a no-op (marker idempotency)."""
+    from temporalvault_spark.streaming import dedup_ingest_stream
+
+    root = tmp_path_factory.mktemp("dedup_ingest")
+    src, idx, acc = str(root / "src"), str(root / "idx"), str(root / "acc")
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    b2_base = (
+        "observing elephants requires patience since wild herds wander across "
+        "open savanna daily seeking water shade and fresh grass before dusk"
+    )
+    batch1 = _docs_df(spark, [BASE, FAR])                      # ids 0, 1
+    batch2 = spark.createDataFrame(
+        [
+            (100, NEAR, "en", "s", 1),                          # cross-batch dup of 0
+            (101, NOVEL, "en", "s", 1),                         # novel -> accepted
+            (102, b2_base, "en", "s", 1),                       # within-batch pair,
+            (103, b2_base.replace("patience", "stamina"), "en", "s", 1),  # keep 102
+        ],
+        schema,
+    )
+
+    batch1.write.mode("overwrite").parquet(f"{src}/b1.parquet")
+    stream = spark.readStream.schema(batch1.schema).parquet(f"{src}/*.parquet")
+    dedup_ingest_stream(stream, idx, acc, str(root / "ck1"))
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {0, 1}
+
+    batch2.write.mode("overwrite").parquet(f"{src}/b2.parquet")
+    dedup_ingest_stream(stream, idx, acc, str(root / "ck1"))
+    got = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    assert got == {0, 1, 101, 102}  # 100 rejected cross-batch, 103 within-batch
+
+    # later batches dedup against batch-2 survivors too: 102 is indexed now
+    probe = _docs_df(spark, [b2_base.replace("daily", "nightly")], id0=300)
+    from temporalvault_spark.operators.minhash_index import query_minhash_index
+
+    hits = query_minhash_index(spark, idx, probe).collect()
+    assert {(r["query_doc"], r["index_doc"]) for r in hits} == {(300, 102)}
+
+    # replay idempotency: fresh checkpoint -> same batch ids -> markers skip
+    dedup_ingest_stream(stream, idx, acc, str(root / "ck2"))
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == got
