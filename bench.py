@@ -34,10 +34,23 @@ HEADLINE = [
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_orders",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_cnt",
     "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q20_potential_promotion",
     "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales",
     "join_broadcast",
     "join_inner_hash",
     "topn_per_group",
@@ -74,6 +87,7 @@ HEADLINE = [
     "session_paths_top",
     "doc_fingerprint",
     "text_stats",
+    "token_entropy",
     "sim_topk_cosine",
     "sim_ivf_ann",
 ]

@@ -486,6 +486,80 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOCKED_SOURCES = ("src3", "src7", "src13")  # fixed stand-in for a blocklist table
+
+
+@query(
+    "source_blocklist_filter",
+    f"""SELECT d.doc_id, d.source, d.lang
+    FROM documents d
+    WHERE d.source NOT IN ({", ".join(f"'{s}'" for s in BLOCKED_SOURCES)})""",
+)
+def q_source_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/domain blocklist filtering — the provenance gate every corpus
+    passes before content-level stages (licensing takedowns, spam domains,
+    opt-outs). Here the blocklist is a fixed constant so the oracle replays
+    it; in production it is a table, and the plan is the same shape: a
+    broadcast anti-join (or an IN filter pushed to the scan, as this
+    constant form plans — PushedFilters carries the NOT IN)."""
+    d = _docs(spark, sf_dir)
+    return d.filter(~F.col("source").isin(*BLOCKED_SOURCES)).select(
+        "doc_id", "source", "lang"
+    )
+
+
+@query(
+    "token_entropy",
+    """WITH terms AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS c,
+               SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS n
+        FROM terms GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(-SUM((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 6)
+               AS entropy,
+           CASE WHEN COUNT(*) > 1
+                THEN ROUND(-SUM((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)))
+                           / ln(CAST(COUNT(*) AS DOUBLE)), 6)
+                ELSE 0.0 END AS norm_entropy
+    FROM tf GROUP BY doc_id""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram (Shannon) entropy per document plus the [0,1] normalized form
+    (entropy / ln(vocab)) — the information-density quality signal that
+    catches both keyword-stuffing (low) and random-token noise (high ~1).
+
+    Scale shape: one exploded (doc, token) aggregate with map-side combine
+    (the shuffle carries distinct (doc, token) counts, never tokens
+    per-occurrence), one per-doc window for the length, one final per-doc
+    aggregate. Entropy terms sum as doubles in arbitrary order in both
+    engines; values are rounded to 6 before comparison, the repo-wide
+    float-determinism contract."""
+    terms = _docs(spark, sf_dir).select("doc_id", F.explode(_tokens()).alias("tok"))
+    w = Window.partitionBy("doc_id")
+    tf = (
+        terms.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn("n", F.sum("c").over(w))
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    ent = -F.sum(p * F.log(p))
+    return tf.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.round(ent, 6).alias("entropy"),
+        F.when(
+            F.count("*") > 1, F.round(ent / F.log(F.count("*").cast("double")), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )
+
+
 # --- text analysis ---------------------------------------------------------
 
 
