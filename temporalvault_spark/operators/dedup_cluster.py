@@ -27,14 +27,52 @@ from temporalvault_spark.operators.llm import ngram_jaccard_pairs
 from temporalvault_spark.registry import query
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+SMALL_GRAPH_EDGES = 200_000
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, small_graph_edges: int = SMALL_GRAPH_EDGES
+) -> DataFrame:
     """edges(src, dst) → (node, component) where component is the minimum
-    node id reachable. Undirected."""
+    node id reachable. Undirected.
+
+    Hybrid execution, the standard shape for dedup graphs: near-dup edge
+    sets are a tiny fraction of the corpus (pairs ≪ docs by LSH
+    construction), so when the materialized edge count is ≤
+    ``small_graph_edges`` the component computation runs as driver-side
+    union-find over the collected pairs — one collect of slim (src, dst)
+    ids, zero iterative jobs — and the result is parallelized back. Above
+    the threshold (or with small_graph_edges=0, which the distributed-path
+    tests force) it runs the fully distributed min-label-propagation loop;
+    both paths produce the identical min-id labeling."""
     # checkpoint the edge list BEFORE symmetrizing: the union references the
     # edges subtree twice by lineage, so an expensive upstream producer
     # (e.g. the LSH pair pipeline) would otherwise execute twice inside the
     # first materialization — and again in every loop round via sym
     edges = edges.selectExpr("src", "dst").localCheckpoint(eager=True)
+    n_edges = edges.count()  # free: counts the materialized checkpoint
+    if n_edges <= small_graph_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        edge_rows = edges.collect()
+        nodes = set()
+        for r in edge_rows:
+            s, d = r["src"], r["dst"]
+            nodes.add(s)
+            nodes.add(d)
+            a, b = find(s), find(d)
+            if a != b:
+                parent[max(a, b)] = min(a, b)  # smaller id becomes the root
+        rows = [(int(n), int(find(n))) for n in sorted(nodes)]
+        return edges.sparkSession.createDataFrame(rows, "node bigint, component bigint")
     sym = edges.union(edges.selectExpr("dst AS src", "src AS dst"))
     labels = (
         sym.select(F.col("src").alias("node"))

@@ -109,7 +109,11 @@ def query_minhash_index(
         .select(F.col("q_doc"), F.col("doc_id").alias("index_doc"))
         .distinct()
     )
-    sig = spark.read.parquet(f"{index_path}/_signatures")
+    # dropDuplicates: a crashed-then-replayed index append (streaming ingest,
+    # marker lost after the write) can leave a doc's signature twice; the
+    # sketch side is immune (candidates are .distinct()ed) and this guard
+    # keeps the verify join exactly-once too
+    sig = spark.read.parquet(f"{index_path}/_signatures").dropDuplicates(["doc_id"])
     sig_red = sig.join(
         F.broadcast(cand.select(F.col("index_doc").alias("doc_id")).distinct()),
         "doc_id",

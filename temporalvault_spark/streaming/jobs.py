@@ -323,8 +323,18 @@ def dedup_ingest_stream(
     Within-batch duplicates are also collapsed (the in-memory pair join on
     just the batch — batch-sized, cheap): the lowest doc_id of each
     batch-local near-dup group survives, mirroring dedup_apply's keeper
-    rule. Exactly-once: batch_id-tagged marker files make the append
-    idempotent under foreachBatch replays (replayed batches skip)."""
+    rule.
+
+    Exactly-once across EVERY crash window: committed batches are marked
+    with batch_id files and replays skip them; a crash BETWEEN the appends
+    and the marker is repaired by the writes themselves — the accepted
+    corpus is partitioned by ingest_batch and written with dynamic
+    partition overwrite, so a replayed batch REWRITES its own partition
+    instead of double-appending, and the index query path deduplicates
+    signatures by doc_id (query_minhash_index), so a replayed index append
+    (new files in the same directories) cannot produce duplicate or
+    corrupted pairs. tests/test_minhash_index.py simulates the
+    marker-lost crash and pins both properties."""
     import os
 
     from temporalvault_spark.operators.llm import ngram_jaccard_pairs
@@ -359,7 +369,13 @@ def dedup_ingest_stream(
         if cross_rej is not None:
             survivors = survivors.join(cross_rej, "doc_id", "left_anti")
         survivors = survivors.localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(accepted_path)
+        (
+            survivors.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(accepted_path)
+        )
         build_minhash_index(survivors, index_path, append=idx_exists)
         with open(marker, "w") as f:
             f.write("committed")

@@ -85,15 +85,25 @@ def test_jaccard_candidate_shuffle_carries_no_shingle_arrays(spark, crafted):
         assert "shingles" not in cols, f"shingle array rides a shuffle: {cols}"
 
 
-def test_connected_components_crafted_graph(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("small_graph_edges", [200_000, 0])
+def test_connected_components_crafted_graph(spark, small_graph_edges):
     """Exact components on a known graph: {1,2,3} chained, {10,11}, isolated
-    nodes absent (only nodes appearing in edges get labels)."""
+    nodes absent (only nodes appearing in edges get labels). Parametrized
+    over BOTH execution paths — driver union-find (small-graph fast path)
+    and the distributed label-propagation loop (forced via threshold 0) —
+    which must produce the identical min-id labeling."""
     from temporalvault_spark.operators.dedup_cluster import connected_components
 
     edges = spark.createDataFrame(
         [(2, 1), (2, 3), (10, 11), (3, 7)], "src bigint, dst bigint"
     )
-    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, small_graph_edges=small_graph_edges).collect()
+    }
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
 
 

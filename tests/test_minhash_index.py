@@ -117,3 +117,36 @@ def test_dedup_ingest_stream_end_to_end(spark, tmp_path_factory):
     # replay idempotency: fresh checkpoint -> same batch ids -> markers skip
     dedup_ingest_stream(stream, idx, acc, str(root / "ck2"))
     assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == got
+
+
+def test_dedup_ingest_crash_window_replay_is_idempotent(spark, tmp_path_factory):
+    """Crash BETWEEN the appends and the marker write: the replay must not
+    double rows. The accepted corpus heals via dynamic partition overwrite
+    (a replayed batch rewrites its own ingest_batch partition) combined
+    with index self-dedup (the replayed docs near-dup their own indexed
+    copies, so survivors are empty); the query path stays duplicate-free
+    via the signature doc_id dedup guard."""
+    from temporalvault_spark.streaming import dedup_ingest_stream
+
+    root = tmp_path_factory.mktemp("dedup_crash")
+    src, idx, acc = str(root / "src"), str(root / "idx"), str(root / "acc")
+    batch1 = _docs_df(spark, [BASE, FAR])
+    batch1.write.mode("overwrite").parquet(f"{src}/b1.parquet")
+    stream = spark.readStream.schema(batch1.schema).parquet(f"{src}/*.parquet")
+
+    dedup_ingest_stream(stream, idx, acc, str(root / "ck1"))
+    import os
+
+    marker = f"{acc}/_ingest_batches/0"
+    assert os.path.exists(marker)
+    os.remove(marker)  # simulate: appends landed, marker write lost
+
+    dedup_ingest_stream(stream, idx, acc, str(root / "ck2"))  # replay batch 0
+    rows = spark.read.parquet(acc).collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1]  # no duplicate rows
+    assert os.path.exists(marker)  # marker restored by the replay
+
+    # query path: exactly one pair for a near-dup probe, never duplicates
+    probe = _docs_df(spark, [NEAR], id0=500)
+    hits = query_minhash_index(spark, idx, probe).collect()
+    assert [(r["query_doc"], r["index_doc"]) for r in hits] == [(500, 0)]
