@@ -70,6 +70,8 @@ HEADLINE = [
     "dedup_apply",
     "corpus_shuffle_shards",
     "sample_fixed_k",
+    "sample_fixed_k_per_group",
+    "source_overlap_matrix",
     "events_zscore_outliers",
     "dedup_ngram_jaccard",
     "dedup_components",

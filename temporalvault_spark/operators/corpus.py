@@ -589,3 +589,91 @@ def sample_fixed_k(docs: DataFrame, k: int = SAMPLE_K) -> DataFrame:
 )
 def q_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_fixed_k(_docs(spark, sf_dir))
+
+
+STRATA_K = 10
+
+
+@query(
+    "sample_fixed_k_per_group",
+    f"""SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR))) AS rn
+        FROM documents) x
+    WHERE rn <= {STRATA_K}""",
+)
+def q_sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-k sampling: exactly {STRATA_K} uniform draws per
+    source (fewer if the stratum is smaller) — the per-domain eval-set /
+    inspection-sample primitive. Same salted-md5 determinism as
+    sample_fixed_k, but the rank runs per stratum, so Spark plans a
+    WindowGroupLimit: each partition keeps only its local top-k per source
+    BEFORE the exchange — the shuffle is bounded by k x strata x
+    partitions slim rows, independent of corpus size."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    u = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "source", "lang", u.alias("u"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("source").orderBy("u")))
+        .filter(F.col("rn") <= STRATA_K)
+        .select("doc_id", "source", "lang")
+    )
+
+
+OVERLAP_NGRAM = 5
+
+
+@query(
+    "source_overlap_matrix",
+    f"""WITH toks AS (
+        SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS t
+        FROM documents),
+    grams AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(range(0, len(t) - {OVERLAP_NGRAM} + 1),
+                   i -> md5(array_to_string(t[i+1:i+{OVERLAP_NGRAM}], ' ')))) AS g
+        FROM toks WHERE len(t) >= {OVERLAP_NGRAM}),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+        FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT source_a, source_b, shared_ngrams FROM pairs
+    WHERE shared_ngrams > 0""",
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    distinct {OVERLAP_NGRAM}-gram fingerprints they share — the
+    boilerplate/mirror-detection analysis that tells a pipeline which
+    domains are republishing each other's content.
+
+    Scale shape: the corpus collapses to DISTINCT (source, gram-digest)
+    rows first (map-side combine; per-source vocabularies, not
+    per-occurrence streams), the pair join is an equi-join on the 16-byte
+    digest, and the matrix aggregate is |sources|^2-bounded output. Nothing
+    text-sized crosses an exchange."""
+    docs = _docs(spark, sf_dir)
+    n = OVERLAP_NGRAM
+    toks = docs.select("source", _tokens().alias("t")).filter(F.size("t") >= n)
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {n}), "
+                f"i -> md5(array_join(slice(t, i + 1, {n}), ' ')))"
+            )
+        ).alias("g"),
+    ).distinct()
+    a = grams.select(F.col("source").alias("source_a"), "g")
+    b = grams.select(F.col("source").alias("source_b"), "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") > 0)
+    )

@@ -239,3 +239,25 @@ def test_semdedup_vectors_never_ride_pair_shuffle(spark, sf_dir):
             continue  # slim verdict shuffle
     c = plan_counts(df)
     assert c["CartesianProduct"] == 0
+
+
+def test_stratified_sample_group_limits(q):
+    """Per-stratum fixed-k must plan as WindowGroupLimit (partition-local
+    top-k per source before the exchange), never a global sort."""
+    df = q("sample_fixed_k_per_group")
+    c = plan_counts(df)
+    assert c["WindowGroupLimit"] >= 1
+    assert c["TakeOrderedAndProject"] == 0  # no global-order path
+
+
+def test_source_overlap_shuffles_digests_only(spark, sf_dir):
+    """The overlap matrix's exchanges carry (source, 16-byte digest) or
+    matrix partials — never text or token arrays."""
+    from temporalvault_spark.plans import shuffle_inputs
+
+    df = QUERIES["source_overlap_matrix"](spark, sf_dir)
+    df.collect()
+    for cols in shuffle_inputs(df):
+        assert "text" not in cols and not any(
+            c.split("#")[0].strip() == "t" for c in cols.split(",")
+        )
