@@ -27,6 +27,8 @@ HEADLINE = [
     "asof_all_versions",
     "rollback_state",
     "compare_diff",
+    "compare_diff_all",
+    "keys_alive_daily",
     "join_asof",
     "agg_groupby_multi",
     "agg_grouping_sets",

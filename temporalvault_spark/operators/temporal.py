@@ -358,3 +358,134 @@ def q_asof_by_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("record_id", "version", "data", "ts")
     )
+
+
+@query(
+    "compare_diff_all",
+    temporal_oracle(
+        f""", s AS (
+          SELECT record_id, data FROM (
+            SELECT record_id, data,
+                   ROW_NUMBER() OVER (PARTITION BY record_id
+                                      ORDER BY version_num DESC) AS rn
+            FROM temporal_records WHERE ts <= TIMESTAMP '{PROBE_TS_EARLY}') x
+          WHERE rn = 1),
+        e AS (
+          SELECT record_id, data FROM (
+            SELECT record_id, data,
+                   ROW_NUMBER() OVER (PARTITION BY record_id
+                                      ORDER BY version_num DESC) AS rn
+            FROM temporal_records WHERE ts <= TIMESTAMP '{PROBE_TS_LATE}') x
+          WHERE rn = 1),
+        j AS (
+          SELECT COALESCE(s.record_id, e.record_id) AS record_id,
+                 s.data AS sd, e.data AS ed
+          FROM s FULL OUTER JOIN e ON s.record_id = e.record_id),
+        ks AS (
+          SELECT record_id, sd, ed, unnest(list_distinct(
+                   COALESCE(json_keys(sd), []) || COALESCE(json_keys(ed), [])
+                 )) AS field
+          FROM j)
+        SELECT record_id, field,
+               json_extract_string(sd, '$.' || field) AS from_val,
+               json_extract_string(ed, '$.' || field) AS to_val
+        FROM ks
+        WHERE json_extract_string(sd, '$.' || field)
+              IS DISTINCT FROM json_extract_string(ed, '$.' || field)"""
+    ),
+)
+def q_compare_diff_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of /compare: field-level diffs for EVERY key between two
+    as-of points — "what changed last week" across the whole vault, where
+    the reference can only ask one key per HTTP call (main.py:270-343).
+
+    One window per as-of state (both reuse the record_id partitioning the
+    version log is already organized by), a full-outer join so keys born
+    after T1 (all fields 'added') and keys absent at T2 surface too, then a
+    per-row key-union explode — map payloads never ride a shuffle wider
+    than the two states themselves. Output is (record_id, field, from, to)
+    rows, the same flattened contract as compare_diff."""
+    tr = _tr(spark, sf_dir)
+
+    def state(ts: str, data_alias: str) -> DataFrame:
+        w = Window.partitionBy("record_id").orderBy(F.desc("version_num"))
+        return (
+            tr.filter(F.col("ts") <= F.lit(ts).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("record_id", F.col("data").alias(data_alias))
+        )
+
+    s = state(PROBE_TS_EARLY, "sd")
+    e = state(PROBE_TS_LATE, "ed")
+    empty_map = F.from_json(F.lit("{}"), "map<string,string>")
+    j = (
+        s.join(e, "record_id", "full_outer")
+        .select(
+            "record_id",
+            F.coalesce(F.from_json("sd", "map<string,string>"), empty_map).alias("sm"),
+            F.coalesce(F.from_json("ed", "map<string,string>"), empty_map).alias("em"),
+        )
+    )
+    ks = j.select(
+        "record_id",
+        "sm",
+        "em",
+        F.explode(F.array_distinct(F.concat(F.map_keys("sm"), F.map_keys("em")))).alias(
+            "field"
+        ),
+    )
+    return ks.select(
+        "record_id",
+        "field",
+        F.element_at("sm", F.col("field")).alias("from_val"),
+        F.element_at("em", F.col("field")).alias("to_val"),
+    ).filter(~F.col("from_val").eqNullSafe(F.col("to_val")))
+
+
+@query(
+    "keys_alive_daily",
+    temporal_oracle(
+        """, births AS (
+          SELECT record_id, CAST(MIN(ts) AS DATE) AS birth_day
+          FROM temporal_records GROUP BY record_id),
+        per_day AS (
+          SELECT birth_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+          FROM births GROUP BY birth_day),
+        b AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+              FROM temporal_records),
+        grid AS (
+          SELECT unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS day
+          FROM b)
+        SELECT g.day,
+               COALESCE(p.n_new, 0) AS n_new_keys,
+               CAST(SUM(COALESCE(p.n_new, 0)) OVER (
+                   ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS n_keys_alive
+        FROM grid g LEFT JOIN per_day p ON p.day = g.day"""
+    ),
+)
+def q_keys_alive_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vault growth curve: for every day in the log's range, how many keys
+    were born (first version) and how many exist in total — the cumulative-
+    distinct-over-time series a dashboard plots, computed WITHOUT a
+    per-day as-of scan: one min-per-key aggregate (the only data-sized
+    pass), a day-grid from broadcast bounds, and a running-sum window over
+    grid-sized rows (same gapfill-grid shape as hypertable.gapfill_locf)."""
+    tr = _tr(spark, sf_dir)
+    births = tr.groupBy("record_id").agg(F.min("ts").cast("date").alias("birth_day"))
+    per_day = births.groupBy(F.col("birth_day").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    bounds = tr.agg(
+        F.min("ts").cast("date").alias("d0"), F.max("ts").cast("date").alias("d1")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return grid.join(per_day, "day", "left").select(
+        "day",
+        F.coalesce("n_new", F.lit(0).cast("bigint")).alias("n_new_keys"),
+        F.sum(F.coalesce("n_new", F.lit(0).cast("bigint"))).over(w).cast("bigint").alias("n_keys_alive"),
+    )
