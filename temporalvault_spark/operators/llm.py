@@ -182,10 +182,14 @@ def ngram_jaccard_pairs(
     Everything is md5-deterministic, so the DuckDB oracle replays it exactly.
     """
     # THE one corpus pass: signature set per doc (md5 per distinct shingle).
-    # Eager checkpoint = by-result reuse; by-lineage reuse would re-expand
-    # this subtree into every downstream reference (observed: 8 FileScans,
-    # 8 passes over the text at corpus scale).
-    sh = shingle_signatures(docs).localCheckpoint(eager=True)
+    # Checkpoint = by-result reuse; by-lineage reuse would re-expand this
+    # subtree into every downstream reference (observed: 8 FileScans,
+    # 8 passes over the text at corpus scale). LAZY (eager=False): the first
+    # job that touches the RDD materializes it and every later job reuses
+    # the blocks — same single compute, but no separate up-front
+    # materialization job (measured: removes the worst-case bench tail,
+    # 4.6s -> 2.5s cold, identical results).
+    sh = shingle_signatures(docs).localCheckpoint(eager=False)
     banded = band_sketch(sh, n_bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
