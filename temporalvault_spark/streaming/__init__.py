@@ -3,6 +3,7 @@ from temporalvault_spark.streaming.jobs import (
     dedup_events_stream,
     dedup_ingest_stream,
     events_stream,
+    funnel_state_stream,
     ingest_into_vault,
     latest_state_stream,
     run_available_now,
@@ -21,5 +22,6 @@ __all__ = [
     "run_available_now",
     "ingest_into_vault",
     "dedup_ingest_stream",
+    "funnel_state_stream",
     "clicks_to_purchases_join",
 ]

@@ -144,6 +144,67 @@ def latest_state_stream(records: DataFrame) -> DataFrame:
     )
 
 
+_FUNNEL_STATE = "t_signup timestamp, t_click timestamp, t_purchase timestamp"
+_FUNNEL_OUT = (
+    "user_id bigint, t_signup timestamp, t_click timestamp, t_purchase timestamp, "
+    "stage int"
+)
+
+
+def _funnel_state_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user reducer: first-occurrence timestamp per funnel event type
+    (a min — ORDER-INDEPENDENT, which is what makes the streaming result
+    converge to the batch funnel exactly, whatever the arrival order);
+    emits the user's current stage each batch they appear in."""
+    ts, tc, tp = state.get if state.exists else (None, None, None)
+
+    def _min(cur, series):
+        vals = series.dropna()
+        if len(vals) == 0:
+            return cur
+        m = vals.min()
+        return m if cur is None or m < cur else cur
+
+    for pdf in pdfs:
+        ts = _min(ts, pdf.loc[pdf["event_type"] == "signup", "ts"])
+        tc = _min(tc, pdf.loc[pdf["event_type"] == "click", "ts"])
+        tp = _min(tp, pdf.loc[pdf["event_type"] == "purchase", "ts"])
+    state.update((ts, tc, tp))
+    signed = ts is not None
+    clicked = signed and tc is not None and tc > ts
+    purchased = clicked and tp is not None and tp > tc
+    stage = 3 if purchased else 2 if clicked else 1 if signed else 0
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "t_signup": [ts],
+            "t_click": [tc],
+            "t_purchase": [tp],
+            "stage": [stage],
+        }
+    )
+
+
+def funnel_state_stream(events: DataFrame) -> DataFrame:
+    """Continuously-maintained funnel position per user — the streaming twin
+    of funnel_signup_click_purchase (operators/temporal_analytics.py): state
+    is three first-occurrence timestamps per user (bounded — one tuple per
+    user, the same cardinality any per-user aggregate carries), the emitted
+    stage applies the identical ordering predicates (click counts only
+    after signup, purchase only after click). Because every state component
+    is a min, a complete drain equals the batch funnel bit-for-bit
+    (tests/test_streaming.py pins the equality)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_state_fn,
+        outputStructType=_FUNNEL_OUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def clicks_to_purchases_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
     """Stream-stream interval join: each purchase joined to the same user's
     clicks in the preceding ``horizon``. Both sides carry watermarks and the

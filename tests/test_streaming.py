@@ -358,3 +358,30 @@ def test_ingest_recovery_via_stream_restart(spark, sf_dir, tmp_path):
     assert v.log().filter("record_id = 'ghost'").count() == 0
     expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert n == expected
+
+
+def test_funnel_state_stream_equals_batch(spark, sf_dir):
+    """A complete drain of the stateful funnel must reproduce the batch
+    funnel's stage counts exactly: every state component is a first-
+    occurrence min, so arrival order cannot change the converged answer."""
+    import pyspark.sql.functions as F
+
+    ev = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_available_now(
+        streaming.funnel_state_stream(ev),
+        "t_funnel_state",
+        output_mode="update",
+        latest_by=("user_id",),
+        order_col="stage",
+    )
+    got = out.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)).cast("bigint").alias("s2"),
+        F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0)).cast("bigint").alias("s3"),
+    ).first()
+    want = QUERIES["funnel_signup_click_purchase"](spark, sf_dir).first()
+    assert got["n_users"] == want["n_users"]
+    assert got["s1"] == want["stage_signup"]
+    assert got["s2"] == want["stage_click_after_signup"]
+    assert got["s3"] == want["stage_full_funnel"]
