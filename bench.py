@@ -30,6 +30,8 @@ HEADLINE = [
     "compare_diff_all",
     "keys_alive_daily",
     "join_asof",
+    "join_asof_tolerance",
+    "win_rolling_1h_by_time",
     "agg_groupby_multi",
     "agg_grouping_sets",
     "tpch_q3_shipping_priority",

@@ -571,3 +571,85 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("long").alias("h"),
         F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias("type_or_err"),
     )
+
+
+ASOF_TOLERANCE_MIN = 60 * 24  # 1 day
+
+
+@query(
+    "join_asof_tolerance",
+    temporal_oracle(
+        f"""SELECT record_id, probe_ts, version, ts FROM (
+          SELECT t.record_id, p.probe_ts, t.version, t.ts,
+                 ROW_NUMBER() OVER (PARTITION BY t.record_id, p.probe_ts
+                                    ORDER BY t.version_num DESC) AS rn
+          FROM (SELECT DISTINCT record_id FROM temporal_records) k
+          CROSS JOIN (SELECT unnest([TIMESTAMP '{{PROBE_TS_EARLY}}',
+                                     TIMESTAMP '{{PROBE_TS}}',
+                                     TIMESTAMP '{{PROBE_TS_LATE}}']) AS probe_ts) p
+          JOIN temporal_records t
+            ON t.record_id = k.record_id AND t.ts <= p.probe_ts
+           AND t.ts > p.probe_ts - INTERVAL {ASOF_TOLERANCE_MIN} MINUTE
+        ) x WHERE rn = 1""".format(
+            PROBE_TS_EARLY=PROBE_TS_EARLY, PROBE_TS=PROBE_TS, PROBE_TS_LATE=PROBE_TS_LATE
+        )
+    ),
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN with a staleness tolerance (pandas merge_asof's
+    ``tolerance``, Timescale's locf max-gap): a probe matches the latest
+    version at or before it ONLY if that version is younger than
+    {ASOF_TOLERANCE_MIN} minutes — stale state is treated as no state,
+    which is what feature-store and sensor reads actually want. Identical
+    plan shape to join_asof (broadcast probe list, one (record_id,
+    probe_ts) window); the tolerance is one more scan-level predicate, so
+    it PRUNES work rather than adding any."""
+    c = _cat(spark, sf_dir)
+    tr = c.temporal_records
+    probes = spark.createDataFrame(
+        [(t,) for t in (PROBE_TS_EARLY, PROBE_TS, PROBE_TS_LATE)], "probe_ts_s string"
+    ).select(F.col("probe_ts_s").cast("timestamp").alias("probe_ts"))
+    w = Window.partitionBy("record_id", "probe_ts").orderBy(F.desc("version_num"))
+    return (
+        tr.crossJoin(F.broadcast(probes))
+        .filter(
+            (F.col("ts") <= F.col("probe_ts"))
+            & (F.col("ts") > F.col("probe_ts") - F.expr(f"INTERVAL {ASOF_TOLERANCE_MIN} MINUTES"))
+        )
+        .select("record_id", "probe_ts", "version", "ts", "version_num")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("record_id", "probe_ts", "version", "ts")
+    )
+
+
+@query(
+    "win_rolling_1h_by_time",
+    """SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_events_1h,
+           ROUND(SUM(value) OVER w, 2) AS sum_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+)
+def q_win_rolling_1h_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling aggregate: each event's trailing-1-hour count and
+    sum for its user — a RANGE frame over event-time seconds, which rows-
+    based frames (win_running_agg) cannot express when events are
+    irregularly spaced. Ordering by epoch seconds keeps the frame numeric
+    and portable (identical semantics in both engines, including ties:
+    same-second events share a frame). One window over the user_id
+    partitioning — the same shuffle every per-user operator shares."""
+    c = _cat(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return c.table("events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("bigint").alias("n_events_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_value_1h"),
+    )
