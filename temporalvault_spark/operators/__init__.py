@@ -20,6 +20,7 @@ from temporalvault_spark.operators import (  # noqa: F401
     temporal,
     temporal_analytics,
     timewindow,
+    udx,
 )
 from temporalvault_spark.registry import ORACLES, QUERIES, prioritize
 

@@ -76,9 +76,9 @@ def chunk_documents(
     )
 
 
-@query(
-    "text_chunking",
-    f"""WITH toks AS (
+# Shared by text_chunking and its UDTF twin (operators/udx.py): both engines
+# must be graded against the identical ground truth.
+CHUNK_ORACLE_SQL = f"""WITH toks AS (
         SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
     st AS (
         SELECT doc_id, t, unnest(range(0, len(t), {CHUNK_STRIDE})) AS start
@@ -87,8 +87,10 @@ def chunk_documents(
            CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
            len(t[start + 1 : start + {CHUNK_TOKENS}]) AS n_chunk_tokens,
            array_to_string(t[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text
-    FROM st""",
-)
+    FROM st"""
+
+
+@query("text_chunking", CHUNK_ORACLE_SQL)
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir))
 

@@ -1,0 +1,121 @@
+"""User-defined function surface (SURVEY.md §2.11): UDTF + grouped UDAF.
+
+The reference's only "UDFs" are driver-side Python — `parsedatetime` NL
+parsing (reference app/main.py:110-111) and the dict diff (app/main.py:
+322-326) — both of which this engine expresses with JVM builtins (engine
+policy: builtins first, Python only when the semantics demand it). This
+module completes the three-kind UDF surface a Spark engine exposes, each
+with a deterministic oracle or differential check:
+
+  * scalar pandas UDF — `similarity.sim_topk_cosine_pandas` (Arrow twin of
+    the builtin cosine operator; already registered there);
+  * table function (UDTF) — `ChunkSpans` below, the Python-UDTF twin of
+    `corpus.chunk_documents`. Arrow-optimized, lateral-joined, and graded
+    against the SAME DuckDB oracle as the builtin — a full value-hash
+    check on a Python UDTF;
+  * grouped aggregate (UDAF) — `mad_double` below, the median absolute
+    deviation of per-document length per source: a two-order-statistic
+    aggregate Spark has no single builtin for, expressed as one Arrow
+    batch per group instead of two shuffles (median join + re-aggregate).
+
+Scale notes: the builtin chunker remains the hot path (zero-Python explode
+at scan speed); the UDTF exists as the extension seam — the shape a user
+plugs a real tokenizer (BPE, sentencepiece) into. Its plan is a single
+ArrowEvalPython/BatchEvalPython generate with no shuffle: chunking stays
+embarrassingly parallel even through the Python boundary. The MAD UDAF
+shuffles (source, length) pairs only — 8-byte payloads, never text — and
+each group's order statistics run vectorized in one numpy pass.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import DoubleType
+
+from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.operators.corpus import (
+    CHUNK_ORACLE_SQL,
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+)
+from temporalvault_spark.registry import query
+
+
+@udtf(returnType="chunk_id bigint, n_chunk_tokens bigint, chunk_text string", useArrow=True)
+class ChunkSpans:
+    """Python-UDTF twin of `corpus.chunk_documents`: emit overlapping
+    CHUNK_TOKENS-token windows every CHUNK_STRIDE tokens.
+
+    Tokenization must match the builtin bit-for-bit: `split(lower(trim(x)),
+    ' ')` keeps empty tokens between consecutive spaces, and Python's
+    `str.split(' ')` (single-space separator, not the whitespace default)
+    has the identical contract. Start offsets are 0, stride, … ≤ n-1, so an
+    empty-after-trim document still yields one (empty) chunk — same as the
+    builtin's `sequence(0, greatest(n-1, 0), stride)`.
+    """
+
+    def eval(self, text: str | None):
+        if text is None:
+            # builtin contract: split(NULL) propagates — one all-NULL chunk
+            # (sequence over greatest(size(NULL)-1, 0) still emits start=0)
+            yield 0, None, None
+            return
+        toks = text.strip().lower().split(" ")
+        n = len(toks)
+        for start in range(0, max(n - 1, 0) + 1, CHUNK_STRIDE):
+            ch = toks[start : start + CHUNK_TOKENS]
+            yield start // CHUNK_STRIDE, len(ch), " ".join(ch)
+
+
+@query("udtf_chunk_spans", CHUNK_ORACLE_SQL)
+def q_udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-join the UDTF against documents; graded by the same oracle as
+    the builtin chunker (identical output contract)."""
+    load_catalog(spark, sf_dir)
+    spark.udtf.register("chunk_spans", ChunkSpans)
+    return spark.sql(
+        """SELECT d.doc_id, c.chunk_id, c.n_chunk_tokens, c.chunk_text
+           FROM documents d, LATERAL chunk_spans(d.text) c"""
+    )
+
+
+# DataType instance, not DDL string: a string returnType is parsed eagerly at
+# decoration time and needs a live SparkContext — this module imports before
+# any session exists (registry population).
+@pandas_udf(DoubleType())
+def mad_double(x: pd.Series) -> float:
+    """Grouped-agg UDAF: median absolute deviation (robust spread). Order
+    statistics, not sums — so the result is permutation-invariant and safe
+    to value-hash against DuckDB's `median` (both interpolate the midpoint
+    of even-sized groups; NULLs are skipped on both sides)."""
+    med = x.median()
+    return float((x - med).abs().median())
+
+
+@query(
+    "udaf_source_length_mad",
+    """WITH l AS (
+        SELECT source, CAST(length(text) AS DOUBLE) AS x FROM documents),
+    m AS (SELECT source, median(x) AS med FROM l GROUP BY source)
+    SELECT l.source,
+           round(median(abs(l.x - m.med)), 6) AS mad_len
+    FROM l JOIN m ON l.source = m.source
+    GROUP BY l.source""",
+)
+def q_udaf_source_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust length spread: one grouped Arrow aggregate where
+    pure SQL needs a median subquery + join + second aggregate (the oracle
+    spells out that two-pass form). The shuffle carries (source, double)
+    pairs only."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    return (
+        docs.select("source", F.length("text").cast("double").alias("x"))
+        .groupBy("source")
+        # a grouped-agg pandas UDF cannot share an agg() with non-pandas
+        # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — output stays pure
+        .agg(F.round(mad_double("x"), 6).alias("mad_len"))
+    )

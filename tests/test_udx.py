@@ -1,0 +1,92 @@
+"""UDF/UDAF/UDTF surface (operators/udx.py, SURVEY.md §2.11).
+
+The UDTF chunker is pinned DIFFERENTIALLY against the builtin chunker —
+two independent implementations (Python generator vs JVM explode) must
+agree row-for-row — and the MAD UDAF against hand-computed order
+statistics plus a pandas cross-check.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from temporalvault_spark.operators.corpus import chunk_documents
+from temporalvault_spark.operators.udx import (
+    ChunkSpans,
+    q_udaf_source_length_mad,
+    q_udtf_chunk_spans,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_udtf_chunker_matches_builtin(spark, sf_dir):
+    cols = ["doc_id", "chunk_id", "n_chunk_tokens", "chunk_text"]
+    from temporalvault_spark.catalog import load_catalog
+
+    docs = load_catalog(spark, sf_dir).table("documents")
+    builtin = _rows(chunk_documents(docs).select(*cols), cols)
+    via_udtf = _rows(q_udtf_chunk_spans(spark, sf_dir).select(*cols), cols)
+    assert via_udtf == builtin
+    assert len(builtin) > 0
+
+
+def test_udtf_edge_semantics(spark):
+    """Empty/whitespace/multi-space docs behave exactly like the builtin:
+    split(' ') keeps empty tokens, and every doc emits >= 1 chunk."""
+    rows = [(1, ""), (2, "   "), (3, "a  b"), (4, None)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cols = ["doc_id", "chunk_id", "n_chunk_tokens", "chunk_text"]
+    builtin = _rows(chunk_documents(docs).select(*cols), cols)
+    spark.udtf.register("chunk_spans_t", ChunkSpans)
+    docs.createOrReplaceTempView("udtf_edge_docs")
+    via_udtf = _rows(
+        spark.sql(
+            """SELECT d.doc_id, c.chunk_id, c.n_chunk_tokens, c.chunk_text
+               FROM udtf_edge_docs d, LATERAL chunk_spans_t(d.text) c"""
+        ),
+        cols,
+    )
+    assert via_udtf == builtin
+    assert {r[0] for r in via_udtf} == {1, 2, 3, 4}
+
+
+def test_udtf_plan_no_shuffle(spark, sf_dir):
+    """Chunking through the Python boundary must stay embarrassingly
+    parallel: the plan is a lateral generate with NO Exchange."""
+    plan = q_udtf_chunk_spans(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDTF" in plan or "EvalPython" in plan
+
+
+def test_mad_udaf_crafted(spark):
+    """lengths [1,2,3,100]: median 2.5, |dev| [1.5,.5,.5,97.5] -> MAD 1.0;
+    odd group [5,5,5]: MAD 0."""
+    rows = [("a", "x"), ("a", "xy"), ("a", "xyz"), ("a", "z" * 100), ("b", "aaaaa"), ("b", "bbbbb"), ("b", "ccccc")]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    from temporalvault_spark.operators.udx import mad_double
+
+    out = dict(
+        docs.select("source", F.length("text").cast("double").alias("x"))
+        .groupBy("source")
+        .agg(F.round(mad_double("x"), 6).alias("mad_len"))
+        .collect()
+    )
+    assert out == {"a": 1.0, "b": 0.0}
+
+
+def test_mad_udaf_matches_pandas(spark, sf_dir):
+    got = {r["source"]: r["mad_len"] for r in q_udaf_source_length_mad(spark, sf_dir).collect()}
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[["source", "text"]]
+    pdf["x"] = pdf["text"].str.len().astype(float)
+    exp = (
+        pdf.groupby("source")["x"]
+        .apply(lambda s: round(float((s - s.median()).abs().median()), 6))
+        .to_dict()
+    )
+    assert got == pytest.approx(exp)
