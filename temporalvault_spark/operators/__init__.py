@@ -23,6 +23,9 @@ from temporalvault_spark.operators import (  # noqa: F401
     udx,
 )
 from temporalvault_spark.registry import ORACLES, QUERIES, prioritize
+from temporalvault_spark.sources import layout as _layout
+
+_layout.register_queries()
 
 # SURVEY.md §2 coverage set, one entry per component (50 = driver's recorded
 # window). Order within the list is presentation priority: temporal core
