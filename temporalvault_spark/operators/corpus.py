@@ -664,9 +664,11 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "source",
         F.explode(
+            # per-doc distinct on the joined gram STRINGS before md5: hash
+            # each distinct gram once (md5 dominates; boilerplate repeats)
             F.expr(
-                f"transform(sequence(0, size(t) - {n}), "
-                f"i -> md5(array_join(slice(t, i + 1, {n}), ' ')))"
+                f"transform(array_distinct(transform(sequence(0, size(t) - {n}), "
+                f"i -> array_join(slice(t, i + 1, {n}), ' '))), s -> md5(s))"
             )
         ).alias("g"),
     ).distinct()

@@ -916,11 +916,12 @@ def q_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     grams = toks.select(
         "doc_id",
         F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(0, size(t) - {n}), "
-                    f"i -> md5(array_join(slice(t, i + 1, {n}), ' ')))"
-                )
+            # dedupe the JOINED GRAM STRINGS per doc before hashing —
+            # md5 is the dominant CPU cost and repeated grams (boilerplate,
+            # refrains) are common, so hash each distinct gram once
+            F.expr(
+                f"transform(array_distinct(transform(sequence(0, size(t) - {n}), "
+                f"i -> array_join(slice(t, i + 1, {n}), ' '))), s -> md5(s))"
             )
         ).alias("g"),
     )
@@ -986,16 +987,18 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "doc_id",
         F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(0, size(t) - {n}), "
-                    f"i -> md5(array_join(slice(t, i + 1, {n}), ' ')))"
-                )
+            # dedupe the JOINED GRAM STRINGS per doc before hashing —
+            # md5 is the dominant CPU cost and repeated grams (boilerplate,
+            # refrains) are common, so hash each distinct gram once
+            F.expr(
+                f"transform(array_distinct(transform(sequence(0, size(t) - {n}), "
+                f"i -> array_join(slice(t, i + 1, {n}), ' '))), s -> md5(s))"
             )
         ).alias("g"),
-    ).withColumn("pos", _bloom_positions_col(F.col("g")))
+    )
     bench_pos = (
         grams.filter(F.col("doc_id") < DECONTAM_BENCH_DOCS)
+        .withColumn("pos", _bloom_positions_col(F.col("g")))
         .select(F.explode("pos").alias("p"))
         .distinct()
     )
@@ -1004,24 +1007,36 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits[p >> 3] |= 1 << (p & 7)
     bc = spark.sparkContext.broadcast(bits)
 
+    # Probe side ships ONLY the digest's two 32-bit halves (2 longs/gram)
+    # across Arrow; the k=7 Kirsch-Mitzenmacher positions are recomputed
+    # vectorized in NumPy. Measured vs shipping the materialized
+    # array<long> of 7 positions per row: ~2x faster end-to-end at sf0.1 —
+    # the position arithmetic is trivially cheap on either side, the Arrow
+    # column width is not. Same h1 + i*h2_odd (h2 forced odd) mod m math as
+    # `_bloom_positions_col`, which the build side above uses, so the two
+    # sides cannot drift (int64 never overflows: h1,h2 < 2^32, i < 7).
+    #
     # note: no type hints on the UDF body — this module's
     # `from __future__ import annotations` would stringify them and
     # pandas_udf cannot resolve string hints for a locally-imported pd
-    def _might_contain(pos):
+    def _might_contain(h1, h2):
         b = bc.value
-        if len(pos) == 0:
-            return pd.Series([], dtype=bool)
-        # every row carries exactly BLOOM_K positions -> one (n, k) matrix,
-        # one vectorized gather, one all-reduce — no per-row Python loop
-        a = np.vstack([np.asarray(p, dtype=np.int64) for p in pos])
-        hits = (b[a >> 3] & (1 << (a & 7)).astype(np.uint8)) != 0
-        return pd.Series(hits.all(axis=1))
+        a1 = h1.to_numpy(dtype=np.int64)
+        a2 = h2.to_numpy(dtype=np.int64)
+        a2 = a2 - (a2 % 2) + 1
+        acc = np.ones(len(a1), dtype=bool)
+        for i in range(BLOOM_K):
+            p = (a1 + i * a2) % BLOOM_M_BITS
+            acc &= (b[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+        return pd.Series(acc)
 
     might_contain = F.pandas_udf(_might_contain, "boolean")
+    h1 = F.conv(F.substring("g", 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring("g", 9, 8), 16, 10).cast("long")
 
     return (
         grams.filter(F.col("doc_id") >= DECONTAM_BENCH_DOCS)
-        .filter(might_contain(F.col("pos")))
+        .filter(might_contain(h1, h2))
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_bloom_hits"))
     )
