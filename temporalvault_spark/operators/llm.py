@@ -564,6 +564,58 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_unigram_logprob",
+    """WITH terms AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents),
+    cnt AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM terms GROUP BY doc_id, tok),
+    vocab AS (
+        SELECT tok, CAST(SUM(c) AS DOUBLE) AS tf FROM cnt GROUP BY tok),
+    tot AS (SELECT SUM(tf) AS n FROM vocab)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(SUM(c * -ln(tf / n)) / SUM(c), 6) AS avg_neg_logprob
+    FROM cnt JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id""",
+)
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM score per document: average -ln p(token)
+    under the corpus's own token distribution — the CCNet-style (Wenzek et
+    al. 2020, arXiv:1911.00359) perplexity proxy that separates fluent text
+    (common-word mass, low score) from noise/gibberish (rare-token mass,
+    high score) without any external model. The LM *is* the corpus, so the
+    operator is self-contained and exactly replayable by the oracle.
+
+    Scale shape: (1) per-(doc, token) counts with map-side combine — the
+    shuffle carries distinct counts, never token occurrences; (2) the vocab
+    aggregate reduces those counts again by token; (3) the score join is a
+    token-keyed equi-join of two already-aggregated frames (AQE handles hot
+    stopword keys via skew split); (4) the corpus total rides a 1-row
+    cross-join broadcast. No Python anywhere; log terms sum as doubles and
+    round to 6 — the repo-wide float contract."""
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    terms = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    cnt = terms.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    vocab = cnt.groupBy("tok").agg(F.sum("c").cast("double").alias("tf"))
+    tot = vocab.agg(F.sum("tf").alias("n"))
+    return (
+        cnt.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * -F.log(F.col("tf") / F.col("n"))) / F.sum("c"), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
 # --- text analysis ---------------------------------------------------------
 
 

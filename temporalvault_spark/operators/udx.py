@@ -119,3 +119,54 @@ def q_udaf_source_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — output stays pure
         .agg(F.round(mad_double("x"), 6).alias("mad_len"))
     )
+
+
+def _robust_z_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One whole group per call: per-source robust z of doc length,
+    (x - median) / (MAD + 1) — median/MAD instead of mean/std so a few
+    giant documents can't mask each other (the failure mode of the plain
+    z-score scan, operators/temporal_analytics.q_events_zscore_outliers).
+    +1 smoothing keeps constant-length groups finite."""
+    x = pdf["x"]
+    med = x.median()
+    mad = (x - med).abs().median()
+    z = (x - med) / (mad + 1.0)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "source": pdf["source"],
+            "robust_z": z.round(6),
+            "is_outlier": z.abs() > 3.0,
+        }
+    )
+
+
+@query(
+    "grouped_map_robust_z",
+    """WITH l AS (
+        SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS x FROM documents),
+    m AS (SELECT source, median(x) AS med FROM l GROUP BY source),
+    d AS (SELECT l.source, median(abs(x - med)) AS mad
+          FROM l JOIN m USING (source) GROUP BY l.source)
+    SELECT doc_id, l.source,
+           ROUND((x - med) / (mad + 1.0), 6) AS robust_z,
+           abs((x - med) / (mad + 1.0)) > 3.0 AS is_outlier
+    FROM l JOIN m USING (source) JOIN d USING (source)""",
+)
+def q_grouped_map_robust_z(spark, sf_dir: str):
+    """Grouped-map applyInPandas (the 4th pandas-API kind after scalar /
+    UDAF / UDTF): per-source robust-z outlier flags in ONE group-local
+    pass, where pure SQL needs two median subqueries + a three-way join
+    (the oracle spells that form out).
+
+    Scale caveat, stated honestly: grouped-map ships ENTIRE groups through
+    Arrow — right when per-group logic is arbitrary and groups are bounded
+    (here: |sources| groups). For unbounded/skewed groups the two-pass
+    aggregate+join form is the scale path; this operator is the seam for
+    logic that form can't express."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    base = docs.select("doc_id", "source", F.length("text").cast("double").alias("x"))
+    return base.groupBy("source").applyInPandas(
+        _robust_z_group,
+        schema="doc_id bigint, source string, robust_z double, is_outlier boolean",
+    )

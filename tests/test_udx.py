@@ -90,3 +90,31 @@ def test_mad_udaf_matches_pandas(spark, sf_dir):
         .to_dict()
     )
     assert got == pytest.approx(exp)
+
+
+def test_grouped_map_robust_z_crafted(spark):
+    """Group a: lengths [1,2,3,100] -> med 2.5, MAD 1.0; z = (x-2.5)/2.0.
+    Only the 100-char doc crosses |z| > 3. Constant group b: all z=0."""
+    rows = [
+        (1, "a", "x"),
+        (2, "a", "xy"),
+        (3, "a", "xyz"),
+        (4, "a", "z" * 100),
+        (5, "b", "mm"),
+        (6, "b", "nn"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    from pyspark.sql import functions as F
+
+    from temporalvault_spark.operators.udx import _robust_z_group
+
+    base = docs.select("doc_id", "source", F.length("text").cast("double").alias("x"))
+    out = base.groupBy("source").applyInPandas(
+        _robust_z_group,
+        schema="doc_id bigint, source string, robust_z double, is_outlier boolean",
+    )
+    got = {r["doc_id"]: (r["robust_z"], r["is_outlier"]) for r in out.collect()}
+    assert got[4] == (48.75, True)
+    assert got[1] == (-0.75, False)
+    assert got[5] == (0.0, False) and got[6] == (0.0, False)
+    assert [o for (_z, o) in got.values() if o] == [True]
