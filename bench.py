@@ -96,6 +96,7 @@ HEADLINE = [
     "token_entropy",
     "sim_topk_cosine",
     "sim_ivf_ann",
+    "doc_unigram_logprob",
 ]
 
 

@@ -600,7 +600,17 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def unigram_logprob(docs: DataFrame) -> DataFrame:
     terms = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
-    cnt = terms.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    # The (doc, token) count frame feeds the vocab aggregate AND the score
+    # join; by lineage each reference would re-run the tokenize+explode
+    # pass (plan audit showed 3 FileScans of documents). Checkpoint = the
+    # same materialize-the-signature trade the minhash pipeline documents;
+    # at cluster scale this frame is the parquet staging table every
+    # LM-scoring pipeline writes anyway.
+    cnt = (
+        terms.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     vocab = cnt.groupBy("tok").agg(F.sum("c").cast("double").alias("tf"))
     tot = vocab.agg(F.sum("tf").alias("n"))
     return (

@@ -261,3 +261,25 @@ def test_source_overlap_shuffles_digests_only(spark, sf_dir):
         assert "text" not in cols and not any(
             c.split("#")[0].strip() == "t" for c in cols.split(",")
         )
+
+
+def test_unigram_logprob_plan_shape(q):
+    """The LM score must plan as hash aggregates with map-side combine and
+    one token-keyed join; the corpus total rides a broadcast (1-row frame),
+    and no Python touches the plan."""
+    df = q("doc_unigram_logprob")
+    c = plan_counts(df)
+    assert c["HashAggregate"] >= 4  # partial+final for doc-token and vocab
+    assert c["SortAggregate"] == 0 and c["CartesianProduct"] == 0
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_zorder_scan_reads_pruned(spark, sf_dir):
+    """The z-ordered rewrite must still push the id-slice predicate into the
+    parquet scan (stats pruning consumes it)."""
+    from temporalvault_spark.plans import pushed_filters
+
+    df = QUERIES["zorder_scan"](spark, sf_dir)
+    assert any("user_id" in f for f in pushed_filters(df))
