@@ -97,6 +97,7 @@ HEADLINE = [
     "sim_topk_cosine",
     "sim_ivf_ann",
     "doc_unigram_logprob",
+    "corpus_pipeline_stats",
 ]
 
 

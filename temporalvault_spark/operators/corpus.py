@@ -183,7 +183,7 @@ def q_source_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFr
 # --- Gopher repetition / quality rules -------------------------------------
 
 
-def gopher_quality(docs: DataFrame) -> DataFrame:
+def gopher_quality(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Per-document repetition metrics + keep flag (Gopher §A1.1 family):
     token count, mean token length, duplicate-token fraction, most-frequent
     token fraction, most-frequent bigram fraction.
@@ -191,10 +191,15 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     Two aggregations, both map-side combined (see module docstring); the
     per-doc scalars (n_tokens, mean length, distinct fraction) ride along
     from a single array projection so the corpus is scanned once.
+    ``passthrough`` columns of ``docs`` ride the base side unchanged (they
+    never touch the token aggregations) — the composition hook that lets
+    e.g. the end-to-end pipeline carry (fp, source, lang) without a second
+    corpus scan or a join back to the table.
     """
-    t = docs.select("doc_id", _tokens().alias("t"))
+    t = docs.select("doc_id", *passthrough, _tokens().alias("t"))
     base = t.select(
         "doc_id",
+        *passthrough,
         "t",
         F.size("t").alias("n_tokens"),
         F.size(F.array_distinct("t")).alias("n_distinct"),
@@ -235,6 +240,7 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
         .join(top_bg, "doc_id")
         .select(
             "doc_id",
+            *passthrough,
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.round("mean_tok_len", 6).alias("mean_tok_len"),
             F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6).alias("dup_tok_frac"),
@@ -681,3 +687,100 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") > 0)
     )
+
+
+# --- end-to-end pipeline composition ---------------------------------------
+
+
+def corpus_pipeline_stats(docs: DataFrame) -> DataFrame:
+    """The whole pre-training data pipeline as ONE declarative plan:
+    Gopher quality filter → exact-dedup keep-min → deterministic
+    train/val/test split → per-(split, source) corpus accounting. This is
+    the composition every real run executes stage-by-stage with staging
+    tables; expressed as a single DataFrame, Catalyst pipelines it — the
+    fingerprint and (source, lang) ride the gopher base projection via
+    ``passthrough`` so there is NO join back to the table, the dedup
+    window sees only slim (fp, doc_id, meta) rows (plans as
+    WindowGroupLimit), and the split is a pure doc_id-hash projection.
+    The corpus is scanned once per gopher metric branch (3 column-pruned
+    scans — the deliberate trade of re-reading cheap columnar inputs over
+    staging wide token arrays; see gopher_quality). Output is the
+    token-accounting table a training run budgets from.
+    """
+    from pyspark.sql import Window
+
+    d = docs.withColumn("fp", F.md5(F.lower(F.trim(F.col("text")))))
+    g = gopher_quality(d, passthrough=("fp", "source", "lang"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        g.filter("keep")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    u = _u32_hex("split")
+    split = (
+        F.when(u < F.lit(_hex_thr(SPLIT_TRAIN)), F.lit("train"))
+        .when(u < F.lit(_hex_thr(SPLIT_VAL)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        deduped.select("source", "n_tokens", split.alias("split"))
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+@query(
+    "corpus_pipeline_stats",
+    f"""WITH toks AS (
+        SELECT doc_id, source, md5(lower(trim(text))) AS fp,
+               string_split(lower(trim(text)), ' ') AS t
+        FROM documents),
+    base AS (
+        SELECT doc_id, source, fp, t, len(t) AS n_tokens,
+               CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+                   / len(t) AS mean_tok_len
+        FROM toks),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+    top_tok AS (SELECT doc_id, MAX(c) AS top_tok_cnt FROM tf GROUP BY 1),
+    bf AS (
+        SELECT doc_id, bg, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+              FROM toks) GROUP BY 1, 2),
+    top_bg AS (SELECT doc_id, MAX(c) AS top_bg_cnt FROM bf GROUP BY 1),
+    kept AS (
+        SELECT b.doc_id, b.source, b.fp, b.n_tokens
+        FROM base b
+        JOIN top_tok tt ON tt.doc_id = b.doc_id
+        JOIN top_bg tb ON tb.doc_id = b.doc_id
+        WHERE b.n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+          AND ROUND(b.mean_tok_len, 6) BETWEEN {MEAN_LEN_LO} AND {MEAN_LEN_HI}
+          AND ROUND(CAST(tt.top_tok_cnt AS DOUBLE) / b.n_tokens, 6) < {TOP_TOKEN_FRAC_MAX}
+          AND ROUND(CAST(tb.top_bg_cnt AS DOUBLE) / (b.n_tokens - 1), 6) < {TOP_BIGRAM_FRAC_MAX}),
+    dd AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept),
+    sp AS (
+        SELECT source, n_tokens,
+               CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{{thr_train}}' THEN 'train'
+                    WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{{thr_val}}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM dd WHERE rn = 1)
+    SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_tokens), 6) AS avg_tokens
+    FROM sp GROUP BY split, source""".replace("{thr_train}", _hex_thr(SPLIT_TRAIN)).replace(
+        "{thr_val}", _hex_thr(SPLIT_VAL)
+    ),
+)
+def q_corpus_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_pipeline_stats(_docs(spark, sf_dir))

@@ -275,3 +275,37 @@ def test_chunk_and_pack_match_python_model(spark, docs, ws, budget):
             expect_p[key] = (c0 + 1, t0 + n)
             cum += n
     assert packed == expect_p
+
+
+def test_corpus_pipeline_matches_composed_stages(spark, sf_dir):
+    """The single-plan pipeline must equal running its stage operators
+    independently: gopher keep -> dedup_apply -> split -> counts."""
+    from pyspark.sql import functions as F
+
+    from temporalvault_spark.catalog import load_catalog
+    from temporalvault_spark.operators.corpus import (
+        corpus_pipeline_stats,
+        dedup_apply,
+        gopher_quality,
+        split_train_val_test,
+    )
+
+    docs = load_catalog(spark, sf_dir).table("documents")
+    stats = corpus_pipeline_stats(docs).collect()
+
+    kept = docs.join(
+        gopher_quality(docs).filter("keep").select("doc_id"), "doc_id"
+    )
+    survivors = dedup_apply(kept).select("doc_id")
+    split = split_train_val_test(docs).select("doc_id", "split")
+    expected = {
+        (r["split"], r["source"]): r["n"]
+        for r in docs.join(survivors, "doc_id")
+        .join(split, "doc_id")
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {(r["split"], r["source"]): r["n_docs"] for r in stats}
+    assert got == expected
+    assert sum(got.values()) == survivors.count()
