@@ -411,11 +411,13 @@ def substring_spans_apply(docs: DataFrame, k: int = SPAN_TOKENS) -> DataFrame:
     Scale shape, stage by stage: span fingerprints and the repeated-span
     list are digest-only (16-byte hashes) — same as dedup_substring_spans;
     the bad-window join is an equi-join on span_h whose build side (repeated
-    spans) is the small side by construction. Only the REBUILD stage carries
-    tokens across an exchange — (doc_id, idx, tok) rows grouped back per
-    doc — which is the irreducible cost of physically rewriting text, and it
-    shuffles each surviving token exactly once. Docs needing no splice pass
-    through the final left join unchanged (clean_text = original tokens)."""
+    spans) is the small side by construction. The token-level REBUILD —
+    the only stage that carries tokens across an exchange — runs ONLY for
+    AFFECTED docs (those containing a later-occurrence repeated window):
+    their ids semi-join-reduce the corpus before the posexplode, so at
+    100 TB the per-token shuffle is O(affected docs), not O(corpus), and
+    affected ≪ corpus by construction. Untouched docs never explode — the
+    final projection rejoins their token array directly."""
     toks = (
         docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select("doc_id", _tokens().alias("t"))
@@ -443,7 +445,11 @@ def substring_spans_apply(docs: DataFrame, k: int = SPAN_TOKENS) -> DataFrame:
         bad.select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("idx"))
         .distinct()
     )
-    pos = toks.select("doc_id", F.posexplode("t").alias("idx", "tok"))
+    affected = bad.select("doc_id").distinct()
+    pos = (
+        toks.join(F.broadcast(affected), "doc_id", "semi")
+        .select("doc_id", F.posexplode("t").alias("idx", "tok"))
+    )
     kept = pos.join(cov, ["doc_id", "idx"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
@@ -454,10 +460,24 @@ def substring_spans_apply(docs: DataFrame, k: int = SPAN_TOKENS) -> DataFrame:
         ).alias("clean_text"),
         F.count("*").alias("n_kept"),
     )
-    return toks.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        (F.size("t") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias("n_tokens_removed"),
+    # affected docs take the rebuilt text ('' if fully spliced — rebuilt has
+    # no row when every token was cut); untouched docs rejoin their array
+    spliced = F.col("is_affected").isNotNull()
+    return (
+        toks.join(
+            F.broadcast(affected.withColumn("is_affected", F.lit(True))), "doc_id", "left"
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(spliced, F.coalesce("clean_text", F.lit("")))
+            .otherwise(F.array_join("t", " "))
+            .alias("clean_text"),
+            F.when(spliced, F.size("t") - F.coalesce("n_kept", F.lit(0)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+        )
     )
 
 
