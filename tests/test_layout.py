@@ -123,3 +123,47 @@ def test_zorder_scan_query(spark, sf_dir):
         .count()
     )
     assert sum(r["n_events"] for r in rows) == uid_ok
+
+
+def test_z_value_matches_python_reference_property(spark):
+    """Differential property: for random values and random declared bounds,
+    the SQL bit-interleave equals an independent Python Morton reference
+    (including clamping of out-of-bounds rows)."""
+    import random
+
+    rng = random.Random(7)
+    bits = 8
+    grid_max = (1 << bits) - 1
+
+    def scale(v, lo, hi):
+        span = (hi - lo) or 1.0
+        s = int((float(v) - lo) / span * grid_max)
+        return min(grid_max, max(0, s))
+
+    def morton(xs, ys):
+        z = 0
+        for i in range(bits):
+            z |= ((xs >> i) & 1) << (2 * i)
+            z |= ((ys >> i) & 1) << (2 * i + 1)
+        return z
+
+    for trial in range(3):
+        lo_x, hi_x = sorted(rng.sample(range(-1000, 1000), 2))
+        lo_y, hi_y = sorted(rng.sample(range(-1000, 1000), 2))
+        rows = [
+            (i, rng.randint(-1500, 1500), rng.randint(-1500, 1500))
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "id bigint, x bigint, y bigint")
+        got = {
+            r["id"]: r["z_value"]
+            for r in with_z_value(
+                df, ("x", "y"), bits=bits,
+                bounds={"x": (lo_x, hi_x), "y": (lo_y, hi_y)},
+            ).collect()
+        }
+        exp = {
+            i: morton(scale(x, lo_x, hi_x), scale(y, lo_y, hi_y))
+            for i, x, y in rows
+        }
+        assert got == exp, f"trial {trial}: bounds x=({lo_x},{hi_x}) y=({lo_y},{hi_y})"

@@ -283,3 +283,25 @@ def test_zorder_scan_reads_pruned(spark, sf_dir):
 
     df = QUERIES["zorder_scan"](spark, sf_dir)
     assert any("user_id" in f for f in pushed_filters(df))
+
+
+def test_corpus_pipeline_single_plan_shape(q):
+    """The composed pipeline must stay one pipelined plan: dedup via
+    WindowGroupLimit, metric joins broadcast, no cartesian, and no more
+    corpus scans than gopher's three metric branches."""
+    df = q("corpus_pipeline_stats")
+    c = plan_counts(df)
+    assert c["WindowGroupLimit"] >= 1  # keep-min dedup, not a self-join
+    assert c["CartesianProduct"] == 0 and c["SortMergeJoin"] == 0
+    assert c["FileScan"] <= 3
+
+
+def test_substring_apply_rebuild_is_affected_only(q):
+    """The splice's token-level rebuild must be gated behind a semi join on
+    affected doc ids — the plan needs at least one LeftSemi and the final
+    assembly joins, all broadcast."""
+    df = q("dedup_substring_apply")
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan
+    c = plan_counts(df)
+    assert c["CartesianProduct"] == 0
