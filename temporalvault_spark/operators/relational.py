@@ -629,22 +629,26 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) OVER w AS BIGINT) AS n_events_1h,
            ROUND(SUM(value) OVER w, 2) AS sum_value_1h
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
 )
 def q_win_rolling_1h_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE rolling aggregate: each event's trailing-1-hour count and
-    sum for its user — a RANGE frame over event-time seconds, which rows-
-    based frames (win_running_agg) cannot express when events are
-    irregularly spaced. Ordering by epoch seconds keeps the frame numeric
-    and portable (identical semantics in both engines, including ties:
-    same-second events share a frame). One window over the user_id
-    partitioning — the same shuffle every per-user operator shares."""
+    sum for its user — a RANGE frame over event time, which rows-based
+    frames (win_running_agg) cannot express when events are irregularly
+    spaced. The frame orders by INTEGER epoch microseconds (unix_micros ≡
+    DuckDB epoch_us), never truncated seconds or float epochs: second
+    truncation pulls events just past the boundary back into the frame
+    (observed at sf0.1 — an event 3600.4s back counted under
+    unix_timestamp), and float epochs risk last-ulp disagreement at the
+    edge. Integer microseconds are exact in both engines. One window over
+    the user_id partitioning — the same shuffle every per-user operator
+    shares."""
     c = _cat(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return c.table("events").select(
         "event_id",
