@@ -650,12 +650,34 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: covered by unit tests instead
+_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(60)
+)
+_SIMHASH_RECON = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN 1 ELSE 0 END) * {1 << b}" for b in range(60)
+)
+
+
+@query(
+    "dedup_simhash",
+    f"""WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS tok
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS th
+        FROM toks),
+    votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, CAST({_SIMHASH_RECON} AS BIGINT) AS simhash FROM votes)
+    SELECT doc_id, simhash, simhash >> 44 AS band FROM sh""",
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 60-bit simhash per document (md5-derived token
     hashes → bitwise majority vote), then group by the top-16-bit band as the
     candidate block. Everything is a lateral explode + one aggregate — scales
-    as a single shuffle on doc_id."""
+    as a single shuffle on doc_id. The whole computation is md5 + integer
+    bit arithmetic, so the DuckDB oracle replays it bit-for-bit (upgraded
+    from the rows-only tier: every operation here is engine-portable)."""
     docs = load_catalog(spark, sf_dir).table("documents")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))).alias("tok")
