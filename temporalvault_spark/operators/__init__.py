@@ -13,6 +13,7 @@ from temporalvault_spark.operators import (  # noqa: F401
     analytics_tpch2,
     corpus,
     dedup_cluster,
+    dq,
     hypertable,
     llm,
     relational,

@@ -1,0 +1,139 @@
+"""Data-quality expectations: the constraint gate a production pipeline
+runs before trusting a batch (the Delta Live Tables "expectations" /
+Great Expectations pattern).
+
+The reference gets integrity from PostgreSQL itself — NOT NULL columns,
+the primary key, and the unique version index (reference app/models.py:
+11-24) reject bad rows at insert time. A lake engine has no constraint
+enforcement in the storage layer, so the equivalent is a VALIDATION
+OPERATOR: declarative rules → one violations report, run before a batch
+is published.
+
+Scale shape:
+  * all row-predicate rules for one table FUSE into a single aggregate —
+    one scan per table regardless of rule count (`sum(case when violated)`
+    per rule), map-side combined to a 1-row frame;
+  * uniqueness is `count - count(distinct key)` inside that same
+    aggregate — no self-join;
+  * referential integrity is a left-anti join on the key, the same
+    shuffle any FK-existence query pays (AQE handles skewed keys); only
+    the anti-join's count leaves the join;
+  * the report is a union of 1-row frames — bytes, not data.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.registry import query
+
+
+def fused_rule_counts(df: DataFrame, rules: dict[str, object]) -> DataFrame:
+    """(rule, n_violations) for row-predicate rules, ONE aggregate over one
+    scan. Each value of ``rules`` is a boolean Column that is true when the
+    row VIOLATES the rule."""
+    agg = df.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+            for name, cond in rules.items()
+        ]
+    )
+    stack = ", ".join(f"'{name}', {name}" for name in rules)
+    return agg.selectExpr(
+        f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+    )
+
+
+def uniqueness_violations(df: DataFrame, key: str, rule: str) -> DataFrame:
+    return df.agg(
+        (F.count(key) - F.count_distinct(F.col(key))).cast("bigint").alias("n_violations")
+    ).select(F.lit(rule).alias("rule"), "n_violations")
+
+
+def fk_violations(child: DataFrame, key: str, parent: DataFrame, pkey: str, rule: str) -> DataFrame:
+    orphans = child.select(F.col(key)).filter(F.col(key).isNotNull()).join(
+        parent.select(F.col(pkey).alias(key)), key, "left_anti"
+    )
+    return orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_violations")).select(
+        F.lit(rule).alias("rule"), "n_violations"
+    )
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_catalog(spark, sf_dir)
+    orders, lineitem, customer = c.table("orders"), c.table("lineitem"), c.table("customer")
+    parts = [
+        fused_rule_counts(
+            orders,
+            {
+                "orders_orderkey_not_null": F.col("o_orderkey").isNull(),
+                "orders_totalprice_nonneg": F.col("o_totalprice") < 0,
+                "orders_orderdate_not_null": F.col("o_orderdate").isNull(),
+            },
+        ),
+        uniqueness_violations(orders, "o_orderkey", "orders_orderkey_unique"),
+        fused_rule_counts(
+            lineitem,
+            {
+                "lineitem_quantity_in_range": ~F.col("l_quantity").between(1, 50),
+                "lineitem_discount_in_range": ~F.col("l_discount").between(0, 1),
+                "lineitem_price_positive": F.col("l_extendedprice") <= 0,
+            },
+        ),
+        fk_violations(orders, "o_custkey", customer, "c_custkey", "orders_custkey_fk_customer"),
+        fk_violations(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_orderkey_fk_orders"),
+    ]
+    report = reduce(DataFrame.unionByName, parts)
+    return report.withColumn("passed", F.col("n_violations") == 0)
+
+
+@query(
+    "dq_expectations",
+    """WITH o AS (
+        SELECT 'orders_orderkey_not_null' AS rule,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders_totalprice_nonneg',
+               CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'orders_orderdate_not_null',
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'orders_orderkey_unique',
+               CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'lineitem_quantity_in_range',
+               CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_discount_in_range',
+               CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1) THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_price_positive',
+               CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'orders_custkey_fk_customer',
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk_orders',
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    SELECT rule, n_violations, n_violations = 0 AS passed FROM o""",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint gate over the star schema: NOT NULL / range / uniqueness /
+    referential integrity as one violations report (the lake substitute for
+    the reference's NOT NULL columns, primary key, and unique version index,
+    app/models.py:11-24). Row-predicate rules fuse into one aggregate per
+    table; FK checks are left-anti joins; the report is a union of 1-row
+    frames."""
+    return dq_expectations(spark, sf_dir)

@@ -1,0 +1,73 @@
+"""Data-quality expectations (operators/dq.py): every rule kind must
+actually FIRE on crafted dirty data — a gate that only ever passes is
+untested — and the fused per-table aggregate must stay one scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from temporalvault_spark.operators.dq import (
+    fk_violations,
+    fused_rule_counts,
+    uniqueness_violations,
+)
+
+
+def test_fused_rules_fire_and_count(spark):
+    rows = [(1, 10.0), (2, -5.0), (None, -1.0), (4, 0.0)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in fused_rule_counts(
+            df,
+            {
+                "k_not_null": F.col("k").isNull(),
+                "v_nonneg": F.col("v") < 0,
+            },
+        ).collect()
+    }
+    assert out == {"k_not_null": 1, "v_nonneg": 2}
+
+
+def test_uniqueness_counts_extra_copies(spark):
+    df = spark.createDataFrame([(1,), (1,), (1,), (2,), (None,)], "k int")
+    out = uniqueness_violations(df, "k", "k_unique").first()
+    # COUNT(k)=4 non-null, 2 distinct -> 2 extra copies
+    assert out["rule"] == "k_unique" and out["n_violations"] == 2
+
+
+def test_fk_orphans_counted_nulls_exempt(spark):
+    child = spark.createDataFrame([(1,), (2,), (99,), (None,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    out = fk_violations(child, "fk", parent, "pk", "fk_ok").first()
+    # 99 is an orphan; NULL fk is exempt (matches SQL NOT IN + IS NOT NULL)
+    assert out["n_violations"] == 1
+
+
+def test_fused_rules_single_scan(spark, sf_dir):
+    """All row-predicate rules for one table must compile to ONE aggregate
+    over one scan — rule count must not multiply passes."""
+    from temporalvault_spark.catalog import load_catalog
+    from temporalvault_spark.plans import plan_counts
+
+    orders = load_catalog(spark, sf_dir).table("orders")
+    df = fused_rule_counts(
+        orders,
+        {
+            "a": F.col("o_orderkey").isNull(),
+            "b": F.col("o_totalprice") < 0,
+            "c": F.col("o_orderdate").isNull(),
+        },
+    )
+    c = plan_counts(df)
+    assert c["FileScan"] == 1
+    assert c["SortMergeJoin"] == 0 and c["BroadcastHashJoin"] == 0
+
+
+def test_report_on_clean_star_schema(spark, sf_dir):
+    from temporalvault_spark.operators.dq import dq_expectations
+
+    rows = dq_expectations(spark, sf_dir).collect()
+    assert len(rows) == 9
+    assert all(r["passed"] for r in rows)
+    assert all(r["n_violations"] == 0 for r in rows)
