@@ -137,3 +137,76 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; FK checks are left-anti joins; the report is a union of 1-row
     frames."""
     return dq_expectations(spark, sf_dir)
+
+
+def dq_version_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity of the derived version log itself — the invariants the
+    reference's write path maintains row-at-a-time (app/main.py:77-92:
+    next-version assignment reads the latest row; models.py:19: the
+    previous_version back-link) and this engine maintains set-at-once:
+
+      * versions are contiguous per key (max version_num == row count);
+      * previous_version of v_n is exactly v_{n-1} (v_1 has none);
+      * second-truncated ts is non-decreasing along the chain (the log is
+        append-ordered; raw-arrival order is the window's sort key).
+
+    One window + one aggregate over the record_id partitioning every
+    temporal operator already shares."""
+    return version_chain_report(load_catalog(spark, sf_dir).table("temporal_records"))
+
+
+def version_chain_report(tr: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("record_id").orderBy("version_num")
+    checked = tr.select(
+        "record_id",
+        "version_num",
+        "ts",
+        "previous_version",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lag(F.col("version")).over(w).alias("expect_prev"),
+    )
+    return checked.agg(
+        F.sum(
+            F.when(~F.col("previous_version").eqNullSafe(F.col("expect_prev")), 1).otherwise(0)
+        ).cast("bigint").alias("broken_links"),
+        F.sum(
+            F.when(F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts")), 1).otherwise(0)
+        ).cast("bigint").alias("ts_regressions"),
+        (F.count(F.lit(1)) - F.sum(F.when(F.col("version_num") == 1, 1).otherwise(0)))
+        .cast("bigint").alias("n_chained"),
+    ).crossJoin(
+        tr.groupBy("record_id")
+        .agg((F.max("version_num") != F.count(F.lit(1))).alias("gap"))
+        .agg(F.sum(F.when(F.col("gap"), 1).otherwise(0)).cast("bigint").alias("gapped_keys"))
+    ).select("broken_links", "ts_regressions", "n_chained", "gapped_keys")
+
+
+def register_temporal_dq() -> None:
+    from temporalvault_spark.catalog import temporal_oracle
+
+    query(
+        "dq_version_chain",
+        temporal_oracle(
+            """SELECT
+                 CAST(SUM(CASE WHEN previous_version IS DISTINCT FROM expect_prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS broken_links,
+                 CAST(SUM(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                               THEN 1 ELSE 0 END) AS BIGINT) AS ts_regressions,
+                 CAST(COUNT(*) - SUM(CASE WHEN version_num = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_chained,
+                 (SELECT CAST(SUM(CASE WHEN mx != cnt THEN 1 ELSE 0 END) AS BIGINT)
+                  FROM (SELECT record_id, MAX(version_num) AS mx, COUNT(*) AS cnt
+                        FROM temporal_records GROUP BY record_id)) AS gapped_keys
+               FROM (
+                 SELECT record_id, version_num, ts, previous_version,
+                        LAG(ts) OVER w AS prev_ts,
+                        LAG(version) OVER w AS expect_prev
+                 FROM temporal_records
+                 WINDOW w AS (PARTITION BY record_id ORDER BY version_num))"""
+        ),
+    )(dq_version_chain)
+
+
+register_temporal_dq()

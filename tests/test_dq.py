@@ -71,3 +71,37 @@ def test_report_on_clean_star_schema(spark, sf_dir):
     assert len(rows) == 9
     assert all(r["passed"] for r in rows)
     assert all(r["n_violations"] == 0 for r in rows)
+
+
+def test_version_chain_report_fires_on_corruption(spark):
+    """Crafted corrupt log: a gap (v1, v3), a wrong back-link, and a ts
+    regression must each be counted; a clean chain scores zero."""
+    import datetime as dt
+
+    from temporalvault_spark.operators.dq import version_chain_report
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def row(rid, vn, prev, ts):
+        return (1, rid, f"v{vn}", "{}", ts, vn, prev)
+
+    schema = "id int, record_id string, version string, data string, ts timestamp, version_num int, previous_version string"
+    clean = spark.createDataFrame(
+        [row("a", 1, None, t0), row("a", 2, "v1", t0 + dt.timedelta(hours=1))], schema
+    )
+    r = version_chain_report(clean).first()
+    assert (r["broken_links"], r["ts_regressions"], r["gapped_keys"]) == (0, 0, 0)
+
+    corrupt = spark.createDataFrame(
+        [
+            row("a", 1, None, t0),
+            row("a", 3, "v1", t0 + dt.timedelta(hours=1)),     # gap: v2 missing (link v1 != expected v... lag gives v1 -> matches, but max!=count)
+            row("b", 1, None, t0),
+            row("b", 2, "v9", t0 - dt.timedelta(hours=1)),     # wrong back-link + ts regression
+        ],
+        schema,
+    )
+    r = version_chain_report(corrupt).first()
+    assert r["gapped_keys"] == 1
+    assert r["broken_links"] == 1
+    assert r["ts_regressions"] == 1
