@@ -98,6 +98,8 @@ HEADLINE = [
     "sim_ivf_ann",
     "doc_unigram_logprob",
     "corpus_pipeline_stats",
+    "dq_expectations",
+    "dq_version_chain",
 ]
 
 

@@ -309,3 +309,24 @@ def test_corpus_pipeline_matches_composed_stages(spark, sf_dir):
     got = {(r["split"], r["source"]): r["n_docs"] for r in stats}
     assert got == expected
     assert sum(got.values()) == survivors.count()
+
+
+def test_deterministic_ops_partitioning_invariant(spark, sf_dir):
+    """The salted-md5 family must produce IDENTICAL results whatever the
+    input partitioning — the property that lets a doc never migrate
+    between splits/samples when the corpus is repartitioned or appended
+    on a different cluster size."""
+    from temporalvault_spark.catalog import load_catalog
+    from temporalvault_spark.operators.corpus import (
+        corpus_shuffle_shards,
+        sample_fixed_k,
+        split_train_val_test,
+        temperature_sample_by_lang,
+    )
+
+    docs = load_catalog(spark, sf_dir).table("documents")
+    one, many = docs.coalesce(1), docs.repartition(16)
+    for fn in (split_train_val_test, sample_fixed_k, temperature_sample_by_lang, corpus_shuffle_shards):
+        a = sorted(tuple(r) for r in fn(one).collect())
+        b = sorted(tuple(r) for r in fn(many).collect())
+        assert a == b, fn.__name__
