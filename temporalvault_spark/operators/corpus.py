@@ -61,8 +61,13 @@ def chunk_documents(
     Pure generate/explode: zero shuffles, zero Python. At 100 TB this runs
     at scan speed and the ~window/stride× row fan-out streams straight into
     the next stage (tokenizer) without materializing.
+
+    NULL-text documents produce NO chunks (filtered at the scan) — the
+    semantics the DuckDB ground truth has by construction (range(0, NULL)
+    unnests to zero rows); the previous behavior emitted one all-NULL
+    chunk row, which would diverge from the oracle on the first NULL text.
     """
-    t = docs.select("doc_id", _tokens().alias("t"))
+    t = docs.filter(F.col("text").isNotNull()).select("doc_id", _tokens().alias("t"))
     starts = F.sequence(F.lit(0), F.greatest(F.size("t") - 1, F.lit(0)), F.lit(stride))
     chunk = F.slice(F.col("t"), F.col("start") + 1, window)
     return (
@@ -710,7 +715,7 @@ def corpus_pipeline_stats(docs: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     d = docs.withColumn("fp", F.md5(F.lower(F.trim(F.col("text")))))
-    g = gopher_quality(d, passthrough=("fp", "source", "lang"))
+    g = gopher_quality(d, passthrough=("fp", "source"))
     w = Window.partitionBy("fp").orderBy("doc_id")
     deduped = (
         g.filter("keep")

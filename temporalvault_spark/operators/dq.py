@@ -32,26 +32,35 @@ from temporalvault_spark.catalog import load_catalog
 from temporalvault_spark.registry import query
 
 
-def fused_rule_counts(df: DataFrame, rules: dict[str, object]) -> DataFrame:
-    """(rule, n_violations) for row-predicate rules, ONE aggregate over one
-    scan. Each value of ``rules`` is a boolean Column that is true when the
-    row VIOLATES the rule."""
+def fused_rule_counts(
+    df: DataFrame, rules: dict[str, object], unique_keys: dict[str, str] | None = None
+) -> DataFrame:
+    """(rule, n_violations) for row-predicate rules AND key-uniqueness
+    rules, ONE aggregate over one scan. Each value of ``rules`` is a
+    boolean Column that is true when the row VIOLATES the rule;
+    ``unique_keys`` maps rule name → column that must be unique
+    (violations = extra copies, COUNT(key) - COUNT(DISTINCT key), riding
+    the same aggregate — no second scan, no self-join). coalesce(0) keeps
+    an EMPTY batch a definite pass — SUM over zero rows is NULL, and a
+    NULL verdict neither passes nor fails a gate."""
+    unique_keys = unique_keys or {}
     agg = df.agg(
         *[
-            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(name)
             for name, cond in rules.items()
-        ]
+        ],
+        *[
+            (F.count(key) - F.count_distinct(F.col(key))).cast("bigint").alias(name)
+            for name, key in unique_keys.items()
+        ],
     )
-    stack = ", ".join(f"'{name}', {name}" for name in rules)
+    names = [*rules, *unique_keys]
+    stack = ", ".join(f"'{name}', {name}" for name in names)
     return agg.selectExpr(
-        f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+        f"stack({len(names)}, {stack}) AS (rule, n_violations)"
     )
-
-
-def uniqueness_violations(df: DataFrame, key: str, rule: str) -> DataFrame:
-    return df.agg(
-        (F.count(key) - F.count_distinct(F.col(key))).cast("bigint").alias("n_violations")
-    ).select(F.lit(rule).alias("rule"), "n_violations")
 
 
 def fk_violations(child: DataFrame, key: str, parent: DataFrame, pkey: str, rule: str) -> DataFrame:
@@ -74,8 +83,8 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "orders_totalprice_nonneg": F.col("o_totalprice") < 0,
                 "orders_orderdate_not_null": F.col("o_orderdate").isNull(),
             },
+            unique_keys={"orders_orderkey_unique": "o_orderkey"},
         ),
-        uniqueness_violations(orders, "o_orderkey", "orders_orderkey_unique"),
         fused_rule_counts(
             lineitem,
             {

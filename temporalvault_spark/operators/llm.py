@@ -461,7 +461,11 @@ def substring_spans_apply(docs: DataFrame, k: int = SPAN_TOKENS) -> DataFrame:
         F.count("*").alias("n_kept"),
     )
     # affected docs take the rebuilt text ('' if fully spliced — rebuilt has
-    # no row when every token was cut); untouched docs rejoin their array
+    # no row when every token was cut); untouched docs rejoin their array.
+    # NULL-text parity with the oracle: array_join(NULL) is NULL, so
+    # clean_text coalesces to '' (the oracle's COALESCE(clean_text, '')),
+    # while n_tokens_removed stays size(t) - size(t) = NULL for a NULL
+    # array (the oracle's len(t) - 0 = NULL) — NOT a hardcoded 0
     spliced = F.col("is_affected").isNotNull()
     return (
         toks.join(
@@ -470,11 +474,14 @@ def substring_spans_apply(docs: DataFrame, k: int = SPAN_TOKENS) -> DataFrame:
         .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
-            F.when(spliced, F.coalesce("clean_text", F.lit("")))
-            .otherwise(F.array_join("t", " "))
-            .alias("clean_text"),
+            F.coalesce(
+                F.when(spliced, F.coalesce("clean_text", F.lit(""))).otherwise(
+                    F.array_join("t", " ")
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
             F.when(spliced, F.size("t") - F.coalesce("n_kept", F.lit(0)))
-            .otherwise(F.lit(0))
+            .otherwise(F.size("t") - F.size("t"))
             .cast("bigint")
             .alias("n_tokens_removed"),
         )

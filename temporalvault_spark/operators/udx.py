@@ -60,9 +60,8 @@ class ChunkSpans:
 
     def eval(self, text: str | None):
         if text is None:
-            # builtin contract: split(NULL) propagates — one all-NULL chunk
-            # (sequence over greatest(size(NULL)-1, 0) still emits start=0)
-            yield 0, None, None
+            # contract shared with the builtin AND the oracle: NULL text
+            # produces no chunks (DuckDB's range(0, NULL) is zero rows)
             return
         toks = text.strip().lower().split(" ")
         n = len(toks)

@@ -74,20 +74,22 @@ def with_z_value(
         lo, hi = bounds[c]
         span = (hi - lo) or 1.0
         scaled = f"__zs_{c}"
-        # clamp: rows outside the declared bounds still get a legal cell
+        # clamp IN DOUBLE SPACE, before the long cast: rows outside the
+        # declared bounds still get a legal cell, and an extreme outlier
+        # (or NaN, neutralized by nanvl) can never hit ANSI CAST_OVERFLOW —
+        # clamping after the cast crashes the whole layout job on the first
+        # sentinel value whose scaled magnitude exceeds 2^63
+        raw = (
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            / F.lit(float(span))
+            * F.lit(float(grid_max))
+        )
         out = out.withColumn(
             scaled,
             F.least(
-                F.lit(grid_max).cast("long"),
-                F.greatest(
-                    F.lit(0).cast("long"),
-                    (
-                        (F.col(c).cast("double") - F.lit(float(lo)))
-                        / F.lit(float(span))
-                        * F.lit(float(grid_max))
-                    ).cast("long"),
-                ),
-            ),
+                F.lit(float(grid_max)),
+                F.greatest(F.lit(0.0), F.nanvl(raw, F.lit(0.0))),
+            ).cast("long"),
         )
         z_parts.append(_interleave_sql(scaled, bits, n_dims, offset))
     out = out.withColumn("z_value", F.expr(" | ".join(z_parts)).cast("long"))
@@ -118,6 +120,29 @@ def write_zordered(
     )
 
 
+# one z-rewrite per (process, sf_dir): repeated invocations (bench reps,
+# correctness sweeps) reuse the copy instead of leaking a fresh /tmp dir
+# per call; atexit reclaims them
+_ZORDER_CACHE: dict[str, str] = {}
+
+
+def _zorder_events_dir(spark, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from temporalvault_spark.catalog import load_catalog
+
+    path = _ZORDER_CACHE.get(sf_dir)
+    if path is None:
+        events = load_catalog(spark, sf_dir).table("events")
+        path = tempfile.mkdtemp(prefix="tv_zorder_events_")
+        write_zordered(events, path, ("ts", "user_id"), n_files=8)
+        _ZORDER_CACHE[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def q_zorder_scan(spark, sf_dir: str):
     """Registry demo: rewrite events z-ordered on (ts, user_id), then run a
     user_id-slice aggregate over the rewritten copy. Results are layout-
@@ -125,16 +150,9 @@ def q_zorder_scan(spark, sf_dir: str):
     point — clustering is transparent to readers; only the scan's stats
     pruning changes. The skipping win itself is pinned quantitatively in
     tests/test_layout.py (file-footer intersect counts)."""
-    import tempfile
-
     from pyspark.sql import functions as F  # noqa: F811
 
-    from temporalvault_spark.catalog import load_catalog
-
-    events = load_catalog(spark, sf_dir).table("events")
-    path = tempfile.mkdtemp(prefix="tv_zorder_events_")
-    write_zordered(events, path, ("ts", "user_id"), n_files=8)
-    back = spark.read.parquet(path)
+    back = spark.read.parquet(_zorder_events_dir(spark, sf_dir))
     return (
         back.filter(F.col("user_id").between(2, 5))
         .groupBy("event_type")

@@ -9,7 +9,6 @@ from pyspark.sql import functions as F
 from temporalvault_spark.operators.dq import (
     fk_violations,
     fused_rule_counts,
-    uniqueness_violations,
 )
 
 
@@ -31,7 +30,7 @@ def test_fused_rules_fire_and_count(spark):
 
 def test_uniqueness_counts_extra_copies(spark):
     df = spark.createDataFrame([(1,), (1,), (1,), (2,), (None,)], "k int")
-    out = uniqueness_violations(df, "k", "k_unique").first()
+    out = fused_rule_counts(df, {}, unique_keys={"k_unique": "k"}).first()
     # COUNT(k)=4 non-null, 2 distinct -> 2 extra copies
     assert out["rule"] == "k_unique" and out["n_violations"] == 2
 
@@ -105,3 +104,18 @@ def test_version_chain_report_fires_on_corruption(spark):
     assert r["gapped_keys"] == 1
     assert r["broken_links"] == 1
     assert r["ts_regressions"] == 1
+
+
+def test_fused_rules_empty_batch_passes(spark):
+    """SUM over zero rows is NULL — the gate must coalesce so an empty
+    batch is a definite pass, never an indeterminate NULL verdict."""
+    df = spark.createDataFrame([], "k int, v double")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in fused_rule_counts(
+            df,
+            {"k_not_null": F.col("k").isNull()},
+            unique_keys={"k_unique": "k"},
+        ).collect()
+    }
+    assert out == {"k_not_null": 0, "k_unique": 0}

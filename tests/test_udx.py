@@ -38,7 +38,9 @@ def test_udtf_chunker_matches_builtin(spark, sf_dir):
 
 def test_udtf_edge_semantics(spark):
     """Empty/whitespace/multi-space docs behave exactly like the builtin:
-    split(' ') keeps empty tokens, and every doc emits >= 1 chunk."""
+    split(' ') keeps empty tokens, every non-NULL doc emits >= 1 chunk,
+    and NULL-text docs emit none (oracle contract: range(0, NULL) = 0
+    rows)."""
     rows = [(1, ""), (2, "   "), (3, "a  b"), (4, None)]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     cols = ["doc_id", "chunk_id", "n_chunk_tokens", "chunk_text"]
@@ -53,7 +55,7 @@ def test_udtf_edge_semantics(spark):
         cols,
     )
     assert via_udtf == builtin
-    assert {r[0] for r in via_udtf} == {1, 2, 3, 4}
+    assert {r[0] for r in via_udtf} == {1, 2, 3}  # NULL-text doc 4 emits nothing
 
 
 def test_udtf_plan_no_shuffle(spark, sf_dir):
