@@ -293,8 +293,16 @@ MIX_WEIGHTS = (0.25, 0.5, 1.0)
 
 def corpus_mix_sample(docs: DataFrame) -> DataFrame:
     """Weighted domain mixing: keep each document with its source's sampling
-    weight, deterministically (salted md5 Bernoulli, see module comment)."""
-    grp = F.regexp_extract("source", r"(\d+)$", 1).cast("int") % len(MIX_WEIGHTS)
+    weight, deterministically (salted md5 Bernoulli, see module comment).
+    Sources with no numeric suffix fall into group 0 via try_cast — under
+    ANSI mode a plain cast of the empty extract would abort the job on the
+    first unconventional source name."""
+    grp = (
+        F.coalesce(
+            F.regexp_extract("source", r"(\d+)$", 1).try_cast("int"), F.lit(0)
+        )
+        % len(MIX_WEIGHTS)
+    )
     thr = F.when(grp == 0, F.lit(_hex_thr(MIX_WEIGHTS[0]))).when(
         grp == 1, F.lit(_hex_thr(MIX_WEIGHTS[1]))
     ).otherwise(F.lit(_hex_thr(MIX_WEIGHTS[2])))
@@ -315,7 +323,7 @@ def corpus_mix_sample(docs: DataFrame) -> DataFrame:
     FROM (
       SELECT doc_id, source, lang,
              substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u,
-             CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 3 AS grp
+             COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INT), 0) % 3 AS grp
       FROM documents) t
     WHERE u < CASE grp WHEN 0 THEN '{_hex_thr(MIX_WEIGHTS[0])}'
                        WHEN 1 THEN '{_hex_thr(MIX_WEIGHTS[1])}'

@@ -263,14 +263,15 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_fingerprint",
     """WITH toks AS (
-        SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents)
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+        WHERE text IS NOT NULL)
     SELECT doc_id,
            md5(array_to_string(t, ' ')) AS md5_full,
-           md5(array_to_string(
+           md5(COALESCE(array_to_string(
                list_sort(list_distinct(CASE WHEN len(t) >= 3 THEN
                    list_transform(range(1, len(t) - 1),
                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                   ELSE [] END)), chr(10))) AS shingle_fingerprint,
+                   ELSE [] END)), chr(10)), '')) AS shingle_fingerprint,
            CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS n_shingles
     FROM toks""",
 )
@@ -278,8 +279,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of the normalized text plus an md5 over
     the sorted distinct word-3-gram shingle set (the input MinHash/SimHash
     sketches start from). Engine-portable by construction (md5, not
-    xxhash/murmur)."""
-    toks = _docs(spark, sf_dir).select("doc_id", _tokens().alias("t"))
+    xxhash/murmur). NULL-text docs have no fingerprint (filtered on both
+    sides — md5(NULL) propagation differs between engines)."""
+    toks = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _tokens().alias("t"))
+    )
     shingles = F.when(
         F.size("t") >= 3,
         F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"),

@@ -624,7 +624,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token vocabulary is small and shared, so token-set similarity saturates
     # (observed: 71k "near-dup" pairs from 500 docs); shingles discriminate
     toks = (
-        docs.select("doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("t"))
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("t"))
         .filter(F.size("t") >= 3)
         .select(
             "doc_id",
@@ -633,6 +634,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
             ).alias("tokens"),
         )
+        # lineage barrier: Catalyst collapses the ML UDFs below the filters
+        # and evaluates HashingTF on rows the filters discard — a NULL/short
+        # text then NPEs the whole job (reproduced on Spark 4.1). The
+        # checkpoint pins "filter first", so the ML stage only ever sees
+        # valid token arrays.
+        .localCheckpoint(eager=False)
     )
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
     feat = tf.transform(toks)

@@ -130,12 +130,16 @@ def _robust_z_group(pdf: pd.DataFrame) -> pd.DataFrame:
     med = x.median()
     mad = (x - med).abs().median()
     z = (x - med) / (mad + 1.0)
+    # NULL x must stay NULL in BOTH outputs: pandas' NaN > 3.0 is False,
+    # but SQL's abs(NULL) > 3 is NULL — mask to keep oracle parity
+    is_outlier = (z.abs() > 3.0).astype(object)
+    is_outlier[x.isna()] = None
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
             "source": pdf["source"],
             "robust_z": z.round(6),
-            "is_outlier": z.abs() > 3.0,
+            "is_outlier": is_outlier,
         }
     )
 
