@@ -114,12 +114,18 @@ def q_agg_first_last_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle every event). Timestamps are unique per user in this dataset
     (verified), so the time-ordered argmin/argmax is deterministic."""
     ev = _events(spark, sf_dir)
+    # NULL-value rows must not be the picked extremes: DuckDB's
+    # arg_min/arg_max skip NULL args, Spark's min_by/max_by don't — nulling
+    # the ORDERING key for null values makes Spark skip the same rows
+    # (min_by/max_by ignore null ordering keys), so both engines return
+    # the value at the earliest/latest NON-NULL observation
+    ts_nn = F.when(F.col("value").isNotNull(), F.col("ts"))
     return ev.groupBy("user_id").agg(
-        F.min_by("value", "ts").alias("first_value"),
-        F.max_by("value", "ts").alias("last_value"),
+        F.min_by("value", ts_nn).alias("first_value"),
+        F.max_by("value", ts_nn).alias("last_value"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
-        F.round(F.max_by("value", "ts") - F.min_by("value", "ts"), 6).alias("delta"),
+        F.round(F.max_by("value", ts_nn) - F.min_by("value", ts_nn), 6).alias("delta"),
         F.count("*").cast("bigint").alias("n_events"),
     )
 

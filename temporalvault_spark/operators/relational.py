@@ -542,8 +542,9 @@ def q_setop_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_funcs",
     """SELECT event_id,
            upper(substr(event_type, 1, 3)) AS type_code,
-           concat(event_type, ':', CAST(user_id AS STRING)) AS tag,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           concat_ws(':', event_type, CAST(user_id AS STRING)) AS tag,
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k_val,
            CASE WHEN value >= 100 THEN 'big' WHEN value >= 20 THEN 'mid' ELSE 'small' END AS size_class,
            ROUND(sqrt(value) + ln(value + 1), 6) AS score,
            year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
@@ -559,7 +560,10 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.upper(F.substring("event_type", 1, 3)).alias("type_code"),
         F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias("tag"),
-        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        # try_cast: a non-numeric "$.k" (or junk props — get_json_object
+        # returns NULL, the oracle guards with json_valid) must yield NULL,
+        # not an ANSI cast abort
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_val"),
         F.when(F.col("value") >= 100, "big")
         .when(F.col("value") >= 20, "mid")
         .otherwise("small")

@@ -74,3 +74,54 @@ def test_rows_only_doc_queries_survive_null_rows(spark, null_sf_dir):
     for name in _DOC_ROWS_ONLY:
         n = QUERIES[name](spark, null_sf_dir).count()
         assert n >= 0, name
+
+
+@pytest.fixture(scope="module")
+def edge_events_sf_dir(tmp_path_factory, sf_dir):
+    """Events with a NULL event_type/value/props row, a malformed-JSON
+    props row, a non-numeric "$.k", and a brand-new user — timestamps kept
+    unique per user (a documented precondition of first/last-by-time)."""
+    dst = str(tmp_path_factory.mktemp("sfev"))
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(dst, f))
+    pdf = pd.read_parquet(os.path.join(dst, "events.parquet"))
+    mx = int(pdf["event_id"].max())
+    u0 = int(pdf.iloc[0]["user_id"])
+    t_end = pdf["ts"].max()
+    extra = pd.DataFrame(
+        [
+            dict(event_id=mx + 1, ts=t_end + pd.Timedelta(days=1), user_id=u0,
+                 event_type=None, value=None, props=None),
+            dict(event_id=mx + 2, ts=t_end + pd.Timedelta(days=2), user_id=u0,
+                 event_type="click", value=1.5, props="not json at all"),
+            dict(event_id=mx + 3, ts=t_end + pd.Timedelta(days=3), user_id=9999,
+                 event_type="purchase", value=None, props='{"k": "oops"}'),
+        ]
+    )
+    out = pd.concat([pdf, extra], ignore_index=True)[pdf.columns]
+    for c in ("event_id", "user_id"):
+        out[c] = out[c].astype("int64")
+    out.to_parquet(os.path.join(dst, "events.parquet"), index=False)
+    return dst
+
+
+_EVENT_QUERIES = sorted(
+    name for name, sql in ORACLES.items()
+    if "events" in sql and "documents" not in sql
+)
+
+
+def test_all_event_oracles_green_with_edge_rows(spark, edge_events_sf_dir):
+    con = duckdb_conn(edge_events_sf_dir)
+    failures = []
+    for name in _EVENT_QUERIES:
+        try:
+            ok, msg = compare(
+                QUERIES[name](spark, edge_events_sf_dir), con, ORACLES[name]
+            )
+        except Exception as exc:  # noqa: BLE001
+            ok, msg = False, f"EXC {type(exc).__name__}: {exc}"
+        if not ok:
+            failures.append((name, msg[:160]))
+    assert not failures, failures
