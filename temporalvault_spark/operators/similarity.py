@@ -31,8 +31,28 @@ from temporalvault_spark.constants import SIM_PROBE_VEC_ID, SIM_TOP_K
 from temporalvault_spark.registry import query
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_catalog(spark, sf_dir).table("embeddings")
+def _emb(spark: SparkSession, sf_dir: str, strict: bool = True) -> DataFrame:
+    """Embeddings for the similarity operators. ``strict`` (default) drops
+    NULL and zero-norm vectors at the scan: cosine similarity is undefined
+    for them, and under ANSI mode ONE such row otherwise aborts the whole
+    job with DIVIDE_BY_ZERO (found by the edge-row sweep). Every cosine
+    oracle carries the identical WHERE so both engines see the same rows.
+    Operators with well-defined zero-vector semantics (int8 quantization)
+    pass strict=False."""
+    e = load_catalog(spark, sf_dir).table("embeddings")
+    if strict:
+        zero = F.aggregate(
+            F.transform("embedding", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+        )
+        e = e.filter(F.col("embedding").isNotNull() & (zero > 0))
+    return e
+
+
+# the oracle-side twin of _emb's strict filter (DuckDB)
+EMB_STRICT_WHERE = (
+    "WHERE embedding IS NOT NULL "
+    "AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"
+)
 
 
 def _dot(a, b):
@@ -71,7 +91,7 @@ _DUCK_COS = (
 
 @query(
     "sim_topk_cosine",
-    f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
         p AS (SELECT e FROM e WHERE vec_id = {SIM_PROBE_VEC_ID})
     SELECT a.vec_id, a.label, ROUND({_DUCK_COS}, 6) AS cosine
     FROM e a CROSS JOIN p
@@ -168,7 +188,7 @@ def assign_to_centroids(e: DataFrame, centroids: DataFrame | None = None) -> Dat
 
 @query(
     "sim_ivf_ann",
-    f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
         c AS (SELECT vec_id AS centroid_id, e FROM e WHERE vec_id < {N_CENTROIDS}),
         assign AS (
             SELECT vec_id, label, e, centroid_id FROM (
@@ -272,7 +292,7 @@ def knn_join(emb: DataFrame, probes: DataFrame, k: int = KNN_K) -> DataFrame:
 
 @query(
     "knn_join",
-    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
         p AS (SELECT vec_id AS probe_id, e AS p FROM e WHERE vec_id < {KNN_N_PROBES})
     SELECT probe_id, neighbor_id, rank, cosine FROM (
         SELECT p.probe_id, a.vec_id AS neighbor_id,
@@ -354,7 +374,7 @@ def knn_join_ivf(
 
 @query(
     "knn_join_ivf",
-    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
         c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {N_CENTROIDS}),
         assign AS (
             SELECT vec_id, e, centroid_id FROM (
@@ -435,7 +455,9 @@ def embed_quantize_int8(emb: DataFrame) -> DataFrame:
     FROM m""",
 )
 def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embed_quantize_int8(_emb(spark, sf_dir))
+    # strict=False: quantization IS defined for zero vectors (q = 0), and
+    # the oracle reads the unfiltered table
+    return embed_quantize_int8(_emb(spark, sf_dir, strict=False))
 
 
 EMB_DUP_THRESHOLD = 0.45
@@ -496,7 +518,7 @@ def embedding_cosine_pairs(
 
 @query(
     "dedup_embedding_cosine",
-    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
         c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {N_CENTROIDS}),
         assign AS (
             SELECT vec_id, e, centroid_id FROM (
@@ -555,7 +577,7 @@ def semdedup_verdicts(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> D
 
 @query(
     "semdedup",
-    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
         c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {N_CENTROIDS}),
         assign AS (
             SELECT vec_id, e, centroid_id FROM (

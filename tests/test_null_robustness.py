@@ -125,3 +125,55 @@ def test_all_event_oracles_green_with_edge_rows(spark, edge_events_sf_dir):
         if not ok:
             failures.append((name, msg[:160]))
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def edge_emb_sf_dir(tmp_path_factory, sf_dir):
+    """Embeddings with a zero vector (undefined cosine — ONE such row used
+    to abort every cosine operator with ANSI DIVIDE_BY_ZERO) and a NULL
+    embedding."""
+    import numpy as np
+
+    dst = str(tmp_path_factory.mktemp("sfemb"))
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(dst, f))
+    pdf = pd.read_parquet(os.path.join(dst, "embeddings.parquet"))
+    mx = int(pdf["vec_id"].max())
+    dim = len(pdf.iloc[0]["embedding"])
+    extra = pd.DataFrame(
+        [
+            dict(vec_id=mx + 1, embedding=np.zeros(dim, dtype=np.float32), label=0),
+            dict(vec_id=mx + 2, embedding=None, label=1),
+        ]
+    )
+    out = pd.concat([pdf, extra], ignore_index=True)[pdf.columns]
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["label"] = out["label"].astype("int32")
+    out.to_parquet(os.path.join(dst, "embeddings.parquet"), index=False)
+    return dst
+
+
+_EMB_QUERIES = sorted(
+    name for name, sql in ORACLES.items() if "embeddings" in sql
+)
+
+
+def test_all_embedding_oracles_green_with_edge_vectors(spark, edge_emb_sf_dir):
+    con = duckdb_conn(edge_emb_sf_dir)
+    failures = []
+    for name in _EMB_QUERIES:
+        try:
+            ok, msg = compare(
+                QUERIES[name](spark, edge_emb_sf_dir), con, ORACLES[name]
+            )
+        except Exception as exc:  # noqa: BLE001
+            ok, msg = False, f"EXC {type(exc).__name__}: {exc}"
+        if not ok:
+            failures.append((name, msg[:160]))
+    assert not failures, failures
+
+
+def test_pandas_cosine_twin_survives_edge_vectors(spark, edge_emb_sf_dir):
+    n = QUERIES["sim_topk_cosine_pandas"](spark, edge_emb_sf_dir).count()
+    assert n > 0
