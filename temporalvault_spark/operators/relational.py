@@ -238,7 +238,7 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(cume_dist() OVER w, 6) AS cume,
            dense_rank() OVER w AS drank
     FROM orders
-    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""",
+    WINDOW w AS (ORDER BY o_totalprice NULLS FIRST, o_orderkey)""",
 )
 def q_win_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-rank window suite: ntile quartiles, percent_rank,
@@ -248,7 +248,9 @@ def q_win_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     output IS the sorted table); per-key variants partition and parallelize,
     as win_rownum_latest shows."""
     c = _cat(spark, sf_dir)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    # explicit NULLS FIRST: Spark's ASC default, but DuckDB defaults to
+    # NULLS LAST — a NULL o_totalprice silently shifts every rank otherwise
+    w = Window.orderBy(F.asc_nulls_first("o_totalprice"), "o_orderkey")
     return c.table("orders").select(
         "o_orderkey",
         "o_custkey",

@@ -177,3 +177,51 @@ def test_all_embedding_oracles_green_with_edge_vectors(spark, edge_emb_sf_dir):
 def test_pandas_cosine_twin_survives_edge_vectors(spark, edge_emb_sf_dir):
     n = QUERIES["sim_topk_cosine_pandas"](spark, edge_emb_sf_dir).count()
     assert n > 0
+
+
+@pytest.fixture(scope="module")
+def edge_rel_sf_dir(tmp_path_factory, sf_dir):
+    """Star schema with an orphan o_custkey, an orphan l_orderkey, and NULL
+    measures (o_totalprice, l_discount, l_quantity) — the rows that exposed
+    Spark-vs-DuckDB NULL ordering divergence in global rank windows."""
+    dst = str(tmp_path_factory.mktemp("sfrel"))
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(dst, f))
+    o = pd.read_parquet(os.path.join(dst, "orders.parquet"))
+    li = pd.read_parquet(os.path.join(dst, "lineitem.parquet"))
+    r1 = o.iloc[0].copy(); r1["o_orderkey"] = int(o["o_orderkey"].max()) + 1; r1["o_custkey"] = 999999
+    r2 = o.iloc[1].copy(); r2["o_orderkey"] = int(o["o_orderkey"].max()) + 2; r2["o_totalprice"] = None
+    o2 = pd.concat([o, pd.DataFrame([r1, r2])], ignore_index=True)
+    l1 = li.iloc[0].copy(); l1["l_orderkey"] = 999999999
+    l2 = li.iloc[1].copy(); l2["l_discount"] = None
+    l3 = li.iloc[2].copy(); l3["l_quantity"] = None
+    li2 = pd.concat([li, pd.DataFrame([l1, l2, l3])], ignore_index=True)
+    for df_orig, df_new, name in ((o, o2, "orders"), (li, li2, "lineitem")):
+        for c in df_new.columns:
+            if df_orig[c].dtype.kind == "i":
+                df_new[c] = df_new[c].astype("int64")
+        df_new.to_parquet(os.path.join(dst, f"{name}.parquet"), index=False)
+    return dst
+
+
+_REL_QUERIES = sorted(
+    name for name, sql in ORACLES.items()
+    if ("orders" in sql or "lineitem" in sql)
+    and "documents" not in sql and "events" not in sql
+)
+
+
+def test_all_relational_oracles_green_with_edge_rows(spark, edge_rel_sf_dir):
+    con = duckdb_conn(edge_rel_sf_dir)
+    failures = []
+    for name in _REL_QUERIES:
+        try:
+            ok, msg = compare(
+                QUERIES[name](spark, edge_rel_sf_dir), con, ORACLES[name]
+            )
+        except Exception as exc:  # noqa: BLE001
+            ok, msg = False, f"EXC {type(exc).__name__}: {exc}"
+        if not ok:
+            failures.append((name, msg[:160]))
+    assert not failures, failures
