@@ -14,6 +14,7 @@ from temporalvault_spark.operators import (  # noqa: F401
     corpus,
     dedup_cluster,
     dq,
+    entity,
     hypertable,
     llm,
     relational,

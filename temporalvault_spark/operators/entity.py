@@ -1,0 +1,108 @@
+"""Entity resolution: blocked fuzzy matching over identifier strings.
+
+The reference's record_id is an exact string key (app/models.py:11); real
+pipelines also need the APPROXIMATE form — "are these two records the same
+entity, modulo a typo?" — for customer/vendor dedupe and record linkage.
+The non-negotiable scale rule is the same as text near-dup: never compare
+all pairs. Candidate generation must be an equi-join on a BLOCK key, with
+the expensive string distance computed only on candidates.
+
+Blocking scheme here: the two-piece pigeonhole split. For equal-length
+strings, a pair within substitution distance 1 (Hamming <= 1) differs in
+at most ONE position, and that position lies in exactly one of two
+disjoint slices — so the pair agrees EXACTLY on the other slice. Two
+equi-joins (one per slice) therefore find every such pair: the blocking
+is provably lossless for the distance it targets, not a heuristic. The
+verify stage then computes true Levenshtein on candidates only (identical
+builtin in Spark and DuckDB — the oracle replays everything bit-for-bit).
+General edit distance (insertions/deletions) generalizes the same shape
+to q-gram blocks; the join geometry is unchanged.
+
+Scale: each record emits exactly 2 slim (kind, slice-key) rows; the
+self-join key bounds the comparison fan-out to records sharing a slice;
+nothing is ever all-pairs, and the distance function never sees
+non-candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.registry import query
+
+# c_name is 'Customer#dddddddww' (18 chars): slice A = chars 1-14,
+# slice B = chars 15-18. Any single-position difference falls in exactly
+# one slice.
+_SLICE_A = (1, 14)
+_SLICE_B = (15, 4)
+MAX_EDIT = 1
+
+
+def fuzzy_name_pairs(
+    df: DataFrame, id_col: str, name_col: str, max_edit: int = MAX_EDIT
+) -> DataFrame:
+    """(id_a, id_b, edit_dist): pairs whose names are within ``max_edit``
+    Levenshtein, found via the two-slice pigeonhole blocking."""
+    base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    blocks = base.select(
+        "id",
+        "name",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("kind"),
+                    F.substring("name", *_SLICE_A).alias("bkey"),
+                ),
+                F.struct(
+                    F.lit(1).alias("kind"),
+                    F.substring("name", *_SLICE_B).alias("bkey"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", "name", F.col("b.kind").alias("kind"), F.col("b.bkey").alias("bkey"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.kind") == F.col("b.kind"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.name").alias("name_b"),
+        )
+        .distinct()  # a pair may collide in both slices
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        cand.filter(lev <= max_edit)
+        .select("id_a", "id_b", lev.cast("bigint").alias("edit_dist"))
+    )
+
+
+@query(
+    "er_fuzzy_name_pairs",
+    f"""WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+    b AS (
+        SELECT id, name, kind,
+               CASE kind WHEN 0 THEN substr(name, {_SLICE_A[0]}, {_SLICE_A[1]})
+                         ELSE substr(name, {_SLICE_B[0]}, {_SLICE_B[1]}) END AS bkey
+        FROM c CROSS JOIN (SELECT unnest([0, 1]) AS kind) k),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, a.name AS name_a,
+                        b2.id AS id_b, b2.name AS name_b
+        FROM b a JOIN b b2
+          ON a.kind = b2.kind AND a.bkey = b2.bkey AND a.id < b2.id)
+    SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= {MAX_EDIT}""",
+)
+def q_er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical customer names (one-character difference) via
+    lossless two-slice blocking + Levenshtein verify on candidates only."""
+    cust = load_catalog(spark, sf_dir).table("customer")
+    return fuzzy_name_pairs(cust, "c_custkey", "c_name")

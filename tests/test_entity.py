@@ -1,0 +1,67 @@
+"""Entity resolution (operators/entity.py): the two-slice blocking must be
+LOSSLESS for its target class (equal-length, substitution distance <= 1)
+and the verify stage exact — proven by a brute-force differential."""
+
+from __future__ import annotations
+
+import itertools
+
+from temporalvault_spark.operators.entity import fuzzy_name_pairs
+
+
+def _lev(a, b):
+    # textbook DP, the independent reference implementation
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, n + 1):
+            prev, d[j] = d[j], min(
+                d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+            )
+    return d[n]
+
+
+def test_blocking_lossless_and_verify_exact(spark):
+    names = [
+        "Customer#000000001",
+        "Customer#000000002",   # differs from #1 in slice B -> pair
+        "Customer#000010001",   # differs from #1 in slice A -> pair
+        "Customer#000010002",   # 2 edits vs #1 (one per slice): no shared slice
+        "Customer#000000099",   # 2 edits vs #1 in the SAME slice: candidate, verify rejects
+        "Customer#00000000",    # shorter name, prefix-equal: candidate via slice A
+    ]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in fuzzy_name_pairs(df, "id", "name").collect()
+    }
+    # brute-force ground truth for the GUARANTEED class: equal length,
+    # Hamming <= 1 — every such pair must be present
+    for (i, a), (j, b) in itertools.combinations(enumerate(names), 2):
+        if len(a) == len(b):
+            ham = sum(x != y for x, y in zip(a, b))
+            if ham <= 1:
+                assert (i, j) in got, (a, b)
+    # precision: nothing with true distance > 1 survives
+    for (i, j), dist in got.items():
+        true = _lev(names[i], names[j])
+        assert true <= 1 and dist == true, (names[i], names[j])
+    # the cross-slice double edit is not even a candidate; same-slice double
+    # edit is a candidate that verify rejects
+    assert (0, 3) not in got
+    assert (0, 4) not in got
+    # insertion pair sharing slice A is found too (superset of the
+    # guaranteed class, still verified exactly)
+    assert got.get((0, 5)) == 1
+
+
+def test_fuzzy_pairs_on_catalog(spark, sf_dir):
+    from temporalvault_spark.operators.entity import q_er_fuzzy_name_pairs
+
+    out = q_er_fuzzy_name_pairs(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["edit_dist"] <= 1 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
