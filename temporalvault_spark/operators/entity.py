@@ -7,19 +7,30 @@ The non-negotiable scale rule is the same as text near-dup: never compare
 all pairs. Candidate generation must be an equi-join on a BLOCK key, with
 the expensive string distance computed only on candidates.
 
-Blocking scheme here: the two-piece pigeonhole split. For equal-length
-strings, a pair within substitution distance 1 (Hamming <= 1) differs in
-at most ONE position, and that position lies in exactly one of two
-disjoint slices — so the pair agrees EXACTLY on the other slice. Two
-equi-joins (one per slice) therefore find every such pair: the blocking
-is provably lossless for the distance it targets, not a heuristic. The
-verify stage then computes true Levenshtein on candidates only (identical
-builtin in Spark and DuckDB — the oracle replays everything bit-for-bit).
-General edit distance (insertions/deletions) generalizes the same shape
-to q-gram blocks; the join geometry is unchanged.
+Blocking scheme here: the two-piece pigeonhole split over POSITION
+PARITY. For equal-length strings, a pair within substitution distance 1
+(Hamming <= 1) differs in at most ONE position; that position is either
+odd or even, so the pair agrees EXACTLY on the characters at the other
+parity. Two equi-joins (one per parity mask) therefore find every such
+pair: the blocking is provably lossless for the distance it targets, not
+a heuristic. The verify stage then computes true Levenshtein on
+candidates only (identical builtin in Spark and DuckDB — the oracle
+replays everything bit-for-bit). General edit distance (insertions /
+deletions) generalizes the same shape to q-gram blocks; the join
+geometry is unchanged.
 
-Scale: each record emits exactly 2 slim (kind, slice-key) rows; the
-self-join key bounds the comparison fan-out to records sharing a slice;
+Why parity masks and not two CONTIGUOUS slices (prefix/suffix): block
+sizes. Identifier-like strings concentrate their entropy in the
+low-order tail — on sequential 'Customer#00001234' names, a prefix slice
+puts tens of thousands of records in ONE block (measured: ~62M candidate
+pairs at sf0.1), the all-pairs blow-up blocking exists to prevent.
+Interleaving by parity routes some high-entropy positions into EACH
+mask, so both block families stay small (~1.7M candidates on the same
+data, 35x less) with the identical losslessness proof — any partition of
+positions into two sets satisfies the pigeonhole argument.
+
+Scale: each record emits exactly 2 slim (kind, mask-key) rows; the
+self-join key bounds the comparison fan-out to records sharing a mask;
 nothing is ever all-pairs, and the distance function never sees
 non-candidates.
 """
@@ -32,19 +43,26 @@ from pyspark.sql import functions as F
 from temporalvault_spark.catalog import load_catalog
 from temporalvault_spark.registry import query
 
-# c_name is 'Customer#dddddddww' (18 chars): slice A = chars 1-14,
-# slice B = chars 15-18. Any single-position difference falls in exactly
-# one slice.
-_SLICE_A = (1, 14)
-_SLICE_B = (15, 4)
 MAX_EDIT = 1
+
+# chars at odd / even 1-indexed positions — the two pigeonhole masks
+_MASK_SPARK = (
+    "concat_ws('', transform(sequence(1, length(name)), "
+    "i -> CASE WHEN i % 2 = {parity} THEN substring(name, i, 1) ELSE '' END))"
+)
+_MASK_DUCK = (
+    "list_aggregate(list_transform(range(1, len(name) + 1), "
+    "i -> CASE WHEN i % 2 = {parity} THEN name[i] ELSE '' END), 'string_agg', '')"
+)
 
 
 def fuzzy_name_pairs(
     df: DataFrame, id_col: str, name_col: str, max_edit: int = MAX_EDIT
 ) -> DataFrame:
     """(id_a, id_b, edit_dist): pairs whose names are within ``max_edit``
-    Levenshtein, found via the two-slice pigeonhole blocking."""
+    Levenshtein, found via the parity-mask pigeonhole blocking. Keys carry
+    the name length so different-length names never share a block (the
+    losslessness contract is the equal-length substitution class)."""
     base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
     blocks = base.select(
         "id",
@@ -53,11 +71,15 @@ def fuzzy_name_pairs(
             F.array(
                 F.struct(
                     F.lit(0).alias("kind"),
-                    F.substring("name", *_SLICE_A).alias("bkey"),
+                    F.concat_ws(
+                        "#", F.length("name"), F.expr(_MASK_SPARK.format(parity=1))
+                    ).alias("bkey"),
                 ),
                 F.struct(
                     F.lit(1).alias("kind"),
-                    F.substring("name", *_SLICE_B).alias("bkey"),
+                    F.concat_ws(
+                        "#", F.length("name"), F.expr(_MASK_SPARK.format(parity=0))
+                    ).alias("bkey"),
                 ),
             )
         ).alias("b"),
@@ -90,8 +112,9 @@ def fuzzy_name_pairs(
     f"""WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
     b AS (
         SELECT id, name, kind,
-               CASE kind WHEN 0 THEN substr(name, {_SLICE_A[0]}, {_SLICE_A[1]})
-                         ELSE substr(name, {_SLICE_B[0]}, {_SLICE_B[1]}) END AS bkey
+               len(name) || '#' ||
+               CASE kind WHEN 0 THEN {_MASK_DUCK.format(parity=1)}
+                         ELSE {_MASK_DUCK.format(parity=0)} END AS bkey
         FROM c CROSS JOIN (SELECT unnest([0, 1]) AS kind) k),
     cand AS (
         SELECT DISTINCT a.id AS id_a, a.name AS name_a,

@@ -48,13 +48,13 @@ def test_blocking_lossless_and_verify_exact(spark):
     for (i, j), dist in got.items():
         true = _lev(names[i], names[j])
         assert true <= 1 and dist == true, (names[i], names[j])
-    # the cross-slice double edit is not even a candidate; same-slice double
-    # edit is a candidate that verify rejects
+    # double edits: positions 14,18 (both even) share the odd mask — a
+    # candidate that verify rejects; positions 17,18 (odd+even) share no
+    # mask — never even a candidate
     assert (0, 3) not in got
     assert (0, 4) not in got
-    # insertion pair sharing slice A is found too (superset of the
-    # guaranteed class, still verified exactly)
-    assert got.get((0, 5)) == 1
+    # different-length names never share a block (length rides the key)
+    assert (0, 5) not in got
 
 
 def test_fuzzy_pairs_on_catalog(spark, sf_dir):
