@@ -62,7 +62,17 @@ def fuzzy_name_pairs(
     """(id_a, id_b, edit_dist): pairs whose names are within ``max_edit``
     Levenshtein, found via the parity-mask pigeonhole blocking. Keys carry
     the name length so different-length names never share a block (the
-    losslessness contract is the equal-length substitution class)."""
+    losslessness contract is the equal-length substitution class).
+
+    Only ``max_edit=1`` is supported: two parity masks pigeonhole exactly
+    one edit. Hamming <= k needs k+1 position groups (same construction,
+    more masks); insert/delete tolerance needs q-gram blocking — both keep
+    this join geometry but are not what this operator computes, so a wider
+    request fails loudly instead of silently under-reporting pairs."""
+    if max_edit != 1:
+        raise ValueError(
+            f"parity-mask blocking is lossless only for max_edit=1, got {max_edit}"
+        )
     base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
     blocks = base.select(
         "id",
@@ -113,8 +123,8 @@ def fuzzy_name_pairs(
     b AS (
         SELECT id, name, kind,
                len(name) || '#' ||
-               CASE kind WHEN 0 THEN {_MASK_DUCK.format(parity=1)}
-                         ELSE {_MASK_DUCK.format(parity=0)} END AS bkey
+               COALESCE(CASE kind WHEN 0 THEN {_MASK_DUCK.format(parity=1)}
+                                  ELSE {_MASK_DUCK.format(parity=0)} END, '') AS bkey
         FROM c CROSS JOIN (SELECT unnest([0, 1]) AS kind) k),
     cand AS (
         SELECT DISTINCT a.id AS id_a, a.name AS name_a,

@@ -546,7 +546,8 @@ def q_setop_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(substr(event_type, 1, 3)) AS type_code,
            concat_ws(':', event_type, CAST(user_id AS STRING)) AS tag,
            CASE WHEN json_valid(props)
-                THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k_val,
+                THEN CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS INT)
+                END AS k_val,
            CASE WHEN value >= 100 THEN 'big' WHEN value >= 20 THEN 'mid' ELSE 'small' END AS size_class,
            ROUND(sqrt(value) + ln(value + 1), 6) AS score,
            year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
@@ -562,10 +563,13 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.upper(F.substring("event_type", 1, 3)).alias("type_code"),
         F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias("tag"),
-        # try_cast: a non-numeric "$.k" (or junk props — get_json_object
-        # returns NULL, the oracle guards with json_valid) must yield NULL,
-        # not an ANSI cast abort
-        F.get_json_object("props", "$.k").try_cast("int").alias("k_val"),
+        # floor-of-double on BOTH sides: a non-numeric "$.k" (or junk props)
+        # must yield NULL, not an ANSI abort, and a fractional "$.k" must
+        # agree — Spark truncates double->int where DuckDB rounds, so both
+        # floor first
+        F.floor(F.get_json_object("props", "$.k").try_cast("double"))
+        .try_cast("int")
+        .alias("k_val"),
         F.when(F.col("value") >= 100, "big")
         .when(F.col("value") >= 20, "mid")
         .otherwise("small")

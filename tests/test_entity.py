@@ -27,9 +27,9 @@ def test_blocking_lossless_and_verify_exact(spark):
         "Customer#000000001",
         "Customer#000000002",   # differs from #1 in slice B -> pair
         "Customer#000010001",   # differs from #1 in slice A -> pair
-        "Customer#000010002",   # 2 edits vs #1 (one per slice): no shared slice
-        "Customer#000000099",   # 2 edits vs #1 in the SAME slice: candidate, verify rejects
-        "Customer#00000000",    # shorter name, prefix-equal: candidate via slice A
+        "Customer#000010002",   # 2 edits vs #1 at even positions 14,18: shares the odd mask, verify rejects
+        "Customer#000000099",   # 2 edits vs #1 at positions 17,18 (odd+even): shares no mask
+        "Customer#00000000",    # shorter name: length rides the key, never a candidate
     ]
     rows = [(i, n) for i, n in enumerate(names)]
     df = spark.createDataFrame(rows, "id bigint, name string")

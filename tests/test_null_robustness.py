@@ -29,7 +29,7 @@ _DOC_QUERIES = sorted(
 )
 _DOC_ROWS_ONLY = sorted(
     name
-    for name in ("dedup_minhash", "bloom_decontaminate", "sim_topk_cosine_pandas",
+    for name in ("dedup_minhash", "bloom_decontaminate",
                  "source_length_quantiles_approx")
     if name in QUERIES
 )
@@ -97,6 +97,10 @@ def edge_events_sf_dir(tmp_path_factory, sf_dir):
                  event_type="click", value=1.5, props="not json at all"),
             dict(event_id=mx + 3, ts=t_end + pd.Timedelta(days=3), user_id=9999,
                  event_type="purchase", value=None, props='{"k": "oops"}'),
+            # fractional "$.k": Spark truncates double->int, DuckDB rounds —
+            # both sides must floor first (relational.q_scalar_funcs)
+            dict(event_id=mx + 4, ts=t_end + pd.Timedelta(days=4), user_id=9999,
+                 event_type="purchase", value=2.5, props='{"k": 3.7}'),
         ]
     )
     out = pd.concat([pdf, extra], ignore_index=True)[pdf.columns]
