@@ -95,25 +95,25 @@ def fuzzy_name_pairs(
         ).alias("b"),
     ).select("id", "name", F.col("b.kind").alias("kind"), F.col("b.bkey").alias("bkey"))
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.kind") == F.col("b.kind"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("a.name").alias("name_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("b.name").alias("name_b"),
-        )
-        .distinct()  # a pair may collide in both slices
+    cand = a.join(
+        b,
+        (F.col("a.kind") == F.col("b.kind"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("a.name").alias("name_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("b.name").alias("name_b"),
     )
+    # a pair may collide in both masks: verify FIRST (levenshtein on the
+    # at-most-2 occurrences is cheap), then dedupe on the slim (ids, dist)
+    # projection — the name strings never ride the distinct's exchange
     lev = F.levenshtein("name_a", "name_b")
     return (
         cand.filter(lev <= max_edit)
         .select("id_a", "id_b", lev.cast("bigint").alias("edit_dist"))
+        .distinct()
     )
 
 
