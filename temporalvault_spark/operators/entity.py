@@ -45,14 +45,19 @@ from temporalvault_spark.registry import query
 
 MAX_EDIT = 1
 
-# chars at odd / even 1-indexed positions — the two pigeonhole masks
+# chars at 1-indexed positions congruent to `keep` mod `groups` — the
+# pigeonhole masks: a pair with <= k substituted positions leaves at least
+# one of the k+1 position groups untouched, and the pair agrees exactly
+# on THAT group's mask. (The mask must be a single group, not the
+# complement of one: k >= 2 edits can land in k different groups, so no
+# drop-one-group mask avoids them all, but some keep-one-group mask does.)
 _MASK_SPARK = (
     "concat_ws('', transform(sequence(1, length(name)), "
-    "i -> CASE WHEN i % 2 = {parity} THEN substring(name, i, 1) ELSE '' END))"
+    "i -> CASE WHEN i % {groups} = {keep} THEN substring(name, i, 1) ELSE '' END))"
 )
 _MASK_DUCK = (
     "list_aggregate(list_transform(range(1, len(name) + 1), "
-    "i -> CASE WHEN i % 2 = {parity} THEN name[i] ELSE '' END), 'string_agg', '')"
+    "i -> CASE WHEN i % {groups} = {keep} THEN name[i] ELSE '' END), 'string_agg', '')"
 )
 
 
@@ -60,37 +65,34 @@ def fuzzy_name_pairs(
     df: DataFrame, id_col: str, name_col: str, max_edit: int = MAX_EDIT
 ) -> DataFrame:
     """(id_a, id_b, edit_dist): pairs whose names are within ``max_edit``
-    Levenshtein, found via the parity-mask pigeonhole blocking. Keys carry
-    the name length so different-length names never share a block (the
-    losslessness contract is the equal-length substitution class).
+    Levenshtein, found via pigeonhole mask blocking. Keys carry the name
+    length so different-length names never share a block — the
+    losslessness contract is the equal-length substitution (Hamming)
+    class; insert/delete tolerance needs q-gram blocking instead.
 
-    Only ``max_edit=1`` is supported: two parity masks pigeonhole exactly
-    one edit. Hamming <= k needs k+1 position groups (same construction,
-    more masks); insert/delete tolerance needs q-gram blocking — both keep
-    this join geometry but are not what this operator computes, so a wider
-    request fails loudly instead of silently under-reporting pairs."""
-    if max_edit != 1:
-        raise ValueError(
-            f"parity-mask blocking is lossless only for max_edit=1, got {max_edit}"
-        )
+    General in k: ``max_edit=k`` uses k+1 position groups (i mod k+1) and
+    one mask per KEPT group — <= k edited positions touch <= k groups, so
+    some group is untouched and the pair agrees on that group's mask.
+    Candidate volume grows as masks shrink (each keeps 1/(k+1) of the
+    string), the usual recall/cost dial of blocking."""
+    groups = max_edit + 1
     base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
     blocks = base.select(
         "id",
         "name",
         F.explode(
             F.array(
-                F.struct(
-                    F.lit(0).alias("kind"),
-                    F.concat_ws(
-                        "#", F.length("name"), F.expr(_MASK_SPARK.format(parity=1))
-                    ).alias("bkey"),
-                ),
-                F.struct(
-                    F.lit(1).alias("kind"),
-                    F.concat_ws(
-                        "#", F.length("name"), F.expr(_MASK_SPARK.format(parity=0))
-                    ).alias("bkey"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(d).alias("kind"),
+                        F.concat_ws(
+                            "#",
+                            F.length("name"),
+                            F.expr(_MASK_SPARK.format(groups=groups, keep=d)),
+                        ).alias("bkey"),
+                    )
+                    for d in range(groups)
+                ]
             )
         ).alias("b"),
     ).select("id", "name", F.col("b.kind").alias("kind"), F.col("b.bkey").alias("bkey"))
@@ -123,8 +125,8 @@ def fuzzy_name_pairs(
     b AS (
         SELECT id, name, kind,
                len(name) || '#' ||
-               COALESCE(CASE kind WHEN 0 THEN {_MASK_DUCK.format(parity=1)}
-                                  ELSE {_MASK_DUCK.format(parity=0)} END, '') AS bkey
+               COALESCE(CASE kind WHEN 0 THEN {_MASK_DUCK.format(groups=2, keep=0)}
+                                  ELSE {_MASK_DUCK.format(groups=2, keep=1)} END, '') AS bkey
         FROM c CROSS JOIN (SELECT unnest([0, 1]) AS kind) k),
     cand AS (
         SELECT DISTINCT a.id AS id_a, a.name AS name_a,

@@ -65,3 +65,33 @@ def test_fuzzy_pairs_on_catalog(spark, sf_dir):
     assert len(rows) > 0
     assert all(r["edit_dist"] <= 1 for r in rows)
     assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_randomized_differential_vs_bruteforce(spark):
+    """Random names over a tiny alphabet: the blocked operator must equal
+    the O(n^2) brute force exactly on the equal-length Hamming<=k class,
+    for k = 1 and k = 2 (k+1 pigeonhole masks)."""
+    import random
+
+    rng = random.Random(11)
+    names = sorted({"".join(rng.choice("ab") for _ in range(6)) for _ in range(40)})
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    for k in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"]): r["edit_dist"]
+            for r in fuzzy_name_pairs(df, "id", "name", max_edit=k).collect()
+        }
+        expected = {}
+        for (i, a), (j, b) in itertools.combinations(enumerate(rows), 2):
+            na, nb = a[1], b[1]
+            if len(na) == len(nb):
+                ham = sum(x != y for x, y in zip(na, nb))
+                if ham <= k:
+                    expected[(i, j)] = _lev(na, nb)
+        # losslessness: every Hamming<=k pair found with its true distance
+        for key, dist in expected.items():
+            assert got.get(key) == dist, (key, k)
+        # precision: nothing beyond max_edit survives
+        for (i, j), dist in got.items():
+            assert _lev(names[i], names[j]) == dist <= k, (names[i], names[j], k)
