@@ -95,3 +95,22 @@ def test_randomized_differential_vs_bruteforce(spark):
         # precision: nothing beyond max_edit survives
         for (i, j), dist in got.items():
             assert _lev(names[i], names[j]) == dist <= k, (names[i], names[j], k)
+
+
+def test_resolve_entities_transitive_chain(spark):
+    """a~b and b~c (each lev 1) but lev(a,c) = 2: transitivity must put all
+    three under one canonical id; an unrelated record stays its own."""
+    from temporalvault_spark.operators.entity import resolve_entities
+
+    rows = [
+        (10, "Customer#000000001"),
+        (11, "Customer#000000002"),  # lev 1 vs 10
+        (12, "Customer#000000022"),  # lev 1 vs 11, lev 2 vs 10
+        (13, "Customer#000099999"),  # no neighbors
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    got = {r["id"]: (r["canonical_id"], r["is_canonical"]) for r in resolve_entities(df, "id", "name").collect()}
+    assert got[10] == (10, True)
+    assert got[11] == (10, False)
+    assert got[12] == (10, False)
+    assert got[13] == (13, True)
