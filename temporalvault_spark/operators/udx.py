@@ -173,3 +173,87 @@ def q_grouped_map_robust_z(spark, sf_dir: str):
         _robust_z_group,
         schema="doc_id bigint, source string, robust_z double, is_outlier boolean",
     )
+
+
+@udtf(
+    returnType="user_id bigint, session_start timestamp, n_events bigint, sum_value_raw double"
+)
+class SessionizePTF:
+    """Polymorphic table function (SQL-standard PTF shape): consumes
+    ``TABLE(events) PARTITION BY user_id ORDER BY ts, event_id`` and emits
+    one row per 30-minute-gap session — the UDTF counterpart of both the
+    native ``session_window`` aggregate (timewindow.q_win_session) and the
+    streaming ``applyInPandasWithState`` form: per-partition instances see
+    their rows in order and carry state across them, exactly the seam a
+    user plugs custom sessionization (e.g., campaign-aware gaps) into.
+
+    Boundary matches q_win_session: an event at exactly prev + 30min
+    STARTS a new session (>=). Sums are emitted raw and rounded by the
+    caller with F.round — Python's round() is banker's rounding, SQL's is
+    half-away-from-zero, and a hash-checked oracle cannot tolerate the
+    difference."""
+
+    GAP_SECONDS = 1800.0
+
+    def __init__(self):
+        self._cur = None  # [user_id, start_ts, prev_ts, n, sum, any_value]
+
+    def _flush(self):
+        u, start, _prev, n, s, any_v = self._cur
+        yield u, start, n, (s if any_v else None)
+
+    def eval(self, row):
+        ts, u, v = row["ts"], row["user_id"], row["value"]
+        if self._cur is None or (ts - self._cur[2]).total_seconds() >= self.GAP_SECONDS:
+            if self._cur is not None:
+                yield from self._flush()
+            self._cur = [u, ts, ts, 0, 0.0, False]
+        self._cur[2] = ts
+        self._cur[3] += 1
+        if v is not None:
+            self._cur[4] += v
+            self._cur[5] = True
+
+    def terminate(self):
+        if self._cur is not None:
+            yield from self._flush()
+
+
+@query(
+    "udtf_sessionize",
+    """WITH d AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM d
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sess_id""",
+)
+def q_udtf_sessionize(spark, sf_dir: str):
+    """Sessionization through the PTF: same oracle as win_session (the
+    gaps-and-islands rewrite), so the stateful Python path is value-hash
+    checked against ground truth. The plan partitions once on user_id and
+    streams each partition through its UDTF instance in order — the batch
+    twin of the stateful-streaming shape."""
+    load_catalog(spark, sf_dir)
+    spark.udtf.register("sessionize_events", SessionizePTF)
+    out = spark.sql(
+        """SELECT * FROM sessionize_events(
+               TABLE(SELECT user_id, ts, value, event_id FROM events)
+               PARTITION BY user_id ORDER BY (ts, event_id))"""
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "n_events",
+        F.round("sum_value_raw", 2).alias("sum_value"),
+    )

@@ -120,3 +120,16 @@ def test_grouped_map_robust_z_crafted(spark):
     assert got[1] == (-0.75, False)
     assert got[5] == (0.0, False) and got[6] == (0.0, False)
     assert [o for (_z, o) in got.values() if o] == [True]
+
+
+def test_ptf_sessionize_equals_native_session_window(spark, sf_dir):
+    """The stateful PTF must reproduce the native session_window aggregate
+    row-for-row (same 30-min >= boundary, same per-session sums)."""
+    from temporalvault_spark.operators.timewindow import q_win_session
+    from temporalvault_spark.operators.udx import q_udtf_sessionize
+
+    cols = ["user_id", "session_start", "n_events", "sum_value"]
+    native = sorted(tuple(r[c] for c in cols) for r in q_win_session(spark, sf_dir).collect())
+    via_ptf = sorted(tuple(r[c] for c in cols) for r in q_udtf_sessionize(spark, sf_dir).collect())
+    assert via_ptf == native
+    assert len(native) > 0
