@@ -13,9 +13,10 @@ PARITY. For equal-length strings, a pair within substitution distance 1
 odd or even, so the pair agrees EXACTLY on the characters at the other
 parity. Two equi-joins (one per parity mask) therefore find every such
 pair: the blocking is provably lossless for the distance it targets, not
-a heuristic. The verify stage then computes true Levenshtein on
-candidates only (identical builtin in Spark and DuckDB — the oracle
-replays everything bit-for-bit). General edit distance (insertions /
+a heuristic. The verify stage then computes the true distance on
+candidates only (Hamming in general; at k=1 it coincides with
+Levenshtein on equal-length strings, which is what the DuckDB oracle
+replays bit-for-bit). General edit distance (insertions /
 deletions) generalizes the same shape to q-gram blocks; the join
 geometry is unchanged.
 
@@ -65,16 +66,27 @@ def fuzzy_name_pairs(
     df: DataFrame, id_col: str, name_col: str, max_edit: int = MAX_EDIT
 ) -> DataFrame:
     """(id_a, id_b, edit_dist): pairs whose names are within ``max_edit``
-    Levenshtein, found via pigeonhole mask blocking. Keys carry the name
-    length so different-length names never share a block — the
-    losslessness contract is the equal-length substitution (Hamming)
-    class; insert/delete tolerance needs q-gram blocking instead.
+    SUBSTITUTIONS (Hamming distance, equal lengths), found via pigeonhole
+    mask blocking. Keys carry the name length so different-length names
+    never share a block; insert/delete tolerance needs q-gram blocking
+    instead.
 
     General in k: ``max_edit=k`` uses k+1 position groups (i mod k+1) and
     one mask per KEPT group — <= k edited positions touch <= k groups, so
     some group is untouched and the pair agrees on that group's mask.
     Candidate volume grows as masks shrink (each keeps 1/(k+1) of the
-    string), the usual recall/cost dial of blocking."""
+    string), the usual recall/cost dial of blocking.
+
+    The verify stage filters on HAMMING distance (position-wise, equal
+    lengths guaranteed by the key), not Levenshtein: for k >= 2 a
+    Levenshtein filter would admit a position-DEPENDENT subset of
+    ham>k/lev<=k pairs (only those whose edits happen to spare a mask) —
+    a nondeterministic contract. Hamming makes the output exactly the
+    guaranteed class for every k; at k=1 the two coincide on equal-length
+    pairs, which is why the registered oracle's levenshtein replay is
+    bit-identical."""
+    if max_edit < 1:
+        raise ValueError(f"max_edit must be >= 1, got {max_edit}")
     groups = max_edit + 1
     base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
     blocks = base.select(
@@ -108,13 +120,16 @@ def fuzzy_name_pairs(
         F.col("b.id").alias("id_b"),
         F.col("b.name").alias("name_b"),
     )
-    # a pair may collide in both masks: verify FIRST (levenshtein on the
-    # at-most-2 occurrences is cheap), then dedupe on the slim (ids, dist)
-    # projection — the name strings never ride the distinct's exchange
-    lev = F.levenshtein("name_a", "name_b")
+    # a pair may collide in up to k+1 masks: verify FIRST (the distance on
+    # the few duplicate occurrences is cheap), then dedupe on the slim
+    # (ids, dist) projection — names never ride the distinct's exchange
+    ham = F.expr(
+        "aggregate(sequence(1, length(name_a)), 0, (acc, i) -> "
+        "acc + IF(substring(name_a, i, 1) != substring(name_b, i, 1), 1, 0))"
+    )
     return (
-        cand.filter(lev <= max_edit)
-        .select("id_a", "id_b", lev.cast("bigint").alias("edit_dist"))
+        cand.filter(ham <= max_edit)
+        .select("id_a", "id_b", ham.cast("bigint").alias("edit_dist"))
         .distinct()
     )
 
@@ -143,7 +158,9 @@ def q_er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_pairs(cust, "c_custkey", "c_name")
 
 
-def resolve_entities(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
+def resolve_entities(
+    df: DataFrame, id_col: str, name_col: str, max_edit: int = MAX_EDIT
+) -> DataFrame:
     """The APPLY step of entity resolution: fuzzy matches are pairwise, but
     identity is transitive (a~b, b~c => one entity even when lev(a,c) = 2),
     so pairs become clusters via connected components and every record maps
@@ -157,7 +174,14 @@ def resolve_entities(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
     onto the record ids."""
     from temporalvault_spark.operators.dedup_cluster import connected_components
 
-    pairs = fuzzy_name_pairs(df, id_col, name_col)
+    # components' small-graph fast path labels NUMERIC node ids; fail
+    # loudly on string keys instead of mislabeling numeric-looking ones
+    if dict(df.dtypes)[id_col] not in ("bigint", "int", "long", "smallint", "tinyint"):
+        raise ValueError(
+            f"resolve_entities requires an integral id column, got "
+            f"{dict(df.dtypes)[id_col]!r} — map ids to dense integers first"
+        )
+    pairs = fuzzy_name_pairs(df, id_col, name_col, max_edit=max_edit)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     labels = connected_components(edges).select(
         F.col("node").alias("id"), F.col("component").alias("canonical_id")

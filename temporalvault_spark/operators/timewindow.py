@@ -59,9 +59,9 @@ def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "win_session",
-    """WITH d AS (
+# Shared with the sessionize PTF (operators/udx.py): both are graded
+# against the identical gaps-and-islands ground truth.
+SESSION_ORACLE_SQL = """WITH d AS (
         SELECT user_id, ts, value, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
@@ -76,8 +76,10 @@ def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, MIN(ts) AS session_start,
            COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
-    FROM s GROUP BY user_id, sess_id""",
-)
+    FROM s GROUP BY user_id, sess_id"""
+
+
+@query("win_session", SESSION_ORACLE_SQL)
 def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows, 30-minute inactivity gap, per user — Spark's native
     session_window (streaming-capable); the oracle is the classic

@@ -219,25 +219,11 @@ class SessionizePTF:
             yield from self._flush()
 
 
-@query(
-    "udtf_sessionize",
-    """WITH d AS (
-        SELECT user_id, ts, value, event_id,
-               CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_sess
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), s AS (
-        SELECT user_id, ts, value,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS sess_id
-        FROM d
-    )
-    SELECT user_id, MIN(ts) AS session_start,
-           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
-    FROM s GROUP BY user_id, sess_id""",
-)
+from temporalvault_spark.operators.timewindow import SESSION_ORACLE_SQL  # noqa: E402
+
+
+@query("udtf_sessionize", SESSION_ORACLE_SQL)
+
 def q_udtf_sessionize(spark, sf_dir: str):
     """Sessionization through the PTF: same oracle as win_session (the
     gaps-and-islands rewrite), so the stateful Python path is value-hash
