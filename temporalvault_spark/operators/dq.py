@@ -75,6 +75,7 @@ def fk_violations(child: DataFrame, key: str, parent: DataFrame, pkey: str, rule
 def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_catalog(spark, sf_dir)
     orders, lineitem, customer = c.table("orders"), c.table("lineitem"), c.table("customer")
+    documents, embeddings = c.table("documents"), c.table("embeddings")
     parts = [
         fused_rule_counts(
             orders,
@@ -95,6 +96,19 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         fk_violations(orders, "o_custkey", customer, "c_custkey", "orders_custkey_fk_customer"),
         fk_violations(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_orderkey_fk_orders"),
+        fused_rule_counts(
+            documents,
+            {
+                "documents_nchars_nonneg": F.col("n_chars") < 0,
+                "documents_text_not_null": F.col("text").isNull(),
+            },
+            unique_keys={"documents_docid_unique": "doc_id"},
+        ),
+        fused_rule_counts(
+            embeddings,
+            {"embeddings_vector_not_null": F.col("embedding").isNull()},
+            unique_keys={"embeddings_vecid_unique": "vec_id"},
+        ),
     ]
     report = reduce(DataFrame.unionByName, parts)
     return report.withColumn("passed", F.col("n_violations") == 0)
@@ -135,7 +149,25 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'lineitem_orderkey_fk_orders',
                CAST(COUNT(*) AS BIGINT)
         FROM lineitem WHERE l_orderkey IS NOT NULL
-          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'documents_nchars_nonneg',
+               CAST(COALESCE(SUM(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'documents_text_not_null',
+               CAST(COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'documents_docid_unique',
+               CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) FROM documents
+        UNION ALL
+        SELECT 'embeddings_vector_not_null',
+               CAST(COALESCE(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM embeddings
+        UNION ALL
+        SELECT 'embeddings_vecid_unique',
+               CAST(COUNT(vec_id) - COUNT(DISTINCT vec_id) AS BIGINT) FROM embeddings)
     SELECT rule, n_violations, n_violations = 0 AS passed FROM o""",
 )
 def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:

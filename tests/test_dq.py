@@ -67,7 +67,7 @@ def test_report_on_clean_star_schema(spark, sf_dir):
     from temporalvault_spark.operators.dq import dq_expectations
 
     rows = dq_expectations(spark, sf_dir).collect()
-    assert len(rows) == 9
+    assert len(rows) == 14
     assert all(r["passed"] for r in rows)
     assert all(r["n_violations"] == 0 for r in rows)
 
