@@ -229,3 +229,54 @@ def test_all_relational_oracles_green_with_edge_rows(spark, edge_rel_sf_dir):
         if not ok:
             failures.append((name, msg[:160]))
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(tmp_path_factory, sf_dir):
+    """Documents with multibyte/caseful text: CJK, emoji, combining-dot
+    case edges (Turkish İ), Cyrillic. NOT oracle-compared — Spark (Java
+    Unicode tables) and DuckDB (utf8proc) fold İ/ß/ς differently and their
+    regex engines (Java vs RE2) disagree on some classes, so value parity
+    is unattainable in general; the testdata corpus is ASCII, where parity
+    is exact. This fixture pins the weaker, still-critical property: no
+    text operator CRASHES or loses rows on multibyte input."""
+    dst = str(tmp_path_factory.mktemp("sfuni"))
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(dst, f))
+    pdf = pd.read_parquet(os.path.join(dst, "documents.parquet"))
+    mx = int(pdf["doc_id"].max())
+    texts = [
+        "Héllo wörld Ünïcode tëst " * 10,
+        "日本語のテキスト です 漢字 かな カナ " * 8,
+        "emoji test 😀 🎉 🚀 mixed ascii words here " * 8,
+        "ß SHARP İ TURKISH DOTTED Σ SIGMA ς FINAL " * 8,
+        "а б в где русский текст слова " * 10,
+    ]
+    extra = pd.DataFrame(
+        [
+            dict(doc_id=mx + 1 + i, text=t, lang="xx", source="src0", n_chars=len(t))
+            for i, t in enumerate(texts)
+        ]
+    )
+    out = pd.concat([pdf, extra], ignore_index=True)[pdf.columns]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    out.to_parquet(os.path.join(dst, "documents.parquet"), index=False)
+    return dst
+
+
+def test_doc_operators_survive_multibyte_text(spark, unicode_sf_dir, sf_dir):
+    """Every documents-table operator must run to completion on multibyte
+    text and keep the injected docs in scope where per-doc outputs exist."""
+    injected = 5
+    failures = []
+    for name in _DOC_QUERIES + _DOC_ROWS_ONLY:
+        try:
+            QUERIES[name](spark, unicode_sf_dir).count()
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, f"{type(exc).__name__}: {exc}"[:120]))
+    assert not failures, failures
+    per_doc = QUERIES["text_stats"](spark, unicode_sf_dir).count()
+    base = QUERIES["text_stats"](spark, sf_dir).count()
+    assert per_doc == base + injected
