@@ -127,9 +127,12 @@ def fuzzy_name_pairs(
         "aggregate(sequence(1, length(name_a)), 0, (acc, i) -> "
         "acc + IF(substring(name_a, i, 1) != substring(name_b, i, 1), 1, 0))"
     )
+    # project the O(L) distance ONCE, then filter on the column — a
+    # filter-then-project form evaluates the aggregate twice per survivor
     return (
-        cand.filter(ham <= max_edit)
-        .select("id_a", "id_b", ham.cast("bigint").alias("edit_dist"))
+        cand.withColumn("edit_dist", ham.cast("bigint"))
+        .filter(F.col("edit_dist") <= max_edit)
+        .select("id_a", "id_b", "edit_dist")
         .distinct()
     )
 
@@ -176,10 +179,11 @@ def resolve_entities(
 
     # components' small-graph fast path labels NUMERIC node ids; fail
     # loudly on string keys instead of mislabeling numeric-looking ones
-    if dict(df.dtypes)[id_col] not in ("bigint", "int", "long", "smallint", "tinyint"):
+    id_type = dict(df.dtypes)[id_col]
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
         raise ValueError(
             f"resolve_entities requires an integral id column, got "
-            f"{dict(df.dtypes)[id_col]!r} — map ids to dense integers first"
+            f"{id_type!r} — map ids to dense integers first"
         )
     pairs = fuzzy_name_pairs(df, id_col, name_col, max_edit=max_edit)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

@@ -204,6 +204,11 @@ class SessionizePTF:
 
     def eval(self, row):
         ts, u, v = row["ts"], row["user_id"], row["value"]
+        if ts is None:
+            # an event with no timestamp cannot be sessionized — skip it
+            # rather than crash the partition (the event-log contract
+            # guarantees non-null ts; this is the belt to that suspender)
+            return
         if self._cur is None or (ts - self._cur[2]).total_seconds() >= self.GAP_SECONDS:
             if self._cur is not None:
                 yield from self._flush()

@@ -133,3 +133,27 @@ def test_ptf_sessionize_equals_native_session_window(spark, sf_dir):
     via_ptf = sorted(tuple(r[c] for c in cols) for r in q_udtf_sessionize(spark, sf_dir).collect())
     assert via_ptf == native
     assert len(native) > 0
+
+
+def test_ptf_sessionize_skips_null_ts(spark):
+    """A NULL-ts event must be skipped, not crash the partition."""
+    import datetime as dt
+
+    from temporalvault_spark.operators.udx import SessionizePTF
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, None, 1.0, 100),
+        (1, t0, 2.0, 101),
+        (1, t0 + dt.timedelta(minutes=5), 3.0, 102),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double, event_id bigint")
+    df.createOrReplaceTempView("ptf_null_ts_events")
+    spark.udtf.register("sessionize_nullts", SessionizePTF)
+    out = spark.sql(
+        """SELECT * FROM sessionize_nullts(
+               TABLE(SELECT user_id, ts, value, event_id FROM ptf_null_ts_events)
+               PARTITION BY user_id ORDER BY (ts, event_id))"""
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 2 and out[0]["sum_value_raw"] == 5.0
