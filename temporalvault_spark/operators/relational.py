@@ -537,6 +537,29 @@ def q_setop_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return building.union(big).distinct().exceptAll(southern.distinct())
 
 
+@query(
+    "setop_intersect",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000""",
+)
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — the remaining §2.8 set operation: BUILDING-segment
+    customers who also placed a large order. Plans as a left-semi join
+    over distinct inputs (same hash-join machinery as any existence
+    query); at scale the smaller distinct side broadcasts."""
+    c = _cat(spark, sf_dir)
+    building = (
+        c.table("customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    )
+    big = (
+        c.table("orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.intersect(big)
+
+
 # --- scalar function coverage ---------------------------------------------
 
 
