@@ -169,6 +169,22 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # The driver records only the LAST ~2000 chars of stdout; the full dump
+    # above (~77 queries) outlives that window and round-3's artifact ended
+    # up with "parsed": null. Emit a compact, self-contained summary line
+    # LAST — same schema, queries trimmed to the 10 slowest — sized well
+    # under the capture window so the official artifact always parses.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+    }
+    print(json.dumps(summary))
     spark.stop()
     if not timings:
         sys.exit(1)  # only if EVERY query failed is the run itself a failure

@@ -87,7 +87,8 @@ _SURVEY_S2_PRIORITY = [
     "sim_topk_cosine",
     "sim_ivf_ann",
     "dedup_embedding_cosine",
-    # non-SQL-expressible tier (rows-only driver check, unit-pinned)
+    # sketch + clustering tier (oracled since round 4: md5 one-permutation
+    # signature form / recursive-CTE closure twin)
     "dedup_minhash",
     "dedup_components",
 ]

@@ -13,8 +13,11 @@ DATA never leaves the cluster — only the converged bit comes back per round.
 Non-convergence within max_iter raises instead of returning a silently
 wrong partition.
 
-Iterative → not SQL-expressible as one query; the driver records a rows-only
-check and tests/test_llm_dedup.py pins exact components on crafted graphs.
+The Spark side is iterative, but the RESULT (min-id labeling of connected
+components) is SQL-expressible as a recursive-CTE reachability closure —
+the registered DuckDB oracle replays it exactly, and
+tests/test_llm_dedup.py additionally pins exact components on crafted
+graphs over both execution paths.
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog
-from temporalvault_spark.operators.llm import ngram_jaccard_pairs
+from temporalvault_spark.operators.llm import NGRAM_PAIRS_SQL, ngram_jaccard_pairs
 from temporalvault_spark.registry import query
 
 
@@ -138,7 +141,27 @@ def connected_components(
     )
 
 
-@query("dedup_components")  # iterative -> rows-only check by design
+# DuckDB twin: the Spark side's iterative label propagation is replayed as a
+# recursive-CTE reachability closure — reach(node, r) enumerates every node
+# reachable from `node` (UNION dedups, so it terminates), MIN(r) per node is
+# exactly the min-id component labeling both engine paths produce. O(sum of
+# component²) work, fine at oracle scale; the Spark side stays O(E log d).
+_COMPONENTS_ORACLE = f"""WITH RECURSIVE pairs AS ({NGRAM_PAIRS_SQL}),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT w.node, s.dst FROM reach w JOIN sym s ON s.src = w.r
+),
+comp AS (SELECT node, MIN(r) AS keep_doc_id FROM reach GROUP BY node),
+sizes AS (SELECT keep_doc_id, COUNT(*) AS group_size FROM comp GROUP BY keep_doc_id)
+SELECT comp.node AS doc_id, comp.keep_doc_id, sizes.group_size
+FROM comp JOIN sizes USING (keep_doc_id)"""
+
+
+@query("dedup_components", _COMPONENTS_ORACLE)
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate groups over the shingle-jaccard near-dup graph: each doc
     mapped to its component representative (min doc_id), plus component size.

@@ -118,28 +118,28 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_expectations",
     """WITH o AS (
         SELECT 'orders_orderkey_not_null' AS rule,
-               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+               CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
         FROM orders
         UNION ALL
         SELECT 'orders_totalprice_nonneg',
-               CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+               CAST(COALESCE(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
         UNION ALL
         SELECT 'orders_orderdate_not_null',
-               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+               CAST(COALESCE(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
         UNION ALL
         SELECT 'orders_orderkey_unique',
                CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
         UNION ALL
         SELECT 'lineitem_quantity_in_range',
-               CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(COALESCE(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END), 0) AS BIGINT)
         FROM lineitem
         UNION ALL
         SELECT 'lineitem_discount_in_range',
-               CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1) THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(COALESCE(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1) THEN 1 ELSE 0 END), 0) AS BIGINT)
         FROM lineitem
         UNION ALL
         SELECT 'lineitem_price_positive',
-               CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+               CAST(COALESCE(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
         UNION ALL
         SELECT 'orders_custkey_fk_customer',
                CAST(COUNT(*) AS BIGINT)

@@ -67,10 +67,10 @@ _SHINGLE_DUCK = (
 
 NGRAM_BANDS = 4
 
-
-@query(
-    "dedup_ngram_jaccard",
-    f"""WITH toks AS (
+# DuckDB replay of ngram_jaccard_pairs (shared: the dedup_ngram_jaccard
+# oracle below, and dedup_cluster's recursive-CTE components oracle embeds it
+# as the edge set).
+NGRAM_PAIRS_SQL = f"""WITH toks AS (
         SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
         ),
     sh AS (
@@ -98,8 +98,10 @@ NGRAM_BANDS = 4
     JOIN sh sa ON sa.doc_id = c.doc_a
     JOIN sh sb ON sb.doc_id = c.doc_b
     WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.6""",
-)
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.6"""
+
+
+@query("dedup_ngram_jaccard", NGRAM_PAIRS_SQL)
 def _q_dedup_ngram_jaccard_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir))
 
@@ -144,8 +146,14 @@ def band_sketch(sh: DataFrame, n_bands: int = NGRAM_BANDS) -> DataFrame:
     ).select("doc_id", "n_sh", F.col("bh.band").alias("band"), F.col("bh.min_h").alias("min_h"))
 
 
+NGRAM_BROADCAST_MAX_DOCS = 200_000
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.6, n_bands: int = NGRAM_BANDS
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n_bands: int = NGRAM_BANDS,
+    broadcast_max_docs: int = NGRAM_BROADCAST_MAX_DOCS,
 ) -> DataFrame:
     """Near-dup detection: word-3-gram shingle Jaccard, MinHash-banded.
 
@@ -207,15 +215,28 @@ def ngram_jaccard_pairs(
     # semi-join-reduce the signature side to candidate docs BEFORE the pair
     # join: cand_docs is the slimmest possible frame (distinct ids), and the
     # reduced arrays are |candidate docs|-bounded. The broadcast hints are
-    # load-bearing: everything here derives from a localCheckpoint
-    # (LogicalRDD, no size stats), so an unhinted planner assumes huge and
-    # sort-merge-joins — measured ~40% slower even at sf0.1.
-    cand_docs = cand.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).distinct()
-    sh_red = sh.join(F.broadcast(cand_docs), "doc_id", "semi")
-    sa = F.broadcast(sh_red.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("a_hs")))
-    sb = F.broadcast(sh_red.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("b_hs")))
+    # load-bearing on the common path: everything here derives from a
+    # localCheckpoint (LogicalRDD, no size stats), so an unhinted planner
+    # assumes huge and sort-merge-joins — measured ~40% slower even at
+    # sf0.1. But "candidates ≪ corpus" is probabilistic, not guaranteed: on
+    # a high-duplication corpus the candidate signature frame is NOT small
+    # and a forced broadcast OOMs the driver. So the hint is SIZE-GATED:
+    # the candidate-doc count (one count over the checkpointed slim id
+    # frame — the pair pipeline is materialized exactly once and every
+    # downstream join reuses the blocks) decides broadcast vs plain
+    # shuffle join; above the gate AQE still may convert at runtime from
+    # ACTUAL sizes, which is the safe direction.
+    cand = cand.localCheckpoint(eager=False)
+    cand_docs = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_cand_docs = cand_docs.count()
+    hint = F.broadcast if n_cand_docs <= broadcast_max_docs else (lambda d: d)
+    sh_red = sh.join(hint(cand_docs), "doc_id", "semi")
+    sa = hint(sh_red.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("a_hs")))
+    sb = hint(sh_red.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("b_hs")))
     jac = F.size(F.array_intersect(F.col("a_hs"), F.col("b_hs"))).cast(
         "double"
     ) / F.size(F.array_union(F.col("a_hs"), F.col("b_hs")))
@@ -406,7 +427,9 @@ def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_spans_apply(_docs(spark, sf_dir))
 
 
-def substring_spans_apply(docs: DataFrame, k: int = SPAN_TOKENS) -> DataFrame:
+def substring_spans_apply(
+    docs: DataFrame, k: int = SPAN_TOKENS, broadcast_max_docs: int = 2_000_000
+) -> DataFrame:
     """The APPLY stage of exact-substring dedup (Lee et al. 2021 §3: cut the
     repeated span from all but one occurrence): every {SPAN_TOKENS}-token
     window that also appears in an earlier document (first_doc = MIN doc_id
@@ -446,14 +469,29 @@ def substring_spans_apply(docs: DataFrame, k: int = SPAN_TOKENS) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .select("span_h", "first_doc")
     )
-    bad = spans.join(rep, "span_h").filter(F.col("doc_id") != F.col("first_doc"))
+    # slim (doc_id, i) checkpoint: `bad` feeds three consumers (coverage,
+    # affected ids, final flag join) — materialize the digest pipeline once
+    bad = (
+        spans.join(rep, "span_h")
+        .filter(F.col("doc_id") != F.col("first_doc"))
+        .select("doc_id", "i")
+        .localCheckpoint(eager=False)
+    )
     cov = (
         bad.select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("idx"))
         .distinct()
     )
-    affected = bad.select("doc_id").distinct()
+    affected = bad.select("doc_id").distinct().localCheckpoint(eager=False)
+    # 'affected ≪ corpus' is data-dependent, not structural: on a
+    # boilerplate-heavy corpus MOST documents contain a repeated window and
+    # an unconditional broadcast of the id frame would OOM. Size-gate the
+    # hint on the actual count (the count also materializes the checkpoint
+    # the three consumers share); above the gate the semi/left joins
+    # shuffle, and AQE may still broadcast from runtime stats.
+    n_affected = affected.count()
+    hint = F.broadcast if n_affected <= broadcast_max_docs else (lambda d: d)
     pos = (
-        toks.join(F.broadcast(affected), "doc_id", "semi")
+        toks.join(hint(affected), "doc_id", "semi")
         .select("doc_id", F.posexplode("t").alias("idx", "tok"))
     )
     kept = pos.join(cov, ["doc_id", "idx"], "left_anti")
@@ -475,7 +513,7 @@ def substring_spans_apply(docs: DataFrame, k: int = SPAN_TOKENS) -> DataFrame:
     spliced = F.col("is_affected").isNotNull()
     return (
         toks.join(
-            F.broadcast(affected.withColumn("is_affected", F.lit(True))), "doc_id", "left"
+            hint(affected.withColumn("is_affected", F.lit(True))), "doc_id", "left"
         )
         .join(rebuilt, "doc_id", "left")
         .select(

@@ -633,8 +633,122 @@ def q_sim_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash")  # rows-only: LSH internals aren't oracle-expressible
+_MINHASH_K = 8  # signature length: 4 slices of md5(x) + 4 of md5(md5(x))
+
+_MINHASH_SIG_DUCK = """hs AS (SELECT doc_id, list_transform(shingles, x -> md5(x)) AS h1,
+              list_transform(shingles, x -> md5(md5(x))) AS h2 FROM sh),
+    sig AS (SELECT doc_id,
+       list_concat(
+         list_transform(range(4), i -> list_sort(list_transform(h1,
+             h -> substring(h, CAST(i*8+1 AS INT), 8)))[1]),
+         list_transform(range(4), i -> list_sort(list_transform(h2,
+             h -> substring(h, CAST(i*8+1 AS INT), 8)))[1])
+       ) AS sig FROM hs)"""
+
+
+@query(
+    "dedup_minhash",
+    f"""WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+           FROM toks WHERE len(t) >= 3),
+    {_MINHASH_SIG_DUCK},
+    banded AS (SELECT doc_id, i AS band, sig[CAST(i+1 AS INT)] AS min_h
+               FROM sig CROSS JOIN (SELECT unnest(range({_MINHASH_K})) AS i)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.min_h = b.min_h AND a.doc_id < b.doc_id),
+    scored AS (SELECT c.doc_a, c.doc_b,
+       len(list_filter(range({_MINHASH_K}),
+           i -> sa.sig[CAST(i+1 AS INT)] = sb.sig[CAST(i+1 AS INT)])) AS n_match
+       FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                   JOIN sig sb ON sb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, CAST(n_match AS BIGINT) AS n_match,
+           ROUND(n_match / {_MINHASH_K}.0, 6) AS est_jaccard
+    FROM scored WHERE n_match >= {_MINHASH_K // 2}""",
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup detection by SIGNATURE ESTIMATION (vs
+    dedup_ngram_jaccard's exact-verify): each doc gets a k=8 minhash
+    signature via one-permutation hashing — families 0-3 are the four
+    32-bit slices of one md5 per shingle, families 4-7 the slices of the
+    re-hashed digest md5(md5(x)) — so the whole signature costs TWO md5
+    passes regardless of k. Candidates are pairs agreeing on any family
+    (8 bands of r=1); similarity is ESTIMATED as matching-families/k, the
+    classic MinHash estimator (E[match] = jaccard), with no second look at
+    the shingle sets.
+
+    Scale shape: the corpus is shingled+hashed once (shared
+    shingle_signatures frame, llm.py); the banded candidate join shuffles
+    only (doc_id, band, 8-hex min_h); the scoring join carries the 8-slice
+    signature — 64 bytes/doc — never the shingle arrays. Everything is md5
+    + array arithmetic, so the DuckDB oracle replays it bit-for-bit
+    (upgraded from the round-3 rows-only Spark-ML form, which survives as
+    supplementary ``dedup_minhash_ml``).
+
+    Reference parity: near-dup candidate surfacing; the reference
+    (app/main.py) has no dedup tier — this is the LLM-pipeline extension
+    required by the build brief.
+    """
+    from temporalvault_spark.operators.llm import shingle_signatures
+
+    docs = load_catalog(spark, sf_dir).table("documents")
+    sh = shingle_signatures(docs).localCheckpoint(eager=False)
+    # hs is already the md5-per-shingle array; family b<4 slices it, b>=4
+    # slices the re-hashed digests (computed once per doc, not per family)
+    sig = sh.select(
+        "doc_id",
+        F.concat(
+            F.expr(
+                "transform(sequence(0, 3), i -> "
+                "array_min(transform(hs, h -> substring(h, i*8+1, 8))))"
+            ),
+            F.expr(
+                "transform(sequence(0, 3), i -> "
+                "array_min(transform(transform(hs, h -> md5(h)), "
+                "h -> substring(h, i*8+1, 8))))"
+            ),
+        ).alias("sig"),
+    ).localCheckpoint(eager=False)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode("sig").alias("band", "min_h"),
+    ).select("doc_id", F.col("band").cast("long").alias("band"), "min_h")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.min_h") == F.col("b.min_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"))
+    sb = sig.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"))
+    n_match = F.aggregate(
+        F.zip_with("a_sig", "b_sig", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("a_id"))
+        .join(sb, F.col("doc_b") == F.col("b_id"))
+        .withColumn("n_match", n_match.cast("long"))
+        .filter(F.col("n_match") >= _MINHASH_K // 2)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            F.round(F.col("n_match") / float(_MINHASH_K), 6).alias("est_jaccard"),
+        )
+    )
+
+
+@query("dedup_minhash_ml")  # rows-only: Spark-ML LSH internals aren't oracle-expressible
+def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → sparse vector → banded
     minhash buckets → bucket-equi-join. approxSimilarityJoin's join key is
     the (band, hash) pair, so candidate generation is an equi-join shuffle —

@@ -63,7 +63,11 @@ class ChunkSpans:
             # contract shared with the builtin AND the oracle: NULL text
             # produces no chunks (DuckDB's range(0, NULL) is zero rows)
             return
-        toks = text.strip().lower().split(" ")
+        # strip(' ') — SPACES only — because the builtin/oracle `trim()`
+        # removes only spaces; Python's bare strip() removes all Unicode
+        # whitespace (\t, \n, \r …) and would tokenize a newline-padded
+        # document differently from the builtin twin
+        toks = text.strip(" ").lower().split(" ")
         n = len(toks)
         for start in range(0, max(n - 1, 0) + 1, CHUNK_STRIDE):
             ch = toks[start : start + CHUNK_TOKENS]
@@ -102,7 +106,7 @@ def mad_double(x: pd.Series) -> float:
     m AS (SELECT source, median(x) AS med FROM l GROUP BY source)
     SELECT l.source,
            round(median(abs(l.x - m.med)), 6) AS mad_len
-    FROM l JOIN m ON l.source = m.source
+    FROM l JOIN m ON l.source IS NOT DISTINCT FROM m.source
     GROUP BY l.source""",
 )
 def q_udaf_source_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,14 +135,18 @@ def _robust_z_group(pdf: pd.DataFrame) -> pd.DataFrame:
     mad = (x - med).abs().median()
     z = (x - med) / (mad + 1.0)
     # NULL x must stay NULL in BOTH outputs: pandas' NaN > 3.0 is False,
-    # but SQL's abs(NULL) > 3 is NULL — mask to keep oracle parity
+    # but SQL's abs(NULL) > 3 is NULL — mask to keep oracle parity. The
+    # same masking applies to robust_z itself: Arrow round-trips a float
+    # NaN as NaN, not SQL NULL, so leave the NULL-x rows as object-None
+    robust_z = z.round(6).astype(object)
+    robust_z[x.isna()] = None
     is_outlier = (z.abs() > 3.0).astype(object)
     is_outlier[x.isna()] = None
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
             "source": pdf["source"],
-            "robust_z": z.round(6),
+            "robust_z": robust_z,
             "is_outlier": is_outlier,
         }
     )
@@ -150,11 +158,13 @@ def _robust_z_group(pdf: pd.DataFrame) -> pd.DataFrame:
         SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS x FROM documents),
     m AS (SELECT source, median(x) AS med FROM l GROUP BY source),
     d AS (SELECT l.source, median(abs(x - med)) AS mad
-          FROM l JOIN m USING (source) GROUP BY l.source)
+          FROM l JOIN m ON l.source IS NOT DISTINCT FROM m.source
+          GROUP BY l.source)
     SELECT doc_id, l.source,
            ROUND((x - med) / (mad + 1.0), 6) AS robust_z,
            abs((x - med) / (mad + 1.0)) > 3.0 AS is_outlier
-    FROM l JOIN m USING (source) JOIN d USING (source)""",
+    FROM l JOIN m ON l.source IS NOT DISTINCT FROM m.source
+           JOIN d ON l.source IS NOT DISTINCT FROM d.source""",
 )
 def q_grouped_map_robust_z(spark, sf_dir: str):
     """Grouped-map applyInPandas (the 4th pandas-API kind after scalar /

@@ -75,13 +75,36 @@ def test_jaccard_candidate_shuffle_carries_no_shingle_arrays(spark, crafted):
     carries the shingle arrays — candidates travel as (doc_id, n_sh, band,
     min_h), and the arrays re-attach to the semi-join-reduced candidate docs
     via broadcasts."""
+    from temporalvault_spark.operators.llm import band_sketch, shingle_signatures
     from temporalvault_spark.plans import shuffle_inputs
 
+    # the banded candidate join itself (the one guaranteed shuffle — since
+    # round 4 the full pipeline checkpoints candidates inside a count job,
+    # so the assembled query's final plan may legitimately be shuffle-free)
+    # checkpoint like the real pipeline: no-stats LogicalRDD input, so the
+    # planner can't silently broadcast the tiny crafted frame away
+    banded = band_sketch(shingle_signatures(crafted).localCheckpoint(eager=False))
+    a, b = banded.alias("a"), banded.alias("b")
+    import pyspark.sql.functions as F
+
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.min_h") == F.col("b.min_h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    cand.collect()
+    shuffles = shuffle_inputs(cand)
+    assert shuffles, "expected the banded candidate shuffle"
+    for cols in shuffles:
+        assert "hs" not in cols.split(", ") and "shingles" not in cols, (
+            f"signature array rides a shuffle: {cols}"
+        )
+
+    # and the assembled operator: whatever shuffles remain must be slim too
     df = ngram_jaccard_pairs(crafted)
     df.collect()  # materialize so the plan reflects AQE's final join choices
-    shuffles = shuffle_inputs(df)
-    assert shuffles, "expected at least the banded candidate shuffle"
-    for cols in shuffles:
+    for cols in shuffle_inputs(df):
         assert "shingles" not in cols, f"shingle array rides a shuffle: {cols}"
 
 

@@ -29,7 +29,7 @@ _DOC_QUERIES = sorted(
 )
 _DOC_ROWS_ONLY = sorted(
     name
-    for name in ("dedup_minhash", "bloom_decontaminate",
+    for name in ("dedup_minhash_ml", "bloom_decontaminate",
                  "source_length_quantiles_approx")
     if name in QUERIES
 )
@@ -48,6 +48,16 @@ def null_sf_dir(tmp_path_factory, sf_dir):
             dict(doc_id=mx + 1, text=None, lang="en", source="web", n_chars=0),
             dict(doc_id=mx + 2, text="", lang="en", source="web", n_chars=0),
             dict(doc_id=mx + 3, text="   ", lang="en", source="web", n_chars=3),
+            # NULL source: groupBy('source') emits a NULL group on the Spark
+            # side — every oracle that joins/groups on source must be
+            # null-safe to keep parity (ADVICE r3: the udx oracles weren't)
+            dict(
+                doc_id=mx + 4,
+                text="null source doc with enough words to shingle and chunk",
+                lang="en",
+                source=None,
+                n_chars=55,
+            ),
         ]
     )
     out = pd.concat([pdf, extra], ignore_index=True)[pdf.columns]

@@ -305,3 +305,36 @@ def test_substring_apply_rebuild_is_affected_only(q):
     assert "LeftSemi" in plan
     c = plan_counts(df)
     assert c["CartesianProduct"] == 0
+
+
+def test_ngram_dedup_broadcast_gate_both_paths(spark, sf_dir):
+    """The candidate-signature broadcast is SIZE-GATED (round-3 verdict: a
+    forced broadcast on a high-duplication corpus OOMs the driver). Below
+    the gate the semi-reduce + pair joins carry explicit broadcast hints;
+    above it (forced via broadcast_max_docs=0) the LOGICAL plan must
+    contain no broadcast hint at all — strategy is left to AQE/stats —
+    and both paths return identical pairs."""
+    from temporalvault_spark.operators.llm import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast = ngram_jaccard_pairs(docs)
+    assert "ResolvedHint" in fast._jdf.queryExecution().analyzed().toString()
+    gated = ngram_jaccard_pairs(docs, broadcast_max_docs=0)
+    assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
+    key = lambda r: (r["doc_a"], r["doc_b"], r["jaccard"])  # noqa: E731
+    assert sorted(map(key, fast.collect())) == sorted(map(key, gated.collect()))
+
+
+def test_substring_apply_broadcast_gate_both_paths(spark, sf_dir):
+    """Same contract for the splice's affected-ids frame ('affected ≪
+    corpus' is data-dependent, not structural): gated path drops the hint,
+    results stay bit-identical."""
+    from temporalvault_spark.operators.llm import substring_spans_apply
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast = substring_spans_apply(docs)
+    assert "ResolvedHint" in fast._jdf.queryExecution().analyzed().toString()
+    gated = substring_spans_apply(docs, broadcast_max_docs=0)
+    assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
+    key = lambda r: (r["doc_id"], r["clean_text"], r["n_tokens_removed"])  # noqa: E731
+    assert sorted(map(key, fast.collect())) == sorted(map(key, gated.collect()))
