@@ -137,9 +137,9 @@ def fuzzy_name_pairs(
     )
 
 
-@query(
-    "er_fuzzy_name_pairs",
-    f"""WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+# DuckDB replay of fuzzy_name_pairs over customer (shared by the pairs
+# oracle and the resolve oracle's recursive closure)
+_FUZZY_PAIRS_SQL = f"""WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
     b AS (
         SELECT id, name, kind,
                len(name) || '#' ||
@@ -152,8 +152,10 @@ def fuzzy_name_pairs(
         FROM b a JOIN b b2
           ON a.kind = b2.kind AND a.bkey = b2.bkey AND a.id < b2.id)
     SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
-    FROM cand WHERE levenshtein(name_a, name_b) <= {MAX_EDIT}""",
-)
+    FROM cand WHERE levenshtein(name_a, name_b) <= {MAX_EDIT}"""
+
+
+@query("er_fuzzy_name_pairs", _FUZZY_PAIRS_SQL)
 def q_er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical customer names (one-character difference) via
     lossless two-slice blocking + Levenshtein verify on candidates only."""
@@ -161,8 +163,15 @@ def q_er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_pairs(cust, "c_custkey", "c_name")
 
 
+MAX_CLUSTER_SIZE = 100
+
+
 def resolve_entities(
-    df: DataFrame, id_col: str, name_col: str, max_edit: int = MAX_EDIT
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_edit: int = MAX_EDIT,
+    max_cluster_size: int | None = MAX_CLUSTER_SIZE,
 ) -> DataFrame:
     """The APPLY step of entity resolution: fuzzy matches are pairwise, but
     identity is transitive (a~b, b~c => one entity even when lev(a,c) = 2),
@@ -170,11 +179,23 @@ def resolve_entities(
     to a canonical id (the cluster's minimum — same survivor rule as
     dedup_apply). Records with no fuzzy neighbor are their own canonical.
 
+    Over-merge guard (DEFAULTED ON): threshold-transitive ER has a classic
+    degenerate mode — on near-sequential identifiers every record chains
+    into one giant component (observed on the synthetic customer names:
+    the whole table collapsed to a single entity in round 3). A component
+    larger than ``max_cluster_size`` is overwhelming evidence the
+    threshold, not the data, created the merge, so the guard REJECTS it:
+    its members stay their own canonical and are flagged
+    ``cluster_rejected`` for operator review. This is also the scale
+    guard — one giant component concentrates the label-propagation hub
+    and the apply-join on a single key. ``max_cluster_size=None``
+    disables (round-3 behavior).
+
     Scale: the pair graph is tiny relative to the table (bounded by the
     blocking), components run on ids only (operators/dedup_cluster — the
     O(log d) label-propagation loop with its small-graph fast path), and
-    the final mapping is one left join of slim (id, canonical) labels back
-    onto the record ids."""
+    the final mapping is one left join of slim (id, canonical, size)
+    labels back onto the record ids."""
     from temporalvault_spark.operators.dedup_cluster import connected_components
 
     # components' small-graph fast path labels NUMERIC node ids; fail
@@ -187,28 +208,66 @@ def resolve_entities(
         )
     pairs = fuzzy_name_pairs(df, id_col, name_col, max_edit=max_edit)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    labels = connected_components(edges).select(
-        F.col("node").alias("id"), F.col("component").alias("canonical_id")
+    comps = connected_components(edges)
+    sizes = comps.groupBy("component").agg(F.count("*").alias("cluster_n"))
+    labels = comps.join(sizes, "component").select(
+        F.col("node").alias("id"),
+        F.col("component").alias("comp_id"),
+        "cluster_n",
     )
     base = df.select(F.col(id_col).alias("id"))
+    rejected = (
+        F.lit(False)
+        if max_cluster_size is None
+        else F.coalesce(F.col("cluster_n") > max_cluster_size, F.lit(False))
+    )
     return (
         base.join(labels, "id", "left")
+        .withColumn("cluster_rejected", rejected)
         .select(
             "id",
-            F.coalesce("canonical_id", F.col("id")).alias("canonical_id"),
+            F.when(F.col("cluster_rejected"), F.col("id"))
+            .otherwise(F.coalesce("comp_id", F.col("id")))
+            .alias("canonical_id"),
+            "cluster_rejected",
         )
         .withColumn("is_canonical", F.col("id") == F.col("canonical_id"))
     )
 
 
-@query("er_resolve_entities")  # rows-only: iterative components inside
+# Oracled since round 4 (was rows-only): the iterative components step is
+# replayed as a recursive-CTE reachability closure (same twin shape as
+# dedup_components), and the size guard is one CASE over the closure's
+# per-component counts.
+_RESOLVE_ORACLE = f"""WITH RECURSIVE pairs AS ({_FUZZY_PAIRS_SQL}),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT w.node, s.dst FROM reach w JOIN sym s ON s.src = w.r
+),
+comp AS (SELECT node, MIN(r) AS comp_id FROM reach GROUP BY node),
+sizes AS (SELECT comp_id, COUNT(*) AS cluster_n FROM comp GROUP BY comp_id),
+lab AS (SELECT node, comp.comp_id, cluster_n FROM comp JOIN sizes USING (comp_id))
+SELECT c.c_custkey AS id,
+       CAST(CASE WHEN lab.node IS NULL OR lab.cluster_n > {MAX_CLUSTER_SIZE}
+                 THEN c.c_custkey ELSE lab.comp_id END AS BIGINT) AS canonical_id,
+       COALESCE(lab.cluster_n > {MAX_CLUSTER_SIZE}, FALSE) AS cluster_rejected,
+       (CASE WHEN lab.node IS NULL OR lab.cluster_n > {MAX_CLUSTER_SIZE}
+             THEN c.c_custkey ELSE lab.comp_id END) = c.c_custkey AS is_canonical
+FROM customer c LEFT JOIN lab ON lab.node = c.c_custkey"""
+
+
+@query("er_resolve_entities", _RESOLVE_ORACLE)
 def q_er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """On the synthetic SEQUENTIAL names this collapses to one cluster —
-    every consecutive number is lev-1 from the next, so the transitive
-    closure chains the whole table. That is the operator faithfully
-    demonstrating the classic over-merge failure of threshold-transitive
-    ER (real deployments add per-edge score cuts or cluster-stability
-    checks before accepting a merge); the crafted unit test shows the
-    intended behavior on realistic, sparse match graphs."""
+    """On the synthetic SEQUENTIAL names the raw transitive closure chains
+    the whole table into ONE component (every name is Hamming-1 from a
+    digit-neighbor) — the classic over-merge failure of
+    threshold-transitive ER. The max_cluster_size guard (default 100)
+    rejects that degenerate merge, so the shipped output keeps every
+    record its own canonical with cluster_rejected=true; crafted
+    unit tests pin the sparse-graph behavior where real merges survive."""
     cust = load_catalog(spark, sf_dir).table("customer")
     return resolve_entities(cust, "c_custkey", "c_name")

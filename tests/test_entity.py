@@ -114,3 +114,27 @@ def test_resolve_entities_transitive_chain(spark):
     assert got[11] == (10, False)
     assert got[12] == (10, False)
     assert got[13] == (13, True)
+    # the guard never fires on a legitimate sparse graph
+    flags = {r["id"]: r["cluster_rejected"] for r in resolve_entities(df, "id", "name").collect()}
+    assert flags == {10: False, 11: False, 12: False, 13: False}
+
+
+def test_resolve_entities_overmerge_guard(spark):
+    """Sequential identifiers chain the WHOLE table into one component —
+    the classic threshold-transitive over-merge. With the guard defaulted
+    on (max_cluster_size), the degenerate merge is rejected: every record
+    stays its own canonical, flagged cluster_rejected; with the guard
+    disabled (None) the round-3 collapse is reproduced."""
+    from temporalvault_spark.operators.entity import resolve_entities
+
+    rows = [(i, f"Customer#{i:09d}") for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+
+    guarded = resolve_entities(df, "id", "name", max_cluster_size=10).collect()
+    assert all(r["canonical_id"] == r["id"] and r["is_canonical"] for r in guarded)
+    assert all(r["cluster_rejected"] for r in guarded)
+
+    raw = resolve_entities(df, "id", "name", max_cluster_size=None).collect()
+    n_clusters = len({r["canonical_id"] for r in raw})
+    assert n_clusters == 1  # the collapse the guard exists to stop
+    assert not any(r["cluster_rejected"] for r in raw)
