@@ -278,6 +278,162 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- true BPE (merge-table) token counting ---------------------------------
+#
+# token_count_bpe above is the cheap regex tier; this is the REAL
+# merges-table tier: a BPE merge table TRAINED ON THE CORPUS, applied with
+# genuine cascading merge semantics ('t h'->'th' in round 1 makes 'th e'
+# learnable in round 2). Trainer variant: BATCH BPE — instead of one merge
+# per iteration (Sennrich), each round counts all adjacent token pairs over
+# the current segmentation (weighted by word frequency, learned on the
+# top-VOCAB words) and adopts the top MERGES_PER_ROUND pairs at once, for
+# ROUNDS rounds. Within a round, merges apply greedily left-to-right with
+# no re-merge (a token created this round can only merge again in a LATER
+# round) — that rule is what makes the whole computation a deterministic,
+# engine-portable expression: both the trainer and the tokenizer are plain
+# SQL over arrays, so the DuckDB oracle replays training AND application
+# bit-for-bit.
+#
+# Scale shape: word counting is one map-side-combined shuffle; training
+# runs over the top-VOCAB word rows only (bounded); APPLICATION runs once
+# per DISTINCT word (never per occurrence) and rejoins docs on the word —
+# the classic word-level BPE cache. Greedy LTR without re-merge is
+# vectorized via the parity-of-run trick: a pair merges iff it is mergeable
+# and an EVEN number of consecutive mergeable pairs immediately precede it
+# (run-local positions 0, 2, 4 … merge — exactly the left-to-right result).
+
+BPE_VOCAB = 10_000
+BPE_MERGES_PER_ROUND = 64
+BPE_ROUNDS = 3
+
+
+def _bpe_cte_chain(dialect: str) -> str:
+    """The shared CTE chain (words → vocab → seg0 → 3 training rounds),
+    emitted for either SQL dialect ('spark' | 'duck'). Both texts compute
+    the identical result; only the array-function vocabulary differs."""
+    if dialect == "spark":
+        split_words = "explode(split(lower(trim(text)), ' '))"
+        chars = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        length_fn = "length"
+        pairs_of = (
+            "CASE WHEN size(toks) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(toks) - 1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"
+        )
+        explode_p = "explode"
+        listagg = "collect_list"
+        m_expr = (
+            "CASE WHEN size(toks) < 2 THEN cast(array() as array<boolean>) "
+            "ELSE transform(sequence(1, size(toks) - 1), "
+            "i -> array_contains(ml, concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) END"
+        )
+        ma_expr = (
+            "CASE WHEN size(m) = 0 THEN cast(array() as array<boolean>) "
+            "ELSE transform(sequence(1, size(m)), i -> element_at(m, i) AND "
+            "((i - array_max(concat(array(0), filter(slice(sequence(1, size(m)), 1, i - 1), "
+            "j -> NOT element_at(m, j)))) - 1) % 2 = 0)) END"
+        )
+        out_expr = (
+            "transform(filter(sequence(1, size(toks)), k -> k = 1 OR NOT element_at(ma, k - 1)), "
+            "k -> CASE WHEN k <= size(ma) THEN (CASE WHEN element_at(ma, k) "
+            "THEN concat(element_at(toks, k), element_at(toks, k + 1)) "
+            "ELSE element_at(toks, k) END) ELSE element_at(toks, k) END)"
+        )
+    else:
+        split_words = "unnest(string_split(lower(trim(text)), ' '))"
+        chars = "list_transform(range(1, len(word) + 1), i -> word[i])"
+        length_fn = "len"
+        pairs_of = (
+            "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+        )
+        explode_p = "unnest"
+        listagg = "list"
+        m_expr = (
+            "list_transform(range(1, len(toks)), "
+            "i -> list_contains(ml, toks[i] || ' ' || toks[i+1]))"
+        )
+        ma_expr = (
+            "list_transform(range(1, len(m) + 1), i -> m[i] AND "
+            "((i - list_max(list_concat([0], list_filter(range(1, i), j -> NOT m[j]))) - 1) % 2 = 0))"
+        )
+        out_expr = (
+            "list_transform(list_filter(range(1, len(toks) + 1), k -> k = 1 OR NOT ma[k - 1]), "
+            "k -> CASE WHEN k <= len(ma) THEN (CASE WHEN ma[k] "
+            "THEN toks[k] || toks[k+1] ELSE toks[k] END) ELSE toks[k] END)"
+        )
+    ctes = f"""words AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT {split_words} AS w FROM documents WHERE text IS NOT NULL) tw
+        WHERE {length_fn}(w) > 0 GROUP BY w),
+    vocab AS (SELECT word FROM words ORDER BY cnt DESC, word ASC LIMIT {BPE_VOCAB}),
+    seg0 AS (SELECT word, cnt, {chars} AS toks FROM words)"""
+    prev = "seg0"
+    for r in range(1, BPE_ROUNDS + 1):
+        ctes += f""",
+    pc{r} AS (SELECT p AS pair, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+            SELECT cnt, {explode_p}({pairs_of}) AS p FROM (
+                SELECT s.cnt AS cnt, s.toks AS toks
+                FROM {prev} s JOIN vocab v ON s.word = v.word) tv) tp
+        GROUP BY p),
+    topk{r} AS (SELECT pair, c FROM pc{r}
+                ORDER BY c DESC, pair ASC LIMIT {BPE_MERGES_PER_ROUND}),
+    top{r} AS (SELECT pair, c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, pair ASC) AS BIGINT) AS merge_rank
+               FROM topk{r}),
+    ml{r} AS (SELECT {listagg}(pair) AS ml FROM top{r}),
+    sa{r} AS (SELECT s.word AS word, s.cnt AS cnt, s.toks AS toks, {m_expr} AS m
+              FROM {prev} s CROSS JOIN ml{r}),
+    sb{r} AS (SELECT word, cnt, toks, {ma_expr} AS ma FROM sa{r}),
+    seg{r} AS (SELECT word, cnt, {out_expr} AS toks FROM sb{r})"""
+        prev = f"seg{r}"
+    return ctes
+
+
+def _bpe_count_sql(dialect: str) -> str:
+    split_words = (
+        "explode(split(lower(trim(text)), ' '))"
+        if dialect == "spark"
+        else "unnest(string_split(lower(trim(text)), ' '))"
+    )
+    length_fn = "length" if dialect == "spark" else "len"
+    size_fn = "size" if dialect == "spark" else "len"
+    last = f"seg{BPE_ROUNDS}"
+    return f"""WITH {_bpe_cte_chain(dialect)},
+    wt AS (SELECT word, CAST({size_fn}(toks) AS BIGINT) AS n_tok FROM {last}),
+    dw AS (SELECT doc_id, w FROM (
+            SELECT doc_id, {split_words} AS w FROM documents WHERE text IS NOT NULL) td
+           WHERE {length_fn}(w) > 0),
+    per AS (SELECT dw.doc_id AS did, wt.n_tok AS n_tok
+            FROM dw JOIN wt ON dw.w = wt.word)
+    SELECT d.doc_id, CAST(COALESCE(SUM(per.n_tok), 0) AS BIGINT) AS n_bpe2_tokens
+    FROM documents d LEFT JOIN per ON per.did = d.doc_id
+    GROUP BY d.doc_id"""
+
+
+def _bpe_merges_sql(dialect: str) -> str:
+    tails = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, merge_rank, pair, c AS weight FROM top{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"WITH {_bpe_cte_chain(dialect)} {tails}"
+
+
+@query("token_count_bpe2", _bpe_count_sql("duck"))
+def q_token_count_bpe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the corpus-trained BPE merge table
+    (see the module block above). The oracle replays the full train+apply
+    pipeline in DuckDB — trainer determinism is part of the contract."""
+    load_catalog(spark, sf_dir)
+    return spark.sql(_bpe_count_sql("spark"))
+
+
+@query("bpe_train_merges", _bpe_merges_sql("duck"))
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table itself: (round, merge_rank, pair, weight) —
+    the broadcastable artifact a production tokenizer would persist."""
+    load_catalog(spark, sf_dir)
+    return spark.sql(_bpe_merges_sql("spark"))
+
+
 # --- fingerprinting --------------------------------------------------------
 
 
