@@ -221,3 +221,48 @@ def test_append_to_ivf_index_searchable_and_consistent(spark, sf_dir, tmp_path_f
     assert c_twin == c_probe
     top = ivf_search(spark, path, probe, k=2, nprobe=4).collect()
     assert {r["vec_id"] for r in top} >= {900000}  # twin in the top-2
+
+
+def test_knn_join_ivf_multiprobe_recall_on_boundary_vectors(spark):
+    """The multi-probe contract (round-3 verdict #6): a true neighbor that
+    lands JUST ACROSS a cluster boundary is invisible at nprobe=1 and found
+    at nprobe=2, so recall@k strictly improves with nprobe and converges to
+    the exact knn_join answer. Crafted 2-D geometry: centroids c0=0°,
+    c1=90°; probe at 44° (nearest centroid c0); its true nearest neighbor v
+    at 53° is assigned to c1 — exactly the boundary miss IVF's nprobe dial
+    exists for."""
+    import math
+
+    from temporalvault_spark.operators.similarity import knn_join, knn_join_ivf
+
+    def vec(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    # ids 0..15 are the centroid seeds (centroid_frame takes the first 16):
+    # c0 at 0°, c1 at 90°, the rest spread far away (150°..280°) so they
+    # form inert single-member clusters
+    rows = [(0, vec(0), 0), (1, vec(90), 0)]
+    rows += [(i, vec(150 + 10 * i), 0) for i in range(2, 16)]
+    rows += [(20, vec(53), 1),   # true NN of the probe, but lands in c1
+             (21, vec(10), 1)]   # decoy in c0, further from the probe
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    probes = spark.createDataFrame(
+        [(100, vec(44), 9)], "vec_id bigint, embedding array<double>, label int"
+    )
+
+    exact = [r["neighbor_id"] for r in knn_join(emb, probes, k=2).collect()]
+    assert exact[0] == 20  # v is the true nearest neighbor
+
+    def ivf_ids(nprobe):
+        return {
+            r["neighbor_id"]
+            for r in knn_join_ivf(emb, probes, k=2, nprobe=nprobe).collect()
+        }
+
+    r1 = len(ivf_ids(1) & set(exact)) / 2
+    r2 = len(ivf_ids(2) & set(exact)) / 2
+    assert r1 < r2, (r1, r2)          # recall STRICTLY improves with nprobe
+    assert 20 not in ivf_ids(1)       # the boundary miss at nprobe=1
+    assert ivf_ids(2) == set(exact)   # nprobe=2 recovers the exact answer
