@@ -717,6 +717,58 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PII scrubbing ---------------------------------------------------------
+# The redaction pass every training corpus goes through before release.
+# Patterns are deliberately lookaround-free so Java regex (Spark) and RE2
+# (DuckDB) agree byte-for-byte; categories apply in fixed order (emails →
+# IPv4 → phone-like digit runs) and each category is COUNTED on the text as
+# it looked after the previous category's redaction, so a digit run inside
+# an already-redacted IP is never double-counted as a phone.
+
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+
+@query(
+    "pii_scrub",
+    f"""WITH s AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+        FROM documents),
+    s2 AS (SELECT doc_id, text, t1,
+               regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2 FROM s)
+    SELECT doc_id,
+           regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t1, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           (len(regexp_extract_all(text, '{PII_EMAIL}'))
+            + len(regexp_extract_all(t1, '{PII_IPV4}'))
+            + len(regexp_extract_all(t2, '{PII_PHONE}'))) > 0 AS has_pii
+    FROM s2""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + per-category counts. Pure regexp builtins — one
+    codegen'd projection at scan speed, no shuffle, no Python; at 100 TB
+    this runs as a map-only pass fused into whatever scan feeds it."""
+    d = _docs(spark, sf_dir)
+    t1 = F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), 0))
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4), 0))
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE), 0))
+    return d.select(
+        "doc_id",
+        t3.alias("clean_text"),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_ips.cast("bigint").alias("n_ips"),
+        n_phones.cast("bigint").alias("n_phones"),
+        ((n_emails + n_ips + n_phones) > 0).alias("has_pii"),
+    )
+
+
 BLOCKED_SOURCES = ("src3", "src7", "src13")  # fixed stand-in for a blocklist table
 
 

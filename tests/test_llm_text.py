@@ -33,3 +33,58 @@ def test_doc_unigram_logprob_crafted(spark):
     got = {r["doc_id"]: (r["n_tokens"], r["avg_neg_logprob"]) for r in out.collect()}
     ln2 = round(math.log(2), 6)
     assert got == {1: (3, ln2), 2: (1, ln2)}
+
+
+def test_pii_scrub_crafted_and_engine_parity(spark, tmp_path):
+    """Crafted PII-dense docs: redaction order, per-category counts, and —
+    because the testdata corpus contains no PII, so the registry parity
+    sweep never exercises a match — a direct Spark-vs-DuckDB comparison on
+    the SAME crafted parquet to prove the Java-regex/RE2 patterns agree
+    where they actually fire."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    texts = [
+        (0, "contact bob.smith+x@example.com or ops@sub.domain.io today"),
+        (1, "server at 192.168.0.1 and 10.0.0.255 rebooted"),
+        (2, "call +1 555 123 4567 or 0800-555-0199 now"),
+        (3, "mix: a@b.co at 8.8.8.8 ring 12345678901"),
+        (4, "no pii here at all"),
+        (5, None),
+    ]
+    pdf = pd.DataFrame(
+        [dict(doc_id=i, text=t, lang="en", source="s", n_chars=len(t or "")) for i, t in texts]
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    import os
+    import shutil
+
+    from tests.conftest import SF_SMALL
+
+    dst = str(tmp_path)
+    for f in os.listdir(SF_SMALL):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SF_SMALL, f), os.path.join(dst, f))
+    pdf.to_parquet(os.path.join(dst, "documents.parquet"), index=False)
+
+    rows = entrymod.queries()["pii_scrub"](spark, dst).collect()
+    got = {r["doc_id"]: r for r in rows}
+    assert got[0]["n_emails"] == 2 and "<EMAIL>" in got[0]["clean_text"]
+    assert "@" not in got[0]["clean_text"]
+    assert got[1]["n_ips"] == 2 and got[1]["clean_text"].count("<IP>") == 2
+    assert got[2]["n_phones"] == 2 and got[2]["clean_text"].count("<PHONE>") == 2
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (1, 1, 1)
+    assert got[4]["has_pii"] is False and got[4]["clean_text"] == texts[4][1]
+    assert got[5]["clean_text"] is None
+
+    # engine parity where matches fire
+    from tests.oracle_check import compare, duckdb_conn
+
+    con = duckdb_conn(dst)
+    ok, msg = compare(
+        entrymod.queries()["pii_scrub"](spark, dst), con, entrymod.oracle_sql()["pii_scrub"]
+    )
+    assert ok, msg
