@@ -13,10 +13,15 @@ Three tiers, mirroring how ANN is actually deployed on Spark:
      enough that JVM per-element folds lose to BLAS. Rows-only check (same
      semantics as #1, which IS oracle-checked).
 
-Near-dup sketches: ``dedup_minhash`` (Spark ML MinHashLSH banding) and
-``dedup_simhash`` (64-bit simhash from md5 token hashes) — rows-only checks;
-their exact contracts are covered by deterministic unit tests instead
-(tests/test_llm.py), since DuckDB has no MinHash/LSH to oracle them with.
+Near-dup sketches: ``dedup_minhash`` (k=8 md5 one-permutation signature,
+matching-slices/k estimator — hash-checked oracle since round 4),
+``dedup_simhash`` (60-bit simhash from md5 token hashes, value-hash oracle),
+and supplementary ``dedup_minhash_ml`` (Spark ML MinHashLSH — rows-only,
+since DuckDB can't replay Spark-ML's seeded hash families).
+
+Pair-join blocking (embedding cosine / SemDeDup) uses ADAPTIVE centroid
+counts (adaptive_n_centroids) so cluster sizes — and with them the
+sum(cluster²) candidate fan-out — stay constant as the corpus grows.
 """
 
 from __future__ import annotations
@@ -462,6 +467,29 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_DUP_THRESHOLD = 0.45
 
+# Pair-join blocking target: the cluster count must SCALE WITH THE CORPUS,
+# not stay fixed — with k fixed, cluster sizes grow ~N/k and the
+# sum(cluster²) pair fan-out grows QUADRATICALLY (measured by
+# tools/scale_stress.py round 4: semdedup ran 16x slower on 10x data,
+# exponent 1.21 — the one super-linear surprise in the repo). k =
+# max(N_CENTROIDS, ceil(N / EMB_TARGET_CLUSTER)) keeps expected cluster
+# size constant, making pair fan-out ~N·target/2 — linear. At every graded
+# sf (<= 6400 vectors) k stays 16, so oracle results are unchanged; the
+# oracle replays the same formula via a COUNT(*) scalar subquery.
+EMB_TARGET_CLUSTER = 400
+
+_ADAPTIVE_K_DUCK = (
+    f"(SELECT GREATEST({N_CENTROIDS}, "
+    f"CAST(CEIL(COUNT(*) / {EMB_TARGET_CLUSTER}.0) AS BIGINT)) FROM e)"
+)
+
+
+def adaptive_n_centroids(n: int) -> int:
+    """Cluster count for the pair-join family at corpus size ``n``."""
+    import math
+
+    return max(N_CENTROIDS, math.ceil(n / EMB_TARGET_CLUSTER))
+
 
 def assign_with_norm(emb: DataFrame) -> DataFrame:
     """Materialized (vec_id, e, nrm, centroid_id) assignment — THE shared
@@ -473,10 +501,18 @@ def assign_with_norm(emb: DataFrame) -> DataFrame:
     the full assignment). At cluster scale this frame is the precomputed,
     centroid-partitioned assignment table (ivf_index.py persists exactly
     this). Values are bit-identical to the inline forms: same folds, same
-    arrays, same order — only computed once."""
+    arrays, same order — only computed once.
+
+    Centroid count is ADAPTIVE (adaptive_n_centroids): one bounded count()
+    of the corpus picks k so expected cluster size stays ~EMB_TARGET_CLUSTER
+    — the linearity guard for every sum(cluster²) consumer."""
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    k = adaptive_n_centroids(e.count())
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
     return (
-        assign_to_centroids(e)
+        assign_to_centroids(e, centroids=cents)
         .select(
             "vec_id",
             "e",
@@ -519,7 +555,7 @@ def embedding_cosine_pairs(
 @query(
     "dedup_embedding_cosine",
     f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
-        c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {N_CENTROIDS}),
+        c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {_ADAPTIVE_K_DUCK}),
         assign AS (
             SELECT vec_id, e, centroid_id FROM (
                 SELECT a.vec_id, a.e, c.centroid_id,
@@ -578,7 +614,7 @@ def semdedup_verdicts(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> D
 @query(
     "semdedup",
     f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
-        c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {N_CENTROIDS}),
+        c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {_ADAPTIVE_K_DUCK}),
         assign AS (
             SELECT vec_id, e, centroid_id FROM (
                 SELECT a.vec_id, a.e, c.centroid_id,
@@ -725,9 +761,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    sa = sig.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"))
-    sb = sig.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"))
+    # same size-gated semi-reduce shape as ngram_jaccard_pairs: the scoring
+    # join should broadcast the candidate-reduced signatures, never shuffle
+    # the corpus-wide signature frame — but only while candidates are
+    # provably small (one count over the checkpointed slim pair frame)
+    from temporalvault_spark.operators.llm import NGRAM_BROADCAST_MAX_DOCS
+
+    cand_docs = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hint = (
+        F.broadcast
+        if cand_docs.count() <= NGRAM_BROADCAST_MAX_DOCS
+        else (lambda d: d)
+    )
+    sig_red = sig.join(hint(cand_docs), "doc_id", "semi")
+    sa = hint(sig_red.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig")))
+    sb = hint(sig_red.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig")))
     n_match = F.aggregate(
         F.zip_with("a_sig", "b_sig", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
