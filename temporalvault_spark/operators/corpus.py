@@ -365,6 +365,63 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_train_val_test(_docs(spark, sf_dir))
 
 
+# rendered DuckDB twin of split_train_val_test's assignment (reused by the
+# leakage check below)
+_SPLIT_DUCK = f"""SELECT doc_id,
+           CASE WHEN u < '{_hex_thr(SPLIT_TRAIN)}' THEN 'train'
+                WHEN u < '{_hex_thr(SPLIT_VAL)}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u
+          FROM documents) ts"""
+
+
+def _split_leakage_oracle() -> str:
+    from temporalvault_spark.operators.llm import NGRAM_PAIRS_SQL
+
+    return f"""WITH pairs AS ({NGRAM_PAIRS_SQL}),
+    sp AS ({_SPLIT_DUCK})
+    SELECT LEAST(a.split, b.split) AS split_lo,
+           GREATEST(a.split, b.split) AS split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           LEAST(a.split, b.split) != GREATEST(a.split, b.split) AS is_cross_split
+    FROM pairs p
+    JOIN sp a ON p.doc_a = a.doc_id
+    JOIN sp b ON p.doc_b = b.doc_id
+    GROUP BY 1, 2"""
+
+
+@query("split_leakage_check", _split_leakage_oracle())
+def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination check — the audit every train/val/test
+    split needs AFTER near-dup detection: a val/test document with a
+    near-duplicate in train silently inflates eval scores, the
+    within-corpus twin of benchmark decontamination
+    (llm.decontaminate_ngram_overlap). Counts near-dup pairs per unordered
+    split-label pair; any row with is_cross_split=true and n_pairs > 0 is
+    leakage to fix (re-split by dup-cluster, or drop the eval member).
+
+    Scale shape: the near-dup pair frame is the small side by LSH
+    construction; split assignment is a salted-md5 projection (no shuffle);
+    the two label joins are id-keyed equi-joins on slim frames and the
+    final rollup has at most 6 groups."""
+    from temporalvault_spark.operators.llm import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    sp = split_train_val_test(docs).select("doc_id", "split")
+    a = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    lo, hi = F.least("sa", "sb"), F.greatest("sa", "sb")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn("is_cross_split", F.col("split_lo") != F.col("split_hi"))
+    )
+
+
 # --- sequence packing ------------------------------------------------------
 
 PACK_BUDGET = 64

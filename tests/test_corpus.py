@@ -330,3 +330,55 @@ def test_deterministic_ops_partitioning_invariant(spark, sf_dir):
         a = sorted(tuple(r) for r in fn(one).collect())
         b = sorted(tuple(r) for r in fn(many).collect())
         assert a == b, fn.__name__
+
+
+def test_split_leakage_check_flags_crafted_cross_split_dup(spark, tmp_path):
+    """Two exact-dup docs whose salted-md5 split labels DIFFER must surface
+    as an is_cross_split row with n_pairs >= 1; a dup pair within one split
+    must not be flagged as leakage."""
+    import hashlib
+    import os
+    import shutil
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from temporalvault_spark.operators.corpus import SPLIT_TRAIN, SPLIT_VAL, _hex_thr
+
+    def split_of(doc_id):
+        u = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:8]
+        if u < _hex_thr(SPLIT_TRAIN):
+            return "train"
+        if u < _hex_thr(SPLIT_VAL):
+            return "val"
+        return "test"
+
+    # hunt id pairs: one (train, val/test) pair and one (train, train) pair
+    train_ids = [i for i in range(1000) if split_of(i) == "train"]
+    eval_ids = [i for i in range(1000) if split_of(i) != "train"]
+    a, b = train_ids[0], eval_ids[0]          # cross-split exact dup
+    c, d = train_ids[1], train_ids[2]         # within-split exact dup
+    base = "the quick brown fox jumps over the lazy dog near the garden wall"
+    other = "completely unrelated text about query engines and shuffle planning"
+    rows = [(a, base), (b, base), (c, other), (d, other)]
+    pdf = pd.DataFrame(
+        [dict(doc_id=i, text=t, lang="en", source="s", n_chars=len(t)) for i, t in rows]
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+
+    from tests.conftest import SF_SMALL
+
+    dst = str(tmp_path)
+    for f in os.listdir(SF_SMALL):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SF_SMALL, f), os.path.join(dst, f))
+    pdf.to_parquet(os.path.join(dst, "documents.parquet"), index=False)
+
+    got = {
+        (r["split_lo"], r["split_hi"]): (r["n_pairs"], r["is_cross_split"])
+        for r in entrymod.queries()["split_leakage_check"](spark, dst).collect()
+    }
+    cross_key = tuple(sorted(("train", split_of(b))))
+    assert got[cross_key] == (1, True)
+    assert got[("train", "train")] == (1, False)
