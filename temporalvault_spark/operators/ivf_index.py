@@ -14,11 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.operators.similarity import (
-    N_CENTROIDS,
     _dot,
     _norm,
     assign_to_centroids,
-    centroid_frame,
 )
 
 
@@ -51,12 +49,22 @@ def build_ivf_index(emb: DataFrame, path: str, centroids: DataFrame | None = Non
     outside their nprobe partitions. At corpus scale this is the single
     shuffle every subsequent probe amortizes.
 
-    ``centroids`` defaults to the deterministic fixed set (oracle-replayable);
-    pass ``similarity.train_centroids(e, seed=...)`` for k-means-quality
+    ``centroids`` defaults to the deterministic first-k set with ADAPTIVE k
+    (adaptive_n_centroids: k = max(16, ceil(N/400)) — a fixed k would make
+    partition size grow with the corpus and the per-probe read grow
+    nprobe·N/k; adaptive k keeps both constant). Pass
+    ``similarity.train_centroids(e, seed=...)`` for k-means-quality
     clusters — ivf_search works unchanged because probes rank whatever the
     sidecar holds."""
+    from temporalvault_spark.operators.similarity import adaptive_n_centroids
+
     e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
-    cents = centroids if centroids is not None else centroid_frame(e)
+    if centroids is None:
+        k = adaptive_n_centroids(e.count())
+        centroids = e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+        )
+    cents = centroids
     (
         assign_to_centroids(e, cents)
         .repartition("centroid_id")
