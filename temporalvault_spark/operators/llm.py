@@ -307,60 +307,79 @@ BPE_MERGES_PER_ROUND = 64
 BPE_ROUNDS = 3
 
 
-def _bpe_cte_chain(dialect: str) -> str:
-    """The shared CTE chain (words → vocab → seg0 → 3 training rounds),
-    emitted for either SQL dialect ('spark' | 'duck'). Both texts compute
-    the identical result; only the array-function vocabulary differs."""
-    if dialect == "spark":
-        split_words = "explode(split(lower(trim(text)), ' '))"
-        chars = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-        length_fn = "length"
-        pairs_of = (
+# Dialect fragments for the BPE pipeline, module-level so the property test
+# (tests/test_bpe.py) can evaluate the EXACT production merge-step text
+# against a Python reference implementation — no drift-prone copies.
+BPE_DIALECT = {
+    "spark": {
+        "split_words": "explode(split(lower(trim(text)), ' '))",
+        "chars": "transform(sequence(1, length(word)), i -> substring(word, i, 1))",
+        "length_fn": "length",
+        "pairs_of": (
             "CASE WHEN size(toks) < 2 THEN array() "
             "ELSE transform(sequence(1, size(toks) - 1), "
             "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"
-        )
-        explode_p = "explode"
-        listagg = "collect_list"
-        m_expr = (
+        ),
+        "explode_p": "explode",
+        "listagg": "collect_list",
+        "m_expr": (
             "CASE WHEN size(toks) < 2 THEN cast(array() as array<boolean>) "
             "ELSE transform(sequence(1, size(toks) - 1), "
             "i -> array_contains(ml, concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) END"
-        )
-        ma_expr = (
+        ),
+        "ma_expr": (
             "CASE WHEN size(m) = 0 THEN cast(array() as array<boolean>) "
             "ELSE transform(sequence(1, size(m)), i -> element_at(m, i) AND "
             "((i - array_max(concat(array(0), filter(slice(sequence(1, size(m)), 1, i - 1), "
             "j -> NOT element_at(m, j)))) - 1) % 2 = 0)) END"
-        )
-        out_expr = (
+        ),
+        "out_expr": (
             "transform(filter(sequence(1, size(toks)), k -> k = 1 OR NOT element_at(ma, k - 1)), "
             "k -> CASE WHEN k <= size(ma) THEN (CASE WHEN element_at(ma, k) "
             "THEN concat(element_at(toks, k), element_at(toks, k + 1)) "
             "ELSE element_at(toks, k) END) ELSE element_at(toks, k) END)"
-        )
-    else:
-        split_words = "unnest(string_split(lower(trim(text)), ' '))"
-        chars = "list_transform(range(1, len(word) + 1), i -> word[i])"
-        length_fn = "len"
-        pairs_of = (
+        ),
+    },
+    "duck": {
+        "split_words": "unnest(string_split(lower(trim(text)), ' '))",
+        "chars": "list_transform(range(1, len(word) + 1), i -> word[i])",
+        "length_fn": "len",
+        "pairs_of": (
             "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
-        )
-        explode_p = "unnest"
-        listagg = "list"
-        m_expr = (
+        ),
+        "explode_p": "unnest",
+        "listagg": "list",
+        "m_expr": (
             "list_transform(range(1, len(toks)), "
             "i -> list_contains(ml, toks[i] || ' ' || toks[i+1]))"
-        )
-        ma_expr = (
+        ),
+        "ma_expr": (
             "list_transform(range(1, len(m) + 1), i -> m[i] AND "
             "((i - list_max(list_concat([0], list_filter(range(1, i), j -> NOT m[j]))) - 1) % 2 = 0))"
-        )
-        out_expr = (
+        ),
+        "out_expr": (
             "list_transform(list_filter(range(1, len(toks) + 1), k -> k = 1 OR NOT ma[k - 1]), "
             "k -> CASE WHEN k <= len(ma) THEN (CASE WHEN ma[k] "
             "THEN toks[k] || toks[k+1] ELSE toks[k] END) ELSE toks[k] END)"
-        )
+        ),
+    },
+}
+
+
+def _bpe_cte_chain(dialect: str) -> str:
+    """The shared CTE chain (words → vocab → seg0 → 3 training rounds),
+    emitted for either SQL dialect ('spark' | 'duck'). Both texts compute
+    the identical result; only the array-function vocabulary differs."""
+    d = BPE_DIALECT[dialect if dialect == "spark" else "duck"]
+    split_words = d["split_words"]
+    chars = d["chars"]
+    length_fn = d["length_fn"]
+    pairs_of = d["pairs_of"]
+    explode_p = d["explode_p"]
+    listagg = d["listagg"]
+    m_expr = d["m_expr"]
+    ma_expr = d["ma_expr"]
+    out_expr = d["out_expr"]
     ctes = f"""words AS (
         SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM (SELECT {split_words} AS w FROM documents WHERE text IS NOT NULL) tw

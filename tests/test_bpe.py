@@ -72,3 +72,55 @@ def test_bpe_greedy_ltr_parity_on_odd_runs(spark, bpe_dir):
     round2 = {r["pair"] for r in rows if r["round"] == 2}
     assert "aa a" in round2
     assert "a aa" not in round2
+
+
+def _merge_step_reference(toks, merges):
+    """Straightforward greedy left-to-right single-pass merge: at each
+    position, if (cur, next) is a merge pair, fuse and skip both (a token
+    created this round cannot merge again this round)."""
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and f"{toks[i]} {toks[i + 1]}" in merges:
+            out.append(toks[i] + toks[i + 1])
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def test_merge_step_parity_formulation_matches_reference_property():
+    """The run-parity vectorization ('a pair merges iff mergeable and an
+    even number of consecutive mergeable pairs precede it') must equal the
+    sequential greedy-LTR reference on ALL inputs, including overlapping
+    chains like a,a,a. Evaluates the EXACT production DuckDB fragment
+    (BPE_DIALECT['duck'] — textually parallel to the Spark fragment, whose
+    cross-engine equality the oracle hash-check pins) via hypothesis over a
+    tiny alphabet chosen to maximize merge collisions."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from temporalvault_spark.operators.llm import BPE_DIALECT
+
+    d = BPE_DIALECT["duck"]
+    con = duckdb.connect()
+
+    alphabet = ["a", "b", "c", "aa", "ab"]
+    pair_pool = sorted({f"{x} {y}" for x in alphabet for y in alphabet})
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        toks=st.lists(st.sampled_from(alphabet), min_size=0, max_size=9),
+        merges=st.sets(st.sampled_from(pair_pool), max_size=8),
+    )
+    def check(toks, merges):
+        ml = sorted(merges)
+        sql = f"""WITH s0 AS (SELECT $toks::VARCHAR[] AS toks, $ml::VARCHAR[] AS ml),
+        s1 AS (SELECT toks, ml, {d['m_expr']} AS m FROM s0),
+        s2 AS (SELECT toks, ml, m, {d['ma_expr']} AS ma FROM s1)
+        SELECT {d['out_expr']} AS out FROM s2"""
+        got = con.execute(sql, {"toks": toks, "ml": ml}).fetchone()[0]
+        assert got == _merge_step_reference(toks, merges), (toks, ml, got)
+
+    check()
