@@ -100,6 +100,11 @@ HEADLINE = [
     "corpus_pipeline_stats",
     "dq_expectations",
     "dq_version_chain",
+    # round 4
+    "pii_scrub",
+    "dedup_minhash",
+    "token_count_bpe2",
+    "split_leakage_check",
 ]
 
 
