@@ -10,6 +10,7 @@ from temporalvault_spark.streaming.jobs import (
     session_counts,
     sliding_counts,
     tumbling_counts,
+    user_totals_stream,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "dedup_ingest_stream",
     "funnel_state_stream",
     "clicks_to_purchases_join",
+    "user_totals_stream",
 ]

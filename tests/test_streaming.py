@@ -385,3 +385,59 @@ def test_funnel_state_stream_equals_batch(spark, sf_dir):
     assert got["s1"] == want["stage_signup"]
     assert got["s2"] == want["stage_click_after_signup"]
     assert got["s3"] == want["stage_full_funnel"]
+
+
+def _has_protobuf():
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState driver worker needs protobuf (not in sandbox)",
+)
+def test_user_totals_transform_with_state(spark, sf_dir):
+    """transformWithStateInPandas (the Spark-4 arbitrary-stateful API):
+    a single AvailableNow drain's final per-user totals must equal the
+    batch groupBy — count, value sum, and max event time — proving the
+    ValueState accumulation and the epoch-micros timestamp round-trip."""
+    import pyspark.sql.functions as F
+
+    ev = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_available_now(
+        streaming.user_totals_stream(ev),
+        "t_user_totals",
+        output_mode="update",
+        latest_by=("user_id",),
+        order_col="n_events",
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+        for r in out.collect()
+    }
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 6).alias("tv"),
+            F.max("ts").alias("mt"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["tv"], r["mt"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_user_totals_gate_raises_clearly_without_protobuf(spark, sf_dir):
+    """In a protobuf-less environment the operator must fail FAST with an
+    actionable message (not a mid-query Python-worker crash) and point at
+    the dependency-free stateful tier."""
+    if _has_protobuf():
+        pytest.skip("protobuf present; the gate passes through")
+    ev = streaming.events_stream(spark, sf_dir)
+    with pytest.raises(ImportError, match="protobuf"):
+        streaming.user_totals_stream(ev)
