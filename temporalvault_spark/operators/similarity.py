@@ -727,26 +727,42 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (app/main.py) has no dedup tier — this is the LLM-pipeline extension
     required by the build brief.
     """
+    return minhash_estimate_pairs(load_catalog(spark, sf_dir).table("documents"))
+
+
+def minhash_estimate_pairs(docs: DataFrame) -> DataFrame:
+    """Core of ``dedup_minhash`` on an arbitrary documents frame —
+    crafted-corpus testable (tests/test_llm_dedup.py pins it against an
+    independent hashlib replication of the signature arithmetic, so a
+    shared-shape bug in the Spark/DuckDB twins can't hide behind parity)."""
     from temporalvault_spark.operators.llm import shingle_signatures
 
-    docs = load_catalog(spark, sf_dir).table("documents")
-    sh = shingle_signatures(docs).localCheckpoint(eager=False)
-    # hs is already the md5-per-shingle array; family b<4 slices it, b>=4
-    # slices the re-hashed digests (computed once per doc, not per family)
-    sig = sh.select(
-        "doc_id",
-        F.concat(
-            F.expr(
-                "transform(sequence(0, 3), i -> "
-                "array_min(transform(hs, h -> substring(h, i*8+1, 8))))"
-            ),
-            F.expr(
-                "transform(sequence(0, 3), i -> "
-                "array_min(transform(transform(hs, h -> md5(h)), "
-                "h -> substring(h, i*8+1, 8))))"
-            ),
-        ).alias("sig"),
-    ).localCheckpoint(eager=False)
+    # hs is the md5-per-shingle array; family b<4 slices it, b>=4 slices
+    # the re-hashed digests hs2. hs2 is computed BEFORE the checkpoint so
+    # the second md5 pass is materialized once per doc — as a lazy alias it
+    # would collapse back into the per-family lambda and run 4x
+    # (higher-order lambdas get no CSE).
+    sh = (
+        shingle_signatures(docs)
+        .withColumn("hs2", F.expr("transform(hs, h -> md5(h))"))
+        .localCheckpoint(eager=False)
+    )
+    sig = (
+        sh.select(
+            "doc_id",
+            F.concat(
+                F.expr(
+                    "transform(sequence(0, 3), i -> "
+                    "array_min(transform(hs, h -> substring(h, i*8+1, 8))))"
+                ),
+                F.expr(
+                    "transform(sequence(0, 3), i -> "
+                    "array_min(transform(hs2, h -> substring(h, i*8+1, 8))))"
+                ),
+            ).alias("sig"),
+        )
+        .localCheckpoint(eager=False)
+    )
     banded = sig.select(
         "doc_id",
         F.posexplode("sig").alias("band", "min_h"),
