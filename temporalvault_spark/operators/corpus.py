@@ -351,15 +351,19 @@ def split_train_val_test(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "source", split.alias("split"))
 
 
+# the one rendering of the salted-hash split rule — the registered oracle
+# and the leakage check's twin BOTH interpolate these fragments, so an edit
+# to the rule (salt, thresholds, extra split) cannot desynchronize them
+_SPLIT_CASE_SQL = f"""CASE WHEN u < '{_hex_thr(SPLIT_TRAIN)}' THEN 'train'
+                WHEN u < '{_hex_thr(SPLIT_VAL)}' THEN 'val'
+                ELSE 'test' END AS split"""
+_SPLIT_U_SQL = "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u"
+
+
 @query(
     "split_train_val_test",
-    f"""SELECT doc_id, source,
-           CASE WHEN u < '{_hex_thr(SPLIT_TRAIN)}' THEN 'train'
-                WHEN u < '{_hex_thr(SPLIT_VAL)}' THEN 'val'
-                ELSE 'test' END AS split
-    FROM (SELECT doc_id, source,
-                 substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u
-          FROM documents) t""",
+    f"""SELECT doc_id, source, {_SPLIT_CASE_SQL}
+    FROM (SELECT doc_id, source, {_SPLIT_U_SQL} FROM documents) t""",
 )
 def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_train_val_test(_docs(spark, sf_dir))
@@ -367,13 +371,8 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # rendered DuckDB twin of split_train_val_test's assignment (reused by the
 # leakage check below)
-_SPLIT_DUCK = f"""SELECT doc_id,
-           CASE WHEN u < '{_hex_thr(SPLIT_TRAIN)}' THEN 'train'
-                WHEN u < '{_hex_thr(SPLIT_VAL)}' THEN 'val'
-                ELSE 'test' END AS split
-    FROM (SELECT doc_id,
-                 substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u
-          FROM documents) ts"""
+_SPLIT_DUCK = f"""SELECT doc_id, {_SPLIT_CASE_SQL}
+    FROM (SELECT doc_id, {_SPLIT_U_SQL} FROM documents) ts"""
 
 
 def _split_leakage_oracle() -> str:

@@ -4,8 +4,16 @@ disk-layout form of sim_ivf_ann's claim (similarity.py), and how
 embedding search actually deploys on a data lake: the index build is a
 one-time job, every probe after it reads only its clusters' directories.
 
-Same deterministic fixed-centroid assignment as the oracle-checked
-sim_ivf_ann, so build results are reproducible across engines.
+The assignment RULE (argmax dot-product against the index's persisted
+``_centroids`` sidecar) is the same one the oracle-checked sim_ivf_ann
+uses, so a build is reproducible across engines given the same centroid
+set. The default centroid SET, however, is the adaptive-k first-k
+(adaptive_n_centroids: k = max(16, ceil(N/400))) — identical to
+sim_ivf_ann's fixed N_CENTROIDS=16 only up to 16·400 vectors; beyond
+that the index intentionally diverges to keep per-partition size (and
+per-probe read) constant as the corpus grows. Probes always rank against
+the sidecar, never a recomputed set, so index self-consistency holds at
+every size.
 """
 
 from __future__ import annotations

@@ -144,25 +144,33 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
 
     class _UserTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            # has_ts distinguishes "no non-NULL ts seen yet" from a real
+            # epoch value — without it a user whose events all carry NULL
+            # ts would surface last_ts=1970-01-01 instead of NULL (the
+            # batch contract is F.max('ts'), which is NULL for that user)
             self._totals = handle.getValueState(
-                "totals", "n bigint, total double, last_us bigint"
+                "totals", "n bigint, total double, last_us bigint, has_ts boolean"
             )
 
         def handleInputRows(self, key, rows, timerValues):
             prev = self._totals.get() if self._totals.exists() else None
-            n, total, last_us = prev if prev is not None else (0, 0.0, 0)
+            n, total, last_us, has_ts = (
+                prev if prev is not None else (0, 0.0, 0, False)
+            )
             for pdf in rows:
                 n += len(pdf)
                 total += float(pdf["value"].fillna(0.0).sum())
                 if len(pdf["us"].dropna()):
-                    last_us = max(last_us, int(pdf["us"].max()))
-            self._totals.update((int(n), float(total), int(last_us)))
+                    batch_max = int(pdf["us"].max())
+                    last_us = max(last_us, batch_max) if has_ts else batch_max
+                    has_ts = True
+            self._totals.update((int(n), float(total), int(last_us), bool(has_ts)))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [int(n)],
                     "total_value": [float(total)],
-                    "last_us": [int(last_us)],
+                    "last_us": [int(last_us) if has_ts else None],
                 }
             )
 

@@ -321,3 +321,51 @@ def test_substring_apply_matches_python_reference(spark, docs):
         for r in substring_spans_apply(df, k=3).collect()
     }
     assert got == _py_substring_apply(docs, 3)
+
+
+def _py_minhash_pairs(texts: dict[int, str]) -> dict[tuple[int, int], tuple[int, float]]:
+    """Independent replication of the dedup_minhash estimator (hashlib, no
+    Spark/DuckDB): k=8 one-permutation signature — families 0-3 slice
+    md5(shingle) hex, 4-7 slice md5(md5-hex); candidates share any family;
+    keep pairs with >= k/2 matching families."""
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    sigs: dict[int, list[str]] = {}
+    for d, text in texts.items():
+        t = text.strip(" ").lower().split(" ")
+        if len(t) < 3:
+            continue
+        shingles = {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+        h1 = [md5(x) for x in shingles]
+        h2 = [md5(h) for h in h1]
+        sigs[d] = [min(h[i * 8 : i * 8 + 8] for h in h1) for i in range(4)] + [
+            min(h[i * 8 : i * 8 + 8] for h in h2) for i in range(4)
+        ]
+    out: dict[tuple[int, int], tuple[int, float]] = {}
+    ids = sorted(sigs)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            n = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+            if n >= 1 and n >= 4:  # band collision implies n>=1; threshold k/2
+                out[(a, b)] = (n, round(n / 8.0, 6))
+    return out
+
+
+def test_minhash_estimator_matches_python_reference(spark, crafted):
+    """The estimator tier must equal an engine-independent hashlib
+    replication exactly (values, not just recall) — a slice-offset or
+    threshold bug shared by the Spark/DuckDB twins cannot survive this."""
+    from temporalvault_spark.operators.similarity import minhash_estimate_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_match"], r["est_jaccard"])
+        for r in minhash_estimate_pairs(crafted).collect()
+    }
+    want = _py_minhash_pairs({0: BASE, 1: NEAR, 2: BASE, 3: FAR})
+    assert got == want
+    # and the crafted semantics hold: exact dup = full signature match,
+    # near-dup caught above threshold, unrelated doc never paired
+    assert got[(0, 2)] == (8, 1.0)
+    assert (0, 1) in got and got[(0, 1)][0] >= 4
+    assert not any(3 in p for p in got)
