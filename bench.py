@@ -105,6 +105,9 @@ HEADLINE = [
     "dedup_minhash",
     "token_count_bpe2",
     "split_leakage_check",
+    "win_rank_family",
+    "html_strip",
+    "approx_distinct_users_sketch",
 ]
 
 

@@ -49,3 +49,30 @@ def sample_fraction(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame
     """Seeded Bernoulli sample — the cheap first stage of any estimate-then-
     verify pipeline over a 100 TB table (pushed into the scan, no shuffle)."""
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def hll_sketch_rollup(
+    df: DataFrame, group_cols: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group mergeable Datasketches HLL sketch (binary column) — the
+    PRE-AGGREGATION form of distinct counting: persist one ~2^lg_k-byte
+    sketch per (group, partition-unit) and every later distinct-count
+    question over ANY union of groups is a sketch merge, not a rescan of
+    the raw table. This is how a 100 TB events log answers "distinct users
+    over an arbitrary date range" in milliseconds: daily sketch rollup job
+    + hll_union_agg at query time."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
+    )
+
+
+def hll_merge_estimate(
+    sketches: DataFrame, group_cols: list[str], out_col: str = "approx_distinct"
+) -> DataFrame:
+    """Merge persisted HLL sketches down to ``group_cols`` and estimate:
+    the query-time half of hll_sketch_rollup. The merge is an ordinary
+    aggregate whose partials are the sketches themselves — O(sketch bytes)
+    per group through the shuffle regardless of raw cardinality."""
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(out_col)
+    )

@@ -736,6 +736,62 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- HTML stripping --------------------------------------------------------
+# The extraction stage upstream of normalization for web-crawled corpora:
+# drop markup, decode the common entities, collapse whitespace. Tags and
+# entities are handled with builtins only (regexp_replace + nested replace)
+# so the pass runs at scan speed, and the entity chain is rendered ONCE and
+# interpolated into both engines' SQL — no twin to drift. '&amp;' decodes
+# LAST so '&amp;lt;' yields '&lt;' (one level, the HTML-correct reading),
+# never double-decodes to '<'.
+
+HTML_TAG_RE = "<[^>]*>"
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "''"),  # SQL-escaped single quote
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def _html_clean_sql(gflag: str) -> str:
+    """Rendered clean-text expression; ``gflag`` is '' for Spark (global
+    replace is the default) and \", 'g'\" for DuckDB (first-match default)."""
+    s = f"regexp_replace(text, '{HTML_TAG_RE}', ' '{gflag})"
+    for ent, ch in HTML_ENTITIES:
+        s = f"replace({s}, '{ent}', '{ch}')"
+    return f"trim(regexp_replace({s}, ' +', ' '{gflag}))"
+
+
+@query(
+    "html_strip",
+    f"""SELECT doc_id,
+           {_html_clean_sql(", 'g'")} AS clean_text,
+           CAST(len(regexp_extract_all(text, '{HTML_TAG_RE}')) AS BIGINT) AS n_tags,
+           {_html_clean_sql(", 'g'")} <> text AS changed
+    FROM documents""",
+)
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return html_strip(_docs(spark, sf_dir))
+
+
+def html_strip(docs: DataFrame) -> DataFrame:
+    """Markup removal for web-derived text: strip tags, decode the six
+    common entities, collapse spaces. One codegen'd projection — no
+    shuffle, no Python — so it composes with text_normalize/dedup at scan
+    speed. Crafted-corpus test (tests/test_llm_text.py) pins real HTML;
+    the registry oracle pins NULL/clean-text parity on the testdata."""
+    clean = F.expr(_html_clean_sql(""))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.expr(f"regexp_count(text, '{HTML_TAG_RE}')").cast("bigint").alias("n_tags"),
+        (clean != F.col("text")).alias("changed"),
+    )
+
+
 # --- PII scrubbing ---------------------------------------------------------
 # The redaction pass every training corpus goes through before release.
 # Patterns are deliberately lookaround-free so Java regex (Spark) and RE2

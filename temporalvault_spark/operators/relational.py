@@ -510,6 +510,43 @@ def q_win_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "win_rank_family",
+    """SELECT event_id, event_type, value,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY value DESC NULLS LAST, event_id)""",
+)
+def q_win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-family windows in one pass: rank/dense_rank (leaderboards),
+    percent_rank/cume_dist (within-group percentile scoring — the relative
+    form of quality_score's absolute thresholds), ntile (quartile bucketing
+    for stratified sampling). All five share ONE window definition, so
+    Spark evaluates them in a single sort per partition — the plan has one
+    Window node, not five. Tie-break on event_id makes every rank
+    deterministic; NULLS LAST is explicit because Spark and DuckDB disagree
+    on default NULL placement for DESC orderings."""
+    ev = _cat(spark, sf_dir).table("events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc_nulls_last(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
 # --- set operations --------------------------------------------------------
 
 

@@ -92,3 +92,28 @@ def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("user_id"), F.col("w.start").alias("session_start"), "n_events", "sum_value")
     )
+
+
+@query("approx_distinct_users_sketch")  # rows-only: Datasketches binary HLL
+def q_approx_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via the persisted-sketch rollup
+    pattern: per-(event_type, day) Datasketches HLL sketches
+    (functions.approx.hll_sketch_rollup — in production a daily job
+    persisting ~4 KB/sketch), merged at query time across days with
+    hll_union_agg. The merge shuffles O(sketch) bytes per group no matter
+    how many raw rows or distinct users a day holds — THE way a 100 TB log
+    answers arbitrary-date-range cardinality without a rescan.
+
+    No DuckDB oracle: the estimate is Datasketches-implementation-defined
+    (DuckDB's approx_count_distinct is a different HLL). The unit test
+    (tests/test_corpus.py) pins merge-vs-direct consistency and <3*rsd
+    error against the exact count."""
+    from temporalvault_spark.functions.approx import (
+        hll_merge_estimate,
+        hll_sketch_rollup,
+    )
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    daily = hll_sketch_rollup(ev, ["event_type", "day"], "user_id")
+    est = hll_merge_estimate(daily, ["event_type"], "approx_users")
+    return est.select("event_type", F.col("approx_users").cast("bigint").alias("approx_users"))

@@ -51,3 +51,28 @@ def test_csv_json_roundtrip(spark, tmp_path):
 def test_ts_normalization_matches_catalog(spark, sf_dir):
     via_source = read_table(spark, f"{sf_dir}/events.parquet", ts_cols=("ts",))
     assert dict(via_source.dtypes)["ts"].startswith("timestamp")
+
+
+def test_hll_sketch_rollup_merge_consistent_and_accurate(spark):
+    """The persisted-sketch pattern's load-bearing property: merging
+    per-slice sketches must answer the same estimate as sketching the raw
+    union directly (HLL union is lossless over sketches of equal lg_k), and
+    the estimate must be within HLL error of the exact count at a
+    cardinality (50k) where exact != estimate is plausible."""
+    from temporalvault_spark.functions.approx import (
+        hll_merge_estimate,
+        hll_sketch_rollup,
+    )
+
+    # 50k distinct ids spread over 10 'days', every id in one group
+    df = spark.range(50_000).select(
+        F.lit("g").alias("g"), (F.col("id") % 10).alias("day"), F.col("id")
+    )
+    daily = hll_sketch_rollup(df, ["g", "day"], "id")
+    assert daily.count() == 10
+    merged = hll_merge_estimate(daily, ["g"], "est").collect()[0]["est"]
+    direct = hll_merge_estimate(
+        hll_sketch_rollup(df, ["g"], "id"), ["g"], "est"
+    ).collect()[0]["est"]
+    assert merged == direct  # merge-of-slices == sketch-of-union
+    assert abs(merged - 50_000) <= 0.05 * 50_000  # ~1.6% rsd at lg_k=12

@@ -88,3 +88,28 @@ def test_pii_scrub_crafted_and_engine_parity(spark, tmp_path):
         entrymod.queries()["pii_scrub"](spark, dst), con, entrymod.oracle_sql()["pii_scrub"]
     )
     assert ok, msg
+
+
+def test_html_strip_crafted_markup(spark):
+    """html_strip on actual markup (the testdata corpus has none, so oracle
+    parity alone never exercises the strip): tags go to spaces, entities
+    decode exactly one level, whitespace collapses, NULL passes through."""
+    from temporalvault_spark.operators.llm import html_strip
+
+    rows = [
+        (0, "<p>Hello <b>world</b></p>", "en", "web", 25),
+        (1, "a &amp;lt; b &amp; c &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y", "en", "web", 60),
+        (2, "no markup here", "en", "web", 14),
+        (3, None, "en", "web", 0),
+        (4, "<div class='x'><span>nested</span> <br/> ok</div>", "en", "web", 49),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_tags"], r["changed"]) for r in html_strip(df).collect()}
+    assert got[0] == ("Hello world", 4, True)
+    # &amp;lt; -> '&lt;' (ONE decode level), &amp; -> '&', entities decode
+    assert got[1] == ('a &lt; b & c <tag> "q" \'s\' x y', 0, True)
+    assert got[2] == ("no markup here", 0, False)
+    assert got[3] == (None, None, None)
+    assert got[4] == ("nested ok", 5, True)
