@@ -108,6 +108,8 @@ HEADLINE = [
     "win_rank_family",
     "html_strip",
     "approx_distinct_users_sketch",
+    "pq_encode",
+    "pq_topk_adc",
 ]
 
 

@@ -17,6 +17,7 @@ from temporalvault_spark.operators import (  # noqa: F401
     entity,
     hypertable,
     llm,
+    pq,
     relational,
     similarity,
     temporal,

@@ -1,0 +1,201 @@
+"""Product quantization (PQ) — the compressed-domain ANN tier.
+
+IVF (similarity.py) prunes WHICH vectors a probe scans; PQ shrinks WHAT is
+scanned: each d-dim vector becomes M sub-codes (here 8 codes into 16-entry
+codebooks = 8 bytes/vector vs 256 bytes of float32 — 32x), and a probe
+ranks candidates from a per-query distance TABLE without touching the raw
+floats. IVF-PQ is how billion-vector search actually deploys (FAISS/ScaNN);
+this module is the PQ half, built on the same deterministic-codebook seam
+as the IVF tier so every step replays bit-for-bit in the DuckDB oracle.
+
+Scale shape: encode is one broadcast (M*K codewords, ~8 KB) + one codegen'd
+projection over the corpus — no shuffle; the ADC probe is another broadcast
+(the 128-double distance table folded per row in fixed order) + a
+TakeOrderedAndProject top-k — the corpus never exchanges in either step.
+
+Codebooks here are the first-K vectors' subvectors (the same reproducible
+stand-in centroid_frame uses; production swaps in per-subspace k-means via
+train_centroids on subvector frames — the encode/probe algebra is
+unchanged).
+
+Reference parity: no counterpart — LLM-pipeline extension (build brief:
+similarity-search scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.constants import SIM_PROBE_VEC_ID, SIM_TOP_K
+from temporalvault_spark.registry import query
+
+PQ_DIM = 64  # testdata embedding dim; PQ requires fixed-width vectors
+PQ_M = 8  # subspaces
+PQ_SUB = PQ_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codewords per subspace (4-bit codes)
+
+# identical row filter on both engines: PQ is defined only for non-NULL
+# vectors of exactly PQ_DIM dims (a short vector would make the slice
+# arithmetic read out of bounds — ANSI element_at errors, DuckDB yields
+# NULL: different failure modes, so both engines exclude such rows)
+_PQ_WHERE_DUCK = f"WHERE embedding IS NOT NULL AND len(embedding) = {PQ_DIM}"
+
+
+def _pq_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_catalog(spark, sf_dir).table("embeddings")
+    return e.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == PQ_DIM)
+    ).select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+
+
+def pq_codebook_row(e: DataFrame) -> DataFrame:
+    """The M*K codewords folded into ONE broadcastable row: array of
+    struct(sub, code, cw) sorted by (sub, code), so codeword (j, c) sits at
+    index j*K + c. Codewords are the first-PQ_K vectors' subvector slices
+    (deterministic; swap in k-means centroids per subspace for production
+    quality — same layout, same consumers)."""
+    cb = (
+        e.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PQ_M - 1}), "
+                    f"j -> struct(j AS sub, slice(e, j*{PQ_SUB}+1, {PQ_SUB}) AS cw))"
+                )
+            ).alias("s"),
+        )
+        .select(F.col("s.sub").alias("sub"), "code", F.col("s.cw").alias("cw"))
+    )
+    return cb.agg(
+        F.array_sort(F.collect_list(F.struct("sub", "code", "cw"))).alias("cb")
+    )
+
+
+# the per-vector code assignment: for each subspace j, argmin over the K
+# codewords of squared L2 between the vector's j-th slice and the codeword;
+# ties break toward the LOWER code via the (dist, code) struct min
+_CODES_EXPR = (
+    f"transform(sequence(0, {PQ_M - 1}), j -> "
+    f"array_min(transform(slice(cb, j*{PQ_K}+1, {PQ_K}), s -> "
+    f"struct(aggregate(zip_with(slice(e, j*{PQ_SUB}+1, {PQ_SUB}), s.cw, "
+    f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
+    f"(acc, v) -> acc + v) AS dist, s.code AS code))).code)"
+)
+
+
+def pq_encode(e: DataFrame) -> DataFrame:
+    """(vec_id, codes array<bigint>[M]) for every vector: one broadcast of
+    the folded codebook row, one projection — the corpus side never
+    shuffles. 8 bytes of payload per vector replaces 256."""
+    return (
+        e.crossJoin(F.broadcast(pq_codebook_row(e)))
+        .select("vec_id", "label", F.expr(_CODES_EXPR).alias("codes"))
+    )
+
+
+@query(
+    "pq_encode",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           {_PQ_WHERE_DUCK}),
+    cw AS (SELECT s.j AS sub, c.vec_id AS code,
+                  list_slice(c.e, s.j*{PQ_SUB}+1, s.j*{PQ_SUB}+{PQ_SUB}) AS cw
+           FROM e c CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) s
+           WHERE c.vec_id < {PQ_K}),
+    dd AS (SELECT v.vec_id, w.sub, w.code,
+                  list_transform(range(1, {PQ_SUB} + 1),
+                      i -> v.e[CAST(w.sub*{PQ_SUB}+i AS INT)] - w.cw[CAST(i AS INT)]) AS df
+           FROM e v CROSS JOIN cw w),
+    d AS (SELECT vec_id, sub, code, list_dot_product(df, df) AS dist FROM dd),
+    md AS (SELECT vec_id, sub, MIN(dist) AS mdist FROM d GROUP BY 1, 2)
+    SELECT d.vec_id, CAST(d.sub AS BIGINT) AS sub, CAST(MIN(d.code) AS BIGINT) AS code
+    FROM d JOIN md ON d.vec_id = md.vec_id AND d.sub = md.sub AND d.dist = md.mdist
+    GROUP BY d.vec_id, d.sub""",
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the corpus, exploded to (vec_id, sub, code) rows so
+    the value hash covers every code. The oracle replays the argmin as
+    min-dist-then-min-code (bit-parity: both engines fold the same doubles
+    in the same order via dot-product-of-difference)."""
+    codes = pq_encode(_pq_emb(spark, sf_dir))
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    ).select("vec_id", F.col("sub").cast("long").alias("sub"), "code")
+
+
+def pq_adc_topk(e: DataFrame, probe: DataFrame, k: int = SIM_TOP_K) -> DataFrame:
+    """Asymmetric-distance top-k: the probe's squared-L2 distance to every
+    codeword is folded into ONE 128-double table (j*K + c layout) on the
+    broadcast side; each encoded vector's approximate distance is then an
+    M-term table lookup sum in fixed subspace order — deterministic, no
+    shuffle, and the raw floats are never read after encode. The limit
+    plans as TakeOrderedAndProject."""
+    codes = pq_encode(e)
+    cb_row = pq_codebook_row(e)
+    dt_row = (
+        probe.select(F.col("e").alias("p"))
+        .crossJoin(F.broadcast(cb_row))
+        .select(
+            F.expr(
+                f"transform(cb, s -> aggregate(zip_with("
+                f"slice(p, s.sub*{PQ_SUB}+1, {PQ_SUB}), s.cw, "
+                f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
+                f"(acc, v) -> acc + v))"
+            ).alias("dt")
+        )
+    )
+    adist = F.expr(
+        f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double), "
+        f"(acc, j) -> acc + element_at(dt, CAST(j*{PQ_K} + element_at(codes, j+1) + 1 AS INT)))"
+    )
+    return (
+        codes.crossJoin(F.broadcast(dt_row))
+        .select("vec_id", "label", adist.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+@query(
+    "pq_topk_adc",
+    f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+           {_PQ_WHERE_DUCK}),
+    cw AS (SELECT s.j AS sub, c.vec_id AS code,
+                  list_slice(c.e, s.j*{PQ_SUB}+1, s.j*{PQ_SUB}+{PQ_SUB}) AS cw
+           FROM e c CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) s
+           WHERE c.vec_id < {PQ_K}),
+    dd AS (SELECT v.vec_id, w.sub, w.code,
+                  list_transform(range(1, {PQ_SUB} + 1),
+                      i -> v.e[CAST(w.sub*{PQ_SUB}+i AS INT)] - w.cw[CAST(i AS INT)]) AS df
+           FROM e v CROSS JOIN cw w),
+    d AS (SELECT vec_id, sub, code, list_dot_product(df, df) AS dist FROM dd),
+    md AS (SELECT vec_id, sub, MIN(dist) AS mdist FROM d GROUP BY 1, 2),
+    codes AS (SELECT d.vec_id, d.sub, MIN(d.code) AS code
+              FROM d JOIN md ON d.vec_id = md.vec_id AND d.sub = md.sub
+                            AND d.dist = md.mdist
+              GROUP BY d.vec_id, d.sub),
+    pd AS (SELECT sub, code, list_dot_product(df, df) AS dist FROM (
+           SELECT w.sub AS sub, w.code AS code,
+                  list_transform(range(1, {PQ_SUB} + 1),
+                      i -> p.e[CAST(w.sub*{PQ_SUB}+i AS INT)] - w.cw[CAST(i AS INT)]) AS df
+           FROM cw w CROSS JOIN (SELECT e FROM e WHERE vec_id = {SIM_PROBE_VEC_ID}) p) x),
+    av AS (SELECT c.vec_id, SUM(pd.dist) AS adc_dist
+           FROM codes c JOIN pd ON c.sub = pd.sub AND c.code = pd.code
+           GROUP BY c.vec_id)
+    SELECT av.vec_id, e.label, ROUND(av.adc_dist, 6) AS adc_dist
+    FROM av JOIN e ON av.vec_id = e.vec_id
+    ORDER BY av.adc_dist, av.vec_id LIMIT {SIM_TOP_K}""",
+)
+def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k for the fixed probe vector over the PQ-encoded corpus.
+    The oracle reconstructs the same distance table relationally (join on
+    (sub, code), 8-term SUM per vector) — the values agree to round(6)
+    because both engines sum the same 8 doubles."""
+    e = _pq_emb(spark, sf_dir)
+    probe = e.filter(F.col("vec_id") == SIM_PROBE_VEC_ID)
+    top = pq_adc_topk(e, probe)
+    return top.select(
+        "vec_id", "label", F.round("adc_dist", 6).alias("adc_dist")
+    )
