@@ -338,3 +338,37 @@ def test_substring_apply_broadcast_gate_both_paths(spark, sf_dir):
     assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
     key = lambda r: (r["doc_id"], r["clean_text"], r["n_tokens_removed"])  # noqa: E731
     assert sorted(map(key, fast.collect())) == sorted(map(key, gated.collect()))
+
+
+def test_pq_encode_never_shuffles_corpus(q):
+    """PQ encode's only exchange is the SinglePartition fold of the 16-row
+    codebook; the corpus side is scan + broadcast join + projection. A
+    hashpartitioning exchange here would mean the vectors themselves are
+    being shuffled to meet the codebook — wrong at any scale."""
+    c = plan_counts(q("pq_encode"))
+    assert c.get("Exchange hashpartitioning", 0) == 0
+    assert c.get("BroadcastNestedLoopJoin", 0) >= 1  # folded codebook row
+
+
+def test_pq_adc_topk_is_take_ordered(q):
+    """The ADC probe must plan its top-k as TakeOrderedAndProject (per-
+    partition k + driver merge), never a total sort, and the corpus side
+    must stay shuffle-free (distance table broadcast, fixed-order fold)."""
+    c = plan_counts(q("pq_topk_adc"))
+    assert c["TakeOrderedAndProject"] == 1
+    assert c["Exchange hashpartitioning"] == 0
+    assert c["Exchange rangepartitioning"] == 0  # no total sort
+
+
+def test_rank_family_single_window_node(q):
+    """All five rank functions share one window definition -> ONE Window
+    node, one sort per partition; a second Window node would mean a
+    redundant sort of the whole table."""
+    df = q("win_rank_family")
+    assert executed_plan(df).count("Window [") == 1
+    assert plan_counts(df)["Exchange hashpartitioning"] == 1
+
+
+def test_html_strip_zero_exchanges(q):
+    c = plan_counts(q("html_strip"))
+    assert not any(v for k, v in c.items() if k.startswith("Exchange"))
