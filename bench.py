@@ -110,6 +110,7 @@ HEADLINE = [
     "approx_distinct_users_sketch",
     "pq_encode",
     "pq_topk_adc",
+    "ivfpq_topk",
 ]
 
 

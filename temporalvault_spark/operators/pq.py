@@ -199,3 +199,126 @@ def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "vec_id", "label", F.round("adc_dist", 6).alias("adc_dist")
     )
+
+
+# --- IVF-PQ: cluster pruning + compressed-domain ranking -------------------
+
+
+@query(
+    "ivfpq_topk",
+    f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+             AND len(embedding) = {PQ_DIM}),
+    c AS (SELECT vec_id AS centroid_id, e FROM e WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT a.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY list_dot_product(a.e, c.e)
+                                               / sqrt(list_dot_product(c.e, c.e)) DESC,
+                                               c.centroid_id) AS rn
+            FROM e a CROSS JOIN c) x
+        WHERE rn = 1),
+    p AS (SELECT e FROM e WHERE vec_id = {SIM_PROBE_VEC_ID}),
+    probe_clusters AS (
+        SELECT centroid_id FROM (
+            SELECT c.centroid_id,
+                   ROW_NUMBER() OVER (ORDER BY list_dot_product(p.e, c.e)
+                                               / sqrt(list_dot_product(c.e, c.e)) DESC,
+                                      c.centroid_id) AS rn
+            FROM c CROSS JOIN p) x
+        WHERE rn <= 4),
+    cw AS (SELECT s.j AS sub, cc.vec_id AS code,
+                  list_slice(cc.e, s.j*{PQ_SUB}+1, s.j*{PQ_SUB}+{PQ_SUB}) AS cw
+           FROM e cc CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) s
+           WHERE cc.vec_id < {PQ_K}),
+    dd AS (SELECT v.vec_id, w.sub, w.code,
+                  list_transform(range(1, {PQ_SUB} + 1),
+                      i -> v.e[CAST(w.sub*{PQ_SUB}+i AS INT)] - w.cw[CAST(i AS INT)]) AS df
+           FROM e v CROSS JOIN cw w),
+    d AS (SELECT vec_id, sub, code, list_dot_product(df, df) AS dist FROM dd),
+    md AS (SELECT vec_id, sub, MIN(dist) AS mdist FROM d GROUP BY 1, 2),
+    codes AS (SELECT d.vec_id, d.sub, MIN(d.code) AS code
+              FROM d JOIN md ON d.vec_id = md.vec_id AND d.sub = md.sub
+                            AND d.dist = md.mdist
+              GROUP BY d.vec_id, d.sub),
+    pd AS (SELECT sub, code, list_dot_product(df, df) AS dist FROM (
+           SELECT w.sub AS sub, w.code AS code,
+                  list_transform(range(1, {PQ_SUB} + 1),
+                      i -> p.e[CAST(w.sub*{PQ_SUB}+i AS INT)] - w.cw[CAST(i AS INT)]) AS df
+           FROM cw w CROSS JOIN p) x),
+    av AS (SELECT cd.vec_id, SUM(pd.dist) AS adc_dist
+           FROM codes cd
+           JOIN assign a ON cd.vec_id = a.vec_id
+           JOIN probe_clusters pc ON a.centroid_id = pc.centroid_id
+           JOIN pd ON cd.sub = pd.sub AND cd.code = pd.code
+           GROUP BY cd.vec_id)
+    SELECT av.vec_id, e.label, a.centroid_id, ROUND(av.adc_dist, 6) AS adc_dist
+    FROM av JOIN e ON av.vec_id = e.vec_id
+            JOIN assign a ON av.vec_id = a.vec_id
+    ORDER BY av.adc_dist, av.vec_id LIMIT {SIM_TOP_K}""",
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the billion-vector deployment standard, end to end: prune
+    to the probe's 4 best clusters with the SAME oracle-checked centroid
+    assignment the persisted index partitions by (similarity.py —
+    cosine argmax, broadcast centroid struct), then rank ONLY those
+    candidates in the compressed domain via the ADC table. At 100 TB the
+    probe reads nprobe/C of the index partitions and touches 8-byte codes,
+    not 256-byte floats — both prunings compose multiplicatively.
+
+    Rows are restricted to non-NULL, nonzero-norm (cosine assignment),
+    PQ_DIM-width (PQ slicing) vectors — the WHERE is identical on both
+    engines."""
+    from temporalvault_spark.operators.similarity import (
+        N_PROBE_CLUSTERS,
+        _dot,
+        _emb,
+        _norm,
+        assign_to_centroids,
+        centroid_frame,
+    )
+
+    e = (
+        _emb(spark, sf_dir)
+        .filter(F.size("embedding") == PQ_DIM)
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    assign = assign_to_centroids(e).select("vec_id", "centroid_id")
+    probe = e.filter(F.col("vec_id") == SIM_PROBE_VEC_ID)
+    probe_clusters = (
+        centroid_frame(e)
+        .crossJoin(F.broadcast(probe.select(F.col("e").alias("pe"))))
+        .withColumn("psim", _dot(F.col("pe"), F.col("ce")) / _norm(F.col("ce")))
+        .orderBy(F.desc("psim"), F.asc("centroid_id"))
+        .limit(N_PROBE_CLUSTERS)
+        .select("centroid_id")
+    )
+    cand_assign = assign.join(F.broadcast(probe_clusters), "centroid_id")
+    codes = pq_encode(e).join(F.broadcast(cand_assign), "vec_id")
+    dt_row = (
+        probe.select(F.col("e").alias("p"))
+        .crossJoin(F.broadcast(pq_codebook_row(e)))
+        .select(
+            F.expr(
+                f"transform(cb, s -> aggregate(zip_with("
+                f"slice(p, s.sub*{PQ_SUB}+1, {PQ_SUB}), s.cw, "
+                f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
+                f"(acc, v) -> acc + v))"
+            ).alias("dt")
+        )
+    )
+    adist = F.expr(
+        f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double), "
+        f"(acc, j) -> acc + element_at(dt, CAST(j*{PQ_K} + element_at(codes, j+1) + 1 AS INT)))"
+    )
+    return (
+        codes.crossJoin(F.broadcast(dt_row))
+        .select("vec_id", "label", "centroid_id", adist.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(SIM_TOP_K)
+        .select(
+            "vec_id", "label", "centroid_id", F.round("adc_dist", 6).alias("adc_dist")
+        )
+    )

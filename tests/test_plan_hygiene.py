@@ -372,3 +372,15 @@ def test_rank_family_single_window_node(q):
 def test_html_strip_zero_exchanges(q):
     c = plan_counts(q("html_strip"))
     assert not any(v for k, v in c.items() if k.startswith("Exchange"))
+
+
+def test_ivfpq_stays_broadcast_and_take_ordered(q):
+    """IVF-PQ composes two broadcasts (probed-cluster ids, distance table)
+    with the shuffle-free assignment — no hashpartitioning exchange
+    anywhere, and the final top-k is TakeOrderedAndProject."""
+    c = plan_counts(q("ivfpq_topk"))
+    # 2 TakeOrdered nodes: the 4-cluster probe pruning and the final top-k
+    assert c["TakeOrderedAndProject"] == 2
+    assert c["Exchange hashpartitioning"] == 0
+    assert c["Exchange rangepartitioning"] == 0
+    assert c["SortMergeJoin"] == 0
