@@ -29,6 +29,15 @@ from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog
 from temporalvault_spark.constants import SIM_PROBE_VEC_ID, SIM_TOP_K
+from temporalvault_spark.operators.similarity import (
+    N_CENTROIDS,
+    N_PROBE_CLUSTERS,
+    _dot,
+    _emb,
+    _norm,
+    assign_to_centroids,
+    centroid_frame,
+)
 from temporalvault_spark.registry import query
 
 PQ_DIM = 64  # testdata embedding dim; PQ requires fixed-width vectors
@@ -55,7 +64,9 @@ def pq_codebook_row(e: DataFrame) -> DataFrame:
     struct(sub, code, cw) sorted by (sub, code), so codeword (j, c) sits at
     index j*K + c. Codewords are the first-PQ_K vectors' subvector slices
     (deterministic; swap in k-means centroids per subspace for production
-    quality — same layout, same consumers)."""
+    quality — same layout, same consumers). Consumers index the array
+    POSITIONALLY, so use _validated_codebook_row unless the caller has
+    already proven vec_ids 0..PQ_K-1 all exist at width PQ_DIM."""
     cb = (
         e.filter(F.col("vec_id") < PQ_K)
         .select(
@@ -74,6 +85,22 @@ def pq_codebook_row(e: DataFrame) -> DataFrame:
     )
 
 
+def _validated_codebook_row(e: DataFrame) -> DataFrame:
+    """pq_codebook_row plus the precondition check the positional j*K+c
+    layout depends on: vec_ids 0..PQ_K-1 must all exist (and pass the dim
+    filter), else slice(cb, ...) would straddle subspaces and encode/ADC
+    would return silently wrong codes. The check is one tiny job over the
+    <=PQ_K codebook rows — loud failure instead of garbage."""
+    row = pq_codebook_row(e)
+    n = row.select(F.size("cb").alias("n")).first()["n"]
+    if n != PQ_M * PQ_K:
+        raise ValueError(
+            f"PQ codebook needs vec_ids 0..{PQ_K - 1} present with "
+            f"{PQ_DIM}-dim embeddings (got {n} codewords, want {PQ_M * PQ_K})"
+        )
+    return row
+
+
 # the per-vector code assignment: for each subspace j, argmin over the K
 # codewords of squared L2 between the vector's j-th slice and the codeword;
 # ties break toward the LOWER code via the (dist, code) struct min
@@ -86,83 +113,29 @@ _CODES_EXPR = (
 )
 
 
-def pq_encode(e: DataFrame) -> DataFrame:
+def pq_encode(e: DataFrame, cb_row: DataFrame | None = None) -> DataFrame:
     """(vec_id, codes array<bigint>[M]) for every vector: one broadcast of
     the folded codebook row, one projection — the corpus side never
-    shuffles. 8 bytes of payload per vector replaces 256."""
+    shuffles. 8 bytes of payload per vector replaces 256. Pass ``cb_row``
+    (a pq_codebook_row over the FULL corpus) when encoding a subset, so
+    candidate frames are coded against the same codebook as everything
+    else — the same threading pattern as assign_to_centroids' ``centroids``
+    argument."""
+    if cb_row is None:
+        cb_row = _validated_codebook_row(e)
+    # withColumn+drop instead of a fixed select: extra input columns (e.g.
+    # ivfpq's centroid_id) pass through, so callers never re-join for them
     return (
-        e.crossJoin(F.broadcast(pq_codebook_row(e)))
-        .select("vec_id", "label", F.expr(_CODES_EXPR).alias("codes"))
+        e.crossJoin(F.broadcast(cb_row))
+        .withColumn("codes", F.expr(_CODES_EXPR))
+        .drop("e", "cb")
     )
 
 
-@query(
-    "pq_encode",
-    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-           {_PQ_WHERE_DUCK}),
-    cw AS (SELECT s.j AS sub, c.vec_id AS code,
-                  list_slice(c.e, s.j*{PQ_SUB}+1, s.j*{PQ_SUB}+{PQ_SUB}) AS cw
-           FROM e c CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) s
-           WHERE c.vec_id < {PQ_K}),
-    dd AS (SELECT v.vec_id, w.sub, w.code,
-                  list_transform(range(1, {PQ_SUB} + 1),
-                      i -> v.e[CAST(w.sub*{PQ_SUB}+i AS INT)] - w.cw[CAST(i AS INT)]) AS df
-           FROM e v CROSS JOIN cw w),
-    d AS (SELECT vec_id, sub, code, list_dot_product(df, df) AS dist FROM dd),
-    md AS (SELECT vec_id, sub, MIN(dist) AS mdist FROM d GROUP BY 1, 2)
-    SELECT d.vec_id, CAST(d.sub AS BIGINT) AS sub, CAST(MIN(d.code) AS BIGINT) AS code
-    FROM d JOIN md ON d.vec_id = md.vec_id AND d.sub = md.sub AND d.dist = md.mdist
-    GROUP BY d.vec_id, d.sub""",
-)
-def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ encoding of the corpus, exploded to (vec_id, sub, code) rows so
-    the value hash covers every code. The oracle replays the argmin as
-    min-dist-then-min-code (bit-parity: both engines fold the same doubles
-    in the same order via dot-product-of-difference)."""
-    codes = pq_encode(_pq_emb(spark, sf_dir))
-    return codes.select(
-        "vec_id", F.posexplode("codes").alias("sub", "code")
-    ).select("vec_id", F.col("sub").cast("long").alias("sub"), "code")
-
-
-def pq_adc_topk(e: DataFrame, probe: DataFrame, k: int = SIM_TOP_K) -> DataFrame:
-    """Asymmetric-distance top-k: the probe's squared-L2 distance to every
-    codeword is folded into ONE 128-double table (j*K + c layout) on the
-    broadcast side; each encoded vector's approximate distance is then an
-    M-term table lookup sum in fixed subspace order — deterministic, no
-    shuffle, and the raw floats are never read after encode. The limit
-    plans as TakeOrderedAndProject."""
-    codes = pq_encode(e)
-    cb_row = pq_codebook_row(e)
-    dt_row = (
-        probe.select(F.col("e").alias("p"))
-        .crossJoin(F.broadcast(cb_row))
-        .select(
-            F.expr(
-                f"transform(cb, s -> aggregate(zip_with("
-                f"slice(p, s.sub*{PQ_SUB}+1, {PQ_SUB}), s.cw, "
-                f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
-                f"(acc, v) -> acc + v))"
-            ).alias("dt")
-        )
-    )
-    adist = F.expr(
-        f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double), "
-        f"(acc, j) -> acc + element_at(dt, CAST(j*{PQ_K} + element_at(codes, j+1) + 1 AS INT)))"
-    )
-    return (
-        codes.crossJoin(F.broadcast(dt_row))
-        .select("vec_id", "label", adist.alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-        .limit(k)
-    )
-
-
-@query(
-    "pq_topk_adc",
-    f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-           {_PQ_WHERE_DUCK}),
-    cw AS (SELECT s.j AS sub, c.vec_id AS code,
+# DuckDB twin of the encode step, rendered ONCE and interpolated into every
+# oracle below (the repo's shared-fragment rule: one rendering, no drift).
+# Expects a CTE ``e(vec_id, e DOUBLE[])`` in scope; yields ``codes``.
+_PQ_CODES_DUCK = f"""cw AS (SELECT s.j AS sub, c.vec_id AS code,
                   list_slice(c.e, s.j*{PQ_SUB}+1, s.j*{PQ_SUB}+{PQ_SUB}) AS cw
            FROM e c CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) s
            WHERE c.vec_id < {PQ_K}),
@@ -175,24 +148,101 @@ def pq_adc_topk(e: DataFrame, probe: DataFrame, k: int = SIM_TOP_K) -> DataFrame
     codes AS (SELECT d.vec_id, d.sub, MIN(d.code) AS code
               FROM d JOIN md ON d.vec_id = md.vec_id AND d.sub = md.sub
                             AND d.dist = md.mdist
-              GROUP BY d.vec_id, d.sub),
-    pd AS (SELECT sub, code, list_dot_product(df, df) AS dist FROM (
+              GROUP BY d.vec_id, d.sub)"""
+
+# DuckDB twin of the probe distance table; expects CTEs ``cw`` and
+# ``p(e DOUBLE[])`` in scope; yields ``pd(sub, code, dist)``
+_PQ_PROBE_DT_DUCK = f"""pd AS (SELECT sub, code, list_dot_product(df, df) AS dist FROM (
            SELECT w.sub AS sub, w.code AS code,
                   list_transform(range(1, {PQ_SUB} + 1),
                       i -> p.e[CAST(w.sub*{PQ_SUB}+i AS INT)] - w.cw[CAST(i AS INT)]) AS df
-           FROM cw w CROSS JOIN (SELECT e FROM e WHERE vec_id = {SIM_PROBE_VEC_ID}) p) x),
-    av AS (SELECT c.vec_id, SUM(pd.dist) AS adc_dist
-           FROM codes c JOIN pd ON c.sub = pd.sub AND c.code = pd.code
-           GROUP BY c.vec_id)
+           FROM cw w CROSS JOIN p) x)"""
+
+
+@query(
+    "pq_encode",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           {_PQ_WHERE_DUCK}),
+    {_PQ_CODES_DUCK}
+    SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+    FROM codes""",
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the corpus, exploded to (vec_id, sub, code) rows so
+    the value hash covers every code. The oracle replays the argmin as
+    min-dist-then-min-code (bit-parity: both engines fold the same doubles
+    in the same order via dot-product-of-difference)."""
+    codes = pq_encode(_pq_emb(spark, sf_dir))
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    ).select("vec_id", F.col("sub").cast("long").alias("sub"), "code")
+
+
+def _adc_table_row(probe: DataFrame, cb_row: DataFrame) -> DataFrame:
+    """The probe's squared-L2 distance to every codeword, folded into ONE
+    128-double row in the codebook's (sub, code) order — the per-query
+    table ADC ranks from."""
+    return (
+        probe.select(F.col("e").alias("p"))
+        .crossJoin(F.broadcast(cb_row))
+        .select(
+            F.expr(
+                f"transform(cb, s -> aggregate(zip_with("
+                f"slice(p, s.sub*{PQ_SUB}+1, {PQ_SUB}), s.cw, "
+                f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
+                f"(acc, v) -> acc + v))"
+            ).alias("dt")
+        )
+    )
+
+
+# approximate distance = M-term table-lookup sum in FIXED subspace order
+# (deterministic — the oracle folds the same 8 doubles in the same order)
+_ADIST_EXPR = (
+    f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double), "
+    f"(acc, j) -> acc + element_at(dt, CAST(j*{PQ_K} + element_at(codes, j+1) + 1 AS INT)))"
+)
+
+
+def pq_adc_topk(e: DataFrame, probe: DataFrame, k: int = SIM_TOP_K) -> DataFrame:
+    """Asymmetric-distance top-k: one codebook build shared by encode and
+    the distance table, then an M-term lookup fold per vector — no shuffle,
+    and the raw floats are never read after encode. The limit plans as
+    TakeOrderedAndProject."""
+    cb_row = _validated_codebook_row(e)
+    codes = pq_encode(e, cb_row)
+    dt_row = _adc_table_row(probe, cb_row)
+    return (
+        codes.crossJoin(F.broadcast(dt_row))
+        .select("vec_id", "label", F.expr(_ADIST_EXPR).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+@query(
+    "pq_topk_adc",
+    f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+           {_PQ_WHERE_DUCK}),
+    {_PQ_CODES_DUCK},
+    p AS (SELECT e FROM e WHERE vec_id = {SIM_PROBE_VEC_ID}),
+    {_PQ_PROBE_DT_DUCK},
+    av AS (SELECT vec_id,
+                  list_reduce(list(dist ORDER BY sub), (a, b) -> a + b) AS adc_dist
+           FROM (SELECT c.vec_id, c.sub, pd.dist
+                 FROM codes c JOIN pd ON c.sub = pd.sub AND c.code = pd.code) t
+           GROUP BY vec_id)
     SELECT av.vec_id, e.label, ROUND(av.adc_dist, 6) AS adc_dist
     FROM av JOIN e ON av.vec_id = e.vec_id
     ORDER BY av.adc_dist, av.vec_id LIMIT {SIM_TOP_K}""",
 )
 def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-k for the fixed probe vector over the PQ-encoded corpus.
-    The oracle reconstructs the same distance table relationally (join on
-    (sub, code), 8-term SUM per vector) — the values agree to round(6)
-    because both engines sum the same 8 doubles."""
+    The oracle reconstructs the same distance table relationally, then
+    folds each vector's 8 table entries in subspace order
+    (list(dist ORDER BY sub) + list_reduce) — the SAME summation order as
+    Spark's fixed-order fold, so the unrounded sort keys agree bit-for-bit,
+    not merely to round(6)."""
     e = _pq_emb(spark, sf_dir)
     probe = e.filter(F.col("vec_id") == SIM_PROBE_VEC_ID)
     top = pq_adc_topk(e, probe)
@@ -210,7 +260,7 @@ def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHERE embedding IS NOT NULL
              AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
              AND len(embedding) = {PQ_DIM}),
-    c AS (SELECT vec_id AS centroid_id, e FROM e WHERE vec_id < 16),
+    c AS (SELECT vec_id AS centroid_id, e FROM e WHERE vec_id < {N_CENTROIDS}),
     assign AS (
         SELECT vec_id, centroid_id FROM (
             SELECT a.vec_id, c.centroid_id,
@@ -228,32 +278,17 @@ def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                / sqrt(list_dot_product(c.e, c.e)) DESC,
                                       c.centroid_id) AS rn
             FROM c CROSS JOIN p) x
-        WHERE rn <= 4),
-    cw AS (SELECT s.j AS sub, cc.vec_id AS code,
-                  list_slice(cc.e, s.j*{PQ_SUB}+1, s.j*{PQ_SUB}+{PQ_SUB}) AS cw
-           FROM e cc CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) s
-           WHERE cc.vec_id < {PQ_K}),
-    dd AS (SELECT v.vec_id, w.sub, w.code,
-                  list_transform(range(1, {PQ_SUB} + 1),
-                      i -> v.e[CAST(w.sub*{PQ_SUB}+i AS INT)] - w.cw[CAST(i AS INT)]) AS df
-           FROM e v CROSS JOIN cw w),
-    d AS (SELECT vec_id, sub, code, list_dot_product(df, df) AS dist FROM dd),
-    md AS (SELECT vec_id, sub, MIN(dist) AS mdist FROM d GROUP BY 1, 2),
-    codes AS (SELECT d.vec_id, d.sub, MIN(d.code) AS code
-              FROM d JOIN md ON d.vec_id = md.vec_id AND d.sub = md.sub
-                            AND d.dist = md.mdist
-              GROUP BY d.vec_id, d.sub),
-    pd AS (SELECT sub, code, list_dot_product(df, df) AS dist FROM (
-           SELECT w.sub AS sub, w.code AS code,
-                  list_transform(range(1, {PQ_SUB} + 1),
-                      i -> p.e[CAST(w.sub*{PQ_SUB}+i AS INT)] - w.cw[CAST(i AS INT)]) AS df
-           FROM cw w CROSS JOIN p) x),
-    av AS (SELECT cd.vec_id, SUM(pd.dist) AS adc_dist
-           FROM codes cd
-           JOIN assign a ON cd.vec_id = a.vec_id
-           JOIN probe_clusters pc ON a.centroid_id = pc.centroid_id
-           JOIN pd ON cd.sub = pd.sub AND cd.code = pd.code
-           GROUP BY cd.vec_id)
+        WHERE rn <= {N_PROBE_CLUSTERS}),
+    {_PQ_CODES_DUCK},
+    {_PQ_PROBE_DT_DUCK},
+    av AS (SELECT vec_id,
+                  list_reduce(list(dist ORDER BY sub), (a, b) -> a + b) AS adc_dist
+           FROM (SELECT cd.vec_id, cd.sub, pd.dist
+                 FROM codes cd
+                 JOIN assign a ON cd.vec_id = a.vec_id
+                 JOIN probe_clusters pc ON a.centroid_id = pc.centroid_id
+                 JOIN pd ON cd.sub = pd.sub AND cd.code = pd.code) t
+           GROUP BY vec_id)
     SELECT av.vec_id, e.label, a.centroid_id, ROUND(av.adc_dist, 6) AS adc_dist
     FROM av JOIN e ON av.vec_id = e.vec_id
             JOIN assign a ON av.vec_id = a.vec_id
@@ -261,25 +296,20 @@ def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ, the billion-vector deployment standard, end to end: prune
-    to the probe's 4 best clusters with the SAME oracle-checked centroid
-    assignment the persisted index partitions by (similarity.py —
-    cosine argmax, broadcast centroid struct), then rank ONLY those
-    candidates in the compressed domain via the ADC table. At 100 TB the
-    probe reads nprobe/C of the index partitions and touches 8-byte codes,
-    not 256-byte floats — both prunings compose multiplicatively.
+    to the probe's {N_PROBE_CLUSTERS} best clusters with the SAME
+    oracle-checked centroid assignment the persisted index partitions by
+    (similarity.py — cosine argmax, broadcast centroid struct), then rank
+    ONLY those candidates in the compressed domain via the ADC table —
+    candidates are pruned BEFORE the encode projection, so the interpreted
+    argmin fold runs on nprobe/C of the corpus, and at 100 TB the probe
+    reads nprobe/C of the index partitions touching 8-byte codes, not
+    256-byte floats. The oracle interpolates the same
+    N_CENTROIDS/N_PROBE_CLUSTERS constants as the Spark side, so tuning
+    nprobe cannot desynchronize the twins.
 
     Rows are restricted to non-NULL, nonzero-norm (cosine assignment),
     PQ_DIM-width (PQ slicing) vectors — the WHERE is identical on both
     engines."""
-    from temporalvault_spark.operators.similarity import (
-        N_PROBE_CLUSTERS,
-        _dot,
-        _emb,
-        _norm,
-        assign_to_centroids,
-        centroid_frame,
-    )
-
     e = (
         _emb(spark, sf_dir)
         .filter(F.size("embedding") == PQ_DIM)
@@ -296,26 +326,17 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("centroid_id")
     )
     cand_assign = assign.join(F.broadcast(probe_clusters), "centroid_id")
-    codes = pq_encode(e).join(F.broadcast(cand_assign), "vec_id")
-    dt_row = (
-        probe.select(F.col("e").alias("p"))
-        .crossJoin(F.broadcast(pq_codebook_row(e)))
-        .select(
-            F.expr(
-                f"transform(cb, s -> aggregate(zip_with("
-                f"slice(p, s.sub*{PQ_SUB}+1, {PQ_SUB}), s.cw, "
-                f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
-                f"(acc, v) -> acc + v))"
-            ).alias("dt")
-        )
+    cb_row = _validated_codebook_row(e)
+    # prune FIRST: only vectors in probed clusters pay the encode argmin;
+    # the codebook still comes from the full corpus via cb_row, and the
+    # joined centroid_id passes straight through the encode projection
+    codes = pq_encode(
+        e.join(F.broadcast(cand_assign), "vec_id"), cb_row
     )
-    adist = F.expr(
-        f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double), "
-        f"(acc, j) -> acc + element_at(dt, CAST(j*{PQ_K} + element_at(codes, j+1) + 1 AS INT)))"
-    )
+    dt_row = _adc_table_row(probe, cb_row)
     return (
         codes.crossJoin(F.broadcast(dt_row))
-        .select("vec_id", "label", "centroid_id", adist.alias("adc_dist"))
+        .select("vec_id", "label", "centroid_id", F.expr(_ADIST_EXPR).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(SIM_TOP_K)
         .select(

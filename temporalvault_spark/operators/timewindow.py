@@ -106,8 +106,8 @@ def q_approx_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFram
 
     No DuckDB oracle: the estimate is Datasketches-implementation-defined
     (DuckDB's approx_count_distinct is a different HLL). The unit test
-    (tests/test_corpus.py) pins merge-vs-direct consistency and <3*rsd
-    error against the exact count."""
+    (tests/test_functions_sources.py) pins merge-vs-direct consistency and
+    bounded error against the exact count."""
     from temporalvault_spark.functions.approx import (
         hll_merge_estimate,
         hll_sketch_rollup,
