@@ -111,6 +111,8 @@ HEADLINE = [
     "pq_encode",
     "pq_topk_adc",
     "ivfpq_topk",
+    "time_weighted_avg",
+    "doc_bigram_logprob",
 ]
 
 

@@ -156,3 +156,60 @@ def q_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         "event_type", bucket.alias("bucket"), (bucket * HIST_WIDTH).alias("lo")
     ).agg(F.count("*").cast("bigint").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+
+
+@query(
+    "time_weighted_avg",
+    """WITH f AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL),
+    d AS (
+        SELECT user_id, value,
+               epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS dur
+        FROM f
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CASE WHEN COALESCE(CAST(SUM(dur) AS DOUBLE), 0) > 0
+                THEN ROUND(SUM(value * dur) / CAST(SUM(dur) AS DOUBLE), 6)
+           END AS twa
+    FROM d GROUP BY user_id""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB time_weight('LOCF') + average(): the mean of a gauge
+    under piecewise-constant interpolation — each observation holds until
+    the next one, so irregular sampling doesn't bias the average toward
+    densely-sampled stretches (a plain AVG does). twa = sum(v_i * dt_i) /
+    sum(dt_i) over consecutive-observation intervals; the final
+    observation spans no interval and contributes only to n_points; keys
+    with one observation (or zero total duration) yield NULL.
+
+    Determinism: intervals are integer MICROSECONDS (unix_micros — same
+    boundary trick as win_rolling_1h_by_time: DuckDB epoch_us), ordering
+    is total via (ts, event_id), and NULL-value/NULL-ts observations are
+    excluded by the same WHERE on both engines. One window + one hash
+    aggregate, both on the user_id partitioning — the per-key shuffle is
+    paid once.
+
+    Reference parity: TimescaleDB capability advertised in README.md:16
+    and never implemented (no Timescale call in app/); this completes the
+    advertised surface alongside gapfill/first-last/histogram."""
+    return time_weighted_avg(_events(spark, sf_dir))
+
+
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """Core of ``time_weighted_avg`` on an arbitrary events frame —
+    crafted-fixture testable (tests/test_hypertable.py pins the irregular-
+    sampling value, the single-observation NULL, and the zero-duration
+    NULL)."""
+    ev = events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur")
+    d = ev.select("user_id", "value", dur)
+    den = F.sum("dur").cast("double")
+    return d.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.when(
+            F.coalesce(den, F.lit(0.0)) > 0,
+            F.round(F.sum(F.col("value") * F.col("dur")) / den, 6),
+        ).alias("twa"),
+    )

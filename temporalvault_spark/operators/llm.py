@@ -980,6 +980,85 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "doc_bigram_logprob",
+    """WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+        FROM documents WHERE text IS NOT NULL),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS pair
+        FROM toks WHERE len(t) >= 2),
+    cnt AS (SELECT doc_id, pair, string_split(pair, ' ')[1] AS w1,
+                   COUNT(*) AS c
+            FROM bg GROUP BY 1, 2),
+    joint AS (SELECT pair, CAST(SUM(c) AS DOUBLE) AS cj FROM cnt GROUP BY 1),
+    lft AS (SELECT w1, CAST(SUM(c) AS DOUBLE) AS cl FROM cnt GROUP BY 1)
+    SELECT cnt.doc_id, CAST(SUM(cnt.c) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(cnt.c * -ln(joint.cj / lft.cl)) / SUM(cnt.c), 6)
+               AS avg_neg_logprob2
+    FROM cnt JOIN joint ON cnt.pair = joint.pair
+             JOIN lft ON cnt.w1 = lft.w1
+    GROUP BY cnt.doc_id""",
+)
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score, conditional tier: average -ln
+    P(w2|w1) under the corpus's own UNSMOOTHED bigram MLE (every scored
+    bigram exists in the corpus, so probabilities are never zero). The
+    bigram conditional is the honest SQL-expressible step toward the
+     5-gram KenLM filter real pipelines use; fluent boilerplate scores low,
+    unusual token transitions score high — sharper than doc_unigram_
+    logprob, which cannot see word ORDER at all.
+
+    Scale shape (same as the unigram form): one tokenize+explode pass
+    materialized via localCheckpoint; the (doc, bigram) count frame feeds
+    the joint-count aggregate, the left-count aggregate, AND the score
+    join, so the corpus text is parsed once; everything that shuffles is
+    (doc_id, pair, count) rows, map-side combined. The bigram key is
+    w1||' '||w2 — a space separator cannot appear inside whitespace
+    tokens, so the pairing is unambiguous (the same trick the BPE trainer
+    uses for merge pairs).
+
+    Documents with fewer than two tokens have no bigrams and emit no row
+    (the same convention as the unigram form for empty docs)."""
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Core of ``doc_bigram_logprob`` on an arbitrary documents frame —
+    crafted-corpus testable (tests/test_llm_text.py pins hand-computed
+    conditional probabilities and the order-sensitivity the unigram score
+    lacks)."""
+    d = docs.filter(F.col("text").isNotNull())
+    t = d.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= 2)
+    # sequence(1, n) with n >= 1 only — sequence(1, 0) DESCENDS in Spark
+    pairs = F.expr(
+        "transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    bg = t.select("doc_id", F.explode(pairs).alias("pair"))
+    cnt = (
+        bg.groupBy("doc_id", "pair")
+        .agg(F.count("*").alias("c"))
+        .withColumn("w1", F.split("pair", " ").getItem(0))
+        .localCheckpoint(eager=False)
+    )
+    joint = cnt.groupBy("pair").agg(F.sum("c").cast("double").alias("cj"))
+    lft = cnt.groupBy("w1").agg(F.sum("c").cast("double").alias("cl"))
+    return (
+        cnt.join(joint, "pair")
+        .join(lft, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c") * -F.log(F.col("cj") / F.col("cl"))) / F.sum("c"), 6
+            ).alias("avg_neg_logprob2"),
+        )
+    )
+
+
 # --- text analysis ---------------------------------------------------------
 
 

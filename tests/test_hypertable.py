@@ -87,3 +87,45 @@ def test_histogram_clamps_top_bucket(spark):
         for r in df.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n")).collect()
     }
     assert got == {0: 1, 1: 1, HIST_MAX_BUCKET: 1}
+
+
+def test_time_weighted_avg_crafted(spark):
+    """Hand-computed LOCF integral on irregular sampling: value 10 holds
+    60s, then 40 holds 30s -> twa = (10*60 + 40*30)/90 = 20.0 (a plain AVG
+    of observations would say 23.33 — the densely-sampled tail biases it).
+    Single-observation and zero-duration keys yield NULL."""
+    import datetime as dt
+
+    from temporalvault_spark.operators.hypertable import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: irregular gauge
+        (1, s(0), 1, "m", 10.0, "{}"),
+        (2, s(60), 1, "m", 40.0, "{}"),
+        (3, s(90), 1, "m", 70.0, "{}"),  # final obs spans no interval
+        # user 2: single observation -> NULL twa
+        (4, s(0), 2, "m", 5.0, "{}"),
+        # user 3: two observations at the SAME instant -> zero duration -> NULL
+        (5, s(0), 3, "m", 1.0, "{}"),
+        (6, s(0), 3, "m", 2.0, "{}"),
+        # user 4: NULL value and NULL ts rows are excluded before pairing
+        (7, s(0), 4, "m", 3.0, "{}"),
+        (8, s(10), 4, "m", None, "{}"),
+        (9, None, 4, "m", 9.0, "{}"),
+        (10, s(20), 4, "m", 5.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    got = {r["user_id"]: (r["n_points"], r["twa"]) for r in time_weighted_avg(ev).collect()}
+    assert got[1] == (3, 20.0)
+    assert got[2] == (1, None)
+    assert got[3] == (2, None)
+    assert got[4] == (2, 3.0)  # value 3 holds the full 20s; NULL rows skipped

@@ -113,3 +113,33 @@ def test_html_strip_crafted_markup(spark):
     assert got[2] == ("no markup here", 0, False)
     assert got[3] == (None, None, None)
     assert got[4] == ("nested ok", 5, True)
+
+
+def test_bigram_logprob_crafted(spark):
+    """Hand-computed conditional MLE: corpus 'a b', 'a c' gives
+    P(b|a) = P(c|a) = 1/2 -> both docs score ln 2; and on an asymmetric
+    corpus the exact conditional values hold (-ln 2/3 for the common
+    transition, -ln 1/3 for the rare one), with the rarer transition
+    scoring strictly worse."""
+    import math
+
+    from temporalvault_spark.operators.llm import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "en", "s", 3), (1, "a c", "en", "s", 3), (2, "a", "en", "s", 1)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_neg_logprob2"]) for r in bigram_logprob(docs).collect()}
+    ln2 = round(math.log(2.0), 6)
+    assert got[0] == (1, ln2) and got[1] == (1, ln2)
+    assert 2 not in got  # single-token doc: no bigrams, no row
+
+    # asymmetric corpus: the x->y transition is twice as likely as x->z
+    docs3 = spark.createDataFrame(
+        [(0, "x y", "en", "s", 3), (1, "x y", "en", "s", 3), (2, "x z", "en", "s", 3)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    got3 = {r["doc_id"]: r["avg_neg_logprob2"] for r in bigram_logprob(docs3).collect()}
+    assert got3[0] == got3[1] == round(-math.log(2.0 / 3.0), 6)
+    assert got3[2] == round(-math.log(1.0 / 3.0), 6)
+    assert got3[2] > got3[0]  # the rarer transition scores worse
