@@ -225,14 +225,10 @@ def gopher_quality(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFr
         .groupBy("doc_id")
         .agg(F.max("count").alias("top_tok_cnt"))
     )
-    # guard: Spark's sequence(1, 0) DESCENDS instead of being empty, so a
-    # 1-token doc must short-circuit to an empty bigram list
-    bigrams = F.expr(
-        "CASE WHEN size(t) < 2 THEN array() "
-        "ELSE transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i])) END"
-    )
+    from temporalvault_spark.operators.llm import bigram_pairs
+
     top_bg = (
-        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        base.select("doc_id", F.explode(bigram_pairs()).alias("bg"))
         .groupBy("doc_id", "bg")
         .count()
         .groupBy("doc_id")

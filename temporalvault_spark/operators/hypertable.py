@@ -10,9 +10,11 @@ Spark plans over the same events table:
     bucket grid per series with empty buckets carried forward;
   - ``agg_first_last_by_time`` — first(value, ts) / last(value, ts): the
     time-ordered argmin/argmax aggregates;
-  - ``histogram_value_buckets`` — histogram(): fixed-width value bucketing.
+  - ``histogram_value_buckets`` — histogram(): fixed-width value bucketing;
+  - ``time_weighted_avg`` — time_weight('LOCF') + average(): the gauge
+    mean under piecewise-constant interpolation.
 
-All three are pure JVM builtins (no UDFs) and DuckDB-oracle-checked.
+All four are pure JVM builtins (no UDFs) and DuckDB-oracle-checked.
 """
 
 from __future__ import annotations

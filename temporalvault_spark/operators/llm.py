@@ -38,6 +38,19 @@ def _tokens(col: str = "text"):
     return F.split(F.lower(F.trim(F.col(col))), " ")
 
 
+def bigram_pairs(col: str = "t"):
+    """w_i||' '||w_{i+1} pairs of a token-array column; empty for <2 tokens.
+    THE one rendering of the bigram expression (gopher repetition rules and
+    the bigram LM both consume it). The CASE guard is load-bearing: Spark's
+    sequence(1, 0) DESCENDS instead of being empty, so a 1-token doc must
+    short-circuit to an empty list."""
+    return F.expr(
+        f"CASE WHEN size({col}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({col}) - 1), "
+        f"i -> concat({col}[i-1], ' ', {col}[i])) END"
+    )
+
+
 # --- deduplication ---------------------------------------------------------
 
 
@@ -1032,12 +1045,7 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     lacks)."""
     d = docs.filter(F.col("text").isNotNull())
     t = d.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= 2)
-    # sequence(1, n) with n >= 1 only — sequence(1, 0) DESCENDS in Spark
-    pairs = F.expr(
-        "transform(sequence(1, size(t) - 1), "
-        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
-    )
-    bg = t.select("doc_id", F.explode(pairs).alias("pair"))
+    bg = t.select("doc_id", F.explode(bigram_pairs()).alias("pair"))
     cnt = (
         bg.groupBy("doc_id", "pair")
         .agg(F.count("*").alias("c"))
