@@ -13,10 +13,12 @@ projection over the corpus — no shuffle; the ADC probe is another broadcast
 (the 128-double distance table folded per row in fixed order) + a
 TakeOrderedAndProject top-k — the corpus never exchanges in either step.
 
-Codebooks here are the first-K vectors' subvectors (the same reproducible
-stand-in centroid_frame uses; production swaps in per-subspace k-means via
-train_centroids on subvector frames — the encode/probe algebra is
-unchanged).
+Codebooks: the oracle-checked queries use the first-K vectors' subvectors
+(the same reproducible stand-in centroid_frame uses, so DuckDB can replay
+them); pq_train_codebooks is the production tier — per-subspace seeded
+k-means, folded into the same broadcast row, consumed by the same
+encode/probe algebra (reconstruction strictly improves; pinned in
+tests/test_pq.py).
 
 Reference parity: no counterpart — LLM-pipeline extension (build brief:
 similarity-search scale path).
@@ -343,3 +345,55 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", "centroid_id", F.round("adc_dist", 6).alias("adc_dist")
         )
     )
+
+
+def fold_codebook_row(cb: DataFrame) -> DataFrame:
+    """Fold an explicit (sub, code, cw) codebook frame into the ONE
+    broadcastable row pq_encode consumes — the seam that lets trained
+    codebooks replace the first-K stand-in without touching the encode
+    algebra. Validates the positional j*K+c layout (all M*K cells present,
+    codes 0..K-1) the consumers index by."""
+    row = cb.agg(
+        F.array_sort(F.collect_list(F.struct("sub", "code", "cw"))).alias("cb")
+    )
+    got = row.select(
+        F.size("cb").alias("n"),
+        F.expr("array_max(transform(cb, s -> s.code))").alias("mx"),
+    ).first()
+    if got["n"] != PQ_M * PQ_K or got["mx"] != PQ_K - 1:
+        raise ValueError(
+            f"codebook must hold exactly {PQ_M}x{PQ_K} cells with codes "
+            f"0..{PQ_K - 1} (got {got['n']} cells, max code {got['mx']})"
+        )
+    return row
+
+
+def pq_train_codebooks(
+    e: DataFrame, seed: int = 42, max_iter: int = 20
+) -> DataFrame:
+    """Production-quality codebooks: per-subspace k-means (k = PQ_K) over
+    the corpus's subvector slices — the training FAISS runs before encode,
+    expressed as M seeded pyspark.ml KMeans fits (M is a small constant;
+    each fit is itself a distributed job, so training a 100 TB corpus's
+    codebooks is the same loop). Returns the folded broadcast row for
+    pq_encode/_adc_table_row; reconstruction error strictly improves over
+    the first-K stand-in (pinned in tests/test_pq.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = e.sparkSession
+    rows = []
+    for j in range(PQ_M):
+        sub = e.select(
+            F.expr(f"slice(e, {j * PQ_SUB} + 1, {PQ_SUB})").alias("sv")
+        ).select(array_to_vector(F.col("sv").cast("array<double>")).alias("features"))
+        model = KMeans(
+            k=PQ_K, seed=seed + j, maxIter=max_iter, initMode="k-means||"
+        ).fit(sub)
+        # cluster index order is seed-deterministic; it IS the code
+        rows += [
+            (j, c, [float(x) for x in center])
+            for c, center in enumerate(model.clusterCenters())
+        ]
+    cb = spark.createDataFrame(rows, "sub int, code bigint, cw array<double>")
+    return fold_codebook_row(cb)

@@ -110,3 +110,46 @@ def test_pq_adc_ranks_crafted_clusters(spark):
     # equals the probe's own table distance for those codes
     adc = {r["vec_id"]: r["adc_dist"] for r in top}
     assert all(adc[100 + i] == adc[100] for i in range(5))
+
+
+def test_pq_trained_codebooks_beat_first_k(spark, sf_dir, emb_pdf):
+    """Per-subspace k-means codebooks must reconstruct strictly better
+    than the first-K stand-in (k-means minimizes exactly this quantization
+    MSE; the stand-in is an arbitrary sample) — the claim the module
+    docstring makes for the production tier, pinned."""
+    from temporalvault_spark.operators.pq import (
+        _pq_emb,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb_pdf.itertuples()
+    }
+
+    def recon_err(codes: dict[int, list[int]], cw) -> float:
+        # cw(j, c) -> PQ_SUB-dim codeword
+        tot = 0.0
+        for vid, v in vecs.items():
+            rec = np.concatenate([cw(j, codes[vid][j]) for j in range(PQ_M)])
+            tot += float(((v - rec) ** 2).sum())
+        return tot
+
+    # first-K tier (numpy replication, already pinned to equal the engine)
+    cb0 = np.stack([vecs[c] for c in range(PQ_K)])
+    err_firstk = recon_err(
+        _np_codes(vecs), lambda j, c: cb0[c, j * PQ_SUB : (j + 1) * PQ_SUB]
+    )
+
+    # trained tier: engine encode against the k-means codebook row
+    e = _pq_emb(spark, sf_dir)
+    cb_row = pq_train_codebooks(e, max_iter=10)
+    folded = cb_row.first()["cb"]
+    assert len(folded) == PQ_M * PQ_K
+    cwmap = {(s["sub"], s["code"]): np.asarray(s["cw"]) for s in folded}
+    codes_t = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode(e, cb_row).collect()
+    }
+    err_trained = recon_err(codes_t, lambda j, c: cwmap[(j, c)])
+    assert err_trained < err_firstk
