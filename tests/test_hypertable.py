@@ -129,3 +129,69 @@ def test_time_weighted_avg_crafted(spark):
     assert got[2] == (1, None)
     assert got[3] == (2, None)
     assert got[4] == (2, 3.0)  # value 3 holds the full 20s; NULL rows skipped
+
+
+def test_time_weighted_avg_matches_python_reference(spark):
+    """Differential property test: the Spark LOCF integral must match a
+    direct Python computation on random small event sets — duplicate
+    timestamps, NULL values/timestamps, and single-point users included."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from temporalvault_spark.operators.hypertable import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = st.one_of(st.none(), st.sampled_from([1.0, 2.5, -3.0, 0.5]))
+    ev_st = st.lists(
+        st.tuples(st.integers(1, 3), st.one_of(st.none(), st.integers(0, 500)), vals),
+        min_size=1,
+        max_size=14,
+    )
+
+    def py_ref(rows):
+        by_user: dict[int, list] = {}
+        for eid, (uid, sec, val) in enumerate(rows):
+            if sec is None or val is None:
+                continue
+            by_user.setdefault(uid, []).append((sec * 1_000_000, eid, val))
+        out = {}
+        for uid, pts in by_user.items():
+            pts.sort()
+            num = den = 0.0
+            for (us1, _, v), (us2, _, _) in zip(pts, pts[1:]):
+                num += v * (us2 - us1)
+                den += us2 - us1
+            out[uid] = (len(pts), round(num / den, 6) if den > 0 else None)
+        return out
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    @given(rows=ev_st)
+    def check(rows):
+        df = spark.createDataFrame(
+            [
+                (eid, t0 + dt.timedelta(seconds=sec) if sec is not None else None, uid, "m", val, "{}")
+                for eid, (uid, sec, val) in enumerate(rows)
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string",
+        )
+        got = {
+            r["user_id"]: (r["n_points"], r["twa"])
+            for r in time_weighted_avg(df).collect()
+        }
+        want = py_ref(rows)
+        assert set(got) == set(want)
+        for uid in want:
+            assert got[uid][0] == want[uid][0], uid
+            g, w = got[uid][1], want[uid][1]
+            assert (g is None) == (w is None), uid
+            if g is not None:
+                assert abs(g - w) <= 1e-6, (uid, g, w)
+
+    check()
