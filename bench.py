@@ -113,6 +113,7 @@ HEADLINE = [
     "ivfpq_topk",
     "time_weighted_avg",
     "doc_bigram_logprob",
+    "dedup_near_apply",
 ]
 
 

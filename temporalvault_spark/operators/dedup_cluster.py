@@ -149,7 +149,9 @@ def connected_components(
 # exactly the min-id component labeling both engine paths produce.
 # O(nodes · diameter) work — a full reachability closure is O(nodes²) and
 # measured 15x slower on degenerate near-complete components.
-_COMPONENTS_ORACLE = f"""WITH RECURSIVE pairs AS ({NGRAM_PAIRS_SQL}),
+# the shared CTE prefix: near-dup pairs -> min-label components (comp);
+# dedup_components and dedup_near_apply both interpolate it (one rendering)
+_COMPONENTS_CTES = f"""pairs AS ({NGRAM_PAIRS_SQL}),
 sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION ALL SELECT doc_b, doc_a FROM pairs),
 walk(node, lbl) AS (
@@ -158,7 +160,9 @@ walk(node, lbl) AS (
     SELECT s.dst, MIN(w.lbl) FROM walk w JOIN sym s ON s.src = w.node
     GROUP BY s.dst
 ),
-comp AS (SELECT node, MIN(lbl) AS keep_doc_id FROM walk GROUP BY node),
+comp AS (SELECT node, MIN(lbl) AS keep_doc_id FROM walk GROUP BY node)"""
+
+_COMPONENTS_ORACLE = f"""WITH RECURSIVE {_COMPONENTS_CTES},
 sizes AS (SELECT keep_doc_id, COUNT(*) AS group_size FROM comp GROUP BY keep_doc_id)
 SELECT comp.node AS doc_id, comp.keep_doc_id, sizes.group_size
 FROM comp JOIN sizes USING (keep_doc_id)"""
@@ -170,13 +174,59 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped to its component representative (min doc_id), plus component size.
     Downstream 'keep one per group' is a filter on doc_id == component."""
     docs = load_catalog(spark, sf_dir).table("documents")
-    pairs = ngram_jaccard_pairs(docs).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    comps = connected_components(pairs)
+    comps = near_dup_components(docs)
     sizes = comps.groupBy("component").agg(F.count("*").alias("group_size"))
     return (
         comps.join(sizes, "component")
         .select(F.col("node").alias("doc_id"), F.col("component").alias("keep_doc_id"), "group_size")
         .orderBy("doc_id")
+    )
+
+
+def near_dup_components(docs: DataFrame) -> DataFrame:
+    """(node, component) over the shingle-jaccard near-dup graph — the one
+    place the LSH pair pipeline meets the components solver (dedup_components
+    and dedup_near_apply both call it)."""
+    pairs = ngram_jaccard_pairs(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(pairs)
+
+
+@query(
+    "dedup_near_apply",
+    f"""WITH RECURSIVE {_COMPONENTS_CTES},
+    drop AS (SELECT node FROM comp WHERE node <> keep_doc_id)
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM drop)
+    GROUP BY d.source""",
+)
+def q_dedup_near_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the near-dup clustering: keep each component's representative
+    (min doc_id), drop the other members, summarize the surviving corpus
+    per source — the step that actually shrinks the training set after
+    dedup_components names the groups (the near-dup twin of exact
+    ``dedup_apply``). Docs outside the near-dup graph survive untouched.
+
+    Scale shape: the drop set is (component members - representatives) —
+    slim doc_ids only, bounded by the duplicate count; the corpus-side
+    anti-join broadcasts it under the same size gate the ngram pipeline
+    uses (checkpointed frames have no stats, so the hint is load-bearing),
+    else shuffles. The summary is one map-side-combined aggregate."""
+    from temporalvault_spark.operators.llm import NGRAM_BROADCAST_MAX_DOCS
+
+    docs = load_catalog(spark, sf_dir).table("documents")
+    comps = near_dup_components(docs)
+    drop = (
+        comps.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    hint = F.broadcast if drop.count() <= NGRAM_BROADCAST_MAX_DOCS else (lambda d: d)
+    kept = docs.join(hint(drop), "doc_id", "anti")
+    return kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
     )

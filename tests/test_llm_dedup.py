@@ -369,3 +369,30 @@ def test_minhash_estimator_matches_python_reference(spark, crafted):
     assert got[(0, 2)] == (8, 1.0)
     assert (0, 1) in got and got[(0, 1)][0] >= 4
     assert not any(3 in p for p in got)
+
+
+def test_dedup_near_apply_crafted(spark):
+    """Apply on the crafted corpus: docs 0/1/2 form one near-dup component
+    (keep 0), doc 3 is outside the graph and survives — so the kept corpus
+    is exactly {0, 3} and the per-source summary reflects it."""
+    from pyspark.sql import functions as F
+
+    from temporalvault_spark.operators.dedup_cluster import near_dup_components
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(
+            [(BASE, "web"), (NEAR, "web"), (BASE, "web"), (FAR, "books")]
+        )],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    comps = near_dup_components(docs)
+    drop = {r["node"] for r in comps.filter(F.col("node") != F.col("component")).collect()}
+    assert drop == {1, 2}
+    # the registry operator is summary-shaped; replicate its keep rule here
+    kept = docs.join(
+        comps.filter(F.col("node") != F.col("component")).select(F.col("node").alias("doc_id")),
+        "doc_id",
+        "anti",
+    )
+    got = {(r["source"]): (r["cnt"]) for r in kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert got == {"web": 1, "books": 1}
