@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog
-from temporalvault_spark.operators.llm import NGRAM_PAIRS_SQL, ngram_jaccard_pairs
+from temporalvault_spark.operators.llm import (
+    NGRAM_BROADCAST_MAX_DOCS,
+    NGRAM_PAIRS_SQL,
+    ngram_jaccard_pairs,
+)
 from temporalvault_spark.registry import query
 
 
@@ -200,7 +204,7 @@ def near_dup_components(docs: DataFrame) -> DataFrame:
     SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
            CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
     FROM documents d
-    WHERE d.doc_id NOT IN (SELECT node FROM drop)
+    WHERE NOT EXISTS (SELECT 1 FROM drop WHERE drop.node = d.doc_id)
     GROUP BY d.source""",
 )
 def q_dedup_near_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,8 +219,6 @@ def q_dedup_near_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join broadcasts it under the same size gate the ngram pipeline
     uses (checkpointed frames have no stats, so the hint is load-bearing),
     else shuffles. The summary is one map-side-combined aggregate."""
-    from temporalvault_spark.operators.llm import NGRAM_BROADCAST_MAX_DOCS
-
     docs = load_catalog(spark, sf_dir).table("documents")
     comps = near_dup_components(docs)
     drop = (

@@ -61,15 +61,11 @@ def _pq_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
 
 
-def pq_codebook_row(e: DataFrame) -> DataFrame:
-    """The M*K codewords folded into ONE broadcastable row: array of
-    struct(sub, code, cw) sorted by (sub, code), so codeword (j, c) sits at
-    index j*K + c. Codewords are the first-PQ_K vectors' subvector slices
-    (deterministic; swap in k-means centroids per subspace for production
-    quality — same layout, same consumers). Consumers index the array
-    POSITIONALLY, so use _validated_codebook_row unless the caller has
-    already proven vec_ids 0..PQ_K-1 all exist at width PQ_DIM."""
-    cb = (
+def first_k_codebook(e: DataFrame) -> DataFrame:
+    """The deterministic stand-in codebook as a flat (sub, code, cw) frame:
+    the first-PQ_K vectors' subvector slices (replayable in the DuckDB
+    oracles). Fold it with fold_codebook_row before handing to consumers."""
+    return (
         e.filter(F.col("vec_id") < PQ_K)
         .select(
             F.col("vec_id").alias("code"),
@@ -82,25 +78,44 @@ def pq_codebook_row(e: DataFrame) -> DataFrame:
         )
         .select(F.col("s.sub").alias("sub"), "code", F.col("s.cw").alias("cw"))
     )
-    return cb.agg(
+
+
+def fold_codebook_row(cb: DataFrame) -> DataFrame:
+    """THE one fold+validate path from a (sub, code, cw) codebook frame to
+    the broadcastable row every consumer indexes POSITIONALLY (sorted by
+    (sub, code), codeword (j, c) at index j*K + c): both the first-K
+    stand-in and pq_train_codebooks route through here, so the layout
+    cannot drift between tiers. The validation collects the <=M*K cells
+    once and checks the EXACT sorted key sequence — duplicates, gaps,
+    out-of-range subs/codes, and wrong-width codewords all raise instead
+    of producing silently wrong codes/ADC distances."""
+    row = cb.agg(
         F.array_sort(F.collect_list(F.struct("sub", "code", "cw"))).alias("cb")
     )
+    cells = row.first()["cb"]
+    want = [(j, c) for j in range(PQ_M) for c in range(PQ_K)]
+    got = [(s["sub"], s["code"]) for s in cells]
+    if got != want:
+        raise ValueError(
+            f"PQ codebook must hold exactly the {PQ_M}x{PQ_K} cells "
+            f"(sub 0..{PQ_M - 1}) x (code 0..{PQ_K - 1}) — got "
+            f"{len(cells)} cells; first mismatch at "
+            f"{next((a, b) for a, b in zip(got + [None] * len(want), want) if a != b)}"
+        )
+    bad = [i for i, s in enumerate(cells) if len(s["cw"]) != PQ_SUB]
+    if bad:
+        raise ValueError(
+            f"PQ codewords must be {PQ_SUB}-dim; cell {bad[0]} has "
+            f"{len(cells[bad[0]]['cw'])} dims"
+        )
+    return row
 
 
 def _validated_codebook_row(e: DataFrame) -> DataFrame:
-    """pq_codebook_row plus the precondition check the positional j*K+c
-    layout depends on: vec_ids 0..PQ_K-1 must all exist (and pass the dim
-    filter), else slice(cb, ...) would straddle subspaces and encode/ADC
-    would return silently wrong codes. The check is one tiny job over the
-    <=PQ_K codebook rows — loud failure instead of garbage."""
-    row = pq_codebook_row(e)
-    n = row.select(F.size("cb").alias("n")).first()["n"]
-    if n != PQ_M * PQ_K:
-        raise ValueError(
-            f"PQ codebook needs vec_ids 0..{PQ_K - 1} present with "
-            f"{PQ_DIM}-dim embeddings (got {n} codewords, want {PQ_M * PQ_K})"
-        )
-    return row
+    """First-K stand-in codebook, folded and validated — raises if any of
+    vec_id 0..PQ_K-1 is missing or mis-dimensioned (the dim filter in
+    _pq_emb can silently drop one)."""
+    return fold_codebook_row(first_k_codebook(e))
 
 
 # the per-vector code assignment: for each subspace j, argmin over the K
@@ -119,7 +134,7 @@ def pq_encode(e: DataFrame, cb_row: DataFrame | None = None) -> DataFrame:
     """(vec_id, codes array<bigint>[M]) for every vector: one broadcast of
     the folded codebook row, one projection — the corpus side never
     shuffles. 8 bytes of payload per vector replaces 256. Pass ``cb_row``
-    (a pq_codebook_row over the FULL corpus) when encoding a subset, so
+    (a fold_codebook_row over the FULL corpus) when encoding a subset, so
     candidate frames are coded against the same codebook as everything
     else — the same threading pattern as assign_to_centroids' ``centroids``
     argument."""
@@ -345,27 +360,6 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", "centroid_id", F.round("adc_dist", 6).alias("adc_dist")
         )
     )
-
-
-def fold_codebook_row(cb: DataFrame) -> DataFrame:
-    """Fold an explicit (sub, code, cw) codebook frame into the ONE
-    broadcastable row pq_encode consumes — the seam that lets trained
-    codebooks replace the first-K stand-in without touching the encode
-    algebra. Validates the positional j*K+c layout (all M*K cells present,
-    codes 0..K-1) the consumers index by."""
-    row = cb.agg(
-        F.array_sort(F.collect_list(F.struct("sub", "code", "cw"))).alias("cb")
-    )
-    got = row.select(
-        F.size("cb").alias("n"),
-        F.expr("array_max(transform(cb, s -> s.code))").alias("mx"),
-    ).first()
-    if got["n"] != PQ_M * PQ_K or got["mx"] != PQ_K - 1:
-        raise ValueError(
-            f"codebook must hold exactly {PQ_M}x{PQ_K} cells with codes "
-            f"0..{PQ_K - 1} (got {got['n']} cells, max code {got['mx']})"
-        )
-    return row
 
 
 def pq_train_codebooks(

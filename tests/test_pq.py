@@ -153,3 +153,30 @@ def test_pq_trained_codebooks_beat_first_k(spark, sf_dir, emb_pdf):
     }
     err_trained = recon_err(codes_t, lambda j, c: cwmap[(j, c)])
     assert err_trained < err_firstk
+
+
+def test_fold_codebook_row_rejects_malformed(spark):
+    """The exact-sorted-sequence validation must catch corruptions the old
+    count/max-code check passed: a duplicate cell displacing a missing one
+    (still M*K cells, max code K-1), shifted sub ranges, and wrong-width
+    codewords — each would silently misalign the positional layout."""
+    from temporalvault_spark.operators.pq import fold_codebook_row
+
+    def frame(cells):
+        return spark.createDataFrame(cells, "sub int, code bigint, cw array<double>")
+
+    ok = [(j, c, [float(j * PQ_K + c)] * PQ_SUB) for j in range(PQ_M) for c in range(PQ_K)]
+    assert fold_codebook_row(frame(ok)).first()["cb"][0]["sub"] == 0
+
+    dup = [cell for cell in ok if (cell[0], cell[1]) != (0, 3)]
+    dup.append((0, 7, [9.0] * PQ_SUB))  # 128 cells, max code still 15
+    with pytest.raises(ValueError):
+        fold_codebook_row(frame(dup))
+
+    shifted = [(j + 1, c, cw) for j, c, cw in ok]  # subs 1..8
+    with pytest.raises(ValueError):
+        fold_codebook_row(frame(shifted))
+
+    short = [(j, c, cw if (j, c) != (2, 5) else cw[:-1]) for j, c, cw in ok]
+    with pytest.raises(ValueError):
+        fold_codebook_row(frame(short))
