@@ -85,6 +85,23 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def hourly_distinct_users(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Distinct users per tumbling hour on a STREAM via the HLL sketch
+    (approx_count_distinct): exact COUNT(DISTINCT) is unsupported in
+    streaming aggregations precisely because its state isn't mergeable —
+    the sketch's partials are, so per-window state is one ~KB HLL register
+    set regardless of user cardinality, merged across micro-batches like
+    any other partial. The batch twin (same expression) produces identical
+    estimates because HLL merge is commutative and deterministic
+    (stream ≡ batch pinned in tests/test_streaming.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(F.col("w.start").alias("window_start"), "approx_users")
+    )
+
+
 def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id via dropDuplicatesWithinWatermark:
     at-least-once sources (Kafka redeliveries, file-source replays) emit the

@@ -76,3 +76,27 @@ def test_hll_sketch_rollup_merge_consistent_and_accurate(spark):
     ).collect()[0]["est"]
     assert merged == direct  # merge-of-slices == sketch-of-union
     assert abs(merged - 50_000) <= 0.05 * 50_000  # ~1.6% rsd at lg_k=12
+
+
+def test_read_table_schema_evolution(spark, tmp_path):
+    """Schema evolution through the one reader: a later batch adds a
+    column; mergeSchema=true unions the footers (old rows NULL in the new
+    column), and the production pattern — an explicit evolved schema, no
+    merge pass — reads both batches identically. At 100 TB the explicit
+    schema is the right default (mergeSchema reads every file footer), so
+    both paths must work."""
+    from temporalvault_spark.sources.io import read_table
+
+    path = str(tmp_path / "evolve")
+    spark.range(3).select(F.col("id"), (F.col("id") * 2.0).alias("x")).write.parquet(path)
+    spark.range(3, 5).select(
+        F.col("id"), (F.col("id") * 2.0).alias("x"), F.lit("tag").alias("y")
+    ).write.mode("append").parquet(path)
+
+    merged = read_table(spark, path, mergeSchema="true")
+    assert set(merged.columns) == {"id", "x", "y"}
+    rows = {r["id"]: r["y"] for r in merged.collect()}
+    assert rows[0] is None and rows[4] == "tag" and len(rows) == 5
+
+    explicit = read_table(spark, path, schema="id bigint, x double, y string")
+    assert {r["id"]: r["y"] for r in explicit.collect()} == rows

@@ -441,3 +441,25 @@ def test_user_totals_gate_raises_clearly_without_protobuf(spark, sf_dir):
     ev = streaming.events_stream(spark, sf_dir)
     with pytest.raises(ImportError, match="protobuf"):
         streaming.user_totals_stream(ev)
+
+
+def test_hourly_distinct_users_stream_equals_batch(spark, sf_dir):
+    """The HLL sketch aggregate is the ONLY way to count distincts on a
+    stream (exact COUNT(DISTINCT) state isn't mergeable); its micro-batch
+    partial merges must land on exactly the batch expression's estimates."""
+    import pyspark.sql.functions as F
+
+    ev = streaming.events_stream(spark, sf_dir)
+    out = streaming.run_available_now(
+        streaming.hourly_distinct_users(ev), "t_hourly_distinct"
+    )
+    from temporalvault_spark.catalog import load_catalog
+
+    batch = (
+        load_catalog(spark, sf_dir)
+        .table("events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(F.col("w.start").alias("window_start"), "approx_users")
+    )
+    assert _rows(out) == _rows(batch)
