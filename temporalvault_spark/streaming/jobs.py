@@ -88,11 +88,12 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
 def hourly_distinct_users(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Distinct users per tumbling hour on a STREAM via the HLL sketch
     (approx_count_distinct): exact COUNT(DISTINCT) is unsupported in
-    streaming aggregations precisely because its state isn't mergeable —
-    the sketch's partials are, so per-window state is one ~KB HLL register
-    set regardless of user cardinality, merged across micro-batches like
-    any other partial. The batch twin (same expression) produces identical
-    estimates because HLL merge is commutative and deterministic
+    streaming aggregations because its state is the full value set —
+    unbounded in the cardinality — while the sketch keeps one ~KB register
+    set per window regardless, merged across micro-batches like any other
+    partial. The SAME function runs in batch mode (withWatermark is a
+    no-op on bounded Datasets) and produces identical estimates because
+    HLL register merge is commutative and deterministic
     (stream ≡ batch pinned in tests/test_streaming.py)."""
     return (
         events.withWatermark("ts", watermark)

@@ -444,22 +444,16 @@ def test_user_totals_gate_raises_clearly_without_protobuf(spark, sf_dir):
 
 
 def test_hourly_distinct_users_stream_equals_batch(spark, sf_dir):
-    """The HLL sketch aggregate is the ONLY way to count distincts on a
-    stream (exact COUNT(DISTINCT) state isn't mergeable); its micro-batch
-    partial merges must land on exactly the batch expression's estimates."""
-    import pyspark.sql.functions as F
+    """The HLL sketch aggregate is the streaming form of distinct
+    counting (exact COUNT(DISTINCT) needs the full value set — unbounded
+    state); micro-batch partial merges must land exactly on the estimates
+    of THE SAME FUNCTION run in batch mode (withWatermark is a no-op on a
+    bounded Dataset, so one production expression serves both modes)."""
+    from temporalvault_spark.catalog import load_catalog
 
     ev = streaming.events_stream(spark, sf_dir)
     out = streaming.run_available_now(
         streaming.hourly_distinct_users(ev), "t_hourly_distinct"
     )
-    from temporalvault_spark.catalog import load_catalog
-
-    batch = (
-        load_catalog(spark, sf_dir)
-        .table("events")
-        .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
-        .select(F.col("w.start").alias("window_start"), "approx_users")
-    )
+    batch = streaming.hourly_distinct_users(load_catalog(spark, sf_dir).table("events"))
     assert _rows(out) == _rows(batch)
