@@ -122,3 +122,28 @@ def ivfpq_search(
             "vec_id", "label", "centroid_id", F.round("adc_dist", 6).alias("adc_dist")
         )
     )
+
+
+def append_to_ivfpq_index(emb: DataFrame, path: str) -> None:
+    """Incremental ingest: assign a NEW batch against the index's OWN
+    persisted ``_centroids`` and encode it against the OWN persisted
+    ``_codebook`` (neither is recomputed, so codes and partitions stay
+    consistent with every earlier batch), then append into the same
+    centroid_id directories. An append-only job touching only the batch;
+    probes see the new codes immediately through the unchanged layout.
+    vec_id uniqueness across appends is the caller's contract."""
+    from temporalvault_spark.operators.pq import fold_codebook_row
+
+    spark = emb.sparkSession
+    cents = spark.read.parquet(f"{path}/_centroids")
+    cb_row = fold_codebook_row(spark.read.parquet(f"{path}/_codebook"))
+    e = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == PQ_DIM)
+    ).select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    codes = pq_encode(assign_to_centroids(e, cents), cb_row)
+    (
+        codes.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )

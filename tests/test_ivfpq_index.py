@@ -73,3 +73,35 @@ def test_index_stores_codes_not_floats(spark, index_path):
     assert set(idx.columns) == {"vec_id", "label", "codes", "centroid_id"}
     row = idx.first()
     assert len(row["codes"]) == 8
+
+
+def test_append_searchable_and_consistent(spark, sf_dir, tmp_path_factory):
+    """An appended near-twin of vec 0 must (a) receive the same codes as
+    its original — assignment and encode run against the PERSISTED
+    sidecars, not recomputed ones — and (b) rank directly adjacent to it
+    in a subsequent probe."""
+    from pyspark.sql import functions as F
+
+    from temporalvault_spark.operators.ivfpq_index import append_to_ivfpq_index
+
+    path = str(tmp_path_factory.mktemp("ivfpq_app") / "index")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    build_ivfpq_index(emb, path)
+
+    twin = emb.filter("vec_id = 0").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    append_to_ivfpq_index(twin, path)
+
+    idx = spark.read.parquet(path)
+    orig = idx.filter("vec_id = 0").first()
+    app = idx.filter("vec_id = 1000000").first()
+    assert list(app["codes"]) == list(orig["codes"])
+    assert app["centroid_id"] == orig["centroid_id"]
+
+    probe = (
+        emb.filter("vec_id = 0").selectExpr("cast(embedding as array<double>)").first()[0]
+    )
+    top = ivfpq_search(spark, path, probe, k=2, nprobe=4).collect()
+    assert {r["vec_id"] for r in top} == {0, 1_000_000}
+    assert top[0]["adc_dist"] == top[1]["adc_dist"]
