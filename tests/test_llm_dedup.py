@@ -396,3 +396,43 @@ def test_dedup_near_apply_crafted(spark):
     )
     got = {(r["source"]): (r["cnt"]) for r in kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
     assert got == {"web": 1, "books": 1}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=3, max_size=10).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_jaccard_pairs_precision_property(spark, docs):
+    """PRECISION is guaranteed by construction (exact verify on candidates):
+    every reported pair must carry EXACTLY its true shingle Jaccard and
+    clear the threshold. (Recall through 4-band LSH is probabilistic —
+    1-(1-j)^4 — so missing pairs are legitimate and not asserted; the
+    crafted multi-band test covers recall on known collisions.)"""
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+
+    def shingles(t):
+        toks = t.strip(" ").lower().split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for (a, b), j in got.items():
+        assert a < b
+        sa, sb = shingles(docs[a]), shingles(docs[b])
+        true_j = round(len(sa & sb) / len(sa | sb), 6)
+        assert j == true_j and j >= 0.5, ((a, b), j, true_j)
