@@ -114,6 +114,7 @@ HEADLINE = [
     "time_weighted_avg",
     "doc_bigram_logprob",
     "dedup_near_apply",
+    "user_path_similarity",
 ]
 
 

@@ -230,3 +230,103 @@ def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(z > 3)
         .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
     )
+
+
+PATH_HEAD_EVENTS = 8  # head-path cap: bounds the levenshtein operand
+PATH_MAX_EDITS = 2  # similarity threshold (edit distance on head paths)
+
+
+@query(
+    "user_path_similarity",
+    f"""WITH seq AS (
+        SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS c,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    paths AS (
+        SELECT user_id, string_agg(c, '' ORDER BY rn) AS path,
+               CAST(COUNT(*) AS BIGINT) AS path_len
+        FROM seq WHERE rn <= {PATH_HEAD_EVENTS} GROUP BY user_id),
+    l AS (SELECT user_id, path, path_len,
+                 CAST(path_len // {PATH_MAX_EDITS + 1} AS BIGINT) AS bkt
+          FROM paths),
+    probe AS (SELECT l.*, l.bkt + d.d AS pbkt FROM l
+              CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d)
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(levenshtein(a.path, b.path) AS BIGINT) AS dist,
+           a.path_len AS len_a, b.path_len AS len_b
+    FROM probe a JOIN l b
+      ON a.pbkt = b.bkt AND a.user_id < b.user_id
+    WHERE abs(a.path_len - b.path_len) <= {PATH_MAX_EDITS}
+      AND levenshtein(a.path, b.path) <= {PATH_MAX_EDITS}""",
+)
+def q_user_path_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral trajectory similarity (the REPOSE/trajectory-search shape
+    on an event log): users whose HEAD event-type sequences are within
+    edit distance {PATH_MAX_EDITS} — the cohorting signal behind
+    lookalike audiences and bot-ring detection. Each user's trajectory is
+    the first-letter string of their first {PATH_HEAD_EVENTS} events (the
+    head cap bounds the levenshtein operand — a raw path grows with the
+    user's history, and edit distance is quadratic in it), built inside
+    ONE user_id exchange (row_number and the per-user aggregate share it).
+
+    Candidate pairs come from a LENGTH-BUCKET equi-join, never all-pairs:
+    |len_a - len_b| <= k is necessary for edit distance <= k, so bucketing
+    length by k+1 and probing each user's own bucket +/-1 is lossless
+    (the same pigeonhole argument entity.py's blocking proves), and each
+    qualifying pair matches on exactly ONE of the three probe offsets —
+    no dedup pass. The verify (levenshtein, shared builtin) runs on
+    candidates only. NULL-ts/NULL-type events are excluded identically on
+    both engines (Spark and DuckDB disagree on NULL ordering, so they
+    must never reach the sequence)."""
+    return user_path_pairs(_cat(spark, sf_dir).table("events"))
+
+
+def user_path_pairs(ev: DataFrame) -> DataFrame:
+    """Core of ``user_path_similarity`` on an arbitrary events frame —
+    crafted/differential testable (tests/test_path_similarity.py pins a
+    brute-force twin on random event sets, proving the length-bucket
+    blocking lossless)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            F.substring("event_type", 1, 1).alias("c"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= PATH_HEAD_EVENTS)
+    )
+    paths = seq.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.expr("transform(array_sort(collect_list(struct(rn, c))), s -> s.c)"),
+        ).alias("path"),
+        F.count("*").cast("bigint").alias("path_len"),
+    )
+    l = paths.withColumn(
+        "bkt", F.floor(F.col("path_len") / (PATH_MAX_EDITS + 1)).cast("bigint")
+    )
+    probe = l.withColumn("d", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))).withColumn(
+        "pbkt", F.col("bkt") + F.col("d")
+    )
+    a, b = probe.alias("a"), l.alias("b")
+    dist = F.levenshtein(F.col("a.path"), F.col("b.path"))
+    return (
+        a.join(
+            b,
+            (F.col("a.pbkt") == F.col("b.bkt"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .filter(
+            (F.abs(F.col("a.path_len") - F.col("b.path_len")) <= PATH_MAX_EDITS)
+            & (dist <= PATH_MAX_EDITS)
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            dist.cast("bigint").alias("dist"),
+            F.col("a.path_len").alias("len_a"),
+            F.col("b.path_len").alias("len_b"),
+        )
+    )
