@@ -234,6 +234,20 @@ def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PATH_HEAD_EVENTS = 8  # head-path cap: bounds the levenshtein operand
 PATH_MAX_EDITS = 2  # similarity threshold (edit distance on head paths)
+_NSEG = PATH_MAX_EDITS + 1  # PassJoin segment count
+
+# shared segment arithmetic (1-based segment i of a length-lb string, split
+# as evenly as possible: the first lb%NSEG segments get the extra char):
+#   seg_len(i, lb) = lb//NSEG + (i <= lb%NSEG)
+#   start(i, lb)   = 1 + (i-1)*(lb//NSEG) + least(i-1, lb%NSEG)
+
+
+def _seg_start(i: str, lb: str, div: str) -> str:
+    return f"1 + ({i}-1)*({lb} {div} {_NSEG}) + least({i}-1, {lb} % {_NSEG})"
+
+
+def _seg_len(i: str, lb: str, div: str) -> str:
+    return f"({lb} {div} {_NSEG}) + (CASE WHEN {i} <= {lb} % {_NSEG} THEN 1 ELSE 0 END)"
 
 
 @query(
@@ -243,50 +257,72 @@ PATH_MAX_EDITS = 2  # similarity threshold (edit distance on head paths)
                ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS rn
         FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
-    paths AS (
+    l AS (
         SELECT user_id, string_agg(c, '' ORDER BY rn) AS path,
                CAST(COUNT(*) AS BIGINT) AS path_len
         FROM seq WHERE rn <= {PATH_HEAD_EVENTS} GROUP BY user_id),
-    l AS (SELECT user_id, path, path_len,
-                 CAST(path_len // {PATH_MAX_EDITS + 1} AS BIGINT) AS bkt
-          FROM paths),
-    probe AS (SELECT l.*, l.bkt + d.d AS pbkt FROM l
-              CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d)
-    SELECT a.user_id AS user_a, b.user_id AS user_b,
-           CAST(levenshtein(a.path, b.path) AS BIGINT) AS dist,
-           a.path_len AS len_a, b.path_len AS len_b
-    FROM probe a JOIN l b
-      ON a.pbkt = b.bkt AND a.user_id < b.user_id
-    WHERE abs(a.path_len - b.path_len) <= {PATH_MAX_EDITS}
-      AND levenshtein(a.path, b.path) <= {PATH_MAX_EDITS}""",
+    akeys AS (
+        SELECT user_id, unnest(flatten(list_transform(range(1, {_NSEG + 1}), i ->
+            flatten(list_transform(range(greatest(path_len - {PATH_MAX_EDITS}, 1),
+                                         least(path_len + {PATH_MAX_EDITS}, {PATH_HEAD_EVENTS}) + 1), lb ->
+                list_filter(list_transform(range(-{PATH_MAX_EDITS}, {PATH_MAX_EDITS + 1}), s ->
+                    CASE WHEN {_seg_start('i', 'lb', '//')} + s >= 1
+                         THEN {{'i': i, 'lb': lb,
+                               'seg': substring(path, CAST({_seg_start('i', 'lb', '//')} + s AS INT),
+                                                CAST({_seg_len('i', 'lb', '//')} AS INT))}}
+                         ELSE NULL END),
+                x -> x IS NOT NULL)))))) AS k
+        FROM l),
+    bkeys AS (
+        SELECT user_id, unnest(list_transform(range(1, {_NSEG + 1}), i ->
+            {{'i': i, 'lb': path_len,
+              'seg': substring(path, CAST({_seg_start('i', 'path_len', '//')} AS INT),
+                               CAST({_seg_len('i', 'path_len', '//')} AS INT))}})) AS k
+        FROM l),
+    cand AS (
+        SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+        FROM akeys a JOIN bkeys b
+          ON a.k.i = b.k.i AND a.k.lb = b.k.lb AND a.k.seg = b.k.seg
+         AND a.user_id < b.user_id)
+    SELECT c.ua AS user_a, c.ub AS user_b,
+           CAST(levenshtein(x.path, y.path) AS BIGINT) AS dist,
+           x.path_len AS len_a, y.path_len AS len_b
+    FROM cand c JOIN l x ON c.ua = x.user_id JOIN l y ON c.ub = y.user_id
+    WHERE levenshtein(x.path, y.path) <= {PATH_MAX_EDITS}""",
 )
 def q_user_path_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Behavioral trajectory similarity (the REPOSE/trajectory-search shape
-    on an event log): users whose HEAD event-type sequences are within
-    edit distance {PATH_MAX_EDITS} — the cohorting signal behind
-    lookalike audiences and bot-ring detection. Each user's trajectory is
-    the first-letter string of their first {PATH_HEAD_EVENTS} events (the
-    head cap bounds the levenshtein operand — a raw path grows with the
-    user's history, and edit distance is quadratic in it), built inside
-    ONE user_id exchange (row_number and the per-user aggregate share it).
+    """Behavioral trajectory similarity (REPOSE/trajectory-search shape on
+    an event log): users whose HEAD event-type sequences are within edit
+    distance {PATH_MAX_EDITS} — the cohorting signal behind lookalike
+    audiences and bot-ring detection. Each user's trajectory is the
+    first-letter string of their first {PATH_HEAD_EVENTS} events (the cap
+    bounds the quadratic levenshtein operand), built inside ONE user_id
+    exchange.
 
-    Candidate pairs come from a LENGTH-BUCKET equi-join, never all-pairs:
-    |len_a - len_b| <= k is necessary for edit distance <= k, so bucketing
-    length by k+1 and probing each user's own bucket +/-1 is lossless
-    (the same pigeonhole argument entity.py's blocking proves), and each
-    qualifying pair matches on exactly ONE of the three probe offsets —
-    no dedup pass. The verify (levenshtein, shared builtin) runs on
-    candidates only. NULL-ts/NULL-type events are excluded identically on
-    both engines (Spark and DuckDB disagree on NULL ordering, so they
-    must never reach the sequence)."""
+    Candidate generation is PassJoin-style SEGMENT blocking (Li et al.'s
+    partition scheme; the compressed-string-join literature's standard):
+    each candidate string is split into k+1 segments; if ed(a, b) <= k,
+    some segment of b receives NO edits, and its image in a is the same
+    substring starting within +/-k of its home position (net indel drift
+    before it), at b's own length's segmentation. So b emits its k+1
+    (i, len, segment) keys and a emits (i, lb, substring) probes for every
+    lb within +/-k of its length and every shift in [-k, k] — a LOSSLESS
+    equi-join on segment CONTENT (proven by the brute-force differential
+    in tests/test_path_similarity.py). Unlike length-only bucketing —
+    which degenerates to all-pairs when every head path hits the cap
+    length — selectivity comes from the segment text itself, so candidate
+    counts track true near-pairs at any corpus size. Levenshtein (shared
+    builtin) verifies candidates only; NULL-ts/NULL-type events are
+    excluded identically on both engines (they disagree on NULL
+    ordering)."""
     return user_path_pairs(_cat(spark, sf_dir).table("events"))
 
 
 def user_path_pairs(ev: DataFrame) -> DataFrame:
     """Core of ``user_path_similarity`` on an arbitrary events frame —
     crafted/differential testable (tests/test_path_similarity.py pins a
-    brute-force twin on random event sets, proving the length-bucket
-    blocking lossless)."""
+    brute-force twin on random event sets, proving the segment blocking
+    lossless)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = (
         ev.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
@@ -297,36 +333,65 @@ def user_path_pairs(ev: DataFrame) -> DataFrame:
         )
         .filter(F.col("rn") <= PATH_HEAD_EVENTS)
     )
-    paths = seq.groupBy("user_id").agg(
+    l = seq.groupBy("user_id").agg(
         F.concat_ws(
             "",
             F.expr("transform(array_sort(collect_list(struct(rn, c))), s -> s.c)"),
         ).alias("path"),
         F.count("*").cast("bigint").alias("path_len"),
     )
-    l = paths.withColumn(
-        "bkt", F.floor(F.col("path_len") / (PATH_MAX_EDITS + 1)).cast("bigint")
+    akeys = l.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, {_NSEG}), i ->
+            flatten(transform(sequence(greatest(path_len - {PATH_MAX_EDITS}, 1),
+                                       least(path_len + {PATH_MAX_EDITS}, {PATH_HEAD_EVENTS})), lb ->
+                filter(transform(sequence(-{PATH_MAX_EDITS}, {PATH_MAX_EDITS}), s ->
+                    CASE WHEN {_seg_start('i', 'lb', 'div')} + s >= 1
+                         THEN struct(i AS i, lb AS lb,
+                              substring(path, CAST({_seg_start('i', 'lb', 'div')} + s AS INT),
+                                        CAST({_seg_len('i', 'lb', 'div')} AS INT)) AS seg)
+                         ELSE NULL END),
+                x -> x IS NOT NULL)))))"""
+            )
+        ).alias("k"),
     )
-    probe = l.withColumn("d", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))).withColumn(
-        "pbkt", F.col("bkt") + F.col("d")
+    bkeys = l.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(1, {_NSEG}), i ->
+            struct(i AS i, path_len AS lb,
+                   substring(path, CAST({_seg_start('i', 'path_len', 'div')} AS INT),
+                             CAST({_seg_len('i', 'path_len', 'div')} AS INT)) AS seg))"""
+            )
+        ).alias("k"),
     )
-    a, b = probe.alias("a"), l.alias("b")
-    dist = F.levenshtein(F.col("a.path"), F.col("b.path"))
-    return (
+    a, b = akeys.alias("a"), bkeys.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.pbkt") == F.col("b.bkt"))
+            (F.col("a.k.i") == F.col("b.k.i"))
+            & (F.col("a.k.lb") == F.col("b.k.lb"))
+            & (F.col("a.k.seg") == F.col("b.k.seg"))
             & (F.col("a.user_id") < F.col("b.user_id")),
         )
-        .filter(
-            (F.abs(F.col("a.path_len") - F.col("b.path_len")) <= PATH_MAX_EDITS)
-            & (dist <= PATH_MAX_EDITS)
-        )
+        .select(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
+        .distinct()
+    )
+    x = l.select(F.col("user_id").alias("ua"), F.col("path").alias("pa"), F.col("path_len").alias("len_a"))
+    y = l.select(F.col("user_id").alias("ub"), F.col("path").alias("pb"), F.col("path_len").alias("len_b"))
+    dist = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        cand.join(x, "ua")
+        .join(y, "ub")
+        .filter(dist <= PATH_MAX_EDITS)
         .select(
-            F.col("a.user_id").alias("user_a"),
-            F.col("b.user_id").alias("user_b"),
+            F.col("ua").alias("user_a"),
+            F.col("ub").alias("user_b"),
             dist.cast("bigint").alias("dist"),
-            F.col("a.path_len").alias("len_a"),
-            F.col("b.path_len").alias("len_b"),
+            "len_a",
+            "len_b",
         )
     )
