@@ -66,7 +66,12 @@ def build_ivf_index(emb: DataFrame, path: str, centroids: DataFrame | None = Non
     sidecar holds."""
     from temporalvault_spark.operators.similarity import adaptive_n_centroids
 
-    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    # NULL-filter BEFORE the count and the first-k selection (matching
+    # build_ivfpq_index): a NULL embedding among vec_id < k would become a
+    # centroid whose similarity is NULL against every vector
+    e = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
     if centroids is None:
         k = adaptive_n_centroids(e.count())
         centroids = e.filter(F.col("vec_id") < k).select(

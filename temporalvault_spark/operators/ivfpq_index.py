@@ -99,12 +99,34 @@ def ivfpq_search(
     )
     probe_clusters = [r["centroid_id"] for r in ranked[:nprobe]]
 
+    if len(probe_vec) != PQ_DIM:
+        raise ValueError(
+            f"probe_vec must be {PQ_DIM}-dim, got {len(probe_vec)} — a short "
+            "probe would silently truncate the per-subspace zips and rank by "
+            "a wrong ADC table"
+        )
     cb = spark.read.parquet(f"{index_path}/_codebook").collect()
     dt = [0.0] * (PQ_M * PQ_K)
+    filled: set[tuple[int, int]] = set()
     for r in cb:
         j, c, cw = r["sub"], r["code"], r["cw"]
+        if len(cw) != PQ_SUB:
+            raise ValueError(
+                f"persisted codebook cell ({j},{c}) has a {len(cw)}-dim "
+                f"codeword (want {PQ_SUB}) — index at {index_path} is corrupt"
+            )
         sl = probe_vec[j * PQ_SUB : (j + 1) * PQ_SUB]
         dt[j * PQ_K + c] = sum((x - y) * (x - y) for x, y in zip(sl, cw))
+        filled.add((j, c))
+    want_cells = {(j, c) for j in range(PQ_M) for c in range(PQ_K)}
+    if filled != want_cells:
+        # a missing/duplicate cell leaves dt entries at 0.0 — plausible but
+        # wrong rankings; the build path validates, the read path must too
+        raise ValueError(
+            f"persisted codebook at {index_path} holds {len(cb)} cells "
+            f"covering {len(filled)} distinct (sub, code) keys; want exactly "
+            f"the {PQ_M}x{PQ_K} grid"
+        )
 
     idx = spark.read.parquet(index_path)
     dt_lit = F.array(*[F.lit(v) for v in dt])

@@ -99,8 +99,11 @@ def fold_codebook_row(cb: DataFrame) -> DataFrame:
         raise ValueError(
             f"PQ codebook must hold exactly the {PQ_M}x{PQ_K} cells "
             f"(sub 0..{PQ_M - 1}) x (code 0..{PQ_K - 1}) — got "
-            f"{len(cells)} cells; first mismatch at "
-            f"{next((a, b) for a, b in zip(got + [None] * len(want), want) if a != b)}"
+            f"{len(cells)} cells (want {len(want)}); first mismatch at "
+            # default guards the diagnostic itself: if `want` is a prefix of
+            # `got` and the surplus duplicates the last cell, zip finds no
+            # differing pair and a bare next() would raise StopIteration
+            f"{next(((a, b) for a, b in zip(got + [None] * len(want), want) if a != b), ('surplus/duplicate cells', None))}"
         )
     bad = [i for i, s in enumerate(cells) if len(s["cw"]) != PQ_SUB]
     if bad:

@@ -166,28 +166,38 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
             # epoch value — without it a user whose events all carry NULL
             # ts would surface last_ts=1970-01-01 instead of NULL (the
             # batch contract is F.max('ts'), which is NULL for that user)
+            # has_value mirrors has_ts: the batch contract is F.sum('value'),
+            # which is NULL for a user whose events ALL carry NULL value —
+            # fillna(0.0) alone would surface 0.0 instead
             self._totals = handle.getValueState(
-                "totals", "n bigint, total double, last_us bigint, has_ts boolean"
+                "totals",
+                "n bigint, total double, last_us bigint, has_ts boolean, "
+                "has_value boolean",
             )
 
         def handleInputRows(self, key, rows, timerValues):
             prev = self._totals.get() if self._totals.exists() else None
-            n, total, last_us, has_ts = (
-                prev if prev is not None else (0, 0.0, 0, False)
+            n, total, last_us, has_ts, has_value = (
+                prev if prev is not None else (0, 0.0, 0, False, False)
             )
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].fillna(0.0).sum())
+                non_null = pdf["value"].dropna()
+                if len(non_null):
+                    total += float(non_null.sum())
+                    has_value = True
                 if len(pdf["us"].dropna()):
                     batch_max = int(pdf["us"].max())
                     last_us = max(last_us, batch_max) if has_ts else batch_max
                     has_ts = True
-            self._totals.update((int(n), float(total), int(last_us), bool(has_ts)))
+            self._totals.update(
+                (int(n), float(total), int(last_us), bool(has_ts), bool(has_value))
+            )
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [int(n)],
-                    "total_value": [float(total)],
+                    "total_value": [float(total) if has_value else None],
                     "last_us": [int(last_us) if has_ts else None],
                 }
             )

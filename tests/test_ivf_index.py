@@ -266,3 +266,30 @@ def test_knn_join_ivf_multiprobe_recall_on_boundary_vectors(spark):
     assert r1 < r2, (r1, r2)          # recall STRICTLY improves with nprobe
     assert 20 not in ivf_ids(1)       # the boundary miss at nprobe=1
     assert ivf_ids(2) == set(exact)   # nprobe=2 recovers the exact answer
+
+
+def test_build_null_embedding_never_becomes_centroid(spark, tmp_path_factory):
+    """ADVICE r4: a NULL embedding among vec_id < k must not be selected as
+    a centroid (its similarity would be NULL against every vector) nor
+    counted toward the adaptive k; NULL rows are excluded from the index
+    entirely, matching build_ivfpq_index's pre-filter."""
+    import math
+
+    path = str(tmp_path_factory.mktemp("ivf_null") / "index")
+    rows = [(0, None, 0)] + [
+        (i, [math.cos(i / 7.0), math.sin(i / 7.0)], 0) for i in range(1, 40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    build_ivf_index(emb, path)
+
+    cents = spark.read.parquet(f"{path}/_centroids").collect()
+    assert all(r["ce"] is not None for r in cents)
+    assert 0 not in {r["centroid_id"] for r in cents}
+
+    idx = spark.read.parquet(path)
+    assert idx.count() == 39  # NULL row excluded from the index
+    probe = [math.cos(3 / 7.0), math.sin(3 / 7.0)]
+    top = ivf_search(spark, path, probe, k=3, nprobe=4).collect()
+    assert top and top[0]["vec_id"] == 3

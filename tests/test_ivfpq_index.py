@@ -105,3 +105,24 @@ def test_append_searchable_and_consistent(spark, sf_dir, tmp_path_factory):
     top = ivfpq_search(spark, path, probe, k=2, nprobe=4).collect()
     assert {r["vec_id"] for r in top} == {0, 1_000_000}
     assert top[0]["adc_dist"] == top[1]["adc_dist"]
+
+
+def test_search_validates_probe_and_codebook(spark, sf_dir, index_path, probe_vec, tmp_path_factory):
+    """The read path must refuse plausible-but-wrong inputs (ADVICE r4): a
+    short probe vector would silently truncate the per-subspace zips, and a
+    codebook sidecar missing a cell would leave ADC table entries at 0.0 —
+    both must raise instead of ranking wrongly."""
+    import shutil
+
+    with pytest.raises(ValueError, match="probe_vec"):
+        ivfpq_search(spark, index_path, probe_vec[:-1], k=5)
+
+    corrupt = str(tmp_path_factory.mktemp("ivfpq_corrupt") / "index")
+    shutil.copytree(index_path, corrupt)
+    cb = spark.read.parquet(f"{index_path}/_codebook")
+    shutil.rmtree(f"{corrupt}/_codebook")
+    cb.filter("NOT (sub = 0 AND code = 0)").coalesce(1).write.parquet(
+        f"{corrupt}/_codebook"
+    )
+    with pytest.raises(ValueError, match="cells"):
+        ivfpq_search(spark, corrupt, probe_vec, k=5)

@@ -180,3 +180,10 @@ def test_fold_codebook_row_rejects_malformed(spark):
     short = [(j, c, cw if (j, c) != (2, 5) else cw[:-1]) for j, c, cw in ok]
     with pytest.raises(ValueError):
         fold_codebook_row(frame(short))
+
+    # surplus duplicate of the LAST cell: `want` is a prefix of sorted `got`,
+    # so the mismatch search finds no differing zip pair — the diagnostic
+    # itself must not crash with StopIteration
+    surplus = ok + [(PQ_M - 1, PQ_K - 1, [42.0] * PQ_SUB)]
+    with pytest.raises(ValueError, match="cells"):
+        fold_codebook_row(frame(surplus))

@@ -424,7 +424,9 @@ def test_user_totals_transform_with_state(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 6).alias("tv"),
+            # bare sum(value): NULL for a user whose events all carry NULL
+            # value — the stream's has_value sentinel must reproduce that
+            F.round(F.sum("value"), 6).alias("tv"),
             F.max("ts").alias("mt"),
         )
     )
