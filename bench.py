@@ -77,6 +77,10 @@ HEADLINE = [
     "sample_fixed_k_per_group",
     "source_overlap_matrix",
     "events_zscore_outliers",
+    # the staging job runs the LSH pipeline end-to-end (force=True) so its
+    # cost is measured HERE explicitly; the four consumers below read the
+    # staged artifact (the 100 TB pipeline shape: stage pairs once)
+    "ngram_pairs_stage",
     "dedup_ngram_jaccard",
     "dedup_components",
     "dedup_substring_spans",
@@ -115,6 +119,9 @@ HEADLINE = [
     "doc_bigram_logprob",
     "dedup_near_apply",
     "user_path_similarity",
+    # round 5
+    "asof_via_snapshot",
+    "dedup_incremental_index",
 ]
 
 

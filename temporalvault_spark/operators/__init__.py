@@ -17,6 +17,7 @@ from temporalvault_spark.operators import (  # noqa: F401
     entity,
     hypertable,
     llm,
+    minhash_index,
     pq,
     relational,
     similarity,
@@ -37,6 +38,7 @@ _SURVEY_S2_PRIORITY = [
     # temporal core (reference endpoints: record/query/rollback/compare)
     "asof_all_versions",
     "asof_latest_per_key",
+    "asof_via_snapshot",
     "latest_version_lookup",
     "version_assign",
     "version_chain",
@@ -49,9 +51,10 @@ _SURVEY_S2_PRIORITY = [
     # temporal analytics
     "funnel_signup_click_purchase",
     "cohort_retention_weekly",
-    # batch time windows
+    # batch time windows (win_sliding stays registered + judge-checked;
+    # tumbling + session keep the family in-window — r4 verdict swaps #5/#7
+    # made room for asof_via_snapshot and user_path_similarity)
     "win_tumbling_hour",
-    "win_sliding",
     "win_session",
     # relational primitives
     "scan_project",
@@ -68,7 +71,6 @@ _SURVEY_S2_PRIORITY = [
     "agg_groupby_multi",
     "agg_distinct",
     "agg_rollup",
-    "agg_cube",
     "topn_per_group",
     "win_rownum_latest",
     "win_lag_chain",
@@ -92,6 +94,9 @@ _SURVEY_S2_PRIORITY = [
     # signature form / recursive-CTE closure twin)
     "dedup_minhash",
     "dedup_components",
+    # trajectory similarity (PassJoin-blocked edit distance — promoted per
+    # r4 verdict #7; agg_cube/win_sliding remain judge-checked outside)
+    "user_path_similarity",
 ]
 
 prioritize(_SURVEY_S2_PRIORITY)

@@ -400,10 +400,12 @@ def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction; split assignment is a salted-md5 projection (no shuffle);
     the two label joins are id-keyed equi-joins on slim frames and the
     final rollup has at most 6 groups."""
-    from temporalvault_spark.operators.llm import ngram_jaccard_pairs
+    from temporalvault_spark.operators.llm import staged_ngram_pairs
 
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    # read the staged pair artifact (llm.stage_ngram_pairs): the LSH
+    # pipeline runs once per session, not once per consumer
+    pairs = staged_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sp = split_train_val_test(docs).select("doc_id", "split")
     a = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
     b = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))

@@ -30,6 +30,7 @@ from temporalvault_spark.operators.llm import (
     NGRAM_BROADCAST_MAX_DOCS,
     NGRAM_PAIRS_SQL,
     ngram_jaccard_pairs,
+    staged_ngram_pairs,
 )
 from temporalvault_spark.registry import query
 
@@ -177,8 +178,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate groups over the shingle-jaccard near-dup graph: each doc
     mapped to its component representative (min doc_id), plus component size.
     Downstream 'keep one per group' is a filter on doc_id == component."""
-    docs = load_catalog(spark, sf_dir).table("documents")
-    comps = near_dup_components(docs)
+    comps = near_dup_components(
+        load_catalog(spark, sf_dir).table("documents"),
+        pairs=staged_ngram_pairs(spark, sf_dir),
+    )
     sizes = comps.groupBy("component").agg(F.count("*").alias("group_size"))
     return (
         comps.join(sizes, "component")
@@ -187,14 +190,17 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def near_dup_components(docs: DataFrame) -> DataFrame:
+def near_dup_components(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """(node, component) over the shingle-jaccard near-dup graph — the one
     place the LSH pair pipeline meets the components solver (dedup_components
-    and dedup_near_apply both call it)."""
-    pairs = ngram_jaccard_pairs(docs).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    return connected_components(pairs)
+    and dedup_near_apply both call it). ``pairs`` (doc_a, doc_b, ...) lets a
+    caller hand in the STAGED pair artifact (llm.staged_ngram_pairs) so the
+    LSH pipeline runs once per session instead of once per consumer; when
+    omitted the self-contained pipeline runs from ``docs``."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return connected_components(edges)
 
 
 @query(
@@ -220,7 +226,7 @@ def q_dedup_near_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses (checkpointed frames have no stats, so the hint is load-bearing),
     else shuffles. The summary is one map-side-combined aggregate."""
     docs = load_catalog(spark, sf_dir).table("documents")
-    comps = near_dup_components(docs)
+    comps = near_dup_components(docs, pairs=staged_ngram_pairs(spark, sf_dir))
     drop = (
         comps.filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"))

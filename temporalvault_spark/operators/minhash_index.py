@@ -21,16 +21,20 @@ index build is deterministic and reproducible across runs and engines.
 
 from __future__ import annotations
 
+import tempfile
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from temporalvault_spark.catalog import load_catalog
 from temporalvault_spark.operators.llm import (
     NGRAM_BANDS,
+    NGRAM_SKETCH_CTES,
     band_sketch,
     shingle_signatures,
 )
+from temporalvault_spark.registry import query
 
 
 def build_minhash_index(
@@ -133,3 +137,47 @@ def query_minhash_index(
         )
         .filter(jac >= threshold)
     )
+
+
+# --- incremental two-batch scenario (benchable) ------------------------------
+# The end-to-end production shape the index exists for: a base corpus is
+# indexed ONCE, then a new ingest batch probes it — "is anything in this
+# batch a near-dup of what we already hold?". Registered as a query so the
+# scorecard value-checks it and bench.py tracks its cost round-over-round
+# (r4 verdict #6). The oracle replays both halves from the shared sketch
+# CTEs: candidates are cross-batch (base x batch) band-min collisions, then
+# exact-Jaccard verified — the md5 scheme is per-doc, so the split changes
+# WHICH pairs qualify, never the per-doc sketches.
+
+_INCR_ORACLE = f"""WITH {NGRAM_SKETCH_CTES},
+    cand AS (
+        SELECT DISTINCT b.doc_id AS query_doc, a.doc_id AS index_doc
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.min_h = b.min_h
+         AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+         AND LEAST(a.n_sh, b.n_sh) * 5 >= GREATEST(a.n_sh, b.n_sh) * 3)
+    SELECT c.query_doc, c.index_doc,
+           ROUND(CAST(len(list_intersect(sq.shingles, si.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sq.shingles, si.shingles))), 6) AS jaccard
+    FROM cand c
+    JOIN sh sq ON sq.doc_id = c.query_doc
+    JOIN sh si ON si.doc_id = c.index_doc
+    WHERE CAST(len(list_intersect(sq.shingles, si.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(sq.shingles, si.shingles))) >= 0.6"""
+
+
+@query("dedup_incremental_index", _INCR_ORACLE)
+def q_dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental dedup: build the persisted band index on the
+    base corpus (doc_id % 10 != 0), probe it with the held-out batch
+    (doc_id % 10 == 0). Each call runs BOTH halves end-to-end — the bench
+    number is the full build+probe cost, deliberately not amortized, so
+    regressions in either half surface. At 100 TB only the probe recurs
+    per batch; the build is the one-time cost the partitioned layout
+    amortizes (module docstring)."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    path = tempfile.mkdtemp(prefix="tv_mh_incr_") + "/index"
+    build_minhash_index(base, path)
+    return query_minhash_index(spark, path, batch)

@@ -79,6 +79,58 @@ def q_asof_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_latest_per_key(_tr(spark, sf_dir), PROBE_TS)
 
 
+# --- snapshot-accelerated as-of --------------------------------------------
+# The vault's snapshot-bounded reconstruction (vault.state_at: newest
+# materialized snapshot <= T unioned with ONLY the partition-pruned log tail
+# after it — the cost bound the reference's declared-but-dead snapshots
+# table, models.py:27-38, was meant to provide). Result is IDENTICAL to
+# asof_latest_per_key by construction, so the oracle is the same SQL; what
+# this row adds to the scorecard is the accelerated read path itself, whose
+# pruned tail scan tests/test_plan_hygiene.py pins (dt >= snapshot date in
+# PartitionFilters).
+
+SNAP_TS = "2024-01-10 00:00:00"  # mid-range: 9 days of log become snapshot
+
+_SNAPSHOT_VAULTS: dict[tuple[str, str], str] = {}
+
+
+def snapshot_vault(spark: SparkSession, sf_dir: str):
+    """A vault seeded ONCE per (Spark application, sf_dir) with the
+    corpus's temporal_records — rows appended verbatim (ids, versions,
+    timestamps preserved), then a snapshot materialized at SNAP_TS. Every
+    subsequent state_at() reads snapshot + pruned tail."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from temporalvault_spark.vault import TemporalVault
+
+    key = (spark.sparkContext.applicationId, _os.path.normpath(sf_dir))
+    root = _SNAPSHOT_VAULTS.get(key)
+    if root is None:
+        root = _tempfile.mkdtemp(prefix="tv_snapvault_")
+        vault = TemporalVault(spark, root)
+        vault._append(_tr(spark, sf_dir))
+        vault.snapshot(SNAP_TS)
+        _SNAPSHOT_VAULTS[key] = root
+        return vault
+    return TemporalVault(spark, root)
+
+
+@query(
+    "asof_via_snapshot",
+    temporal_oracle(
+        f"""SELECT record_id, version, data, ts FROM (
+          SELECT record_id, version, data, ts,
+                 ROW_NUMBER() OVER (PARTITION BY record_id ORDER BY version_num DESC) AS rn
+          FROM temporal_records WHERE ts <= TIMESTAMP '{PROBE_TS}'
+        ) t WHERE rn = 1"""
+    ),
+)
+def q_asof_via_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vault = snapshot_vault(spark, sf_dir)
+    return vault.state_at(PROBE_TS).select("record_id", "version", "data", "ts")
+
+
 # --- write-path reads ------------------------------------------------------
 
 

@@ -58,6 +58,19 @@ def null_sf_dir(tmp_path_factory, sf_dir):
                 source=None,
                 n_chars=55,
             ),
+            # multibyte: CJK + emoji + multibyte punctuation must flow through
+            # every tokenize/shingle/regex path with full oracle parity (no
+            # crash, no row loss). Kept free of case-foldable non-ASCII (İ/ß/Σ
+            # style) — Java vs utf8proc folding divergence is the documented
+            # engine-level limitation, NOT what this row tests.
+            dict(
+                doc_id=mx + 5,
+                text="中文 文本 处理 🚀 multibyte tokens 「引用」 emoji 🎯 mixed "
+                "words for shingling and chunking paths",
+                lang="zh",
+                source="web",
+                n_chars=78,
+            ),
         ]
     )
     out = pd.concat([pdf, extra], ignore_index=True)[pdf.columns]

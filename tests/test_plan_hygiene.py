@@ -384,3 +384,31 @@ def test_ivfpq_stays_broadcast_and_take_ordered(q):
     assert c["Exchange hashpartitioning"] == 0
     assert c["Exchange rangepartitioning"] == 0
     assert c["SortMergeJoin"] == 0
+
+
+def test_asof_via_snapshot_prunes_log_tail(q, spark, sf_dir):
+    """The snapshot-accelerated as-of (r4 verdict #5): the LOG side of the
+    union must be partition-pruned to the post-snapshot tail (dt >= the
+    snapshot date reaches PartitionFilters), so reconstruction cost is
+    bounded by the tail, not the full history — and the result must still
+    equal the plain windowed form."""
+    import re
+
+    df = q("asof_via_snapshot")
+    plan = executed_plan(df)
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("dt" in f and "2024-01-10" in f for f in pf), pf
+    plain = q("asof_latest_per_key")
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_staged_pairs_value_identical_to_pipeline(spark, sf_dir):
+    """The parquet staging round-trip (r4 verdict #2) must be value-identical
+    to the self-contained pipeline — the consumers' oracles rely on it."""
+    from temporalvault_spark.catalog import load_catalog
+    from temporalvault_spark.operators.llm import ngram_jaccard_pairs, staged_ngram_pairs
+
+    docs = load_catalog(spark, sf_dir).table("documents")
+    direct = sorted(map(tuple, ngram_jaccard_pairs(docs).collect()))
+    staged = sorted(map(tuple, staged_ngram_pairs(spark, sf_dir).collect()))
+    assert staged == direct
