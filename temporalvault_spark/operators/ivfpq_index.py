@@ -119,13 +119,17 @@ def ivfpq_search(
         dt[j * PQ_K + c] = sum((x - y) * (x - y) for x, y in zip(sl, cw))
         filled.add((j, c))
     want_cells = {(j, c) for j in range(PQ_M) for c in range(PQ_K)}
-    if filled != want_cells:
-        # a missing/duplicate cell leaves dt entries at 0.0 — plausible but
-        # wrong rankings; the build path validates, the read path must too
+    if filled != want_cells or len(cb) != PQ_M * PQ_K:
+        # a missing cell leaves dt entries at 0.0, and a DUPLICATE (sub,
+        # code) row with a conflicting codeword makes the dt entry depend on
+        # collect() order (filled is a set, so coverage alone can't see it)
+        # — either way, plausible but wrong rankings; the build path
+        # validates, the read path must too. The row-count check catches
+        # the duplicate case the set-coverage check can't.
         raise ValueError(
             f"persisted codebook at {index_path} holds {len(cb)} cells "
             f"covering {len(filled)} distinct (sub, code) keys; want exactly "
-            f"the {PQ_M}x{PQ_K} grid"
+            f"the {PQ_M}x{PQ_K} grid with one row per cell"
         )
 
     idx = spark.read.parquet(index_path)

@@ -127,32 +127,114 @@ def _q_dedup_ngram_jaccard_decorated(spark: SparkSession, sf_dir: str) -> DataFr
     return staged_ngram_pairs(spark, sf_dir)
 
 
-# --- staged pair frame -----------------------------------------------------
-# The LSH pair pipeline feeds FOUR consumers (dedup_ngram_jaccard,
-# dedup_components, dedup_near_apply, split_leakage_check). Re-deriving it
-# per consumer is how the self-contained oracle forms are specified, but a
-# production pipeline materializes the pair frame ONCE and every downstream
-# step reads the artifact — at 100 TB the pairs table is the classic staging
-# table between the LSH job and the dedup/audit jobs (pairs ≪ docs by
-# construction, so the artifact is tiny relative to the corpus). The stage is
-# keyed per (Spark application, corpus dir); consumers read the parquet, so
-# the corpus is tokenized/hashed exactly once per session no matter how many
-# downstream queries run.
+# --- staged signature + pair frames ----------------------------------------
+# The MinHash family has TWO natural staging tables, mirroring a production
+# 100 TB pipeline:
+#   1. the SIGNATURE frame (doc_id, hs[], n_sh) — one tokenize→shingle→md5
+#      pass over the corpus text, the expensive CPU stage. Every consumer
+#      (in-memory pair join, persisted band index build, index probe)
+#      derives band sketches from it; staging it once means ONE md5 pass
+#      per session across the whole family.
+#   2. the PAIR frame (doc_a, doc_b, jaccard) — the LSH candidate-join +
+#      exact-verify output, feeding four consumers (dedup_ngram_jaccard,
+#      dedup_components, dedup_near_apply, split_leakage_check). Pairs ≪
+#      docs by construction, so the artifact is tiny relative to the corpus.
+# Both caches are keyed per (Spark application, corpus FINGERPRINT) — path
+# plus documents.parquet (mtime_ns, size) — so rewriting the corpus at the
+# same path within one application re-stages instead of silently serving
+# stale artifacts (an immutability assumption the previous path-only key
+# left implicit). Consumers read the parquet artifacts, so the corpus is
+# tokenized/hashed exactly once per session no matter how many downstream
+# queries run; everything is md5-deterministic, so each consumer's
+# self-contained DuckDB oracle still replays the staged values bit-for-bit.
 
-_STAGED_PAIRS: dict[tuple[str, str], str] = {}
+_CorpusKey = tuple[str, str, int, int]
+
+_STAGED_SIGS: dict[_CorpusKey, str] = {}
+_STAGED_PAIRS: dict[_CorpusKey, str] = {}
+
+
+def _corpus_key(spark: SparkSession, sf_dir: str) -> _CorpusKey:
+    """Cache key = (appId, normalized dir, documents.parquet mtime_ns, size).
+    A directory-style parquet table folds every data file's (mtime, size)
+    into the fingerprint."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    mtime_ns, size = 0, 0
+    if os.path.isdir(p):
+        for root, _dirs, files in os.walk(p):
+            for fn in files:
+                st = os.stat(os.path.join(root, fn))
+                mtime_ns = max(mtime_ns, st.st_mtime_ns)
+                size += st.st_size
+    else:
+        st = os.stat(p)
+        mtime_ns, size = st.st_mtime_ns, st.st_size
+    return (
+        spark.sparkContext.applicationId,
+        os.path.normpath(sf_dir),
+        mtime_ns,
+        size,
+    )
+
+
+def stage_shingle_signatures(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Materialize the per-doc shingle-signature frame (the corpus md5 pass)
+    to a parquet staging artifact — once per application + corpus
+    fingerprint. ``force`` re-runs the pass, which the bench uses so the
+    stage cost stays measured instead of hidden. Returns the artifact
+    path."""
+    key = _corpus_key(spark, sf_dir)
+    path = _STAGED_SIGS.get(key)
+    if path is None or force:
+        if path is None:
+            path = os.path.join(tempfile.mkdtemp(prefix="tv_sig_stage_"), "signatures")
+        shingle_signatures(_docs(spark, sf_dir)).write.mode("overwrite").parquet(path)
+        _STAGED_SIGS[key] = path
+    return path
+
+
+def staged_shingle_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs, n_sh) from the staging artifact — stages on first use.
+    Parquet-backed, so downstream band/verify frames re-scan the artifact
+    (cheap, size-statted) instead of re-running the md5 pass."""
+    return spark.read.parquet(stage_shingle_signatures(spark, sf_dir))
+
+
+@query(
+    "minhash_sig_stage",
+    f"""WITH {NGRAM_SKETCH_CTES}
+    SELECT doc_id, CAST(n_sh AS INTEGER) AS n_sh FROM sh""",
+)
+def q_minhash_sig_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature-staging job itself, as a benchable query: ALWAYS
+    re-runs the corpus md5 pass (force=True) and returns the artifact's
+    (doc_id, n_sh) slice. bench.py places this before every minhash-family
+    consumer so the one-time md5 cost is measured explicitly; the hs
+    digests themselves are value-checked through every pair-frame
+    consumer's oracle."""
+    return spark.read.parquet(stage_shingle_signatures(spark, sf_dir, force=True)).select(
+        "doc_id", "n_sh"
+    )
 
 
 def stage_ngram_pairs(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
     """Materialize the near-dup pair frame to a parquet staging artifact
-    (once per Spark application + corpus dir; ``force`` re-runs the full
-    pipeline, which the bench uses so the stage cost stays measured instead
-    of hidden). Returns the artifact path."""
-    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    (once per Spark application + corpus fingerprint; ``force`` re-runs the
+    band/join/verify pipeline — from the staged signature artifact, NOT a
+    fresh md5 pass — which the bench uses so the stage cost stays measured
+    instead of hidden). Returns the artifact path."""
+    key = _corpus_key(spark, sf_dir)
     path = _STAGED_PAIRS.get(key)
     if path is None or force:
         if path is None:
             path = os.path.join(tempfile.mkdtemp(prefix="tv_pairs_stage_"), "pairs")
-        ngram_jaccard_pairs(_docs(spark, sf_dir)).write.mode("overwrite").parquet(path)
+        pairs = ngram_jaccard_pairs(
+            _docs(spark, sf_dir),
+            signatures=staged_shingle_signatures(spark, sf_dir),
+        )
+        pairs.write.mode("overwrite").parquet(path)
         _STAGED_PAIRS[key] = path
     return path
 
@@ -167,11 +249,11 @@ def staged_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ngram_pairs_stage", NGRAM_PAIRS_SQL)
 def q_ngram_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The staging job itself, as a benchable query: ALWAYS re-runs the LSH
-    pipeline end-to-end (force=True) and returns the artifact's content.
-    bench.py places this before the four consumers so the one-time pipeline
-    cost is measured explicitly rather than buried in whichever consumer
-    happens to run first."""
+    """The pair-staging job itself, as a benchable query: ALWAYS re-runs the
+    band-join + exact-verify pipeline (force=True, reading the staged
+    signature artifact) and returns the artifact's content. bench.py places
+    this after minhash_sig_stage and before the four pair consumers, so
+    each pipeline stage's cost is measured exactly once and explicitly."""
     return spark.read.parquet(stage_ngram_pairs(spark, sf_dir, force=True))
 
 
@@ -223,6 +305,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     n_bands: int = NGRAM_BANDS,
     broadcast_max_docs: int = NGRAM_BROADCAST_MAX_DOCS,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup detection: word-3-gram shingle Jaccard, MinHash-banded.
 
@@ -265,8 +348,14 @@ def ngram_jaccard_pairs(
     # job that touches the RDD materializes it and every later job reuses
     # the blocks — same single compute, but no separate up-front
     # materialization job (measured: removes the worst-case bench tail,
-    # 4.6s -> 2.5s cold, identical results).
-    sh = shingle_signatures(docs).localCheckpoint(eager=False)
+    # 4.6s -> 2.5s cold, identical results). When a pre-staged signature
+    # frame is supplied (stage_shingle_signatures' parquet artifact) the
+    # md5 pass is skipped entirely — the artifact is already a
+    # materialized, re-scannable source, so no checkpoint is needed.
+    if signatures is not None:
+        sh = signatures
+    else:
+        sh = shingle_signatures(docs).localCheckpoint(eager=False)
     banded = band_sketch(sh, n_bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -131,6 +131,15 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
     deterministic and tz-proof — and convert back to TIMESTAMP in one
     projection on the way out.
 
+    State-schema compatibility: the value-state tuple is 5 fields
+    (``has_value`` was added alongside ``has_ts`` for the NULL-sum
+    contract). A checkpoint written by the earlier 4-field schema canNOT be
+    restored by this version — stateful schema evolution on a running query
+    fails at restart. Deploying this version over an existing stream
+    requires a NEW checkpoint directory (reprocess from the source or
+    accept a state reset); this is Spark's standard stateful-upgrade
+    constraint, called out here because the field addition is ours.
+
     Environment seam (same policy as multimodal's codec tiers): the
     transformWithState Python driver worker requires ``protobuf`` (its
     state-server protocol), which this sandbox doesn't ship — the import

@@ -74,6 +74,75 @@ def test_bpe_greedy_ltr_parity_on_odd_runs(spark, bpe_dir):
     assert "a aa" not in round2
 
 
+def _train_reference(word_counts, rounds, merges_per_round):
+    """Sequential pure-Python BPE trainer with the exact production
+    semantics: per round, count adjacent pairs over every word's current
+    segmentation (each in-word occurrence counts, weighted by word count),
+    take the top ``merges_per_round`` by (count DESC, pair ASC), then apply
+    ALL of them in one greedy-LTR no-re-merge pass per word."""
+    seg = {w: [c for c in w] for w in word_counts}
+    merge_rows = []
+    for r in range(1, rounds + 1):
+        pair_counts: dict[str, int] = {}
+        for w, toks in seg.items():
+            n = word_counts[w]
+            for i in range(len(toks) - 1):
+                p = f"{toks[i]} {toks[i + 1]}"
+                pair_counts[p] = pair_counts.get(p, 0) + n
+        top = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :merges_per_round
+        ]
+        if not top:
+            break
+        merge_rows += [(r, i + 1, p, c) for i, (p, c) in enumerate(top)]
+        merges = {p for p, _ in top}
+        seg = {w: _merge_step_reference(toks, merges) for w, toks in seg.items()}
+    return merge_rows, seg
+
+
+def test_bpe_trainer_full_depth_differential(spark):
+    """Sequential-reference differential at BPE_ROUNDS_FULL (16) depth on a
+    randomized corpus — the r5 verdict's ask: the hash oracle pins only the
+    3-round prefix of the 1k-merge trainer, so the beyond-prefix rounds
+    need a direct reference, not prefix-implied trust. A small
+    merges_per_round (3) over long low-entropy words keeps every one of the
+    16 rounds learning something (64 merges/round on a tiny alphabet would
+    exhaust the pair space in a few rounds and leave the tail rounds
+    untested); both the full merge table (pair AND weight, all 16 rounds)
+    and the final per-word segmentation must match exactly."""
+    import random
+
+    from temporalvault_spark.operators.llm import BPE_ROUNDS_FULL, bpe_train_segment
+
+    rng = random.Random(0xB9E)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 24)))
+        for _ in range(40)
+    ]
+    docs_text = []
+    for _ in range(30):
+        docs_text.append(" ".join(rng.choice(words) for _ in range(rng.randint(1, 8))))
+    docs = spark.createDataFrame([(t,) for t in docs_text], "text string")
+
+    word_counts: dict[str, int] = {}
+    for t in docs_text:
+        for w in t.lower().strip().split(" "):
+            if w:
+                word_counts[w] = word_counts.get(w, 0) + 1
+
+    ref_rows, ref_seg = _train_reference(word_counts, BPE_ROUNDS_FULL, 3)
+    got_rows, got_seg_df = bpe_train_segment(docs, BPE_ROUNDS_FULL, 3)
+
+    assert got_rows == ref_rows, (
+        f"merge-table divergence: first diff "
+        f"{next((a, b) for a, b in zip(got_rows, ref_rows) if a != b)}"
+    )
+    # deep rounds actually ran — the differential covers the full depth
+    assert max(r for r, _, _, _ in got_rows) == BPE_ROUNDS_FULL
+    got_seg = {r["word"]: list(r["toks"]) for r in got_seg_df.collect()}
+    assert got_seg == ref_seg
+
+
 def _merge_step_reference(toks, merges):
     """Straightforward greedy left-to-right single-pass merge: at each
     position, if (cur, next) is a merge pair, fuse and skip both (a token

@@ -126,3 +126,24 @@ def test_search_validates_probe_and_codebook(spark, sf_dir, index_path, probe_ve
     )
     with pytest.raises(ValueError, match="cells"):
         ivfpq_search(spark, corrupt, probe_vec, k=5)
+
+
+def test_search_rejects_duplicate_codebook_rows(spark, index_path, probe_vec, tmp_path_factory):
+    """A codebook holding the full grid PLUS a duplicate (sub, code) row
+    with a conflicting codeword passes the distinct-coverage check (filled
+    is a set) yet leaves the ADC entry dependent on collect() order — the
+    row-count check must refuse it (ADVICE r5)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    dup = str(tmp_path_factory.mktemp("ivfpq_dup") / "index")
+    shutil.copytree(index_path, dup)
+    cb = spark.read.parquet(f"{index_path}/_codebook")
+    extra = cb.filter("sub = 0 AND code = 0").withColumn(
+        "cw", F.expr("transform(cw, x -> x + 1000.0)")
+    )
+    shutil.rmtree(f"{dup}/_codebook")
+    cb.unionByName(extra).coalesce(1).write.parquet(f"{dup}/_codebook")
+    with pytest.raises(ValueError, match="one row per cell"):
+        ivfpq_search(spark, dup, probe_vec, k=5)

@@ -150,3 +150,62 @@ def test_dedup_ingest_crash_window_replay_is_idempotent(spark, tmp_path_factory)
     probe = _docs_df(spark, [NEAR], id0=500)
     hits = query_minhash_index(spark, idx, probe).collect()
     assert [(r["query_doc"], r["index_doc"]) for r in hits] == [(500, 0)]
+
+
+def test_pre_meta_index_readable_via_bkt_chars_fallback(spark, tmp_path_factory, monkeypatch):
+    """An index persisted by pre-sidecar code (fixed 2-char buckets, no
+    _meta directory) must stay readable: _read_bkt_chars falls back to
+    bkt_chars=2 instead of dying in a parquet AnalysisException. Simulated
+    by building with a forced 2-char width, then deleting _meta."""
+    import os
+    import shutil
+
+    from temporalvault_spark.operators import minhash_index as mi
+
+    monkeypatch.setattr(mi, "_bkt_chars_for", lambda n: 2)  # the old format
+    corpus = _docs_df(spark, [BASE, FAR])
+    path = str(tmp_path_factory.mktemp("mh_premeta") / "idx")
+    build_minhash_index(corpus, path)
+    with_meta = {
+        (r["query_doc"], r["index_doc"]): r["jaccard"]
+        for r in query_minhash_index(spark, path, _docs_df(spark, [NEAR], id0=100)).collect()
+    }
+    shutil.rmtree(f"{path}/_meta")
+    assert not os.path.exists(f"{path}/_meta")
+    no_meta = {
+        (r["query_doc"], r["index_doc"]): r["jaccard"]
+        for r in query_minhash_index(spark, path, _docs_df(spark, [NEAR], id0=100)).collect()
+    }
+    assert no_meta == with_meta and (100, 0) in no_meta
+
+
+def test_build_and_probe_with_pre_staged_signatures(spark, tmp_path_factory):
+    """The signatures= short-circuit (one md5 pass per session) must be
+    value-identical to the self-computed path on both the build and probe
+    sides."""
+    from temporalvault_spark.operators.llm import shingle_signatures
+
+    corpus = _docs_df(spark, [BASE, FAR])
+    batch = _docs_df(spark, [NEAR, NOVEL], id0=100)
+    root = tmp_path_factory.mktemp("mh_sig")
+
+    # the staged-artifact shape: signatures round-tripped through parquet
+    sig_all = str(root / "sigs")
+    shingle_signatures(corpus.unionByName(batch)).write.parquet(sig_all)
+    sigs = spark.read.parquet(sig_all)
+
+    p_plain, p_staged = str(root / "idx_plain"), str(root / "idx_staged")
+    build_minhash_index(corpus, p_plain)
+    build_minhash_index(corpus, p_staged, signatures=sigs.filter("doc_id < 100"))
+
+    plain = {
+        (r["query_doc"], r["index_doc"]): r["jaccard"]
+        for r in query_minhash_index(spark, p_plain, batch).collect()
+    }
+    staged = {
+        (r["query_doc"], r["index_doc"]): r["jaccard"]
+        for r in query_minhash_index(
+            spark, p_staged, batch, signatures=sigs.filter("doc_id >= 100")
+        ).collect()
+    }
+    assert staged == plain and (100, 0) in staged

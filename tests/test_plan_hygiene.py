@@ -412,3 +412,43 @@ def test_staged_pairs_value_identical_to_pipeline(spark, sf_dir):
     direct = sorted(map(tuple, ngram_jaccard_pairs(docs).collect()))
     staged = sorted(map(tuple, staged_ngram_pairs(spark, sf_dir).collect()))
     assert staged == direct
+
+
+def test_staged_artifacts_restage_on_corpus_rewrite(spark, tmp_path_factory):
+    """The staging caches are keyed on a corpus FINGERPRINT (documents.parquet
+    mtime_ns + size), not just the path: rewriting the corpus at the same
+    path within one application must re-stage signatures AND pairs instead
+    of silently serving stale artifacts (r5 verdict #8 / ADVICE)."""
+    import os
+    import shutil
+    import time
+
+    import pandas as pd
+
+    from tests.conftest import SF_SMALL
+    from temporalvault_spark.operators.llm import staged_ngram_pairs
+
+    dst = str(tmp_path_factory.mktemp("restage"))
+    for f in os.listdir(SF_SMALL):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SF_SMALL, f), os.path.join(dst, f))
+
+    base = "the quick brown fox jumps over the lazy dog in the sunny garden today"
+    near = base.replace("quick", "cold")
+    far = "a totally different document about distributed query engines at scale"
+
+    def write_docs(texts):
+        pdf = pd.DataFrame(
+            [dict(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+             for i, t in enumerate(texts)]
+        )
+        pdf["doc_id"] = pdf["doc_id"].astype("int64")
+        pdf["n_chars"] = pdf["n_chars"].astype("int64")
+        pdf.to_parquet(os.path.join(dst, "documents.parquet"), index=False)
+
+    write_docs([base, near])  # one near-dup pair
+    assert staged_ngram_pairs(spark, dst).count() == 1
+
+    time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse filesystems
+    write_docs([base, far])  # rewrite: no near-dup pair anymore
+    assert staged_ngram_pairs(spark, dst).count() == 0

@@ -22,7 +22,7 @@ the property that makes the exponents meaningful for the dedup tier:
   FACTOR. Dimension tables stay fixed (facts grow, dims don't — the
   realistic shape).
 
-Usage: python tools/scale_stress.py [factor] [n_queries]
+Usage: python tools/scale_stress.py [factor] [n_queries] [extra,names]
 Writes /tmp/scale_stress_result.json and prints a markdown table for
 SCALE.md.
 """
@@ -146,6 +146,12 @@ def main() -> None:
         name
         for name, _ in sorted(bench["queries"].items(), key=lambda kv: -kv[1])[:n_q]
     ]
+    # argv[3]: comma-separated extra queries to measure regardless of rank
+    # (e.g. the staging jobs, whose cost the exponent table must cover even
+    # when they drop out of the slowest-N)
+    for name in sys.argv[3].split(",") if len(sys.argv) > 3 else []:
+        if name and name not in slow:
+            slow.append(name)
 
     results = {}
     for name in slow:

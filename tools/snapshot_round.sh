@@ -1,0 +1,34 @@
+#!/bin/bash
+# End-of-round snapshot: refresh the local ledgers and stage every round
+# artifact so `git status` is clean when the driver takes over (r5 verdict
+# #1 — artifact tracking is mechanical now, not willpower).
+#
+# Usage: bash tools/snapshot_round.sh [--skip-bench] [--skip-oracle]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SKIP_BENCH=0
+SKIP_ORACLE=0
+for a in "$@"; do
+    case "$a" in
+        --skip-bench) SKIP_BENCH=1 ;;
+        --skip-oracle) SKIP_ORACLE=1 ;;
+    esac
+done
+
+if [ "$SKIP_ORACLE" -eq 0 ]; then
+    echo "== driver_sim (full registry oracle check, sf0.01) =="
+    python tools/driver_sim.py /root/testdata/sf0.01 CORRECTNESS_LOCAL.json
+fi
+
+if [ "$SKIP_BENCH" -eq 0 ]; then
+    echo "== bench (sf0.1) =="
+    python bench.py | tail -1 > BENCH_LOCAL.json
+    cat BENCH_LOCAL.json
+fi
+
+echo "== staging round artifacts =="
+git add -- BENCH_r*.json CORRECTNESS_r*.json BENCH_LOCAL.json \
+    CORRECTNESS_LOCAL.json 2>/dev/null || true
+git add -- SURVEY.md COVERAGE.md SCALE.md PLANS.md FIXTURES.md 2>/dev/null || true
+git status --short
