@@ -49,6 +49,13 @@ def _bkt_chars_for(n_docs: int) -> int:
     return 2 if n_docs > 1_000_000 else 1
 
 
+# (path, _meta mtime) -> bkt_chars: the sidecar is one int, but reading it
+# is a full Spark parquet job (~0.1-0.2s) — per-PROBE that's pure overhead,
+# so cache it keyed on the sidecar's mtime (an append never rewrites _meta;
+# a rebuild does, which bumps the mtime and invalidates the entry)
+_BKT_CHARS_CACHE: dict[tuple[str, int], int] = {}
+
+
 def _read_bkt_chars(spark: SparkSession, path: str) -> int:
     """Bucket width from the index's ``_meta`` sidecar. Indexes persisted by
     pre-sidecar builds (fixed 2-char buckets, no ``_meta`` directory) fall
@@ -57,7 +64,12 @@ def _read_bkt_chars(spark: SparkSession, path: str) -> int:
     meta = f"{path}/_meta"
     if not os.path.isdir(meta) and not os.path.isfile(meta):
         return 2  # pre-_meta index format: fixed 2-hex-char buckets
-    return spark.read.parquet(meta).first()["bkt_chars"]
+    key = (os.path.normpath(meta), os.stat(meta).st_mtime_ns)
+    got = _BKT_CHARS_CACHE.get(key)
+    if got is None:
+        got = spark.read.parquet(meta).first()["bkt_chars"]
+        _BKT_CHARS_CACHE[key] = got
+    return got
 
 
 def build_minhash_index(
