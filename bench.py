@@ -134,6 +134,9 @@ HEADLINE = [
     # round 6: production-depth 1k-merge BPE tier (r5 verdict #2)
     "bpe_train_merges_1k",
     "token_count_bpe_1k",
+    # round 6: large x large interval-overlap via binned equi-join (the
+    # range-join strategy BNLJ can't survive at scale)
+    "sessions_overlap_binned",
 ]
 
 

@@ -727,3 +727,42 @@ def q_win_rolling_1h_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_events_1h"),
         F.round(F.sum("value").over(w), 2).alias("sum_value_1h"),
     )
+
+
+@query(
+    "agg_stats_moments",
+    """SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS std_price,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(skewness(l_quantity) * (COUNT(*) - 2)
+                 / sqrt(COUNT(*) * (COUNT(*) - 1.0)), 6) AS skew_qty,
+           ROUND(kurtosis_pop(l_quantity), 6) AS kurt_qty
+    FROM lineitem GROUP BY l_returnflag""",
+)
+def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregate family in ONE hash aggregate: stddev,
+    Pearson correlation, sample covariance, skewness, excess kurtosis per
+    group — all JVM builtins (declarative moment accumulators with
+    map-side partial merge; the shuffle carries one fixed-width moment
+    tuple per group, never rows). Cross-engine definition parity is part
+    of the contract and non-trivial: Spark's skewness/kurtosis are the
+    POPULATION moments (g1, g2 = m3/m2^1.5, m4/m2^2 - 3) while DuckDB's
+    skewness is the sample-adjusted G1 — the oracle converts via
+    g1 = G1 * (n-2)/sqrt(n(n-1)) and uses kurtosis_pop (verified equal to
+    Spark's definition). Rounding (2dp on price-scale, 6dp on
+    dimensionless) absorbs summation-order float noise between engines."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+    )

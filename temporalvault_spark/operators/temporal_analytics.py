@@ -395,3 +395,170 @@ def user_path_pairs(ev: DataFrame) -> DataFrame:
             "len_b",
         )
     )
+
+
+# --- interval-overlap join (binned range join) -------------------------------
+
+INTERVAL_BIN_SECS = 3600  # ~median session length; see docstring trade note
+
+
+def interval_overlap_pairs_binned(
+    iv: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+    bin_secs: int = INTERVAL_BIN_SECS,
+) -> DataFrame:
+    """All overlapping interval pairs (key_a < key_b) from one interval
+    frame, WITHOUT a nested-loop join — the binned range-join strategy.
+
+    Spark plans a pure inequality (theta) join as BroadcastNestedLoopJoin:
+    O(|A| x |B|) comparisons, fine against an O(10)-row bucket table
+    (q_join_range_theta) and catastrophic for a large x large interval
+    overlap. The bin trick restores an EQUI join: every interval explodes
+    to the epoch bins it covers, candidates are pairs sharing a bin, and
+    the exact predicate verifies. Cost scales with temporal DENSITY
+    (intervals alive per bin), not |A| x |B|.
+
+    Two load-bearing details:
+      1. NO dedup pass: a pair sharing k bins would surface k times, so the
+         join keeps a pair only in the bin of GREATEST(start_a, start_b) —
+         for genuinely overlapping intervals both sides cover that bin and
+         it is unique, so each pair emerges exactly once (near-miss pairs
+         in the same bin emerge once too and are dropped by the exact
+         predicate). This replaces a corpus-scale distinct (a full extra
+         shuffle) with a filter evaluated inside the join.
+      2. bin width trades explode fan-out against candidate density: width
+         ~ the median interval length keeps both ~O(1) per interval. A
+         flash-crowd bin (thousands of intervals alive at once) is the
+         skew case — AQE's skew-join split handles it at runtime since
+         this is a plain shuffle equi-join.
+
+    The shuffle carries only (key, start_ep, end_ep, bin) — intervals, not
+    payloads; rejoin payloads to the surviving pairs if needed.
+    """
+    # microsecond epochs, not unix_timestamp: second-truncated endpoints
+    # shift sub-second overlaps by one vs an oracle computing on full
+    # precision (observed as off-by-one overlap_sec at sf0.01)
+    bin_us = bin_secs * 1_000_000
+    b = (
+        iv.select(
+            F.col(key),
+            F.unix_micros(start).alias("s_ep"),
+            F.unix_micros(end).alias("e_ep"),
+            F.col(start).alias("s_ts"),
+            F.col(end).alias("e_ts"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("s_ep") / bin_us).cast("bigint"),
+                    F.floor(F.col("e_ep") / bin_us).cast("bigint"),
+                )
+            ),
+        )
+    )
+    a, c = b.alias("a"), b.alias("b")
+    overlap_start = F.greatest(F.col("a.s_ep"), F.col("b.s_ep"))
+    return (
+        a.join(
+            c,
+            (F.col("a.bin") == F.col("b.bin"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}"))
+            # the one-bin-per-pair guard (detail 1 above)
+            & (F.col("a.bin") == F.floor(overlap_start / bin_us).cast("bigint"))
+            # exact overlap predicate, strict (positive-length overlap)
+            & (F.col("a.s_ep") < F.col("b.e_ep"))
+            & (F.col("b.s_ep") < F.col("a.e_ep")),
+        )
+        .select(
+            F.col(f"a.{key}").alias(f"{key}_a"),
+            F.col(f"b.{key}").alias(f"{key}_b"),
+            F.col("a.s_ts").alias("a_start"),
+            F.col("b.s_ts").alias("b_start"),
+            F.floor(
+                (F.least(F.col("a.e_ep"), F.col("b.e_ep")) - overlap_start)
+                / 1_000_000
+            )
+            .cast("bigint")
+            .alias("overlap_sec"),
+        )
+    )
+
+
+# Session intervals derive from the SAME gaps-and-islands ground truth as
+# win_session (timewindow.SESSION_ORACLE_SQL) — one rendering of the rule.
+_SESS_IV_CTES = """d AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM d
+    ), sess AS (
+        SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM s GROUP BY user_id, sess_id)"""
+
+
+@query(
+    "sessions_overlap_binned",
+    f"""WITH {_SESS_IV_CTES}
+    SELECT a.user_id AS user_id_a, b.user_id AS user_id_b,
+           a.s_start AS a_start, b.s_start AS b_start,
+           CAST(floor((epoch_us(LEAST(a.s_end, b.s_end))
+                - epoch_us(GREATEST(a.s_start, b.s_start))) / 1000000.0)
+                AS BIGINT) AS overlap_sec
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id
+     AND a.s_start < b.s_end AND b.s_start < a.s_end
+    ORDER BY overlap_sec DESC, user_id_a, user_id_b, a_start, b_start
+    LIMIT 100""",
+)
+def q_sessions_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-presence: the top-100 longest overlaps between DIFFERENT users'
+    activity sessions — a large x large interval-overlap join (every user's
+    sessions against every other user's), the query shape Spark would
+    otherwise plan as an O(n^2) BroadcastNestedLoopJoin. Runs as the binned
+    equi-join (interval_overlap_pairs_binned): candidates scale with
+    sessions-alive-per-hour, not sessions^2; the oracle replays the naive
+    inequality join, which DuckDB can afford at sf0.01. Deterministic
+    top-100 via a total order (overlap desc, users, starts). Plan pinned by
+    tests/test_plan_hygiene.py: zero BroadcastNestedLoopJoin, candidates
+    flow through a hash equi-join."""
+    ev = _cat(spark, sf_dir).table("events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    d = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap >= 1800), 1).otherwise(0),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        d.withColumn("sess_id", F.sum("new_sess").over(cum))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    pairs = interval_overlap_pairs_binned(sess, "user_id", "s_start", "s_end")
+    return (
+        pairs.select(
+            F.col("user_id_a"),
+            F.col("user_id_b"),
+            "a_start",
+            "b_start",
+            "overlap_sec",
+        )
+        .orderBy(
+            F.desc("overlap_sec"), "user_id_a", "user_id_b", "a_start", "b_start"
+        )
+        .limit(100)
+    )

@@ -452,3 +452,97 @@ def test_staged_artifacts_restage_on_corpus_rewrite(spark, tmp_path_factory):
     time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse filesystems
     write_docs([base, far])  # rewrite: no near-dup pair anymore
     assert staged_ngram_pairs(spark, dst).count() == 0
+
+
+def test_interval_overlap_join_is_binned_equi_not_bnlj(q):
+    """The large x large session-overlap join must run as the binned EQUI
+    join — zero BroadcastNestedLoopJoin / CartesianProduct anywhere in the
+    plan (the naive inequality-join formulation Spark would otherwise pick;
+    the tiny-dim theta join q_join_range_theta is where BNLJ is correct)."""
+    c = plan_counts(q("sessions_overlap_binned"))
+    assert c["BroadcastNestedLoopJoin"] == 0 and c["CartesianProduct"] == 0
+    assert (
+        c["BroadcastHashJoin"] + c["SortMergeJoin"] + c.get("ShuffledHashJoin", 0)
+        >= 1
+    )
+
+
+def test_interval_overlap_pair_emitted_exactly_once_across_bins(spark):
+    """The one-bin-per-pair guard: a pair of long overlapping intervals
+    covers MANY shared hour-bins but must surface exactly once (the guard
+    keeps it only in the bin of greatest(start) — no distinct pass), with
+    the exact overlap length; near-miss same-bin intervals must not pair."""
+    import datetime as dt
+
+    from temporalvault_spark.operators.temporal_analytics import (
+        interval_overlap_pairs_binned,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(uid, start_min, end_min):
+        return (
+            uid,
+            t0 + dt.timedelta(minutes=start_min),
+            t0 + dt.timedelta(minutes=end_min),
+        )
+
+    iv = spark.createDataFrame(
+        [
+            mk(1, 0, 300),     # 5h interval: covers bins 0..5
+            mk(2, 30, 270),    # overlaps user 1 for 240 min across 5 shared bins
+            mk(3, 400, 410),   # same bin as user 4 but disjoint (near miss)
+            mk(4, 411, 420),
+        ],
+        "user_id bigint, s_start timestamp, s_end timestamp",
+    )
+    rows = interval_overlap_pairs_binned(iv, "user_id", "s_start", "s_end").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id_a"], r["user_id_b"], r["overlap_sec"]) == (1, 2, 240 * 60)
+
+
+def test_interval_overlap_binned_matches_bruteforce_property(spark):
+    """Randomized differential: the binned join must equal the O(n^2)
+    reference on EVERY interval configuration — especially bin-boundary
+    cases (intervals starting/ending exactly on an hour boundary,
+    zero-length intervals, touching-but-not-overlapping neighbors), which
+    are where a wrong floor/guard silently drops or duplicates pairs.
+    Minute-granular intervals inside a 5-hour span maximize boundary hits
+    with bins of one hour."""
+    import datetime as dt
+    import random
+
+    from temporalvault_spark.operators.temporal_analytics import (
+        interval_overlap_pairs_binned,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rng = random.Random(0x0B1)
+    for trial in range(8):
+        ivs = []
+        for uid in range(rng.randint(2, 14)):
+            # boundary-heavy: starts/ends drawn from multiples of 15 min,
+            # including exact hour marks and zero-length intervals
+            a = rng.randrange(0, 300, 15)
+            b = a + rng.choice([0, 15, 30, 60, 120, 180])
+            ivs.append((uid, a, b))
+        df = spark.createDataFrame(
+            [
+                (u, t0 + dt.timedelta(minutes=a), t0 + dt.timedelta(minutes=b))
+                for u, a, b in ivs
+            ],
+            "user_id bigint, s_start timestamp, s_end timestamp",
+        )
+        got = {
+            (r["user_id_a"], r["user_id_b"]): r["overlap_sec"]
+            for r in interval_overlap_pairs_binned(
+                df, "user_id", "s_start", "s_end"
+            ).collect()
+        }
+        want = {}
+        for (u1, a1, b1) in ivs:
+            for (u2, a2, b2) in ivs:
+                if u1 < u2 and a1 < b2 and a2 < b1:  # strict positive overlap
+                    want[(u1, u2)] = (min(b1, b2) - max(a1, a2)) * 60
+        assert got == want, (trial, ivs, got, want)

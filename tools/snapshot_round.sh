@@ -23,8 +23,14 @@ fi
 
 if [ "$SKIP_BENCH" -eq 0 ]; then
     echo "== bench (sf0.1) =="
-    python bench.py | tail -1 > BENCH_LOCAL.json
-    cat BENCH_LOCAL.json
+    # head -1 = the FULL per-query dump (tail -1 is the driver-facing
+    # trimmed summary); keep the full one locally for scale_stress +
+    # bench_compare
+    python bench.py | grep '^{"metric"' | head -1 > BENCH_LOCAL.json
+    python -c "import json;d=json.load(open('BENCH_LOCAL.json'));print(d['value'],'s,',len(d['queries']),'queries,',len(d.get('errors',{})),'errors')"
+    echo "== vs previous round =="
+    PREV=$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)
+    [ -n "$PREV" ] && python tools/bench_compare.py "$PREV" BENCH_LOCAL.json || true
 fi
 
 echo "== staging round artifacts =="
