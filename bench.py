@@ -137,6 +137,8 @@ HEADLINE = [
     # round 6: large x large interval-overlap via binned equi-join (the
     # range-join strategy BNLJ can't survive at scale)
     "sessions_overlap_binned",
+    # round 6: moments family in one hash aggregate
+    "agg_stats_moments",
 ]
 
 

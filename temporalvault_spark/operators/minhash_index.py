@@ -113,8 +113,13 @@ def build_minhash_index(
     )
     sh.write.mode(mode).parquet(f"{path}/_signatures")
     if not append:
-        spark.createDataFrame([(bkt_chars,)], "bkt_chars int").coalesce(
-            1
+        # JVM-native 1-row frame, NOT createDataFrame: a local-data frame
+        # parallelizes into defaultParallelism Python partitions, and
+        # coalesce(1) then runs all those Python-worker round-trips
+        # serially inside one task — measured 4-6s for this one-row write;
+        # range(...,numPartitions=1) + lit() stays entirely JVM-side (~0.1s)
+        spark.range(0, 1, 1, 1).select(
+            F.lit(bkt_chars).cast("int").alias("bkt_chars")
         ).write.mode("overwrite").parquet(f"{path}/_meta")
 
 

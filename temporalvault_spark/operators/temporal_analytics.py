@@ -535,10 +535,14 @@ def q_sessions_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # microsecond-precision gap test: unix_timestamp() truncates to whole
+    # seconds, so a 1799.9s gap would split here while the oracle's
+    # full-precision `ts - LAG(ts) >= INTERVAL 30 MINUTE` keeps the session
+    # together (hit at sf0.1)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     d = ev.withColumn(
         "new_sess",
-        F.when(F.lag("ts").over(w).isNull() | (gap >= 1800), 1).otherwise(0),
+        F.when(F.lag("ts").over(w).isNull() | (gap >= 1_800_000_000), 1).otherwise(0),
     )
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
