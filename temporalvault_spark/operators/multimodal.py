@@ -79,7 +79,7 @@ def _image_header_dims(payload: bytes) -> tuple[int, int] | None:
         return int(w), int(h)
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         w, h = struct.unpack("<HH", payload[6:10])  # logical screen
-        return int(w), int(h)
+        return int(w), int(h)  # frame count via _gif_frame_count
     if payload[:2] == b"BM" and len(payload) >= 26:
         w, h = struct.unpack("<ii", payload[18:26])  # BITMAPINFOHEADER
         return int(w), abs(int(h))  # negative h = top-down rows
@@ -104,6 +104,49 @@ def _image_header_dims(payload: bytes) -> tuple[int, int] | None:
         if dims:
             return dims[0], dims[1]
     return None
+
+
+def _gif_frame_count(payload: bytes) -> int:
+    """Real GIF frame count by walking the block structure (not scanning
+    for 0x2C bytes, which collide with pixel data): skip the logical
+    screen descriptor + optional global color table, then count image
+    descriptors, hopping over extension blocks and LZW data sub-blocks by
+    their declared lengths. Falls back to 1 on a truncated/corrupt stream
+    (header dims already parsed; a partial count would be a lie)."""
+    import struct
+
+    try:
+        i = 10
+        packed = payload[10]
+        i += 3  # packed byte + background color index + aspect ratio
+        if packed & 0x80:  # global color table present
+            i += 3 * (2 ** ((packed & 0x07) + 1))
+        frames = 0
+        n = len(payload)
+        while i < n:
+            b = payload[i]
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension: label + length-prefixed sub-blocks
+                i += 2
+                while payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1  # block terminator
+            elif b == 0x2C:  # image descriptor
+                frames += 1
+                i += 10  # descriptor
+                lp = payload[i - 1]
+                if lp & 0x80:  # local color table
+                    i += 3 * (2 ** ((lp & 0x07) + 1))
+                i += 1  # LZW minimum code size
+                while payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+            else:
+                return max(1, frames)  # unknown block: stop, keep what's sure
+        return max(1, frames)
+    except IndexError:
+        return 1
 
 
 def _ppm_header(payload: bytes) -> tuple[int, int, int, int] | None:
@@ -142,13 +185,14 @@ def _real_decode(payload: bytes, kind: str) -> dict:
     if kind in ("image", "video"):
         dims = _image_header_dims(payload)
         if dims is not None:
+            is_gif = payload[:6] in (b"GIF87a", b"GIF89a")
             return {
                 "width": dims[0],
                 "height": dims[1],
-                # container frame count needs block-walking the pixel
-                # stream (GIF) or a real demuxer (video) — the header tier
-                # reports 1 and the library tier refines it
-                "n_frames": 1,
+                # GIF frame count is real (block walk); other containers
+                # are single-frame by definition here — video demuxing
+                # (ffmpeg) has no in-process tier
+                "n_frames": _gif_frame_count(payload) if is_gif else 1,
                 "sample_rate": 0,
                 "n_bytes": len(payload),
             }

@@ -203,3 +203,27 @@ def test_real_ppm_resize_numpy_pixels(spark):
     img = np.frombuffer(px, dtype=np.uint8).reshape(2, 4, 3)
     expect = img[[0]][:, [0, 2]].tobytes()  # nearest-neighbor rows/cols
     assert body == expect
+
+
+def test_real_gif_frame_count_block_walk(spark):
+    """GIF frame counting walks the block structure: a crafted 2-frame
+    animation (with a graphics-control extension and per-frame LZW
+    sub-blocks whose DATA bytes contain 0x2C decoys) counts exactly 2."""
+    import struct
+
+    def frame(x=0, y=0, w=2, h=2):
+        desc = b"\x2c" + struct.pack("<HHHH", x, y, w, h) + b"\x00"
+        # LZW min code size + one data sub-block containing 0x2C decoy bytes
+        return desc + b"\x02" + bytes([3, 0x2C, 0x2C, 0x2C]) + b"\x00"
+
+    gce = b"\x21\xf9" + bytes([4, 0, 0, 0, 0]) + b"\x00"
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HH", 2, 2)
+        + b"\x00\x00\x00"  # no global color table
+        + gce + frame() + gce + frame()
+        + b"\x3b"
+    )
+    df = spark.createDataFrame([(1, "image", payload, {})], mm.MEDIA_SCHEMA)
+    r = mm.decode_media(df).collect()[0]
+    assert (r["width"], r["height"], r["n_frames"]) == (2, 2, 2)
