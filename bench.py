@@ -31,6 +31,7 @@ HEADLINE = [
     "keys_alive_daily",
     "join_asof",
     "join_asof_tolerance",
+    "join_asof_forward",
     "win_rolling_1h_by_time",
     "agg_groupby_multi",
     "agg_grouping_sets",

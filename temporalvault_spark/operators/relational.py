@@ -306,6 +306,47 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward",
+    temporal_oracle(
+        f"""SELECT record_id, probe_ts, version, ts FROM (
+          SELECT t.record_id, p.probe_ts, t.version, t.ts,
+                 ROW_NUMBER() OVER (PARTITION BY t.record_id, p.probe_ts
+                                    ORDER BY t.version_num ASC) AS rn
+          FROM (SELECT DISTINCT record_id FROM temporal_records) k
+          CROSS JOIN (SELECT unnest([TIMESTAMP '{PROBE_TS_EARLY}',
+                                     TIMESTAMP '{PROBE_TS}',
+                                     TIMESTAMP '{PROBE_TS_LATE}']) AS probe_ts) p
+          JOIN temporal_records t
+            ON t.record_id = k.record_id AND t.ts >= p.probe_ts
+        ) x WHERE rn = 1"""
+    ),
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward' parity):
+    each (key, probe_ts) matched to the EARLIEST version at or after the
+    probe — "what's the next state change after T", the event-to-next-
+    observation join of feature pipelines. Identical plan shape to the
+    backward form (broadcast probe grid, one (record_id, probe_ts) window);
+    only the inequality and the window direction flip, so every scale
+    property of join_asof carries over. Keys with no version >= probe emit
+    nothing — forward semantics, matching merge_asof."""
+    c = _cat(spark, sf_dir)
+    tr = c.temporal_records
+    probes = spark.createDataFrame(
+        [(t,) for t in (PROBE_TS_EARLY, PROBE_TS, PROBE_TS_LATE)], "probe_ts_s string"
+    ).select(F.col("probe_ts_s").cast("timestamp").alias("probe_ts"))
+    w = Window.partitionBy("record_id", "probe_ts").orderBy(F.asc("version_num"))
+    return (
+        tr.crossJoin(F.broadcast(probes))
+        .filter(F.col("ts") >= F.col("probe_ts"))
+        .select("record_id", "probe_ts", "version", "ts", "version_num")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("record_id", "probe_ts", "version", "ts")
+    )
+
+
+@query(
     "join_range_theta",
     """WITH buckets(bucket, lo, hi) AS (
         VALUES ('low', 0.0, 25.0), ('mid', 25.0, 50.0),
