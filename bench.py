@@ -140,6 +140,8 @@ HEADLINE = [
     "sessions_overlap_binned",
     # round 6: moments family in one hash aggregate
     "agg_stats_moments",
+    # round 6: unpivot (Expand fan-out, one scan vs the oracle's four)
+    "unpivot_measures",
 ]
 
 

@@ -807,3 +807,33 @@ def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
         F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
     )
+
+
+@query(
+    "unpivot_measures",
+    """SELECT measure, COUNT(*) AS n, ROUND(SUM(val), 2) AS sum_val
+    FROM (
+        SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+    GROUP BY measure""",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide measure columns to long (measure, value) rows —
+    the reshape every metrics/monitoring pipeline needs before a generic
+    per-measure aggregate. Spark's native unpivot plans as a single Expand
+    node (each input row fans to 4 output rows IN PLACE, no join, no
+    shuffle before the aggregate), so the only exchange is the final
+    4-group aggregate — the oracle's UNION ALL of 4 scans shows exactly
+    why the operator exists: one scan instead of four."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"), F.round(F.sum("val"), 2).alias("sum_val")
+    )

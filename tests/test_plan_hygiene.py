@@ -546,3 +546,12 @@ def test_interval_overlap_binned_matches_bruteforce_property(spark):
                 if u1 < u2 and a1 < b2 and a2 < b1:  # strict positive overlap
                     want[(u1, u2)] = (min(b1, b2) - max(a1, a2)) * 60
         assert got == want, (trial, ivs, got, want)
+
+
+def test_unpivot_is_one_scan_expand(q):
+    """Native UNPIVOT must read the table ONCE (Expand fans rows in place);
+    the naive UNION-ALL formulation the oracle uses would scan it four
+    times."""
+    c = plan_counts(q("unpivot_measures"))
+    assert c["FileScan"] == 1
+    assert c["HashAggregate"] >= 2  # partial + final on the melted rows
