@@ -142,6 +142,8 @@ HEADLINE = [
     "agg_stats_moments",
     # round 6: unpivot (Expand fan-out, one scan vs the oracle's four)
     "unpivot_measures",
+    # round 6: exact distinct via mergeable bitmap partials
+    "agg_distinct_bitmap",
 ]
 
 

@@ -837,3 +837,34 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("measure").agg(
         F.count("*").alias("n"), F.round(F.sum("val"), 2).alias("sum_val")
     )
+
+
+@query(
+    "agg_distinct_bitmap",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+    FROM events WHERE user_id IS NOT NULL GROUP BY event_type""",
+)
+def q_agg_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via bitmap aggregation (Spark 3.5 bitmap_*
+    builtins): user_ids map to (bucket, bit-position), per-(group, bucket)
+    partial aggregates OR the 4096-bit bitmaps together, and the final pass
+    sums popcounts. Same answer as COUNT(DISTINCT) — the oracle IS
+    COUNT(DISTINCT) — but the shuffle carries fixed-width bitmaps that
+    merge associatively (map-side combine works; a COUNT(DISTINCT) shuffle
+    carries every distinct raw value and cannot partial-aggregate). This is
+    the exact-count counterpart of the HLL tier (functions/approx.py): HLL
+    when ~2% error is fine, bitmaps when the id space is dense integers and
+    the answer must be exact."""
+    ev = _cat(spark, sf_dir).table("events").filter(F.col("user_id").isNotNull())
+    per_bucket = (
+        ev.groupBy(
+            "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+        )
+        .agg(
+            F.expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))")
+            .alias("cnt")
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_distinct_users")
+    )
