@@ -144,6 +144,8 @@ HEADLINE = [
     "unpivot_measures",
     # round 6: exact distinct via mergeable bitmap partials
     "agg_distinct_bitmap",
+    # round 6: deterministic LISTAGG (sorted-set render)
+    "agg_listagg_sources",
 ]
 
 

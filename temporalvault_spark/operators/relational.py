@@ -868,3 +868,30 @@ def q_agg_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum("cnt").alias("n_distinct_users")
     )
+
+
+@query(
+    "agg_listagg_sources",
+    """SELECT lang,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv
+    FROM documents WHERE source IS NOT NULL GROUP BY lang""",
+)
+def q_agg_listagg_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg with DETERMINISTIC order: per language, the
+    distinct sources as one sorted CSV. Cross-engine string aggregation is
+    only hash-comparable when the order inside the string is total —
+    collect_set's arrival order is partition-scheduling-dependent, so the
+    engine sorts the SET before joining (array_sort then array_join; the
+    oracle's ORDER BY inside string_agg is the same statement). The
+    aggregate is still one hash aggregate with map-side partials: sets
+    union associatively; only the final sorted render is per-group."""
+    docs = load_catalog(spark, sf_dir).table("documents").filter(
+        F.col("source").isNotNull()
+    )
+    return docs.groupBy("lang").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+            "sources_csv"
+        ),
+    )

@@ -50,6 +50,10 @@ AUDITED = [
     ("minhash_sig_stage", "returned plan = bare artifact scan; the staged md5-pass WRITE runs eagerly inside the call (numbered repartition spreads the CPU) — see dedup_ngram_jaccard's notes for the pipeline plan"),
     ("ngram_pairs_stage", "returned plan = bare artifact scan; the staged band-join + exact-verify WRITE runs eagerly inside the call, reading the signature artifact — no second text scan"),
     ("dedup_incremental_probe", "PartitionFilters on (band, bkt) from the batch's own keys; broadcast batch signatures; index corpus never reshuffles"),
+    ("sessions_overlap_binned", "binned range join: equi-join on hour-bin, one-bin-per-pair guard inside the join condition — zero BNLJ/cartesian"),
+    ("unpivot_measures", "native melt: ONE FileScan + Expand fan-out in place; the UNION-ALL formulation would scan 4x"),
+    ("agg_distinct_bitmap", "exact distinct via mergeable bitmap partials: fixed-width bitmaps ride the shuffle, not raw distinct values"),
+    ("agg_stats_moments", "five moment families in ONE partial+final hash aggregate; shuffle carries one moment tuple per group"),
 ]
 
 
