@@ -437,6 +437,7 @@ class TemporalVault:
         date-partition pruning stands in for the timestamp index."""
         t0 = time.perf_counter()
         ts = parse_time(timestamp)
+        self._check_floor(ts, "query")
         key = ts.isoformat()
         if cache and key in self._cache:
             self._timed("query_cache_hit", t0)
@@ -465,6 +466,7 @@ class TemporalVault:
         meant to provide, models.py:27-38)."""
         t0 = time.perf_counter()
         ts = parse_time(timestamp)
+        self._check_floor(ts, "state_at")
         snap_ts, snap_df = self._nearest_snapshot(ts)
         if snap_df is None:
             log = self.log(until=ts)
@@ -645,6 +647,89 @@ class TemporalVault:
         )
         self._timed("compact", t0)
         return {"files_before": before, "files_after": after}
+
+    # -- retention ------------------------------------------------------------
+
+    def retention_floor(self) -> datetime | None:
+        """The time-travel floor set by expire(), or None: as-of reads below
+        it are refused (their history is gone)."""
+        p = f"{self.root}/_retention"
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return datetime.fromisoformat(f.read().strip())
+
+    def _check_floor(self, ts: datetime, op: str) -> None:
+        floor = self.retention_floor()
+        if floor is not None and ts < floor:
+            raise ValueError(
+                f"{op} at {ts.isoformat()} is below the retention floor "
+                f"{floor.isoformat()}: history before the floor was expired "
+                "(vault.expire); earlier as-of reads would silently return "
+                "baseline-collapsed state, so they are refused instead"
+            )
+
+    def expire(self, before) -> dict:
+        """Retention truncation: drop version history older than ``before``
+        while preserving every key's BASELINE — the latest version < cutoff
+        survives, so every as-of read at T >= cutoff (including
+        snapshot-accelerated reads) returns exactly what it returned before
+        the expire. This is the log-truncation/GDPR-retention operation an
+        append-only store needs once the log outgrows its useful history;
+        the reference has no analog (its log grows forever).
+
+        One job: tag keep = (ts >= cutoff) OR (row_number()=1 over
+        (key, version_num DESC) among pre-cutoff rows) — the same single
+        per-key shuffle every temporal op pays — then the rollback/compact
+        atomic directory swap. Time travel below the cutoff is gone BY
+        DESIGN, so the cutoff persists as a floor marker (_retention) and
+        query()/state_at() below it raise instead of silently returning
+        collapsed history. Snapshots are untouched: a snapshot at ts0 stays
+        exact for reads >= cutoff (per-key latest rows it contributes are
+        never expired-and-needed), and reads < cutoff are refused anyway."""
+        t0 = time.perf_counter()
+        self._recover_swaps()
+        cutoff = parse_time(before)
+        if not self._has_records():
+            return {"cutoff": cutoff.isoformat(), "n_expired": 0, "n_kept": 0}
+        log = self.log()
+        pre = log.filter(F.col("ts") < F.lit(cutoff))
+        w = Window.partitionBy("record_id").orderBy(
+            F.desc("version_num"), F.desc("ts"), F.desc("id")
+        )
+        baseline = (
+            pre.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        kept = log.filter(F.col("ts") >= F.lit(cutoff)).unionByName(baseline)
+        n_total = log.count()
+        tmp = f"{self.root}/.records_tmp_{uuid.uuid4().hex[:8]}"
+        (
+            kept.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+            .repartition("dt")
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(tmp)
+        )
+        old = f"{self.root}/.records_old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.records_path, old)
+        os.rename(tmp, self.records_path)
+        shutil.rmtree(old)
+        n_kept = self.spark.read.schema(RECORD_SCHEMA).parquet(
+            self.records_path
+        ).count()
+        floor = self.retention_floor()
+        if floor is None or cutoff > floor:
+            with open(f"{self.root}/_retention", "w") as f:
+                f.write(cutoff.isoformat())
+        self._invalidate()
+        self._timed("expire", t0)
+        return {
+            "cutoff": cutoff.isoformat(),
+            "n_expired": n_total - n_kept,
+            "n_kept": n_kept,
+        }
 
     def history(self, limit: int = 10) -> DataFrame:
         """Last N rollback entries, newest first (main.py:251-267) — planned

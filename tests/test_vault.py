@@ -322,3 +322,40 @@ def test_swap_crash_recovery(vault, spark):
     assert not os.path.isdir(f"{root}/.records_tmp_part")
     assert not os.path.isdir(f"{root}/.records_old_y")
     assert sorted((r["record_id"], r["version"]) for r in v4.log().collect()) == rows_before
+
+
+def test_expire_preserves_asof_at_and_after_cutoff(vault):
+    """Retention truncation: expire(cutoff) must leave state_at(T) for every
+    T >= cutoff bit-identical (per-key baselines survive), shrink the log,
+    and refuse as-of reads below the new floor."""
+    cutoff = datetime(2026, 1, 2, 6, 0, 0)  # after a1/c1/a2, before b1/a3
+    want_mid = {r["record_id"]: r["version"] for r in vault.state_at(cutoff).collect()}
+    want_end = {r["record_id"]: r["version"] for r in vault.state_at(TS["a3"]).collect()}
+    n_before = vault.log().count()
+
+    audit = vault.expire(cutoff)
+    assert audit["n_expired"] == 1  # only a/v1 is non-baseline pre-cutoff
+    assert audit["n_kept"] == n_before - 1
+
+    got_mid = {r["record_id"]: r["version"] for r in vault.state_at(cutoff).collect()}
+    got_end = {r["record_id"]: r["version"] for r in vault.state_at(TS["a3"]).collect()}
+    assert got_mid == want_mid and got_end == want_end
+    assert vault.retention_floor() == cutoff
+    with pytest.raises(ValueError, match="retention floor"):
+        vault.state_at(TS["a1"])
+    with pytest.raises(ValueError, match="retention floor"):
+        vault.query(TS["a1"])
+
+
+def test_expire_then_record_and_snapshot_reads_stay_correct(vault):
+    """Post-expire writes append normally, and snapshot-accelerated reads
+    above the floor still merge baseline + tail correctly."""
+    cutoff = datetime(2026, 1, 2, 6, 0, 0)
+    vault.expire(cutoff)
+    vault.record("a", {"x": "new"}, datetime(2026, 1, 4, 0, 0, 0))
+    vault.snapshot(datetime(2026, 1, 3, 12, 0, 0))  # between a3 and the new a4
+    got = {
+        r["record_id"]: r["version"]
+        for r in vault.state_at(datetime(2026, 1, 5)).collect()
+    }
+    assert got == {"a": "v4", "b": "v1", "c": "v1"}  # chain continued from v3
