@@ -47,6 +47,18 @@ class PyModel:
             # else: born after ts -> dropped
         self.rows = new_rows
 
+    def expire(self, cutoff):
+        """Retention: pre-cutoff rows collapse to ONE baseline per key (the
+        max (version_num, ts) row — vault.expire's window order)."""
+        pre = [r for r in self.rows if r[3] < cutoff]
+        post = [r for r in self.rows if r[3] >= cutoff]
+        baselines = {}
+        for key, vnum, data, rts in pre:
+            cur = baselines.get(key)
+            if cur is None or (vnum, rts) > (cur[1], cur[3]):
+                baselines[key] = (key, vnum, data, rts)
+        self.rows = post + list(baselines.values())
+
 
 ops_strategy = st.lists(
     st.one_of(
@@ -58,6 +70,7 @@ ops_strategy = st.lists(
         ),
         st.tuples(st.just("rollback"), st.sampled_from(range(len(TS_GRID)))),
         st.tuples(st.just("snapshot"), st.sampled_from(range(len(TS_GRID)))),
+        st.tuples(st.just("expire"), st.sampled_from(range(len(TS_GRID)))),
     ),
     min_size=3,
     max_size=8,
@@ -65,7 +78,7 @@ ops_strategy = st.lists(
 
 
 @settings(
-    max_examples=5,
+    max_examples=8,  # raised when expire joined the op mix (more interleavings)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -74,6 +87,7 @@ def test_vault_matches_model(spark, tmp_path_factory, ops):
     vault = TemporalVault(spark, str(tmp_path_factory.mktemp("pv")))
     model = PyModel()
     n_records = 0
+    floor = None  # retention floor: reads/rollbacks below it are refused
     for op in ops:
         if op[0] == "record":
             _, key, val, ti = op
@@ -83,9 +97,17 @@ def test_vault_matches_model(spark, tmp_path_factory, ops):
             n_records += 1
         elif op[0] == "rollback":
             _, ti = op
-            if n_records:  # rollback of an empty vault is a no-op in both
+            # rollback below the retention floor is refused by the vault
+            # (its state_at raises) — the driver skips it on both sides
+            if n_records and (floor is None or TS_GRID[ti] >= floor):
                 vault.rollback(TS_GRID[ti])
                 model.rollback(TS_GRID[ti])
+        elif op[0] == "expire":
+            _, ti = op
+            if n_records and (floor is None or TS_GRID[ti] >= floor):
+                vault.expire(TS_GRID[ti])
+                model.expire(TS_GRID[ti])
+                floor = TS_GRID[ti]
         else:  # snapshot: must be semantically invisible to every later read
             _, ti = op
             if n_records:
@@ -98,6 +120,10 @@ def test_vault_matches_model(spark, tmp_path_factory, ops):
     assert got == sorted(model.rows)
 
     for probe in (TS_GRID[2], TS_GRID[5], TS_GRID[-1]):
+        if floor is not None and probe < floor:
+            with pytest.raises(ValueError, match="retention floor"):
+                vault.state_at(probe)
+            continue
         got_state = {
             r["record_id"]: (r["version_num"], r["data"])
             for r in vault.state_at(probe).collect()
