@@ -690,6 +690,15 @@ class TemporalVault:
         t0 = time.perf_counter()
         self._recover_swaps()
         cutoff = parse_time(before)
+        # The floor is part of the CONTRACT, not an artifact of having data:
+        # declaring retention on an empty (or emptied-by-rollback) vault
+        # still promises "no history below cutoff", so the marker persists
+        # unconditionally — otherwise an expire on an empty log would leave
+        # sub-cutoff reads silently allowed.
+        prev_floor = self.retention_floor()
+        if prev_floor is None or cutoff > prev_floor:
+            with open(f"{self.root}/_retention", "w") as f:
+                f.write(cutoff.isoformat())
         if not self._has_records():
             return {"cutoff": cutoff.isoformat(), "n_expired": 0, "n_kept": 0}
         log = self.log()
@@ -712,6 +721,12 @@ class TemporalVault:
             .partitionBy("dt")
             .parquet(tmp)
         )
+        # (the floor marker was written up front, BEFORE the swap: a crash
+        # between the swap and a post-swap marker write would leave
+        # truncated history with no floor — reads below the cutoff would
+        # silently return collapsed state. Marker-first fails in the safe
+        # direction: crash after marker, before swap → history intact,
+        # sub-cutoff reads refused — conservative, never wrong.)
         old = f"{self.root}/.records_old_{uuid.uuid4().hex[:8]}"
         os.rename(self.records_path, old)
         os.rename(tmp, self.records_path)
@@ -719,10 +734,6 @@ class TemporalVault:
         n_kept = self.spark.read.schema(RECORD_SCHEMA).parquet(
             self.records_path
         ).count()
-        floor = self.retention_floor()
-        if floor is None or cutoff > floor:
-            with open(f"{self.root}/_retention", "w") as f:
-                f.write(cutoff.isoformat())
         self._invalidate()
         self._timed("expire", t0)
         return {

@@ -359,3 +359,22 @@ def test_expire_then_record_and_snapshot_reads_stay_correct(vault):
         for r in vault.state_at(datetime(2026, 1, 5)).collect()
     }
     assert got == {"a": "v4", "b": "v1", "c": "v1"}  # chain continued from v3
+
+
+def test_expire_crash_before_swap_is_safe(vault):
+    """The expire floor marker lands BEFORE the directory swap: simulate a
+    crash after the marker write but before the swap (history intact, floor
+    set) — sub-cutoff reads must be refused (conservative) while reads at or
+    above the cutoff still see the full, untruncated history."""
+    cutoff = datetime(2026, 1, 2, 6, 0, 0)
+    want_end = {r["record_id"]: r["version"] for r in vault.state_at(TS["a3"]).collect()}
+    with open(f"{vault.root}/_retention", "w") as f:  # crash left marker only
+        f.write(cutoff.isoformat())
+    with pytest.raises(ValueError, match="retention floor"):
+        vault.state_at(TS["a1"])
+    got_end = {r["record_id"]: r["version"] for r in vault.state_at(TS["a3"]).collect()}
+    assert got_end == want_end
+    assert vault.log().count() == 5  # untruncated — the expire never ran
+    # a later expire at the same cutoff completes the truncation normally
+    audit = vault.expire(cutoff)
+    assert audit["n_expired"] == 1 and vault.log().count() == 4
