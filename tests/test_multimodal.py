@@ -227,3 +227,48 @@ def test_real_gif_frame_count_block_walk(spark):
     df = spark.createDataFrame([(1, "image", payload, {})], mm.MEDIA_SCHEMA)
     r = mm.decode_media(df).collect()[0]
     assert (r["width"], r["height"], r["n_frames"]) == (2, 2, 2)
+
+
+def test_real_features_ppm_histogram_and_wav_bands(spark):
+    """Tier-3a REAL features, end-to-end through extract_features: a
+    uniform-gray PPM's luminance histogram is a one-hot on the bin holding
+    its gray level; a pure-tone WAV's FFT band energies peak in the band
+    containing the tone's frequency. Both unit-norm."""
+    import math
+    import struct
+
+    import numpy as np
+
+    gray = bytes([128, 128, 128])  # luma 128 -> bin 8 of 16
+    ppm = b"P6\n4 4\n255\n" + gray * 16
+
+    import io
+    import wave
+
+    rate, n = 8000, 2048
+    tone = [int(12000 * math.sin(2 * math.pi * 1100 * t / rate)) for t in range(n)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack(f"<{n}h", *tone))
+    wav = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, "image", ppm, {}), (2, "audio", wav, {})], mm.MEDIA_SCHEMA
+    )
+    got = {r["media_id"]: np.array(r["feature"]) for r in mm.extract_features(df).collect()}
+    img = got[1]
+    assert img.argmax() == 8 and abs(float(np.linalg.norm(img)) - 1.0) < 1e-5
+    assert img[8] > 0.99  # one-hot: every pixel shares one luminance bin
+    aud = got[2]
+    # 1.1 kHz tone on an 8 kHz-rate signal: spectrum spans 0..4 kHz over 16
+    # bands of ~250 Hz -> energy peaks in band 4 (bin 281 of 1025)
+    assert aud.argmax() == 4 and abs(float(np.linalg.norm(aud)) - 1.0) < 1e-5
+
+
+def test_real_features_unknown_container_raises(spark):
+    df = spark.createDataFrame([(1, "image", b"\x00opaque", {})], mm.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="PPM|WAV|NotImplementedError"):
+        mm.extract_features(df).collect()
