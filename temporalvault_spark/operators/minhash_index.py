@@ -59,11 +59,30 @@ _BKT_CHARS_CACHE: dict[tuple[str, int], int] = {}
 def _read_bkt_chars(spark: SparkSession, path: str) -> int:
     """Bucket width from the index's ``_meta`` sidecar. Indexes persisted by
     pre-sidecar builds (fixed 2-char buckets, no ``_meta`` directory) fall
-    back to ``bkt_chars=2`` — the old on-disk format stays readable instead
-    of dying in an opaque parquet AnalysisException."""
+    back to ``bkt_chars=2`` — but ONLY when the on-disk layout actually
+    looks like that legacy format (its ``bkt=XX`` directory names are
+    2 chars wide). A missing _meta over 1-char bucket directories means a
+    torn write (crash between the sketch overwrite and the _meta rewrite),
+    and a silent 2-char fallback there would make every probe compute keys
+    matching zero partitions — dedup silently finding nothing — so that
+    case raises instead."""
     meta = f"{path}/_meta"
     if not os.path.isdir(meta) and not os.path.isfile(meta):
-        return 2  # pre-_meta index format: fixed 2-hex-char buckets
+        widths = {
+            len(n.split("=", 1)[1])
+            for band_dir in os.listdir(path)
+            if band_dir.startswith("band=")
+            for n in os.listdir(os.path.join(path, band_dir))
+            if n.startswith("bkt=")
+        } if os.path.isdir(path) else set()
+        if widths == {2}:
+            return 2  # pre-_meta index format: fixed 2-hex-char buckets
+        raise ValueError(
+            f"minhash index at {path} has no _meta sidecar and its bucket "
+            f"directories are not the legacy 2-char layout (widths seen: "
+            f"{sorted(widths) or 'none'}) — torn/partial index write; "
+            "rebuild the index"
+        )
     key = (os.path.normpath(meta), os.stat(meta).st_mtime_ns)
     got = _BKT_CHARS_CACHE.get(key)
     if got is None:

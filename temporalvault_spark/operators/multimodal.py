@@ -81,13 +81,24 @@ def _image_header_dims(payload: bytes) -> tuple[int, int] | None:
         w, h = struct.unpack("<HH", payload[6:10])  # logical screen
         return int(w), int(h)  # frame count via _gif_frame_count
     if payload[:2] == b"BM" and len(payload) >= 26:
-        w, h = struct.unpack("<ii", payload[18:26])  # BITMAPINFOHEADER
+        (hdr_size,) = struct.unpack("<I", payload[14:18])
+        if hdr_size < 40:
+            # OS/2 BITMAPCOREHEADER (12 bytes): dims are uint16 at 18/20 —
+            # parsing them as int32 would return garbage, so defer to the
+            # library tier instead
+            return None
+        w, h = struct.unpack("<ii", payload[18:26])  # BITMAPINFOHEADER+
         return int(w), abs(int(h))  # negative h = top-down rows
     if payload[:2] == b"\xff\xd8":  # JPEG: walk markers to a SOF segment
         i = 2
         while i + 9 <= len(payload):
             if payload[i] != 0xFF:
                 return None  # corrupt marker stream
+            # spec-legal 0xFF fill bytes may pad before any marker
+            while i + 9 <= len(payload) and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 9 > len(payload):
+                return None
             marker = payload[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
@@ -220,14 +231,20 @@ def _real_decode(payload: bytes, kind: str) -> dict:
             import io
             import wave
 
-            with wave.open(io.BytesIO(payload)) as wf:
-                return {
-                    "width": 0,
-                    "height": 0,
-                    "n_frames": int(wf.getnframes()),
-                    "sample_rate": int(wf.getframerate()),
-                    "n_bytes": len(payload),
-                }
+            try:
+                with wave.open(io.BytesIO(payload)) as wf:
+                    return {
+                        "width": 0,
+                        "height": 0,
+                        "n_frames": int(wf.getnframes()),
+                        "sample_rate": int(wf.getframerate()),
+                        "n_bytes": len(payload),
+                    }
+            except wave.Error:
+                # RIFF/WAVE container the stdlib can't read (IEEE-float,
+                # ADPCM, ...): fall through to the soundfile tier, which
+                # decoded these before the sniff existed
+                pass
         try:
             import soundfile
         except ImportError as e:
@@ -299,11 +316,14 @@ def _wav_band_feature(payload: bytes, dim: int) -> np.ndarray | None:
     import io
     import wave
 
-    with wave.open(io.BytesIO(payload)) as wf:
-        if wf.getsampwidth() != 2:
-            return None
-        nch = wf.getnchannels()
-        raw = wf.readframes(wf.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            if wf.getsampwidth() != 2:
+                return None
+            nch = wf.getnchannels()
+            raw = wf.readframes(wf.getnframes())
+    except wave.Error:
+        return None  # non-PCM RIFF (float/ADPCM): not this kernel's format
     sig = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
     if nch > 1:
         sig = sig.reshape(-1, nch).mean(axis=1)

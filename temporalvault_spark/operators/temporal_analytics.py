@@ -534,23 +534,16 @@ def q_sessions_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _cat(spark, sf_dir).table("events").filter(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # microsecond-precision gap test: unix_timestamp() truncates to whole
-    # seconds, so a 1799.9s gap would split here while the oracle's
-    # full-precision `ts - LAG(ts) >= INTERVAL 30 MINUTE` keeps the session
-    # together (hit at sf0.1)
-    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-    d = ev.withColumn(
-        "new_sess",
-        F.when(F.lag("ts").over(w).isNull() | (gap >= 1_800_000_000), 1).otherwise(0),
-    )
-    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # native session_window — ONE aggregate, the same 30-min/>= boundary
+    # islands as q_win_session (timewindow.py) and the oracle CTE, with
+    # full microsecond precision built in (an earlier hand-rolled
+    # lag+cumsum rendering here truncated the gap test to seconds and split
+    # a 1799.9s-gap session the oracle kept together — reusing the
+    # engine's established session operator removes that whole class)
     sess = (
-        d.withColumn("sess_id", F.sum("new_sess").over(cum))
-        .groupBy("user_id", "sess_id")
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .select("user_id", "s_start", "s_end")
     )
     pairs = interval_overlap_pairs_binned(sess, "user_id", "s_start", "s_end")
     return (

@@ -532,6 +532,10 @@ class TemporalVault:
         t0 = time.perf_counter()
         self._recover_swaps()
         ts = parse_time(timestamp)
+        # refuse BEFORE the audit append: a floor violation surfacing later
+        # (inside state_at) would leave a phantom rollback_log entry for a
+        # rollback that never happened
+        self._check_floor(ts, "rollback")
         log = self.log()
         affected = log.filter(F.col("ts") > F.lit(ts))
         audit = affected.agg(
@@ -672,9 +676,12 @@ class TemporalVault:
     def expire(self, before) -> dict:
         """Retention truncation: drop version history older than ``before``
         while preserving every key's BASELINE — the latest version < cutoff
-        survives, so every as-of read at T >= cutoff (including
-        snapshot-accelerated reads) returns exactly what it returned before
-        the expire. This is the log-truncation/GDPR-retention operation an
+        survives, so every LATEST-PER-KEY as-of read (state_at, including
+        snapshot-accelerated reads) at T >= cutoff returns exactly what it
+        returned before the expire. The faithful ALL-VERSIONS read
+        (query()) necessarily shrinks for any T: the expired versions are
+        gone — that is the point of retention, not a preservation bug.
+        This is the log-truncation/GDPR-retention operation an
         append-only store needs once the log outgrows its useful history;
         the reference has no analog (its log grows forever).
 
@@ -757,8 +764,19 @@ class TemporalVault:
         """Field-level diff of one key between two as-of points. Defaults to
         the key's first/last occurrence (main.py:280-294). JSON payloads diff
         per-field over the key union keeping changed keys (main.py:322-326);
-        non-JSON payloads fall back to whole-value from/to (main.py:334-343)."""
+        non-JSON payloads fall back to whole-value from/to (main.py:334-343).
+
+        Retention interplay: EXPLICIT start/end below the retention floor
+        are refused like any other as-of read (the expired log would make a
+        pre-baseline key look unborn). The first/last-occurrence DEFAULTS
+        stay allowed even when the first occurrence is the pre-cutoff
+        baseline row: at its own timestamp the baseline WAS the current
+        version, so the diff endpoint is exact."""
         t0 = time.perf_counter()
+        if start is not None:
+            self._check_floor(parse_time(start), "compare(start)")
+        if end is not None:
+            self._check_floor(parse_time(end), "compare(end)")
         key_log = self.log().filter(F.col("record_id") == record_id)
         if start is None or end is None:
             bounds = key_log.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]

@@ -130,7 +130,11 @@ def _gif(w, h):
 def _bmp(w, h):
     import struct
 
-    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, -h) + b"\x00" * 20
+    # 14-byte file header, then BITMAPINFOHEADER (size field = 40)
+    return (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+        + struct.pack("<ii", w, -h) + b"\x00" * 20
+    )
 
 
 def _ppm(w, h, px=b"\x01\x02\x03"):

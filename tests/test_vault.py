@@ -378,3 +378,21 @@ def test_expire_crash_before_swap_is_safe(vault):
     # a later expire at the same cutoff completes the truncation normally
     audit = vault.expire(cutoff)
     assert audit["n_expired"] == 1 and vault.log().count() == 4
+
+
+def test_floor_guards_compare_and_rollback(vault):
+    """compare() with explicit bounds below the floor and rollback() below
+    the floor are refused — and the refused rollback leaves NO phantom
+    audit row (the floor check runs before the audit append); compare's
+    first/last-occurrence defaults keep working (the baseline row is exact
+    at its own timestamp)."""
+    cutoff = datetime(2026, 1, 2, 6, 0, 0)
+    vault.expire(cutoff)
+    with pytest.raises(ValueError, match="retention floor"):
+        vault.compare("a", start=TS["a1"])
+    n_hist = vault.history(100).count()
+    with pytest.raises(ValueError, match="retention floor"):
+        vault.rollback(TS["a1"])
+    assert vault.history(100).count() == n_hist  # no phantom audit entry
+    diff = vault.compare("a")  # defaults: baseline -> latest, still exact
+    assert isinstance(diff, dict) and diff  # runs clean, returns a real diff

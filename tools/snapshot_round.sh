@@ -23,13 +23,21 @@ fi
 
 if [ "$SKIP_BENCH" -eq 0 ]; then
     echo "== bench (sf0.1) =="
-    # head -1 = the FULL per-query dump (tail -1 is the driver-facing
-    # trimmed summary); keep the full one locally for scale_stress +
-    # bench_compare
-    python bench.py | grep '^{"metric"' | head -1 > BENCH_LOCAL.json
+    # bench to a temp file first: piping straight into `grep | head -1`
+    # under pipefail can kill the whole script with SIGPIPE (head exits
+    # after line 1, grep's write of line 2 gets EPIPE -> exit 141) and
+    # discard the run's bookkeeping. First metric line = the FULL
+    # per-query dump (the last is the driver-facing trimmed summary);
+    # keep the full one locally for scale_stress + bench_compare.
+    BENCH_OUT=$(mktemp)
+    python bench.py > "$BENCH_OUT"
+    grep '^{"metric"' "$BENCH_OUT" | head -1 > BENCH_LOCAL.json
+    rm -f "$BENCH_OUT"
     python -c "import json;d=json.load(open('BENCH_LOCAL.json'));print(d['value'],'s,',len(d['queries']),'queries,',len(d.get('errors',{})),'errors')"
     echo "== vs previous round =="
-    PREV=$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)
+    # sort -V: lexicographic sort would pick r9 over r10 once rounds hit
+    # two digits and silently re-baseline away a whole round's regressions
+    PREV=$(ls BENCH_r*.json 2>/dev/null | sort -V | tail -1)
     [ -n "$PREV" ] && python tools/bench_compare.py "$PREV" BENCH_LOCAL.json || true
 fi
 
