@@ -110,7 +110,9 @@ def test_vault_matches_model(spark, tmp_path_factory, ops):
                 floor = TS_GRID[ti]
         else:  # snapshot: must be semantically invisible to every later read
             _, ti = op
-            if n_records:
+            # a snapshot below the floor is (correctly) refused by the
+            # engine — snapshot() materializes state_at, which raises there
+            if n_records and (floor is None or TS_GRID[ti] >= floor):
                 vault.snapshot(TS_GRID[ti])
 
     got = sorted(
