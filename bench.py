@@ -146,6 +146,17 @@ HEADLINE = [
     "agg_distinct_bitmap",
     # round 6: deterministic LISTAGG (sorted-set render)
     "agg_listagg_sources",
+    # round 7: Okapi BM25 ranked retrieval (term-filtered explode, µ-int sum)
+    "bm25_topk",
+    # round 7: trailing-window EWMA + exact time-range rolling median
+    "win_ewma",
+    "win_rolling_median_1h",
+    # round 7: skew-salted join (vs AQE) with plain-join identity
+    "join_skew_salted",
+    # round 7: broadcast MERGE upsert (no-vault-shuffle plan)
+    "merge_upsert",
+    # round 7: OPTIMIZE-style small-file compaction (64 -> target-size)
+    "compact_small_files",
 ]
 
 

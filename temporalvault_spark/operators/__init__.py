@@ -15,11 +15,13 @@ from temporalvault_spark.operators import (  # noqa: F401
     dedup_cluster,
     dq,
     entity,
+    graph,
     hypertable,
     llm,
     minhash_index,
     pq,
     relational,
+    retrieval,
     similarity,
     temporal,
     temporal_analytics,
@@ -27,9 +29,11 @@ from temporalvault_spark.operators import (  # noqa: F401
     udx,
 )
 from temporalvault_spark.registry import ORACLES, QUERIES, prioritize
+from temporalvault_spark.sources import compaction as _compaction
 from temporalvault_spark.sources import layout as _layout
 
 _layout.register_queries()
+_compaction.register_queries()
 
 # SURVEY.md §2 coverage set, one entry per component (50 = driver's recorded
 # window). Order within the list is presentation priority: temporal core

@@ -215,3 +215,143 @@ def time_weighted_avg(events: DataFrame) -> DataFrame:
             F.round(F.sum(F.col("value") * F.col("dur")) / den, 6),
         ).alias("twa"),
     )
+
+
+# --- EWMA over the trailing event window -----------------------------------
+
+# Finite-horizon exponentially-weighted moving average: weight (1-α)^lag over
+# the last EWMA_WINDOW observations per key, normalized over the weights
+# actually present (series shorter than the horizon re-normalize, the pandas
+# ``ewm(adjust=True)`` convention restricted to a finite window).
+EWMA_ALPHA = 0.3
+EWMA_WINDOW = 8
+
+# The decay weights and their prefix sums are computed ONCE here in Python
+# and embedded as literals in BOTH the Spark expression and the DuckDB
+# oracle — the two engines consume bit-identical constants, so pow() libm
+# differences can't desynchronize them.
+_EWMA_W = [(1.0 - EWMA_ALPHA) ** lag for lag in range(EWMA_WINDOW)]  # lag 0..7
+_EWMA_DEN = [sum(_EWMA_W[: s + 1]) for s in range(EWMA_WINDOW)]  # size 1..8
+
+_W_LIT = ", ".join(repr(x) for x in _EWMA_W)
+_DEN_LIT = ", ".join(repr(x) for x in _EWMA_DEN)
+
+# Per-element contributions are scaled to integer micro-units before the
+# sum (same associativity trick as retrieval.py's BM25): an integer sum has
+# no floating-point order sensitivity, so Spark's fold and DuckDB's fold
+# agree exactly. Element i of the s-element frame (oldest first) has
+# lag = s-1-i, i.e. weight W[s-1-i] (1-based: element_at(W, s-i)).
+_EWMA_SPARK_EXPR = f"""
+round(
+  cast(aggregate(
+    transform(sequence(0, size(v) - 1),
+              i -> cast(round(element_at(v, i + 1)
+                              * element_at(array({_W_LIT}), size(v) - i)
+                              * 1000000.0) as bigint)),
+    0L, (acc, x) -> acc + x) as double)
+  / 1000000.0
+  / element_at(array({_DEN_LIT}), size(v)), 6)
+"""
+
+_EWMA_DUCK_EXPR = f"""
+ROUND(
+  CAST(list_reduce(
+    list_transform(range(1, len(v) + 1),
+        i -> CAST(ROUND(v[i] * ([{_W_LIT}])[len(v) - i + 1]
+                        * 1000000.0) AS BIGINT)),
+    (acc, x) -> acc + x) AS DOUBLE)
+  / 1000000.0
+  / ([{_DEN_LIT}])[len(v)], 6)
+"""
+
+
+@query(
+    "win_ewma",
+    f"""WITH f AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL),
+    v AS (
+        SELECT event_id, user_id, ts,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING
+                                 AND CURRENT ROW) AS v
+        FROM f)
+    SELECT event_id, user_id, ts, {_EWMA_DUCK_EXPR} AS ewma FROM v""",
+)
+def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of ``value`` per user over the
+    trailing {EWMA_WINDOW}-event window (α={EWMA_ALPHA}) — the smoothing
+    primitive behind anomaly baselines and rate estimators, which plain
+    window AVG (win_rolling_1h_by_time) can't express because the weights
+    depend on the lag.
+
+    Scale shape: ONE window over the (user_id) partitioning — the same
+    shuffle every per-key operator pays — collecting a ≤{EWMA_WINDOW}-element
+    frame per row; the weighted fold runs as a JVM higher-order function
+    over that bounded array (no UDF, no per-row Python). Determinism:
+    total order (ts, event_id); weights/prefix-sums are module-level
+    literals shared verbatim with the oracle; contributions sum as integer
+    micro-units, so aggregation order is immaterial."""
+    return win_ewma(_events(spark, sf_dir))
+
+
+def win_ewma(events: DataFrame) -> DataFrame:
+    """Core of ``win_ewma`` on an arbitrary events frame."""
+    ev = events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.collect_list("value").over(w).alias("v"),
+    ).select(
+        "event_id", "user_id", "ts", F.expr(_EWMA_SPARK_EXPR).alias("ewma")
+    )
+
+
+# --- exact rolling median over a time-range window -------------------------
+
+
+@query(
+    "win_rolling_median_1h",
+    """SELECT event_id, user_id, ts,
+           ROUND(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6)
+           AS med_1h
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL""",
+)
+def q_win_rolling_median_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median of ``value`` over the trailing 1-hour TIME-RANGE window
+    per user — the holistic-aggregate-over-a-window capability (a rolling
+    AVG distributes; a rolling MEDIAN does not). TimescaleDB ships this as
+    percentile_agg over a window; here it's Spark's ``percentile`` window
+    aggregate over a RANGE frame on integer microseconds.
+
+    Scale shape: one shuffle on user_id; the RANGE frame is evaluated
+    per-partition with a sliding frame over the time-sorted run (no
+    self-join explosion, no per-row re-scan of the partition from scratch).
+    Peers at the same microsecond are frame-equal in both engines because
+    the frame bound is the ORDER BY value itself. Interpolation convention
+    (linear at p=0.5) matches DuckDB's quantile_cont."""
+    return win_rolling_median_1h(_events(spark, sf_dir))
+
+
+def win_rolling_median_1h(events: DataFrame) -> DataFrame:
+    """Core of ``win_rolling_median_1h`` on an arbitrary events frame."""
+    ev = events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med_1h"),
+    )

@@ -372,6 +372,39 @@ def q_join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_skew_salted",
+    """SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment""",
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient equi-join: the events fact salts its user_id, the
+    customer dim replicates ``salt``-fold, and the join key becomes
+    (key, salt) — a hot user's rows spread over ``salt`` reducers instead
+    of one straggler (functions/skew.py; the explicit tool for when the
+    dim is too big to broadcast and AQE's runtime skew split isn't
+    available, e.g. a non-shuffle-join stage). The oracle is the PLAIN
+    join — salting is a physical rewrite with identical semantics, and
+    this entry pins that identity under the driver's value-hash.
+
+    Scale: replication factor is a constant (8) on the dim only; the
+    post-join aggregate is map-side-combined on the segment key, so the
+    second shuffle carries one row per (segment, partition)."""
+    from temporalvault_spark.functions.skew import salted_join_skewed_left
+
+    c = _cat(spark, sf_dir)
+    ev = c.table("events").select(F.col("user_id").alias("c_custkey"), "value")
+    dim = c.table("customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join_skewed_left(ev, dim, "c_custkey", salt=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # --- aggregations ----------------------------------------------------------
 
 

@@ -541,3 +541,107 @@ def q_keys_alive_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_new", F.lit(0).cast("bigint")).alias("n_new_keys"),
         F.sum(F.coalesce("n_new", F.lit(0).cast("bigint"))).over(w).cast("bigint").alias("n_keys_alive"),
     )
+
+
+# --- MERGE INTO (upsert) ---------------------------------------------------
+
+# Deterministic upsert batch for the registered query: five existing keys
+# (updates) + five beyond the key range (inserts). Part of the operator
+# contract; callers use merge_upsert() below with their own batch frame.
+MERGE_BATCH_KEYS = ("0", "1", "2", "3", "4", "200", "201", "202", "203", "204")
+
+
+def merge_upsert(current: DataFrame, batch: DataFrame) -> DataFrame:
+    """MERGE INTO semantics over the vault's latest state — the lakehouse
+    upsert the reference's POST /records implies but only supports
+    row-at-a-time (main.py:68-100: one INSERT per call; a bulk load replays
+    the endpoint N times).
+
+      - matched   → new data, version bumped (vN -> vN+1), action='update'
+      - unmatched batch row → version v1, action='insert'
+      - unmatched current row → unchanged, action='keep'
+
+    ``current``: (record_id, version_num, data) — the latest version per
+    key. ``batch``: (record_id, new_data), tiny relative to the vault.
+
+    The naive rendering is one FULL OUTER join — but Spark cannot broadcast
+    a full-outer build side, so at 100 TB that sort-merge-shuffles the
+    entire vault to merge a thousand-row batch. This shape never shuffles
+    the vault: (1) updates+keeps = vault LEFT JOIN broadcast(batch) — a
+    BroadcastHashJoin, vault partitioning preserved; (2) the matched keys
+    (≤ |batch| rows by construction) come off that same join; (3) inserts =
+    batch ANTI-JOIN matched — tiny vs tiny. The union is exactly what a
+    Delta/Iceberg MERGE would commit; the no-vault-shuffle plan is pinned
+    by tests/test_merge_upsert.py."""
+    c = current.alias("c")
+    b = F.broadcast(batch).alias("b")
+    joined = c.join(b, F.col("c.record_id") == F.col("b.record_id"), "left")
+    upd_keep = joined.select(
+        F.col("c.record_id").alias("record_id"),
+        F.concat(
+            F.lit("v"),
+            F.when(F.col("b.record_id").isNull(), F.col("c.version_num"))
+            .otherwise(F.col("c.version_num") + 1)
+            .cast("string"),
+        ).alias("version"),
+        F.when(F.col("b.record_id").isNull(), F.col("c.data"))
+        .otherwise(F.col("b.new_data"))
+        .alias("data"),
+        F.when(F.col("b.record_id").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+    matched = (
+        joined.filter(F.col("b.record_id").isNotNull())
+        .select(F.col("c.record_id").alias("record_id"))
+    )
+    inserts = batch.join(F.broadcast(matched), "record_id", "left_anti").select(
+        "record_id",
+        F.lit("v1").alias("version"),
+        F.col("new_data").alias("data"),
+        F.lit("insert").alias("action"),
+    )
+    return upd_keep.unionAll(inserts)
+
+
+@query(
+    "merge_upsert",
+    temporal_oracle(
+        """, cur AS (
+          SELECT record_id, version_num, data FROM (
+            SELECT record_id, version_num, data,
+                   ROW_NUMBER() OVER (PARTITION BY record_id
+                                      ORDER BY version_num DESC) AS rn
+            FROM temporal_records) x
+          WHERE rn = 1),
+        batch(record_id) AS (
+          VALUES ('0'), ('1'), ('2'), ('3'), ('4'),
+                 ('200'), ('201'), ('202'), ('203'), ('204')),
+        b AS (SELECT record_id, 'upsert:' || record_id AS new_data FROM batch)
+        SELECT COALESCE(c.record_id, b.record_id) AS record_id,
+               'v' || CAST(CASE WHEN b.record_id IS NULL THEN c.version_num
+                                WHEN c.record_id IS NULL THEN 1
+                                ELSE c.version_num + 1 END AS STRING) AS version,
+               CASE WHEN b.record_id IS NULL THEN c.data
+                    ELSE b.new_data END AS data,
+               CASE WHEN b.record_id IS NULL THEN 'keep'
+                    WHEN c.record_id IS NULL THEN 'insert'
+                    ELSE 'update' END AS action
+        FROM cur c FULL OUTER JOIN b ON c.record_id = b.record_id"""
+    ),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered MERGE: upsert the fixed 10-key batch (5 updates, 5
+    inserts — MERGE_BATCH_KEYS) into the latest state of the vault and
+    return the post-merge table with per-row actions."""
+    tr = _tr(spark, sf_dir)
+    w = Window.partitionBy("record_id").orderBy(F.desc("version_num"))
+    current = (
+        tr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("record_id", "version_num", "data")
+    )
+    spark_b = spark.createDataFrame(
+        [(k,) for k in MERGE_BATCH_KEYS], "record_id string"
+    ).select("record_id", F.concat(F.lit("upsert:"), F.col("record_id")).alias("new_data"))
+    return merge_upsert(current, spark_b)

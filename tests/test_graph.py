@@ -1,0 +1,57 @@
+"""PageRank: crafted-graph values vs an independent Python replay of the
+integer-µ recurrence, plus structural properties (mass, symmetry, hubs)."""
+
+import pytest
+
+from temporalvault_spark.operators.graph import PR_DAMP, PR_SCALE, pagerank_int
+
+
+def _ref_pagerank(edges, n_iter=5, damp=PR_DAMP):
+    """Pure-Python replay of the integer micro-unit recurrence."""
+    nodes = sorted({s for s, _ in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    r = {v: round(float(PR_SCALE) / n) for v in nodes}
+    for _ in range(n_iter):
+        s = dict.fromkeys(nodes, 0)
+        for a, b in edges:
+            s[b] += round(r[a] / deg[a])
+        r = {v: round((1 - damp) * PR_SCALE / n + damp * float(s[v])) for v in nodes}
+    return r
+
+
+@pytest.fixture()
+def path_graph(spark):
+    # symmetric path A-B-C: B is the hub
+    e = [("A", "B"), ("B", "A"), ("B", "C"), ("C", "B")]
+    return e, spark.createDataFrame(e, "src string, dst string")
+
+
+def test_pagerank_matches_python_replay(spark, path_graph):
+    edges, df = path_graph
+    got = {r["node"]: r["rank_u"] for r in pagerank_int(df).collect()}
+    assert got == _ref_pagerank(edges)
+
+
+def test_pagerank_hub_ranks_highest(spark, path_graph):
+    _, df = path_graph
+    got = {r["node"]: r["rank_u"] for r in pagerank_int(df).collect()}
+    assert got["B"] > got["A"] == got["C"]  # symmetry: leaves tie exactly
+
+
+def test_pagerank_mass_conserved(spark, path_graph):
+    _, df = path_graph
+    total = sum(r["rank_u"] for r in pagerank_int(df).collect())
+    # symmetric graph, no dangling mass: total stays within rounding of 1.0
+    assert abs(total - PR_SCALE) <= 10
+
+
+def test_pagerank_regular_graph_is_uniform(spark):
+    # 4-cycle: every node identical by symmetry -> exactly equal ranks
+    e = [("A", "B"), ("B", "A"), ("B", "C"), ("C", "B"),
+         ("C", "D"), ("D", "C"), ("D", "A"), ("A", "D")]
+    df = spark.createDataFrame(e, "src string, dst string")
+    ranks = {r["rank_u"] for r in pagerank_int(df).collect()}
+    assert ranks == {round(PR_SCALE / 4)}

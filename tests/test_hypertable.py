@@ -195,3 +195,86 @@ def test_time_weighted_avg_matches_python_reference(spark):
                 assert abs(g - w) <= 1e-6, (uid, g, w)
 
     check()
+
+
+# --- EWMA -------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ewma_events(spark):
+    rows = [
+        (1, _ts(0, 0), 1, "A", 1.0, "{}"),
+        (2, _ts(0, 1), 1, "A", 2.0, "{}"),
+        (3, _ts(0, 2), 1, "A", 4.0, "{}"),
+    ] + [
+        # user 2: a spike then 8 zeros — the 9th row's window must have
+        # forgotten the spike entirely (finite horizon)
+        (10 + i, _ts(1, i), 2, "A", 100.0 if i == 0 else 0.0, "{}")
+        for i in range(9)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_ewma_values(spark, ewma_events):
+    from temporalvault_spark.operators.hypertable import win_ewma
+
+    got = {r["event_id"]: r["ewma"] for r in win_ewma(ewma_events).collect()}
+    # hand-computed with alpha=0.3 weights (1, .7, .49), normalized
+    assert got[1] == pytest.approx(1.0, abs=1e-6)
+    assert got[2] == pytest.approx((1 * 0.7 + 2 * 1.0) / 1.7, abs=2e-6)
+    assert got[3] == pytest.approx((1 * 0.49 + 2 * 0.7 + 4 * 1.0) / 2.19, abs=2e-6)
+
+
+def test_ewma_finite_horizon_forgets(spark, ewma_events):
+    from temporalvault_spark.operators.hypertable import win_ewma
+
+    got = {r["event_id"]: r["ewma"] for r in win_ewma(ewma_events).collect()}
+    assert got[10] == pytest.approx(100.0, abs=1e-6)  # spike itself
+    assert got[18] == 0.0  # 9th row: 8-event window holds only zeros
+    assert got[17] > 0.0  # 8th row: spike still (barely) in window
+
+
+def test_ewma_skips_null_values(spark):
+    from temporalvault_spark.operators.hypertable import win_ewma
+
+    rows = [
+        (1, _ts(0, 0), 1, "A", 10.0, "{}"),
+        (2, _ts(0, 1), 1, "A", None, "{}"),
+        (3, _ts(0, 2), 1, "A", 10.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    out = {r["event_id"]: r["ewma"] for r in win_ewma(ev).collect()}
+    assert set(out) == {1, 3}  # NULL row excluded, not zero-filled
+    assert out[3] == pytest.approx(10.0, abs=1e-6)
+
+
+# --- rolling median over a time-range frame --------------------------------
+
+
+def test_rolling_median_time_range(spark):
+    from temporalvault_spark.operators.hypertable import win_rolling_median_1h
+
+    rows = [
+        (1, _ts(0, 0), 1, "A", 1.0, "{}"),
+        (2, _ts(0, 30), 1, "A", 9.0, "{}"),
+        (3, _ts(1, 15), 1, "A", 5.0, "{}"),  # 0:00 fell out of the 1h window
+        (4, _ts(1, 30), 1, "A", 3.0, "{}"),  # 0:30 exactly at the boundary: in
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    got = {r["event_id"]: r["med_1h"] for r in win_rolling_median_1h(ev).collect()}
+    assert got[1] == 1.0
+    assert got[2] == 5.0  # interpolated median of [1, 9]
+    assert got[3] == 7.0  # window [0:15, 1:15] -> [9, 5]
+    assert got[4] == 5.0  # inclusive boundary: [9, 5, 3]

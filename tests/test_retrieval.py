@@ -1,0 +1,77 @@
+"""BM25 retrieval: crafted-corpus score values (independent Python
+reference), ranking order, absence semantics, and NULL-text robustness."""
+
+import math
+
+import pytest
+
+from temporalvault_spark.operators.retrieval import bm25_topk
+
+
+def _bm25_ref(corpus, terms, k1=1.2, b=0.75):
+    """Independent plain-Python BM25 (no micro-unit trick) for comparison."""
+    toks = {d: t.strip().lower().split(" ") for d, t in corpus if t is not None}
+    n = len(corpus)
+    dls = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dls.values()) / len(dls)
+    out = {}
+    for d, t in toks.items():
+        score, hits = 0.0, 0
+        for term in terms:
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[d] / avgdl))
+            hits += 1
+        if hits:
+            out[d] = (score, hits)
+    return out
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "apple banana apple", "en", "s", 18),
+        (2, "banana", "en", "s", 6),
+        (3, "cherry cherry", "en", "s", 13),
+        (4, None, "en", "s", 0),  # NULL text: no hits, and must not skew avgdl
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+def test_bm25_scores_match_reference(spark, corpus):
+    got = {
+        r["doc_id"]: (r["bm25"], r["n_terms_hit"])
+        for r in bm25_topk(corpus, terms=("apple", "banana"), k=10).collect()
+    }
+    ref = _bm25_ref(
+        [(1, "apple banana apple"), (2, "banana"), (3, "cherry cherry"), (4, None)],
+        ("apple", "banana"),
+    )
+    assert set(got) == set(ref) == {1, 2}  # cherry-only and NULL docs absent
+    for d in ref:
+        assert got[d][0] == pytest.approx(ref[d][0], abs=3e-6)
+        assert got[d][1] == ref[d][1]
+
+
+def test_bm25_rank_and_k(spark, corpus):
+    rows = bm25_topk(corpus, terms=("apple", "banana"), k=1).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 1  # two terms + higher tf beats one term
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, shorter doc scores higher (that's the b term working)."""
+    rows = [
+        (1, "hash " + "pad " * 20 + "end", "en", "s", 1),
+        (2, "hash end", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, terms=("hash",)).collect()}
+    assert got[2] > got[1]
