@@ -157,6 +157,10 @@ HEADLINE = [
     "merge_upsert",
     # round 7: OPTIMIZE-style small-file compaction (64 -> target-size)
     "compact_small_files",
+    # round 7: graph tier — one-time edge staging (measured, like
+    # ngram_pairs_stage) then the recurring 5-iteration PageRank
+    "trade_edges_stage",
+    "pagerank_trade_network",
 ]
 
 

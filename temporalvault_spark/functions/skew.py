@@ -51,16 +51,26 @@ def salted_join_skewed_left(
     right: DataFrame,
     key: str,
     salt: int = 16,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Equi-join resilient to a hot key on the LEFT side: the left adds a
     random salt in [0, salt), the right is replicated ``salt`` times (explode
     over the salt range), and the join key becomes (key, salt) — the hot
     key's rows spread over ``salt`` reducers. Use when the right side is too
-    big to broadcast but small enough to replicate ``salt``-fold."""
+    big to broadcast but small enough to replicate ``salt``-fold.
+
+    ``join_hint`` (e.g. ``'shuffle_hash'``/``'merge'``) pins the physical
+    strategy on the replicated side. Salting only matters on the SHUFFLE
+    join path — if the dim fits in a broadcast, Catalyst will pick
+    BroadcastHashJoin and the salt is dead weight — so demos/tests that
+    exercise the salted shape on small data must pass a shuffle hint to
+    reproduce what a 100 TB planner would choose on its own."""
     salt_col = "_tvsalt_"
     while salt_col in left.columns or salt_col in right.columns:
         salt_col += "x"
     l = left.withColumn(salt_col, (F.rand(seed=42) * salt).cast("int"))
     r = right.withColumn(salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    if join_hint is not None:
+        r = r.hint(join_hint)
     out = l.join(r, [key, salt_col])
     return out.drop(salt_col)

@@ -390,6 +390,11 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — salting is a physical rewrite with identical semantics, and
     this entry pins that identity under the driver's value-hash.
 
+    The shuffle_hash hint is load-bearing: at testdata scale Catalyst
+    would broadcast the dim and never build the salted shuffle this entry
+    exists to exercise; the hint reproduces the big-dim plan (two
+    hash-partition exchanges on (key, salt), one ShuffledHashJoin).
+
     Scale: replication factor is a constant (8) on the dim only; the
     post-join aggregate is map-side-combined on the segment key, so the
     second shuffle carries one row per (segment, partition)."""
@@ -398,7 +403,7 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _cat(spark, sf_dir)
     ev = c.table("events").select(F.col("user_id").alias("c_custkey"), "value")
     dim = c.table("customer").select("c_custkey", "c_mktsegment")
-    joined = salted_join_skewed_left(ev, dim, "c_custkey", salt=8)
+    joined = salted_join_skewed_left(ev, dim, "c_custkey", salt=8, join_hint="shuffle_hash")
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),

@@ -46,3 +46,15 @@ def test_salted_join_equals_plain(spark, skewed):
         for r in salted_join_skewed_left(skewed, dim, "k", salt=8).collect()
     )
     assert plain == salted
+
+
+def test_salted_join_hint_forces_shuffle_path(spark, skewed):
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(3)], "k int, name string")
+    out = salted_join_skewed_left(skewed, dim, "k", salt=8, join_hint="shuffle_hash")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # and the forced path still matches the plain join
+    plain = sorted((r["k"], r["v"], r["name"]) for r in skewed.join(dim, "k").collect())
+    salted = sorted((r["k"], r["v"], r["name"]) for r in out.collect())
+    assert plain == salted

@@ -54,6 +54,13 @@ AUDITED = [
     ("unpivot_measures", "native melt: ONE FileScan + Expand fan-out in place; the UNION-ALL formulation would scan 4x"),
     ("agg_distinct_bitmap", "exact distinct via mergeable bitmap partials: fixed-width bitmaps ride the shuffle, not raw distinct values"),
     ("agg_stats_moments", "five moment families in ONE partial+final hash aggregate; shuffle carries one moment tuple per group"),
+    ("bm25_topk", "token stream filtered to |Q| terms BEFORE any agg; 1-row corpus stats + per-term df broadcast; TakeOrderedAndProject top-k"),
+    ("win_ewma", "ONE window shuffle on user_id; bounded 8-element frame folded by a JVM higher-order function — no UDF"),
+    ("win_rolling_median_1h", "holistic percentile over a RANGE frame: one user_id shuffle, sliding frame evaluation — no self-join"),
+    ("join_skew_salted", "forced ShuffledHashJoin on (key, salt): dim replicated 8x, hot key spread over 8 reducers (the hint reproduces the big-dim plan Catalyst would pick at scale); post-join agg map-side combines"),
+    ("merge_upsert", "the MERGE itself is BroadcastHashJoin-only (no vault shuffle; full-outer would SMJ) — the exchanges present belong to deriving latest-state from the version log; inserts from a tiny anti-join"),
+    ("trade_edges_stage", "one-time graph build (orders-lineitem distinct pairs + degrees), force-re-run so its cost stays measured; artifact written dst-partitioned"),
+    ("pagerank_trade_network", "returned plan = top-k over the eagerly-checkpointed final rank state; the 5 iteration rounds (edges JOIN broadcast(ranks), contributions aggregated on the artifact's dst partitioning — the edge frame never shuffles) run inside the call, one bounded job each"),
 ]
 
 
