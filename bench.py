@@ -161,6 +161,11 @@ HEADLINE = [
     # ngram_pairs_stage) then the recurring 5-iteration PageRank
     "trade_edges_stage",
     "pagerank_trade_network",
+    # round 7: random-hyperplane LSH (cosine) — completes the LSH family
+    "dedup_rp_lsh",
+    # round 7: quantile feature binning + sliding exact distinct
+    "ml_quantile_bin",
+    "win_rolling_distinct_1h",
 ]
 
 

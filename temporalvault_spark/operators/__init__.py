@@ -22,6 +22,7 @@ from temporalvault_spark.operators import (  # noqa: F401
     pq,
     relational,
     retrieval,
+    rp_lsh,
     similarity,
     temporal,
     temporal_analytics,

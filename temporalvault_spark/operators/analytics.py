@@ -462,3 +462,44 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(d1 | d2)
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+
+
+@query(
+    "ml_quantile_bin",
+    """WITH binned AS (
+        SELECT event_type, value,
+               NTILE(4) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS bin
+        FROM events WHERE value IS NOT NULL)
+    SELECT event_type, bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi,
+           ROUND(AVG(value), 6) AS mean
+    FROM binned GROUP BY event_type, bin""",
+)
+def q_ml_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization (feature binning): quartile assignment of
+    ``value`` per event_type plus per-bin summary stats — the standard
+    numeric-feature prep step (equal-frequency bins are robust to skew
+    where equal-width bins are not; histogram_value_buckets is the
+    equal-width twin).
+
+    Scale shape: ONE window shuffle on the type key (ntile needs the
+    per-type total order — at 100 TB you'd compute approximate quantile
+    BOUNDARIES instead and bin by range lookup, the approx_percentile
+    path; this exact form IS the oracle), then a hash aggregate that
+    reuses nothing data-sized. Ties order deterministically via
+    (value, event_id) so both engines cut identical bins."""
+    ev = _cat(spark, sf_dir).table("events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(4).over(w).cast("bigint").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+            F.round(F.avg("value"), 6).alias("mean"),
+        )
+    )

@@ -355,3 +355,40 @@ def win_rolling_median_1h(events: DataFrame) -> DataFrame:
         "ts",
         F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med_1h"),
     )
+
+
+# --- rolling exact distinct over a time-range window -----------------------
+
+
+@query(
+    "win_rolling_distinct_1h",
+    """SELECT event_id, user_id, ts,
+           len(list_distinct(list(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)))
+           AS n_types_1h
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL""",
+)
+def q_win_rolling_distinct_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct event types seen per user over the trailing hour — the
+    sliding-cardinality signal behind bot/abuse heuristics ("how many
+    different actions in the last hour"). DISTINCT is a holistic aggregate:
+    like the rolling median it cannot ride a running partial, so the frame
+    is re-evaluated per row — but only within the user's time-sorted
+    partition (one shuffle, no self-join). The streaming twin of this
+    cardinality shape at unbounded scale is the HLL-sketch rollup
+    (approx_distinct_users_sketch); this exact form IS the oracle."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("n_types_1h"),
+    )

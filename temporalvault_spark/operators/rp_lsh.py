@@ -1,0 +1,165 @@
+"""Random-hyperplane (SimHash-for-vectors) LSH over the embeddings table.
+
+Completes the LSH family: MinHash banding approximates JACCARD on token
+sets (llm.py), SimHash approximates it on text fingerprints (similarity.py),
+and random-hyperplane LSH approximates COSINE on embeddings — the classic
+Charikar construction: signature bit p = sign(<v, r_p>) for a random plane
+r_p; P(bit equal) = 1 - angle/π, so vectors at high cosine collide in a
+b-bit band with probability (1 - angle/π)^b, and B bands give the usual
+banded recall curve without ever touching pair space.
+
+Scale shape (identical to the minhash LSH tier):
+  - signatures are a single projection pass (no shuffle): 32 plane dots per
+    vector, all JVM-side higher-order folds;
+  - candidates come from an equi-join on (band, bucket) — fan-out bounded
+    by bucket occupancy, never corpus²;
+  - exact cosine verification runs only on the DISTINCT candidate pairs.
+
+Oracle parity: plane coefficients are derived IN-ENGINE from md5 —
+c(p,j) = u32(md5('rp:p:j')[:8]) / 2^32 - 0.5 — so both engines compute
+bit-identical coefficient doubles (exact integer → exact power-of-two
+scaling), and both fold the dot product left-to-right over the same element
+order, giving bit-identical signs. Both dialects' expressions are GENERATED
+FROM THE SAME PYTHON LOOP below, so the formulas cannot drift. Recall is
+bucket-local by contract (same contract as the IVF cluster blocking);
+crafted-duplicate recall is pinned in tests/test_rp_lsh.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.operators.similarity import (
+    EMB_DUP_THRESHOLD,
+    EMB_STRICT_WHERE,
+    _dot,
+    _norm,
+)
+from temporalvault_spark.registry import query
+
+RP_BANDS = 4
+RP_BITS = 8  # planes per band; 32 planes total
+
+
+def _dot_spark(p: int, e: str = "e") -> str:
+    """Spark SQL: <e, plane_p> with md5-derived coefficients (literal p)."""
+    coef = (
+        f"(CAST(conv(substring(md5(concat('rp:', '{p}', ':', CAST(j AS STRING))), 1, 8), "
+        f"16, 10) AS DOUBLE) / 4294967296.0 - 0.5)"
+    )
+    return (
+        f"aggregate(sequence(0, size({e}) - 1), CAST(0.0 AS DOUBLE), "
+        f"(acc, j) -> acc + element_at({e}, j + 1) * {coef})"
+    )
+
+
+def _dot_duck(p: int, e: str = "e") -> str:
+    """DuckDB: the same fold — same element order, same coefficient math."""
+    coef = (
+        f"(('0x' || substr(md5('rp:' || '{p}' || ':' || CAST(j AS VARCHAR)), 1, 8))::UBIGINT "
+        f"/ 4294967296.0 - 0.5)"
+    )
+    return (
+        f"list_reduce(list_transform(range(0, len({e})), "
+        f"j -> {e}[j + 1] * {coef}), (acc, v) -> acc + v)"
+    )
+
+
+def _bucket_spark(band: int) -> str:
+    bits = [
+        f"CASE WHEN {_dot_spark(band * RP_BITS + i)} >= 0 THEN '1' ELSE '0' END"
+        for i in range(RP_BITS)
+    ]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _bucket_duck(band: int) -> str:
+    bits = [
+        f"CASE WHEN {_dot_duck(band * RP_BITS + i)} >= 0 THEN '1' ELSE '0' END"
+        for i in range(RP_BITS)
+    ]
+    return " || ".join(bits)
+
+
+def rp_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, e, nrm, band, bucket): one row per (vector, band).
+
+    The 32 plane dots are interpreted higher-order folds — CPU-heavy — and
+    the testdata arrives as ONE unsplittable parquet file, so the
+    projection is explicitly fanned out (the module-wide rule: targeted
+    repartition inside CPU-heavy operators only). The eager localCheckpoint
+    materializes the signature frame ONCE for both sides of the downstream
+    self-join — without it each alias re-runs all 32 folds."""
+    strict = emb.filter(
+        F.col("embedding").isNotNull()
+        & (_dot(F.col("embedding").cast("array<double>"), F.col("embedding").cast("array<double>")) > 0)
+    ).select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e"))
+    buckets = F.array(*[F.expr(_bucket_spark(b)) for b in range(RP_BANDS)])
+    return (
+        strict.repartition(32)
+        .select(
+            "vec_id",
+            "e",
+            _norm(F.col("e")).alias("nrm"),
+            F.posexplode(buckets).alias("band", "bucket"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def rp_lsh_pairs(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> DataFrame:
+    """Near-dup pairs: RP-band candidates, deduped, exact-cosine verified."""
+    sigs = rp_signatures(emb)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.e").alias("ea"),
+            F.col("b.e").alias("eb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return cand.select(
+        "vec_a", "vec_b", F.round(cos, 6).alias("cosine")
+    ).filter(cos >= threshold)
+
+
+@query(
+    "dedup_rp_lsh",
+    f"""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
+    sigs AS (
+        {" UNION ALL ".join(
+            f"SELECT vec_id, e, {b} AS band, {_bucket_duck(b)} AS bucket FROM e"
+            for b in range(RP_BANDS)
+        )}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT c.vec_a, c.vec_b,
+           ROUND(list_dot_product(x.e, y.e)
+                 / (sqrt(list_dot_product(x.e, x.e))
+                    * sqrt(list_dot_product(y.e, y.e))), 6) AS cosine
+    FROM cand c
+    JOIN e x ON x.vec_id = c.vec_a
+    JOIN e y ON y.vec_id = c.vec_b
+    WHERE list_dot_product(x.e, y.e)
+          / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))
+          >= {EMB_DUP_THRESHOLD}""",
+)
+def q_dedup_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered RP-LSH near-dup over the embeddings table (module
+    docstring has the construction and the parity story)."""
+    return rp_lsh_pairs(load_catalog(spark, sf_dir).table("embeddings"))

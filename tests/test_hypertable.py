@@ -278,3 +278,33 @@ def test_rolling_median_time_range(spark):
     assert got[2] == 5.0  # interpolated median of [1, 9]
     assert got[3] == 7.0  # window [0:15, 1:15] -> [9, 5]
     assert got[4] == 5.0  # inclusive boundary: [9, 5, 3]
+
+
+def test_rolling_distinct_time_range(spark):
+    from temporalvault_spark.operators.hypertable import q_win_rolling_distinct_1h  # noqa: F401
+    from temporalvault_spark.operators import hypertable as H
+    from pyspark.sql import Window, functions as F
+
+    rows = [
+        (1, _ts(0, 0), 1, "A", 1.0, "{}"),
+        (2, _ts(0, 30), 1, "B", 1.0, "{}"),
+        (3, _ts(0, 45), 1, "A", 1.0, "{}"),   # repeat: still 2 distinct
+        (4, _ts(2, 0), 1, "C", 1.0, "{}"),    # both A/B aged out
+        (5, _ts(0, 10), 1, None, 1.0, "{}"),  # NULL type excluded entirely
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    out = ev.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull()).select(
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("n"),
+    )
+    got = {r["event_id"]: r["n"] for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
