@@ -87,17 +87,20 @@ def rp_signatures(emb: DataFrame) -> DataFrame:
 
     The 32 plane dots are interpreted higher-order folds — CPU-heavy — and
     the testdata arrives as ONE unsplittable parquet file, so the
-    projection is explicitly fanned out (the module-wide rule: targeted
-    repartition inside CPU-heavy operators only). The eager localCheckpoint
-    materializes the signature frame ONCE for both sides of the downstream
-    self-join — without it each alias re-runs all 32 folds."""
+    projection is explicitly fanned out across the session's cores
+    (defaultParallelism, the same derivation as shingle_signatures in
+    llm.py — no deployment-specific constant; AQE won't coalesce a
+    user-numbered repartition). The eager localCheckpoint materializes the
+    signature frame ONCE for both sides of the downstream self-join —
+    without it each alias re-runs all 32 folds."""
     strict = emb.filter(
         F.col("embedding").isNotNull()
         & (_dot(F.col("embedding").cast("array<double>"), F.col("embedding").cast("array<double>")) > 0)
     ).select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e"))
     buckets = F.array(*[F.expr(_bucket_spark(b)) for b in range(RP_BANDS)])
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
     return (
-        strict.repartition(32)
+        strict.repartition(n_parts)
         .select(
             "vec_id",
             "e",

@@ -73,3 +73,47 @@ def test_edges_stage_key_tracks_source_rewrites(spark, tmp_path):
     k2 = _edges_key(spark, d)
     assert k1 != k2
     assert k1[0] == spark.sparkContext.applicationId
+
+
+def test_pagerank_copartition_fallback_value_identical(spark, path_graph):
+    """Forcing the co-partition regime (broadcast_max_nodes=0) must change
+    ONLY the join strategy: ranks stay identical to the broadcast path and
+    to the Python replay."""
+    from pyspark.sql import functions as F
+
+    from temporalvault_spark.operators.graph import _pagerank_core
+
+    edges, df = path_graph
+    deg = df.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = df.join(deg, "src").localCheckpoint(eager=True)
+    bc = {r["node"]: r["rank_u"] for r in _pagerank_core(ed).collect()}
+    sh = {
+        r["node"]: r["rank_u"]
+        for r in _pagerank_core(ed, broadcast_max_nodes=0).collect()
+    }
+    assert bc == sh == _ref_pagerank(edges)
+
+
+def test_pagerank_iteration_plan_broadcast_vs_shuffle(spark, path_graph):
+    """Plan pin for the automatic switch: an iteration step plans as
+    BroadcastHashJoin in the broadcast regime and ShuffledHashJoin (never
+    broadcast, never cartesian) in the forced co-partition regime."""
+    from pyspark.sql import functions as F
+
+    from temporalvault_spark.operators.graph import PR_DAMP, _iterate
+    from temporalvault_spark.plans import plan_counts
+
+    _, df = path_graph
+    deg = df.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = df.join(deg, "src").localCheckpoint(eager=True)
+    ranks = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(250000).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+
+    c_bc = plan_counts(_iterate(ed, ranks, True, 37500.0, PR_DAMP))
+    assert c_bc["BroadcastHashJoin"] >= 1
+    assert c_bc.get("ShuffledHashJoin", 0) == 0 and c_bc["CartesianProduct"] == 0
+
+    c_sh = plan_counts(_iterate(ed, ranks, False, 37500.0, PR_DAMP))
+    assert c_sh.get("ShuffledHashJoin", 0) >= 1
+    assert c_sh["BroadcastHashJoin"] == 0 and c_sh["CartesianProduct"] == 0
