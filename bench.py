@@ -166,6 +166,11 @@ HEADLINE = [
     # round 7: quantile feature binning + sliding exact distinct
     "ml_quantile_bin",
     "win_rolling_distinct_1h",
+    # round 8: hybrid retrieval, approx-boundary binning (the 100 TB
+    # quantile path), salted skew aggregate
+    "retrieval_rrf_topk",
+    "ml_quantile_bin_approx",
+    "agg_skew_salted",
 ]
 
 

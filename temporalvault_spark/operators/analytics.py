@@ -486,15 +486,68 @@ def q_ml_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-width twin).
 
     Scale shape: ONE window shuffle on the type key (ntile needs the
-    per-type total order — at 100 TB you'd compute approximate quantile
-    BOUNDARIES instead and bin by range lookup, the approx_percentile
-    path; this exact form IS the oracle), then a hash aggregate that
+    per-type total order — at 100 TB use ml_quantile_bin_approx below:
+    approximate quantile BOUNDARIES + broadcast range lookup, no window;
+    this exact form IS the oracle), then a hash aggregate that
     reuses nothing data-sized. Ties order deterministically via
     (value, event_id) so both engines cut identical bins."""
     ev = _cat(spark, sf_dir).table("events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return (
         ev.select("event_type", "value", F.ntile(4).over(w).cast("bigint").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+            F.round(F.avg("value"), 6).alias("mean"),
+        )
+    )
+
+
+APPROX_BIN_ACCURACY = 10_000  # percentile_approx accuracy (1/eps)
+
+
+def quantile_bin_approx(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_bins: int = 4,
+    accuracy: int = APPROX_BIN_ACCURACY,
+) -> DataFrame:
+    """Equal-frequency binning by APPROXIMATE boundaries — the 100 TB path
+    ml_quantile_bin's docstring promises: per-key ``percentile_approx``
+    (t-digest-style sketch with mergeable map-side partials — one ordinary
+    hash-aggregate shuffle, NO per-key total order) computes the interior
+    boundaries, then every row bins by range lookup against the broadcast
+    boundary frame. Contrast with the exact ntile form, whose window sort
+    cannot avoid materializing each key's full value order.
+
+    Semantics at ties differ from ntile by construction: range binning puts
+    equal values in the same bin (ntile splits them to even out counts), so
+    per-bin counts deviate from N/n_bins by the tied mass at a boundary —
+    the documented, tested tolerance (tests/test_quantile_bin_approx.py)."""
+    qs = ", ".join(f"{i / n_bins!r}" for i in range(1, n_bins))
+    bounds = df.groupBy(key_col).agg(
+        F.expr(f"percentile_approx({value_col}, array({qs}), {accuracy})").alias("_qb")
+    )
+    binned = df.join(F.broadcast(bounds), key_col)
+    bin_expr = F.lit(1).cast("bigint")
+    for i in range(1, n_bins):
+        bin_expr = bin_expr + (F.col(value_col) > F.col("_qb")[i - 1]).cast("bigint")
+    return binned.select(key_col, value_col, bin_expr.alias("bin"))
+
+
+@query("ml_quantile_bin_approx")  # rows-only: sketch boundaries aren't
+# engine-replayable (same registry tier as the GK/t-digest sketches);
+# tolerance vs the exact ntile form is pinned by unit test instead
+def q_ml_quantile_bin_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-boundary quartile binning of ``value`` per event_type —
+    the scale twin of ml_quantile_bin (see quantile_bin_approx for the
+    plan-shape argument). Same output shape as the exact form."""
+    ev = _cat(spark, sf_dir).table("events").filter(F.col("value").isNotNull())
+    return (
+        quantile_bin_approx(ev, "event_type", "value")
         .groupBy("event_type", "bin")
         .agg(
             F.count("*").cast("bigint").alias("n"),

@@ -337,7 +337,18 @@ def q_win_rolling_median_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join explosion, no per-row re-scan of the partition from scratch).
     Peers at the same microsecond are frame-equal in both engines because
     the frame bound is the ORDER BY value itself. Interpolation convention
-    (linear at p=0.5) matches DuckDB's quantile_cont."""
+    (linear at p=0.5) matches DuckDB's quantile_cont.
+
+    KNOWN BOUNDARY RISK (round-7 advice, accepted): on even-sized frames
+    the two engines' linear-interpolation formulas (lo + (hi-lo)*f vs the
+    (1-f)*lo + f*hi family) can differ in the last ulp, so a value sitting
+    exactly on a ROUND(x, 6) half-boundary could hash differently. A
+    holistic median admits no integer-micro-unit rewrite (the fix used for
+    every SUM in this repo) — the midpoint is data, not a sum — so the
+    risk is documented rather than engineered away, like the repo's other
+    float-parity notes (unicode case folding in COVERAGE.md). Current
+    testdata sits nowhere near a boundary; the streaming-scale twin
+    (HLL sketch) is exempt by construction."""
     return win_rolling_median_1h(_events(spark, sf_dir))
 
 

@@ -410,6 +410,49 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_skew_salted",
+    """SELECT l_returnflag,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           COUNT(l_quantity) AS n,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag""",
+)
+def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient two-stage aggregate (functions/skew.py salted_agg):
+    rows salt into 16 sub-keys, aggregate partially per (key, salt), then
+    merge — the explicit fix for a hot GROUP BY key, which AQE cannot split
+    (its skew handling only applies to join partitions). The oracle is the
+    PLAIN aggregate: salting is a physical rewrite with identical
+    semantics, and this entry pins that identity under the value-hash —
+    same contract as join_skew_salted above.
+
+    Parity across the DIFFERENT aggregation orders the two stages induce:
+    every measure is order-free — l_quantity is integer-valued (exact
+    double sums, associative), count merges by sum, min/max are
+    idempotent-commutative. A non-integer SUM would need the integer
+    micro-unit treatment instead.
+
+    Scale: the second aggregate sees ``salt`` rows per group — constant
+    work; the first stage fans the hot key over 16 reducers."""
+    from temporalvault_spark.functions.skew import salted_agg
+
+    li = _cat(spark, sf_dir).table("lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "n": ("count", "l_quantity"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+    )
+
+
 # --- aggregations ----------------------------------------------------------
 
 

@@ -1,9 +1,14 @@
-"""Retrieval scoring over the documents corpus: Okapi BM25 top-k.
+"""Retrieval scoring over the documents corpus: Okapi BM25 top-k and
+hybrid (lexical + dense) reciprocal-rank fusion.
 
 The reference exposes no search endpoint, but a training-data engine needs
 ranked retrieval for decontamination triage and eval-set mining (the same
 role TF-IDF plays in llm.py:1560 — BM25 adds document-length normalization
 and saturating term frequency, the standard lexical-ranking baseline).
+``retrieval_rrf_topk`` then fuses the BM25 ranking with the dense cosine
+ranking (similarity.py) by reciprocal-rank fusion — the standard hybrid
+composition (score = Σ 1/(K + rank), Cormack et al.'s RRF) a miner actually
+runs, robust to the two scores living on incomparable scales.
 
 Scale shape (100 TB corpus, |Q| query terms):
   - the exploded token stream is filtered to the |Q| query terms BEFORE any
@@ -13,12 +18,22 @@ Scale shape (100 TB corpus, |Q| query terms):
     broadcast — no ``.collect()`` round trip, the plan stays declarative;
   - per-term document frequencies (≤ |Q| rows) broadcast-join onto the
     term-frequency frame;
-  - the final top-k plans as TakeOrderedAndProject (no total sort).
+  - every top-k plans as TakeOrderedAndProject (no total sort); the RRF
+    rank windows run AFTER the top-DEPTH cut, so the single-partition
+    row_number touches ≤ DEPTH rows by construction.
 
 Oracle parity: per-term contributions are scaled to integer micro-units
 (ROUND(x * 1e6) AS BIGINT) before the per-document sum, so the sum is exact
 and ASSOCIATIVE — Spark's and DuckDB's different aggregation orders cannot
-produce last-ulp drift. Ranking ties break on doc_id in both engines.
+produce last-ulp drift. The one transcendental (idf's ln) is QUANTIZED to
+integer micro-units in both dialects before entering the product, so a
+1-ulp libm difference between JVM Math.log and DuckDB's std::log can only
+matter if ln(x)*1e6 lands exactly on a .5 rounding boundary for one of the
+≤|Q| distinct (N, df) pairs — a measure-zero residual documented here
+rather than claimed away (every downstream op is correctly-rounded IEEE
+arithmetic on identical doubles). Ranking ties break on doc_id in both
+engines; RRF's 1/(K+rank) terms are exact-integer-input divisions summed
+in a fixed written order, so the fusion adds no float risk of its own.
 """
 
 from __future__ import annotations
@@ -27,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.constants import SIM_PROBE_VEC_ID
 from temporalvault_spark.registry import query
 
 # Fixed query — part of the operator contract (the registered query must be
@@ -36,19 +52,22 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 20
 
+RRF_K = 60  # the standard RRF constant
+RRF_DEPTH = 50  # per-retriever list depth fed into the fusion
+RRF_TOPK = 20
 
-def bm25_topk(
+
+def bm25_scores(
     docs: DataFrame,
     terms: tuple[str, ...] = BM25_QUERY_TERMS,
-    k: int = BM25_TOPK,
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """Top-k documents by Okapi BM25 for a bag-of-terms query.
+    """(doc_id, bm25, n_terms_hit) for every document matching ≥1 query
+    term — the unlimited scored frame bm25_topk and the RRF fusion rank.
 
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  (Robertson-Sparck Jones,
-    guarded positive), tf saturation k1, length normalization b. Documents
-    containing none of the query terms are absent from the ranking.
+    guarded positive), tf saturation k1, length normalization b.
     """
     toks = F.split(F.lower(F.trim(F.col("text"))), " ")
     # Per-doc length; NULL text yields NULL (size() would give -1) so the
@@ -66,9 +85,16 @@ def bm25_topk(
     )
     tf = hits.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = hits.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    idf = F.log(
-        1.0
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    # idf quantized to micro-units: the only transcendental leaves the
+    # libm-sensitive domain here (module docstring has the residual-risk note)
+    idf_q = (
+        F.round(
+            F.log(
+                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * 1e6
+        ).cast("bigint")
+        / 1e6
     )
     tf_norm = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
@@ -79,19 +105,34 @@ def bm25_topk(
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
-            F.round(idf * tf_norm * 1e6).cast("bigint").alias("contrib_u"),
+            F.round(idf_q * tf_norm * 1e6).cast("bigint").alias("contrib_u"),
         )
     )
-    scored = contrib.groupBy("doc_id").agg(
+    return contrib.groupBy("doc_id").agg(
         F.round(F.sum("contrib_u") / 1e6, 6).alias("bm25"),
         F.count("*").alias("n_terms_hit"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents by Okapi BM25 for a bag-of-terms query. Documents
+    containing none of the query terms are absent from the ranking."""
+    scored = bm25_scores(docs, terms, k1, b)
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
 
 
-@query(
-    "bm25_topk",
-    f"""WITH dl AS (
+def _bm25_scored_sql(terms: tuple[str, ...] = BM25_QUERY_TERMS) -> str:
+    """DuckDB CTE chain ending in ``scored(doc_id, bm25, n_terms_hit)`` —
+    shared verbatim by the bm25_topk and retrieval_rrf_topk oracles so the
+    scoring formula cannot drift between them."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""dl AS (
         SELECT doc_id, len(string_split(lower(trim(text)), ' ')) AS dl
         FROM documents),
     stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
@@ -100,13 +141,14 @@ def bm25_topk(
         FROM (SELECT doc_id,
                      unnest(string_split(lower(trim(text)), ' ')) AS term
               FROM documents)
-        WHERE term IN ('hash', 'join', 'spark', 'window', 'scan')),
+        WHERE term IN ({term_list})),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
     df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
     contrib AS (
         SELECT tf.doc_id,
                CAST(ROUND(
-                   ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   (CAST(ROUND(ln(1.0 + (stats.n_docs - df.df + 0.5)
+                                   / (df.df + 0.5)) * 1e6) AS BIGINT) / 1e6)
                    * (tf.tf * ({BM25_K1} + 1.0))
                    / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
                       + {BM25_B} * dl.dl / stats.avgdl))
@@ -114,13 +156,113 @@ def bm25_topk(
         FROM tf
         JOIN df USING (term)
         JOIN dl ON tf.doc_id = dl.doc_id
-        CROSS JOIN stats)
-    SELECT doc_id,
-           ROUND(SUM(contrib_u) / 1e6, 6) AS bm25,
-           COUNT(*) AS n_terms_hit
-    FROM contrib GROUP BY doc_id
+        CROSS JOIN stats),
+    scored AS (
+        SELECT doc_id,
+               ROUND(SUM(contrib_u) / 1e6, 6) AS bm25,
+               COUNT(*) AS n_terms_hit
+        FROM contrib GROUP BY doc_id)"""
+
+
+@query(
+    "bm25_topk",
+    f"""WITH {_bm25_scored_sql()}
+    SELECT doc_id, bm25, n_terms_hit FROM scored
     ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}""",
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered BM25 ranking with the fixed 5-term query (module constant)."""
     return bm25_topk(load_catalog(spark, sf_dir).table("documents"))
+
+
+def rrf_fuse(
+    lex_topk: DataFrame,
+    dense_topk: DataFrame,
+    rrf_k: int = RRF_K,
+    k: int = RRF_TOPK,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two already-cut ranked lists.
+
+    ``lex_topk``: (doc_id, bm25-ordered rows, ≤ DEPTH); ``dense_topk``:
+    (doc_id, cosine-ordered rows, ≤ DEPTH). Each list is ranked by a
+    row_number window over its own ordering — single-partition, but over a
+    frame bounded at DEPTH rows by construction (the scalable
+    TakeOrderedAndProject cut already happened upstream), so the
+    "global window" anti-pattern does not apply. Fusion is a full outer
+    join on doc_id; a doc missing from one list simply contributes no term.
+    """
+    lex_r = lex_topk.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("r_lex"),
+    )
+    den_r = dense_topk.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("r_dense"),
+    )
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("r_lex")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("r_dense")), F.lit(0.0)
+    )
+    return (
+        lex_r.join(den_r, "doc_id", "full_outer")
+        .select("doc_id", "r_lex", "r_dense", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+@query(
+    "retrieval_rrf_topk",
+    f"""WITH {_bm25_scored_sql()},
+    lex AS (SELECT doc_id, bm25 FROM scored
+            ORDER BY bm25 DESC, doc_id LIMIT {RRF_DEPTH}),
+    lexr AS (SELECT doc_id,
+                    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+             FROM lex),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+          WHERE embedding IS NOT NULL
+            AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    p AS (SELECT e FROM e WHERE vec_id = {SIM_PROBE_VEC_ID}),
+    den AS (SELECT a.vec_id AS doc_id,
+                   list_dot_product(a.e, p.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(p.e, p.e))) AS cosine
+            FROM e a CROSS JOIN p
+            ORDER BY cosine DESC, a.vec_id LIMIT {RRF_DEPTH}),
+    denr AS (SELECT doc_id,
+                    ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r_dense
+             FROM den)
+    SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_dense,
+           ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.r_lex), 0.0)
+                 + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + d.r_dense), 0.0),
+                 6) AS rrf
+    FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}""",
+)
+def q_retrieval_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF fusion of the BM25 lexical ranking (fixed
+    5-term query over documents) and the dense cosine ranking (fixed probe
+    vector over embeddings — the two tables share the 0-based id space, so
+    vec_id IS the doc_id). Each retriever contributes its top-{RRF_DEPTH};
+    fusion scores are Σ 1/({RRF_K} + rank) over the lists containing the
+    doc. Both inputs are deterministic and oracle-checked on their own
+    (bm25_topk, sim_topk_cosine); the fusion adds only integer-rank
+    arithmetic, so the whole composition carries a full value-hash oracle."""
+    from temporalvault_spark.operators.similarity import _emb, cosine_scores
+
+    docs = load_catalog(spark, sf_dir).table("documents")
+    lex = bm25_scores(docs).orderBy(F.desc("bm25"), F.asc("doc_id")).limit(RRF_DEPTH)
+    emb = _emb(spark, sf_dir)
+    probe = emb.filter(F.col("vec_id") == SIM_PROBE_VEC_ID)
+    den = (
+        cosine_scores(emb, probe)
+        .select(F.col("vec_id").alias("doc_id"), "cosine")
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+    )
+    return rrf_fuse(lex, den)

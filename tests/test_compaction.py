@@ -58,3 +58,20 @@ def test_compact_shuffle_mode_balances(spark, frag_dir, tmp_path):
     before = {tuple(r) for r in spark.read.parquet(frag_dir).collect()}
     after = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert before == after
+
+
+def test_compact_cache_key_tracks_source_rewrites(spark, tmp_path):
+    """The per-session compacted-copy cache must restage when the events
+    source is rewritten (same freshness contract as graph._edges_key)."""
+    import os
+    import shutil
+
+    from temporalvault_spark.sources.compaction import _compact_key
+
+    d = str(tmp_path)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", f"{d}/events.parquet")
+    k1 = _compact_key(spark, d)
+    os.utime(f"{d}/events.parquet", ns=(1, 1))  # simulate rewrite
+    k2 = _compact_key(spark, d)
+    assert k1 != k2
+    assert k1[0] == spark.sparkContext.applicationId

@@ -75,3 +75,44 @@ def test_bm25_length_normalization(spark):
     )
     got = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, terms=("hash",)).collect()}
     assert got[2] > got[1]
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    """Crafted lists: fusion scores equal Σ 1/(K + rank) computed by hand,
+    including a doc present in only one list."""
+    from pyspark.sql import functions as F
+
+    from temporalvault_spark.operators.retrieval import RRF_K, rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 3.0), (20, 2.0), (30, 1.0)], "doc_id bigint, bm25 double"
+    )
+    den = spark.createDataFrame(
+        [(20, 0.9), (40, 0.8)], "doc_id bigint, cosine double"
+    )
+    got = {
+        r["doc_id"]: (r["r_lex"], r["r_dense"], r["rrf"])
+        for r in rrf_fuse(lex, den, k=10).collect()
+    }
+    exp = {
+        10: (1, None, round(1.0 / (RRF_K + 1), 6)),
+        20: (2, 1, round(1.0 / (RRF_K + 2) + 1.0 / (RRF_K + 1), 6)),
+        30: (3, None, round(1.0 / (RRF_K + 3), 6)),
+        40: (None, 2, round(1.0 / (RRF_K + 2), 6)),
+    }
+    assert got == exp
+    # doc 20 (in both lists) must outrank every single-list doc
+    top = max(got, key=lambda d: got[d][2])
+    assert top == 20
+
+
+def test_rrf_rank_ties_break_on_doc_id(spark):
+    """Equal scores rank by doc_id ascending — the oracle's convention."""
+    from temporalvault_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(5, 1.0), (3, 1.0)], "doc_id bigint, bm25 double"
+    )
+    den = spark.createDataFrame([], "doc_id bigint, cosine double")
+    got = {r["doc_id"]: r["r_lex"] for r in rrf_fuse(lex, den).collect()}
+    assert got == {3: 1, 5: 2}
