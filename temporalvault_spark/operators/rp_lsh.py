@@ -9,20 +9,41 @@ b-bit band with probability (1 - angle/π)^b, and B bands give the usual
 banded recall curve without ever touching pair space.
 
 Scale shape (identical to the minhash LSH tier):
-  - signatures are a single projection pass (no shuffle): 32 plane dots per
-    vector, all JVM-side higher-order folds;
+  - signatures are a single projection pass (no shuffle): `bits` plane dots
+    per band per vector, all JVM-side higher-order folds;
   - candidates come from an equi-join on (band, bucket) — fan-out bounded
     by bucket occupancy, never corpus²;
   - exact cosine verification runs only on the DISTINCT candidate pairs.
+
+ADAPTIVE BUCKET WIDTH (round 8): with a FIXED bit width, expected bucket
+occupancy is N/2^bits, so within-bucket candidate pairs grow QUADRATICALLY
+in the corpus — measured on the 10x isotropic upscale: 36k -> 3.6M
+candidate pairs, and the exact-verify stage came to dominate (the same
+disease the round-4 semdedup audit found in fixed-k centroid blocking).
+Fix is the same as adaptive_n_centroids: hold expected occupancy CONSTANT —
+bits(N) = min(RP_BITS_MAX, max(RP_BITS, ceil(log2(N / RP_OCC_TARGET)))),
+selected by exact integer threshold comparisons (no float, no libm risk)
+from the strict-vector count. Candidate fan-out is then ~N·occ/2 per band —
+linear. The recall consequence is the honest LSH tradeoff: per-band
+collision p^bits falls as bits grow, so a deployment holding recall
+constant grows RP_BANDS alongside (linear signature/join cost — see the
+measured recall curve and knob discussion in SCALE.md).
 
 Oracle parity: plane coefficients are derived IN-ENGINE from md5 —
 c(p,j) = u32(md5('rp:p:j')[:8]) / 2^32 - 0.5 — so both engines compute
 bit-identical coefficient doubles (exact integer → exact power-of-two
 scaling), and both fold the dot product left-to-right over the same element
-order, giving bit-identical signs. Both dialects' expressions are GENERATED
-FROM THE SAME PYTHON LOOP below, so the formulas cannot drift. Recall is
+order, giving bit-identical signs. Plane indices are fixed at
+band*RP_BITS_MAX + i regardless of the adaptive width, so Spark computes
+exactly `bits` dots while the oracle computes the full RP_BITS_MAX-bit
+string and truncates to the SAME prefix (cost only matters Spark-side).
+The width itself is chosen by integer comparisons on the same COUNT —
+Spark from a bounded driver scalar (the PageRank n_nodes precedent), the
+oracle from a scalar subquery; both dialects' expressions are GENERATED
+FROM THE SAME PYTHON LOOPS below, so the formulas cannot drift. Recall is
 bucket-local by contract (same contract as the IVF cluster blocking);
-crafted-duplicate recall is pinned in tests/test_rp_lsh.py."""
+crafted-duplicate recall is pinned in tests/test_rp_lsh.py and the
+measured recall-vs-cosine curve lives in SCALE.md (tools/rp_recall.py)."""
 
 from __future__ import annotations
 
@@ -39,7 +60,28 @@ from temporalvault_spark.operators.similarity import (
 from temporalvault_spark.registry import query
 
 RP_BANDS = 4
-RP_BITS = 8  # planes per band; 32 planes total
+RP_BITS = 8  # minimum planes per band (the floor used at test scale)
+RP_BITS_MAX = 16  # plane-index stride; widest supported band
+RP_OCC_TARGET = 8  # expected vectors per (band, bucket) the width maintains
+
+
+def adaptive_rp_bits(n: int) -> int:
+    """Bucket bit-width holding expected occupancy ~RP_OCC_TARGET: the
+    smallest bits in [RP_BITS, RP_BITS_MAX] with n <= RP_OCC_TARGET·2^bits.
+    Pure integer comparisons — replayed verbatim by _bits_case_duck()."""
+    bits = RP_BITS
+    while bits < RP_BITS_MAX and n > RP_OCC_TARGET << bits:
+        bits += 1
+    return bits
+
+
+def _bits_case_duck() -> str:
+    """DuckDB twin of adaptive_rp_bits, generated from the same thresholds."""
+    whens = " ".join(
+        f"WHEN n <= {RP_OCC_TARGET << b} THEN {b}"
+        for b in range(RP_BITS, RP_BITS_MAX)
+    )
+    return f"CASE {whens} ELSE {RP_BITS_MAX} END"
 
 
 def _dot_spark(p: int, e: str = "e") -> str:
@@ -66,38 +108,46 @@ def _dot_duck(p: int, e: str = "e") -> str:
     )
 
 
-def _bucket_spark(band: int) -> str:
-    bits = [
-        f"CASE WHEN {_dot_spark(band * RP_BITS + i)} >= 0 THEN '1' ELSE '0' END"
-        for i in range(RP_BITS)
+def _bucket_spark(band: int, bits: int) -> str:
+    bits_exprs = [
+        f"CASE WHEN {_dot_spark(band * RP_BITS_MAX + i)} >= 0 THEN '1' ELSE '0' END"
+        for i in range(bits)
     ]
-    return "concat(" + ", ".join(bits) + ")"
+    return "concat(" + ", ".join(bits_exprs) + ")"
 
 
-def _bucket_duck(band: int) -> str:
-    bits = [
-        f"CASE WHEN {_dot_duck(band * RP_BITS + i)} >= 0 THEN '1' ELSE '0' END"
-        for i in range(RP_BITS)
+def _bucket_duck_full(band: int) -> str:
+    """The full RP_BITS_MAX-bit band string (the oracle truncates a prefix)."""
+    bits_exprs = [
+        f"CASE WHEN {_dot_duck(band * RP_BITS_MAX + i)} >= 0 THEN '1' ELSE '0' END"
+        for i in range(RP_BITS_MAX)
     ]
-    return " || ".join(bits)
+    return " || ".join(bits_exprs)
 
 
-def rp_signatures(emb: DataFrame) -> DataFrame:
+def rp_signatures(emb: DataFrame, bits: int | None = None) -> DataFrame:
     """(vec_id, e, nrm, band, bucket): one row per (vector, band).
 
-    The 32 plane dots are interpreted higher-order folds — CPU-heavy — and
+    ``bits=None`` derives the adaptive width from the strict-vector count
+    (one bounded driver long — the PageRank n_nodes precedent) so bucket
+    occupancy stays ~RP_OCC_TARGET at any corpus size; pass an explicit
+    width to pin it (tests, recall measurement).
+
+    The plane dots are interpreted higher-order folds — CPU-heavy — and
     the testdata arrives as ONE unsplittable parquet file, so the
     projection is explicitly fanned out across the session's cores
     (defaultParallelism, the same derivation as shingle_signatures in
     llm.py — no deployment-specific constant; AQE won't coalesce a
     user-numbered repartition). The eager localCheckpoint materializes the
     signature frame ONCE for both sides of the downstream self-join —
-    without it each alias re-runs all 32 folds."""
+    without it each alias re-runs all the folds."""
     strict = emb.filter(
         F.col("embedding").isNotNull()
         & (_dot(F.col("embedding").cast("array<double>"), F.col("embedding").cast("array<double>")) > 0)
     ).select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e"))
-    buckets = F.array(*[F.expr(_bucket_spark(b)) for b in range(RP_BANDS)])
+    if bits is None:
+        bits = adaptive_rp_bits(strict.count())
+    buckets = F.array(*[F.expr(_bucket_spark(b, bits)) for b in range(RP_BANDS)])
     n_parts = emb.sparkSession.sparkContext.defaultParallelism
     return (
         strict.repartition(n_parts)
@@ -142,9 +192,12 @@ def rp_lsh_pairs(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> DataFr
     "dedup_rp_lsh",
     f"""WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
+    nb AS (SELECT {_bits_case_duck()} AS bits
+           FROM (SELECT COUNT(*) AS n FROM e)),
     sigs AS (
         {" UNION ALL ".join(
-            f"SELECT vec_id, e, {b} AS band, {_bucket_duck(b)} AS bucket FROM e"
+            f"SELECT vec_id, e, {b} AS band, "
+            f"left({_bucket_duck_full(b)}, nb.bits) AS bucket FROM e, nb"
             for b in range(RP_BANDS)
         )}),
     cand AS (
@@ -164,5 +217,6 @@ def rp_lsh_pairs(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> DataFr
 )
 def q_dedup_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered RP-LSH near-dup over the embeddings table (module
-    docstring has the construction and the parity story)."""
+    docstring has the construction, the adaptive-width scale story, and
+    the parity argument)."""
     return rp_lsh_pairs(load_catalog(spark, sf_dir).table("embeddings"))

@@ -55,3 +55,36 @@ def test_null_and_zero_vectors_excluded(spark, base_vec):
     sigs = rp_signatures(_emb(spark, rows))
     assert {r["vec_id"] for r in sigs.collect()} == {1}
     assert rp_lsh_pairs(_emb(spark, rows)).count() == 0
+
+
+def test_adaptive_bits_thresholds():
+    """Width holds expected occupancy ≤ RP_OCC_TARGET between the floor and
+    the stride cap, switching exactly at the integer thresholds."""
+    from temporalvault_spark.operators.rp_lsh import (
+        RP_BITS_MAX,
+        RP_OCC_TARGET,
+        adaptive_rp_bits,
+    )
+
+    assert adaptive_rp_bits(0) == RP_BITS
+    assert adaptive_rp_bits(RP_OCC_TARGET << RP_BITS) == RP_BITS  # 2048: last 8-bit n
+    assert adaptive_rp_bits((RP_OCC_TARGET << RP_BITS) + 1) == RP_BITS + 1
+    assert adaptive_rp_bits(10**9) == RP_BITS_MAX
+    for n in (1, 2048, 2049, 5000, 100_000, 10**9):
+        bits = adaptive_rp_bits(n)
+        if bits < RP_BITS_MAX:
+            assert n <= RP_OCC_TARGET << bits
+        if bits > RP_BITS:
+            assert n > RP_OCC_TARGET << (bits - 1)
+
+
+def test_wider_bucket_is_prefix_extension(spark, base_vec):
+    """Plane indices are fixed at band*RP_BITS_MAX + i, so an 8-bit bucket
+    must be the exact prefix of the same vector's 12-bit bucket — the
+    property that lets the oracle truncate the full-width string."""
+    rows = [(1, base_vec, 0)]
+    s8 = {r["band"]: r["bucket"] for r in rp_signatures(_emb(spark, rows), bits=8).collect()}
+    s12 = {r["band"]: r["bucket"] for r in rp_signatures(_emb(spark, rows), bits=12).collect()}
+    for band in s8:
+        assert len(s8[band]) == 8 and len(s12[band]) == 12
+        assert s12[band].startswith(s8[band])
