@@ -74,7 +74,11 @@ def pagerank_int(
     node id — same loop, same integer arithmetic, value-identical output
     (tests/test_graph.py pins both plans and their equality)."""
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = edges.join(deg, "src").repartition(8, "dst").localCheckpoint(eager=True)
+    ed = (
+        edges.join(F.broadcast(deg), "src")  # deg is node-sized, like ranks
+        .repartition(8, "dst")
+        .localCheckpoint(eager=True)
+    )
     return _pagerank_core(ed, n_iter, damp)
 
 
@@ -239,8 +243,13 @@ def stage_trade_edges(spark: SparkSession, sf_dir: str, force: bool = False) -> 
             path = os.path.join(root, "edges")
         edges = trade_edges(spark, sf_dir)
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        # deg is NODE-sized (the same broadcast regime as the rank state in
+        # _pagerank_core — and the same fallback applies beyond it): with it
+        # broadcast, annotating the edges adds no exchange, and the dst
+        # repartition below is the staging pipeline's only edge-sized
+        # shuffle after the distinct.
         (
-            edges.join(deg, "src")
+            edges.join(F.broadcast(deg), "src")
             .repartition(8, "dst")
             .write.mode("overwrite")
             .parquet(path)
@@ -294,18 +303,25 @@ def q_trade_edges_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric customer↔supplier edge frame from the order network."""
+    """Symmetric customer↔supplier edge frame from the order network.
+
+    The DISTINCT runs on the raw (custkey, suppkey) INT pair — 16 bytes/row
+    through the dedup exchange — and the typed node labels are built
+    afterwards (a narrow projection): at 100 TB the distinct is the only
+    edge-sized shuffle in the whole staging pipeline, so its row width is
+    the staging cost."""
     cat = load_catalog(spark, sf_dir)
     pairs = (
         cat.table("orders")
         .select("o_orderkey", "o_custkey")
         .join(cat.table("lineitem").select("l_orderkey", "l_suppkey"),
               F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
         )
-        .distinct()
     )
     return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))

@@ -29,10 +29,16 @@ collision p^bits falls as bits grow, so a deployment holding recall
 constant grows RP_BANDS alongside (linear signature/join cost — see the
 measured recall curve and knob discussion in SCALE.md).
 
-Oracle parity: plane coefficients are derived IN-ENGINE from md5 —
-c(p,j) = u32(md5('rp:p:j')[:8]) / 2^32 - 0.5 — so both engines compute
-bit-identical coefficient doubles (exact integer → exact power-of-two
-scaling), and both fold the dot product left-to-right over the same element
+Oracle parity: plane coefficients derive from md5 —
+c(p,j) = u32(md5('rp:p:j')[:8]) / 2^32 - 0.5 — exact integer → exact
+power-of-two scaling, so the doubles are BIT-IDENTICAL whoever computes
+them. The oracle derives them IN-ENGINE (proving the formula); the Spark
+side precomputes them DRIVER-SIDE into constant-folded literal arrays —
+the in-engine derivation cost 2·bits·dim md5+conv calls PER ROW (the
+lambda variable j defeats constant folding), measured as the dominant
+cost of the whole operator, for values that never depend on the row.
+tests/test_rp_lsh.py pins the literal == in-engine equality element-wise.
+Both engines fold the dot product left-to-right over the same element
 order, giving bit-identical signs. Plane indices are fixed at
 band*RP_BITS_MAX + i regardless of the adaptive width, so Spark computes
 exactly `bits` dots while the oracle computes the full RP_BITS_MAX-bit
@@ -84,15 +90,27 @@ def _bits_case_duck() -> str:
     return f"CASE {whens} ELSE {RP_BITS_MAX} END"
 
 
-def _dot_spark(p: int, e: str = "e") -> str:
-    """Spark SQL: <e, plane_p> with md5-derived coefficients (literal p)."""
-    coef = (
-        f"(CAST(conv(substring(md5(concat('rp:', '{p}', ':', CAST(j AS STRING))), 1, 8), "
-        f"16, 10) AS DOUBLE) / 4294967296.0 - 0.5)"
-    )
+def _plane_coef(p: int, j: int) -> float:
+    """c(p,j) = u32(md5('rp:p:j')[:8]) / 2^32 - 0.5, computed driver-side.
+    Exact-integer / power-of-two arithmetic → the identical double the
+    oracle derives in-engine (equality pinned element-wise in tests)."""
+    import hashlib
+
+    h = hashlib.md5(f"rp:{p}:{j}".encode()).hexdigest()[:8]
+    return int(h, 16) / 4294967296.0 - 0.5
+
+
+def _dot_spark(p: int, dim: int, e: str = "e") -> str:
+    """Spark SQL: <e, plane_p> with the plane's coefficients embedded as a
+    constant-folded literal array (see module docstring: in-engine
+    derivation cost row-proportional md5 calls for row-independent values).
+    repr() round-trips doubles exactly, and Spark parses E-notation
+    literals as DOUBLE, so the array holds the md5-derived values bit-for-
+    bit. The fold is unchanged: left-to-right, acc + e[j]*c[j]."""
+    coefs = ", ".join(repr(_plane_coef(p, j)) for j in range(dim))
     return (
         f"aggregate(sequence(0, size({e}) - 1), CAST(0.0 AS DOUBLE), "
-        f"(acc, j) -> acc + element_at({e}, j + 1) * {coef})"
+        f"(acc, j) -> acc + element_at({e}, j + 1) * element_at(array({coefs}), j + 1))"
     )
 
 
@@ -108,9 +126,9 @@ def _dot_duck(p: int, e: str = "e") -> str:
     )
 
 
-def _bucket_spark(band: int, bits: int) -> str:
+def _bucket_spark(band: int, bits: int, dim: int) -> str:
     bits_exprs = [
-        f"CASE WHEN {_dot_spark(band * RP_BITS_MAX + i)} >= 0 THEN '1' ELSE '0' END"
+        f"CASE WHEN {_dot_spark(band * RP_BITS_MAX + i, dim)} >= 0 THEN '1' ELSE '0' END"
         for i in range(bits)
     ]
     return "concat(" + ", ".join(bits_exprs) + ")"
@@ -145,9 +163,16 @@ def rp_signatures(emb: DataFrame, bits: int | None = None) -> DataFrame:
         F.col("embedding").isNotNull()
         & (_dot(F.col("embedding").cast("array<double>"), F.col("embedding").cast("array<double>")) > 0)
     ).select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e"))
+    # one bounded driver row: strict count (adaptive width) + max dim (sizes
+    # the literal coefficient arrays; shorter vectors fold a prefix, exactly
+    # as the per-element derivation would)
+    stats = strict.agg(
+        F.count("*").alias("n"), F.max(F.size("e")).alias("d")
+    ).first()
     if bits is None:
-        bits = adaptive_rp_bits(strict.count())
-    buckets = F.array(*[F.expr(_bucket_spark(b, bits)) for b in range(RP_BANDS)])
+        bits = adaptive_rp_bits(stats["n"])
+    dim = stats["d"] or 1
+    buckets = F.array(*[F.expr(_bucket_spark(b, bits, dim)) for b in range(RP_BANDS)])
     n_parts = emb.sparkSession.sparkContext.defaultParallelism
     return (
         strict.repartition(n_parts)

@@ -88,3 +88,27 @@ def test_wider_bucket_is_prefix_extension(spark, base_vec):
     for band in s8:
         assert len(s8[band]) == 8 and len(s12[band]) == 12
         assert s12[band].startswith(s8[band])
+
+
+def test_literal_plane_coefs_match_in_engine_derivation(spark):
+    """The driver-side literal coefficients must equal the oracle's
+    in-engine md5 derivation BIT-FOR-BIT for every (plane, element) the
+    widest configuration can touch."""
+    from temporalvault_spark.operators.rp_lsh import (
+        RP_BANDS,
+        RP_BITS_MAX,
+        _plane_coef,
+    )
+
+    n_planes = RP_BANDS * RP_BITS_MAX
+    rows = spark.sql(
+        f"""SELECT p, j,
+            CAST(conv(substring(md5(concat('rp:', CAST(p AS STRING), ':',
+                                            CAST(j AS STRING))), 1, 8),
+                      16, 10) AS DOUBLE) / 4294967296.0 - 0.5 AS c
+        FROM (SELECT explode(sequence(0, {n_planes - 1})) AS p)
+        CROSS JOIN (SELECT explode(sequence(0, 63)) AS j)"""
+    ).collect()
+    assert len(rows) == n_planes * 64
+    for r in rows:
+        assert _plane_coef(r["p"], r["j"]) == r["c"]
