@@ -555,3 +555,33 @@ def test_unpivot_is_one_scan_expand(q):
     c = plan_counts(q("unpivot_measures"))
     assert c["FileScan"] == 1
     assert c["HashAggregate"] >= 2  # partial + final on the melted rows
+
+
+def test_rrf_fusion_windows_stay_bounded(q):
+    """Hybrid retrieval: every retriever list is cut by TakeOrderedAndProject
+    BEFORE its rank window (the plan's only windows sit above DEPTH-row
+    inputs), and nothing plans as a cartesian product."""
+    df = q("retrieval_rrf_topk")
+    c = plan_counts(df)
+    assert c["TakeOrderedAndProject"] >= 3  # lex cut, dense cut, final top-k
+    assert c["CartesianProduct"] == 0
+    # the two rank windows exist but sit above the cuts — executed plan
+    # orders children bottom-up, so each Window's subtree must contain a
+    # TakeOrderedAndProject (the cheap proxy: counts above)
+    plan = executed_plan(df)
+    assert plan.count("Window") >= 2
+
+
+def test_agg_skew_salted_two_stage_shape(q):
+    """Salted aggregate: two aggregation stages (partial on (key, salt),
+    merge on key), no join, no window, one scan."""
+    df = q("agg_skew_salted")
+    c = plan_counts(df)
+    assert c["FileScan"] == 1
+    assert c["HashAggregate"] >= 4  # partial+final for each of the 2 stages
+    assert (
+        c["BroadcastHashJoin"] == 0
+        and c["SortMergeJoin"] == 0
+        and c["CartesianProduct"] == 0
+    )
+    assert "Window" not in executed_plan(df)
