@@ -57,34 +57,84 @@ RRF_DEPTH = 50  # per-retriever list depth fed into the fusion
 RRF_TOPK = 20
 
 
+def bm25_base(docs: DataFrame, terms: tuple[str, ...] = BM25_QUERY_TERMS) -> DataFrame:
+    """(doc_id, dl, qtoks): per-doc token length + the query-term-filtered
+    token list, checkpointed from ONE fanned-out corpus pass.
+
+    Why it exists: the scored frame reuses doc lengths twice (corpus
+    stats, length norm) and the hit stream twice (tf, df), and two of
+    those uses are BROADCAST subtrees that execute as their own jobs —
+    without materialization the corpus tokenize re-ran FOUR times
+    sequentially (measured 15s cold at sf0.1, where the single-file corpus
+    scans on one thread). The checkpointed frame is tiny: (int, int,
+    ≤|Q|-term array) per doc. The repartition is the module-wide
+    single-file-testdata rule (as in shingle_signatures); at 100 TB
+    splittable input makes it an ordinary read-parallelism choice.
+    Registered consumers cache this per (appId, corpus signature, terms) —
+    the llm.py staging contract — so bm25_topk and the RRF fusion share
+    one corpus pass per session."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n_parts)
+        .select(
+            "doc_id",
+            # NULL text yields NULL (size() would give -1) so the corpus
+            # average skips it, matching SQL semantics
+            F.when(F.col("text").isNull(), F.lit(None))
+            .otherwise(F.size(toks))
+            .alias("dl"),
+            F.filter(toks, lambda t: t.isin(*terms)).alias("qtoks"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+_BM25_BASE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _bm25_base_cached(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...] = BM25_QUERY_TERMS
+) -> DataFrame:
+    """Session-staged bm25_base over the documents table, keyed on
+    (appId, dir, corpus mtime+size, terms) — llm._corpus_key's freshness
+    contract, so an in-process corpus rewrite restages."""
+    from temporalvault_spark.operators.llm import _corpus_key
+
+    key = (*_corpus_key(spark, sf_dir), terms)
+    base = _BM25_BASE_CACHE.get(key)
+    if base is None:
+        base = bm25_base(load_catalog(spark, sf_dir).table("documents"), terms)
+        _BM25_BASE_CACHE[key] = base
+    return base
+
+
 def bm25_scores(
     docs: DataFrame,
     terms: tuple[str, ...] = BM25_QUERY_TERMS,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, bm25, n_terms_hit) for every document matching ≥1 query
     term — the unlimited scored frame bm25_topk and the RRF fusion rank.
 
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  (Robertson-Sparck Jones,
     guarded positive), tf saturation k1, length normalization b.
+    ``base``: a prebuilt bm25_base frame (registered queries pass the
+    session-cached one; ad-hoc callers let it build inline).
     """
-    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
-    # Per-doc length; NULL text yields NULL (size() would give -1) so the
-    # corpus-average skips it, matching SQL semantics.
-    dl = docs.select(
-        "doc_id",
-        F.when(F.col("text").isNull(), F.lit(None)).otherwise(F.size(toks)).alias("dl"),
-    )
+    if base is None:
+        base = bm25_base(docs, terms)
+    dl = base.select("doc_id", "dl")
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )  # one row, broadcast below
-    hits = (
-        docs.select("doc_id", F.explode(toks).alias("term"))
-        .filter(F.col("term").isin(*terms))
-    )
+    hits = base.select("doc_id", F.explode("qtoks").alias("term"))
     tf = hits.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = hits.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # tf has exactly one row per (doc, term), so document frequency is a
+    # plain count over tf — no second pass over the hit stream
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     # idf quantized to micro-units: the only transcendental leaves the
     # libm-sensitive domain here (module docstring has the residual-risk note)
     idf_q = (
@@ -120,10 +170,11 @@ def bm25_topk(
     k: int = BM25_TOPK,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents by Okapi BM25 for a bag-of-terms query. Documents
     containing none of the query terms are absent from the ranking."""
-    scored = bm25_scores(docs, terms, k1, b)
+    scored = bm25_scores(docs, terms, k1, b, base=base)
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
 
 
@@ -171,8 +222,12 @@ def _bm25_scored_sql(terms: tuple[str, ...] = BM25_QUERY_TERMS) -> str:
     ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}""",
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered BM25 ranking with the fixed 5-term query (module constant)."""
-    return bm25_topk(load_catalog(spark, sf_dir).table("documents"))
+    """Registered BM25 ranking with the fixed 5-term query (module
+    constant); consumes the session-staged corpus pass."""
+    return bm25_topk(
+        load_catalog(spark, sf_dir).table("documents"),
+        base=_bm25_base_cached(spark, sf_dir),
+    )
 
 
 def rrf_fuse(
@@ -256,7 +311,11 @@ def q_retrieval_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temporalvault_spark.operators.similarity import _emb, cosine_scores
 
     docs = load_catalog(spark, sf_dir).table("documents")
-    lex = bm25_scores(docs).orderBy(F.desc("bm25"), F.asc("doc_id")).limit(RRF_DEPTH)
+    lex = (
+        bm25_scores(docs, base=_bm25_base_cached(spark, sf_dir))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+    )
     emb = _emb(spark, sf_dir)
     probe = emb.filter(F.col("vec_id") == SIM_PROBE_VEC_ID)
     den = (
