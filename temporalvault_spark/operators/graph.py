@@ -52,6 +52,13 @@ PR_TOPK = 20
 PR_BROADCAST_MAX_NODES = 10_000_000
 
 
+def _edge_parts(df: DataFrame) -> int:
+    """dst-partition fan-out for the edge frame: the session's core count
+    (the repo-wide no-magic-constant rule; AQE won't coalesce a
+    user-numbered repartition, and the iteration aggregate reuses it)."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def pagerank_int(
     edges: DataFrame, n_iter: int = PR_ITER, damp: float = PR_DAMP
 ) -> DataFrame:
@@ -76,7 +83,7 @@ def pagerank_int(
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ed = (
         edges.join(F.broadcast(deg), "src")  # deg is node-sized, like ranks
-        .repartition(8, "dst")
+        .repartition(_edge_parts(edges), "dst")
         .localCheckpoint(eager=True)
     )
     return _pagerank_core(ed, n_iter, damp)
@@ -250,7 +257,7 @@ def stage_trade_edges(spark: SparkSession, sf_dir: str, force: bool = False) -> 
         # shuffle after the distinct.
         (
             edges.join(F.broadcast(deg), "src")
-            .repartition(8, "dst")
+            .repartition(_edge_parts(edges), "dst")
             .write.mode("overwrite")
             .parquet(path)
         )
@@ -270,7 +277,8 @@ def staged_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = stage_trade_edges(spark, sf_dir)
     df = _STAGED_EDGES_DF.get(key)
     if df is None:
-        df = spark.read.parquet(path).repartition(8, "dst").localCheckpoint(eager=True)
+        df = spark.read.parquet(path)
+        df = df.repartition(_edge_parts(df), "dst").localCheckpoint(eager=True)
         _STAGED_EDGES_DF[key] = df
     return df
 

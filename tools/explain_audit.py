@@ -54,7 +54,7 @@ AUDITED = [
     ("unpivot_measures", "native melt: ONE FileScan + Expand fan-out in place; the UNION-ALL formulation would scan 4x"),
     ("agg_distinct_bitmap", "exact distinct via mergeable bitmap partials: fixed-width bitmaps ride the shuffle, not raw distinct values"),
     ("agg_stats_moments", "five moment families in ONE partial+final hash aggregate; shuffle carries one moment tuple per group"),
-    ("bm25_topk", "token stream filtered to |Q| terms BEFORE any agg; 1-row corpus stats + per-term df broadcast; TakeOrderedAndProject top-k"),
+    ("bm25_topk", "consumes the session-staged (doc_id, dl, query-filtered tokens) checkpoint — ONE corpus pass per session instead of four; 1-row corpus stats + per-term df broadcast; TakeOrderedAndProject top-k"),
     ("win_ewma", "ONE window shuffle on user_id; bounded 8-element frame folded by a JVM higher-order function — no UDF"),
     ("win_rolling_median_1h", "holistic percentile over a RANGE frame: one user_id shuffle, sliding frame evaluation — no self-join"),
     ("join_skew_salted", "forced ShuffledHashJoin on (key, salt): dim replicated 8x, hot key spread over 8 reducers (the hint reproduces the big-dim plan Catalyst would pick at scale); post-join agg map-side combines"),
@@ -62,7 +62,7 @@ AUDITED = [
     ("trade_edges_stage", "one-time graph build, force-re-run so its cost stays measured: DISTINCT on the raw int pair (16-byte rows through the only edge-sized exchange), node labels built after, node-sized degree frame broadcast; artifact written dst-partitioned"),
     ("pagerank_trade_network", "returned plan = top-k over the eagerly-checkpointed final rank state; the 5 iteration rounds (edges JOIN broadcast(ranks), contributions aggregated on the dst partitioning of the session-cached repartitioned+checkpointed artifact read — plain parquet read-back would lose it — so the edge frame never re-shuffles) run inside the call, one bounded job each; above PR_BROADCAST_MAX_NODES the loop auto-switches to a co-partitioned shuffle-hash join (both plans pinned in tests/test_graph.py)"),
     ("dedup_rp_lsh", "adaptive-width signature projection with constant-folded literal plane arrays (no per-row md5); candidates from a (band, bucket) equi-join — never corpus²; exact cosine only on DISTINCT candidates"),
-    ("retrieval_rrf_topk", "each retriever cut to top-DEPTH via TakeOrderedAndProject BEFORE its rank window, so the single-partition row_number touches ≤ DEPTH rows by construction; fusion is a DEPTH-row full-outer join"),
+    ("retrieval_rrf_topk", "each retriever cut to top-DEPTH via TakeOrderedAndProject BEFORE its rank window, so the single-partition row_number touches ≤ DEPTH rows by construction; fusion is a DEPTH-row full-outer join; the BM25 side reads the session-staged corpus pass"),
     ("ml_quantile_bin_approx", "NO Window (the exact form's per-type total order is gone): percentile_approx boundaries via one mergeable hash aggregate, bin by range lookup against the broadcast boundary frame"),
     ("agg_skew_salted", "two-stage skewed aggregate: partial agg on (key, salt) fans the hot key over 16 reducers; merge agg sees salt rows per group"),
 ]
