@@ -167,10 +167,11 @@ HEADLINE = [
     "ml_quantile_bin",
     "win_rolling_distinct_1h",
     # round 8: hybrid retrieval, approx-boundary binning (the 100 TB
-    # quantile path), salted skew aggregate
+    # quantile path), salted skew aggregate, soft-dedup weighting
     "retrieval_rrf_topk",
     "ml_quantile_bin_approx",
     "agg_skew_salted",
+    "dedup_soft_weights",
 ]
 
 

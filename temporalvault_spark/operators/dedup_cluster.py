@@ -238,3 +238,48 @@ def q_dedup_near_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs_kept"),
         F.sum("n_chars").cast("bigint").alias("chars_kept"),
     )
+
+
+@query(
+    "dedup_soft_weights",
+    f"""WITH RECURSIVE {_COMPONENTS_CTES},
+    sizes AS (SELECT keep_doc_id, COUNT(*) AS group_size FROM comp
+              GROUP BY keep_doc_id),
+    m AS (SELECT comp.node AS doc_id, sizes.group_size
+          FROM comp JOIN sizes USING (keep_doc_id))
+    SELECT d.doc_id,
+           CAST(COALESCE(m.group_size, 1) AS BIGINT) AS group_size,
+           ROUND(CAST(1.0 AS DOUBLE) / COALESCE(m.group_size, 1), 6) AS weight
+    FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""",
+)
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: keep every document, weight it 1/|near-dup group| — the
+    inverse-multiplicity reweighting training pipelines use when hard
+    dropping is too blunt (each duplicate cluster contributes one document
+    of expected mass to a weight-proportional sampler, but surface
+    diversity inside the cluster survives). Docs outside the near-dup
+    graph weigh 1.0; the hard-drop twin is dedup_near_apply.
+
+    Scale shape: reuses the session-staged LSH pair artifact and the
+    min-label components solver; the (doc_id, group_size) map is bounded
+    by the DUPLICATE count, so it broadcasts onto the corpus under the
+    same size gate as dedup_near_apply (one corpus-side scan, no corpus
+    shuffle), else shuffles. Parity: weight = ROUND(1/size, 6) is a
+    correctly-rounded IEEE division of exact integers — engine-independent
+    (the oracle casts its 1.0 to DOUBLE to avoid DuckDB's DECIMAL
+    division)."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    comps = near_dup_components(docs, pairs=staged_ngram_pairs(spark, sf_dir))
+    sizes = comps.groupBy("component").agg(F.count("*").alias("group_size"))
+    m = (
+        comps.join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "group_size")
+        .localCheckpoint(eager=False)
+    )
+    hint = F.broadcast if m.count() <= NGRAM_BROADCAST_MAX_DOCS else (lambda d: d)
+    gs = F.coalesce(F.col("group_size"), F.lit(1)).cast("bigint")
+    return docs.select("doc_id").join(hint(m), "doc_id", "left").select(
+        "doc_id",
+        gs.alias("group_size"),
+        F.round(F.lit(1.0) / gs, 6).alias("weight"),
+    )

@@ -436,3 +436,32 @@ def test_jaccard_pairs_precision_property(spark, docs):
         sa, sb = shingles(docs[a]), shingles(docs[b])
         true_j = round(len(sa & sb) / len(sa | sb), 6)
         assert j == true_j and j >= 0.5, ((a, b), j, true_j)
+
+
+def test_soft_weights_properties(spark, sf_dir):
+    """Soft-dedup invariants: every doc appears exactly once; weight is
+    exactly round(1/group_size, 6); each dup group contributes ~1.0 of
+    expected sampling mass; singletons weigh 1.0; group membership agrees
+    with dedup_components."""
+    import __spark_entry__ as entrymod
+
+    QUERIES = entrymod.queries()
+    w = {r["doc_id"]: (r["group_size"], r["weight"])
+         for r in QUERIES["dedup_soft_weights"](spark, sf_dir).collect()}
+    comps = {r["doc_id"]: (r["keep_doc_id"], r["group_size"])
+             for r in QUERIES["dedup_components"](spark, sf_dir).collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(w) == n_docs
+    for d, (gs, wt) in w.items():
+        assert wt == round(1.0 / gs, 6)
+        if d in comps:
+            assert gs == comps[d][1]
+        else:
+            assert gs == 1 and wt == 1.0
+    # expected mass of each dup group ~ 1 (exact up to the 1e-6 rounding)
+    from collections import defaultdict
+    mass = defaultdict(float)
+    for d, (keep, _gs) in comps.items():
+        mass[keep] += w[d][1]
+    for keep, m in mass.items():
+        assert abs(m - 1.0) < 1e-4, (keep, m)
