@@ -172,6 +172,7 @@ HEADLINE = [
     "ml_quantile_bin_approx",
     "agg_skew_salted",
     "dedup_soft_weights",
+    "contrastive_negatives",
 ]
 
 

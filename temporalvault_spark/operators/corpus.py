@@ -851,3 +851,77 @@ def corpus_pipeline_stats(docs: DataFrame) -> DataFrame:
 )
 def q_corpus_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_pipeline_stats(_docs(spark, sf_dir))
+
+
+# --- negative sampling (contrastive training prep) --------------------------
+
+NEG_ANCHORS = 10  # fixed anchor subset for the registered query
+NEG_K = 4  # negatives drawn per anchor
+
+
+@query(
+    "contrastive_negatives",
+    f"""WITH m AS (SELECT MAX(doc_id) AS m FROM documents),
+    anchors AS (SELECT doc_id AS anchor_id FROM documents
+                WHERE doc_id < {NEG_ANCHORS}),
+    draws AS (
+        SELECT a.anchor_id, j.j,
+               CAST(('0x' || substr(md5('neg:' || CAST(a.anchor_id AS VARCHAR)
+                                 || ':' || CAST(j.j AS VARCHAR)), 1, 8))::UBIGINT
+                % m.m AS BIGINT) AS praw
+        FROM anchors a
+        CROSS JOIN (SELECT unnest(range(1, {NEG_K} + 1)) AS j) j
+        CROSS JOIN m),
+    negs AS (
+        SELECT anchor_id, j,
+               praw + CASE WHEN praw >= anchor_id THEN 1 ELSE 0 END AS neg_id
+        FROM draws)
+    SELECT n.anchor_id, CAST(n.j AS BIGINT) AS j, n.neg_id, d.source AS neg_source
+    FROM negs n JOIN documents d ON d.doc_id = n.neg_id""",
+)
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RANDOM negative sampling for contrastive-pair /
+    triplet training prep: each anchor draws {NEG_K} pseudo-random partner
+    ids from the id domain, self-collision-free by construction (the
+    classic draw-from-[0, m) then shift-past-self trick — uniform over
+    all-other-ids when ids are dense; under sparse ids the inner join
+    keeps only existing partners, giving up-to-k semantics). The HARD
+    negative twin is the existing ANN tier (knn_join / knn_join_ivf —
+    similarity.py): random negatives anchor the loss, mined hard
+    negatives sharpen it; this op is the missing random half.
+
+    Determinism/parity: draws are u32(md5('neg:anchor:j')) % MAX(doc_id) —
+    exact integer arithmetic replayed verbatim by the oracle (same md5
+    derivation contract as the RP-LSH planes); no rand(), no seed state.
+
+    Scale shape: the draw frame is |anchors|·k slim rows built from a
+    1-row broadcast MAX aggregate — the corpus contributes one
+    partial-combined scan for the max and one equi-join probe; with the
+    tiny negatives side broadcast, the corpus never shuffles."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    m = docs.agg(F.max("doc_id").alias("m"))  # 1 row, broadcast below
+    anchors = docs.filter(F.col("doc_id") < NEG_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    h = F.expr(
+        "CAST(conv(substring(md5(concat('neg:', CAST(anchor_id AS STRING), "
+        "':', CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    draws = (
+        anchors.select(
+            "anchor_id", F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("j")
+        )
+        .crossJoin(F.broadcast(m))
+        .select("anchor_id", "j", (h % F.col("m")).alias("praw"))
+    )
+    negs = draws.select(
+        "anchor_id",
+        F.col("j").cast("bigint").alias("j"),
+        (
+            F.col("praw")
+            + F.when(F.col("praw") >= F.col("anchor_id"), 1).otherwise(0)
+        ).alias("neg_id"),
+    )
+    return docs.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")).join(
+        F.broadcast(negs), "neg_id"
+    ).select("anchor_id", "j", "neg_id", "neg_source")

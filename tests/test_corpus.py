@@ -382,3 +382,26 @@ def test_split_leakage_check_flags_crafted_cross_split_dup(spark, tmp_path):
     cross_key = tuple(sorted(("train", split_of(b))))
     assert got[cross_key] == (1, True)
     assert got[("train", "train")] == (1, False)
+
+
+def test_contrastive_negatives_properties(spark, sf_dir):
+    """Negative draws: exactly k per anchor (dense ids), never the anchor
+    itself, in the id domain, and bit-deterministic across calls."""
+    import __spark_entry__ as entrymod
+
+    QUERIES = entrymod.queries()
+    from temporalvault_spark.operators.corpus import NEG_ANCHORS, NEG_K
+
+    rows = QUERIES["contrastive_negatives"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    by_anchor = {}
+    for r in rows:
+        assert r["neg_id"] != r["anchor_id"]
+        assert 0 <= r["neg_id"] < n_docs
+        by_anchor.setdefault(r["anchor_id"], []).append((r["j"], r["neg_id"]))
+    assert set(by_anchor) == set(range(NEG_ANCHORS))
+    for a, draws in by_anchor.items():
+        assert len(draws) == NEG_K, (a, draws)
+    again = {(r["anchor_id"], r["j"], r["neg_id"])
+             for r in QUERIES["contrastive_negatives"](spark, sf_dir).collect()}
+    assert again == {(r["anchor_id"], r["j"], r["neg_id"]) for r in rows}
