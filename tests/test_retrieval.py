@@ -116,3 +116,23 @@ def test_rrf_rank_ties_break_on_doc_id(spark):
     den = spark.createDataFrame([], "doc_id bigint, cosine double")
     got = {r["doc_id"]: r["r_lex"] for r in rrf_fuse(lex, den).collect()}
     assert got == {3: 1, 5: 2}
+
+
+def test_bm25_base_cache_tracks_corpus_rewrites(spark, tmp_path):
+    """The session-staged BM25 base must restage when the documents source
+    is rewritten (same freshness contract as graph._edges_key and the
+    compaction cache)."""
+    import os
+    import shutil
+
+    from temporalvault_spark.operators.llm import _corpus_key
+
+    d = str(tmp_path)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", f"{d}/documents.parquet")
+    k1 = (*_corpus_key(spark, d), ("a", "b"))
+    os.utime(f"{d}/documents.parquet", ns=(1, 1))  # simulate rewrite
+    k2 = (*_corpus_key(spark, d), ("a", "b"))
+    assert k1 != k2
+    # and distinct term tuples never share an entry
+    k3 = (*_corpus_key(spark, d), ("a", "c"))
+    assert k2 != k3
