@@ -136,3 +136,46 @@ def test_bm25_base_cache_tracks_corpus_rewrites(spark, tmp_path):
     # and distinct term tuples never share an entry
     k3 = (*_corpus_key(spark, d), ("a", "c"))
     assert k2 != k3
+
+
+def test_rrf_fuse_matches_python_replay_randomized(spark):
+    """Randomized differential: fusion of arbitrary score lists (ties,
+    disjoint/overlapping ids, unequal lengths) must equal a pure-Python
+    replay of the RRF recurrence, trial after trial."""
+    import random
+
+    from temporalvault_spark.operators.retrieval import RRF_K, rrf_fuse
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n_lex, n_den = rng.randint(0, 12), rng.randint(0, 12)
+        lex = [(rng.randint(0, 15), round(rng.choice([1.0, 2.0, 3.5]), 2))
+               for _ in range(n_lex)]
+        lex = list({d: s for d, s in lex}.items())  # unique doc ids
+        den = [(rng.randint(0, 15), round(rng.random(), 3)) for _ in range(n_den)]
+        den = list({d: s for d, s in den}.items())
+
+        def ranks(lst):
+            orderd = sorted(lst, key=lambda t: (-t[1], t[0]))
+            return {d: i + 1 for i, (d, _s) in enumerate(orderd)}
+
+        rl, rd = ranks(lex), ranks(den)
+        want = {}
+        for d in set(rl) | set(rd):
+            s = (1.0 / (RRF_K + rl[d]) if d in rl else 0.0) + (
+                1.0 / (RRF_K + rd[d]) if d in rd else 0.0
+            )
+            want[d] = (rl.get(d), rd.get(d), round(s, 6))
+        want_top = dict(sorted(want.items(), key=lambda kv: (-kv[1][2], kv[0]))[:20])
+
+        ldf = spark.createDataFrame(lex or [(None, None)], "doc_id bigint, bm25 double")
+        if not lex:
+            ldf = ldf.filter("doc_id IS NOT NULL")
+        ddf = spark.createDataFrame(den or [(None, None)], "doc_id bigint, cosine double")
+        if not den:
+            ddf = ddf.filter("doc_id IS NOT NULL")
+        got = {
+            r["doc_id"]: (r["r_lex"], r["r_dense"], r["rrf"])
+            for r in rrf_fuse(ldf, ddf).collect()
+        }
+        assert got == want_top, (trial, lex, den, got, want_top)
