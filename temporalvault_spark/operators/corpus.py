@@ -868,7 +868,7 @@ NEG_K = 4  # negatives drawn per anchor
         SELECT a.anchor_id, j.j,
                CAST(('0x' || substr(md5('neg:' || CAST(a.anchor_id AS VARCHAR)
                                  || ':' || CAST(j.j AS VARCHAR)), 1, 8))::UBIGINT
-                % m.m AS BIGINT) AS praw
+                % GREATEST(m.m, 1) AS BIGINT) AS praw
         FROM anchors a
         CROSS JOIN (SELECT unnest(range(1, {NEG_K} + 1)) AS j) j
         CROSS JOIN m),
@@ -893,12 +893,23 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism/parity: draws are u32(md5('neg:anchor:j')) % MAX(doc_id) —
     exact integer arithmetic replayed verbatim by the oracle (same md5
     derivation contract as the RP-LSH planes); no rand(), no seed state.
+    The modulus is guarded GREATEST(m, 1): a single-doc corpus (max doc_id
+    0) would otherwise divide by zero — guarded, it yields praw=0 →
+    neg_id=1, which the inner join drops, so a 1-doc corpus returns zero
+    draws instead of erroring. The u32 % m draw carries the usual modulo
+    bias, at most m/2^32 ≈ 2e-10·m relative — negligible against the id
+    domain and identical in both dialects, so parity is unaffected.
 
     Scale shape: the draw frame is |anchors|·k slim rows built from a
     1-row broadcast MAX aggregate — the corpus contributes one
     partial-combined scan for the max and one equi-join probe; with the
     tiny negatives side broadcast, the corpus never shuffles."""
-    docs = load_catalog(spark, sf_dir).table("documents")
+    return contrastive_negatives(load_catalog(spark, sf_dir).table("documents"))
+
+
+def contrastive_negatives(docs: DataFrame) -> DataFrame:
+    """Core of ``contrastive_negatives`` over an arbitrary documents frame
+    (semantics and parity notes on the registered query above)."""
     m = docs.agg(F.max("doc_id").alias("m"))  # 1 row, broadcast below
     anchors = docs.filter(F.col("doc_id") < NEG_ANCHORS).select(
         F.col("doc_id").alias("anchor_id")
@@ -912,7 +923,7 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_id", F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("j")
         )
         .crossJoin(F.broadcast(m))
-        .select("anchor_id", "j", (h % F.col("m")).alias("praw"))
+        .select("anchor_id", "j", (h % F.greatest(F.col("m"), F.lit(1))).alias("praw"))
     )
     negs = draws.select(
         "anchor_id",

@@ -148,17 +148,21 @@ def _q_dedup_ngram_jaccard_decorated(spark: SparkSession, sf_dir: str) -> DataFr
 # queries run; everything is md5-deterministic, so each consumer's
 # self-contained DuckDB oracle still replays the staged values bit-for-bit.
 
-_CorpusKey = tuple[str, str, int, int]
+_CorpusKey = tuple[str, str, str, int, int]
 
 _STAGED_SIGS: dict[_CorpusKey, str] = {}
 _STAGED_PAIRS: dict[_CorpusKey, str] = {}
 
 
-def _corpus_key(spark: SparkSession, sf_dir: str) -> _CorpusKey:
-    """Cache key = (appId, normalized dir, documents.parquet mtime_ns, size).
-    A directory-style parquet table folds every data file's (mtime, size)
-    into the fingerprint."""
-    p = os.path.join(sf_dir, "documents.parquet")
+def _corpus_key(
+    spark: SparkSession, sf_dir: str, table: str = "documents"
+) -> _CorpusKey:
+    """Cache key = (appId, normalized dir, table, <table>.parquet mtime_ns,
+    size). A directory-style parquet table folds every data file's (mtime,
+    size) into the fingerprint. ``table`` lets embedding-staged operators
+    (rp_lsh, the RP index) share the same freshness contract over
+    embeddings.parquet."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
     mtime_ns, size = 0, 0
     if os.path.isdir(p):
         for root, _dirs, files in os.walk(p):
@@ -172,6 +176,7 @@ def _corpus_key(spark: SparkSession, sf_dir: str) -> _CorpusKey:
     return (
         spark.sparkContext.applicationId,
         os.path.normpath(sf_dir),
+        table,
         mtime_ns,
         size,
     )

@@ -143,13 +143,60 @@ def _bucket_duck_full(band: int) -> str:
     return " || ".join(bits_exprs)
 
 
-def rp_signatures(emb: DataFrame, bits: int | None = None) -> DataFrame:
+def _strict(emb: DataFrame) -> DataFrame:
+    """(vec_id, e): the non-null, non-zero-norm vectors (EMB_STRICT_WHERE)."""
+    return emb.filter(
+        F.col("embedding").isNotNull()
+        & (_dot(F.col("embedding").cast("array<double>"), F.col("embedding").cast("array<double>")) > 0)
+    ).select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e"))
+
+
+def rp_corpus_stats(emb: DataFrame) -> tuple[int, int]:
+    """(n, dim) of the strict frame: one bounded driver row — strict count
+    (adaptive width) + max dim (sizes the literal coefficient arrays;
+    shorter vectors fold a prefix, exactly as per-element derivation
+    would)."""
+    row = _strict(emb).agg(
+        F.count("*").alias("n"), F.max(F.size("e")).alias("d")
+    ).first()
+    return row["n"], row["d"] or 1
+
+
+# (appId, dir, "embeddings", mtime_ns, size) -> (n, dim): the bounded stats
+# read is a full corpus scan — repeated rp_lsh calls (and plan-only
+# explains) in one session must not each pay it (r8 advice), so registered
+# consumers cache it under the same freshness contract as _BM25_BASE_CACHE
+_RP_STATS_CACHE: dict[tuple, tuple[int, int]] = {}
+
+
+def _rp_stats_cached(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    import os
+
+    from temporalvault_spark.operators.llm import _corpus_key
+
+    key = _corpus_key(spark, sf_dir, table="embeddings")
+    got = _RP_STATS_CACHE.get(key)
+    if got is None:
+        # direct parquet read, not load_catalog: the stats need only this
+        # one table (and tests point at dirs holding nothing else)
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        got = rp_corpus_stats(emb)
+        _RP_STATS_CACHE[key] = got
+    return got
+
+
+def rp_signatures(
+    emb: DataFrame,
+    bits: int | None = None,
+    stats: tuple[int, int] | None = None,
+) -> DataFrame:
     """(vec_id, e, nrm, band, bucket): one row per (vector, band).
 
     ``bits=None`` derives the adaptive width from the strict-vector count
     (one bounded driver long — the PageRank n_nodes precedent) so bucket
     occupancy stays ~RP_OCC_TARGET at any corpus size; pass an explicit
-    width to pin it (tests, recall measurement).
+    width to pin it (tests, recall measurement). ``stats=(n, dim)`` skips
+    the stats scan with a precomputed pair (the session cache above).
 
     The plane dots are interpreted higher-order folds — CPU-heavy — and
     the testdata arrives as ONE unsplittable parquet file, so the
@@ -159,19 +206,12 @@ def rp_signatures(emb: DataFrame, bits: int | None = None) -> DataFrame:
     user-numbered repartition). The eager localCheckpoint materializes the
     signature frame ONCE for both sides of the downstream self-join —
     without it each alias re-runs all the folds."""
-    strict = emb.filter(
-        F.col("embedding").isNotNull()
-        & (_dot(F.col("embedding").cast("array<double>"), F.col("embedding").cast("array<double>")) > 0)
-    ).select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e"))
-    # one bounded driver row: strict count (adaptive width) + max dim (sizes
-    # the literal coefficient arrays; shorter vectors fold a prefix, exactly
-    # as the per-element derivation would)
-    stats = strict.agg(
-        F.count("*").alias("n"), F.max(F.size("e")).alias("d")
-    ).first()
+    strict = _strict(emb)
+    if stats is None:
+        stats = rp_corpus_stats(emb)
+    n, dim = stats
     if bits is None:
-        bits = adaptive_rp_bits(stats["n"])
-    dim = stats["d"] or 1
+        bits = adaptive_rp_bits(n)
     buckets = F.array(*[F.expr(_bucket_spark(b, bits, dim)) for b in range(RP_BANDS)])
     n_parts = emb.sparkSession.sparkContext.defaultParallelism
     return (
@@ -186,9 +226,13 @@ def rp_signatures(emb: DataFrame, bits: int | None = None) -> DataFrame:
     )
 
 
-def rp_lsh_pairs(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> DataFrame:
+def rp_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = EMB_DUP_THRESHOLD,
+    stats: tuple[int, int] | None = None,
+) -> DataFrame:
     """Near-dup pairs: RP-band candidates, deduped, exact-cosine verified."""
-    sigs = rp_signatures(emb)
+    sigs = rp_signatures(emb, stats=stats)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
@@ -243,5 +287,9 @@ def rp_lsh_pairs(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> DataFr
 def q_dedup_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered RP-LSH near-dup over the embeddings table (module
     docstring has the construction, the adaptive-width scale story, and
-    the parity argument)."""
-    return rp_lsh_pairs(load_catalog(spark, sf_dir).table("embeddings"))
+    the parity argument). Corpus stats ride the session cache, so repeated
+    calls (and plan-only explains) pay the stats scan once."""
+    return rp_lsh_pairs(
+        load_catalog(spark, sf_dir).table("embeddings"),
+        stats=_rp_stats_cached(spark, sf_dir),
+    )

@@ -405,3 +405,15 @@ def test_contrastive_negatives_properties(spark, sf_dir):
     again = {(r["anchor_id"], r["j"], r["neg_id"])
              for r in QUERIES["contrastive_negatives"](spark, sf_dir).collect()}
     assert again == {(r["anchor_id"], r["j"], r["neg_id"]) for r in rows}
+
+
+def test_contrastive_negatives_single_doc_corpus_is_empty(spark):
+    """max(doc_id)=0: the guarded modulus (GREATEST(m, 1)) must yield zero
+    draws — not a modulo-by-zero error (r8 advice)."""
+    from temporalvault_spark.operators.corpus import contrastive_negatives
+
+    one = spark.createDataFrame(
+        [(0, "only doc", "en", "s", 8)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    assert contrastive_negatives(one).count() == 0

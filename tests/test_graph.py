@@ -117,3 +117,25 @@ def test_pagerank_iteration_plan_broadcast_vs_shuffle(spark, path_graph):
     c_sh = plan_counts(_iterate(ed, ranks, False, 37500.0, PR_DAMP))
     assert c_sh.get("ShuffledHashJoin", 0) >= 1
     assert c_sh["BroadcastHashJoin"] == 0 and c_sh["CartesianProduct"] == 0
+
+
+def test_rank_bcast_byte_estimate_thresholds():
+    """The broadcast/co-partition switch is byte-based (r8 advice): short
+    string ids fit a few million nodes, but the old 10M-row cap would have
+    meant ~10M·80B ≈ 800MB — it must NOT fit under the 256 MiB budget."""
+    from temporalvault_spark.operators.graph import (
+        PR_BCAST_ROW_OVERHEAD,
+        PR_BROADCAST_MAX_BYTES,
+        rank_bcast_fits,
+    )
+
+    assert rank_bcast_fits(1_000_000, 8.0)  # ~80 MB: broadcast
+    assert not rank_bcast_fits(10_000_000, 8.0)  # ~800 MB: co-partition
+    # long ids shrink the row budget
+    assert not rank_bcast_fits(1_000_000, 200.0)
+    # empty-graph guard: no length sample, assumes 8-char ids
+    assert rank_bcast_fits(10, None)
+    # the boundary is exactly the byte formula
+    row = 2.0 * 8.0 + PR_BCAST_ROW_OVERHEAD
+    n_edge = int(PR_BROADCAST_MAX_BYTES / row)
+    assert rank_bcast_fits(n_edge, 8.0) and not rank_bcast_fits(n_edge + 1, 8.0)

@@ -112,3 +112,33 @@ def test_literal_plane_coefs_match_in_engine_derivation(spark):
     assert len(rows) == n_planes * 64
     for r in rows:
         assert _plane_coef(r["p"], r["j"]) == r["c"]
+
+
+def test_rp_stats_cache_tracks_embedding_rewrites(spark, tmp_path):
+    """The session-cached (n, dim) stats must key on the embeddings file's
+    fingerprint (r8 advice): a rewrite at the same path re-reads; the same
+    fingerprint hits the cache without another scan."""
+    import os
+    import shutil
+
+    from temporalvault_spark.operators.llm import _corpus_key
+    from temporalvault_spark.operators.rp_lsh import (
+        _RP_STATS_CACHE,
+        _rp_stats_cached,
+    )
+
+    d = str(tmp_path)
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", f"{d}/embeddings.parquet")
+    n1, dim1 = _rp_stats_cached(spark, d)
+    assert n1 > 0 and dim1 > 0
+    k1 = _corpus_key(spark, d, table="embeddings")
+    assert _RP_STATS_CACHE[k1] == (n1, dim1)
+    # same fingerprint -> cache hit (poison the entry and observe it served)
+    _RP_STATS_CACHE[k1] = (n1 + 7, dim1)
+    assert _rp_stats_cached(spark, d) == (n1 + 7, dim1)
+    _RP_STATS_CACHE[k1] = (n1, dim1)
+    # rewrite (mtime bump) -> fresh key -> fresh scan
+    os.utime(f"{d}/embeddings.parquet", ns=(1, 1))
+    k2 = _corpus_key(spark, d, table="embeddings")
+    assert k2 != k1
+    assert _rp_stats_cached(spark, d) == (n1, dim1)

@@ -60,7 +60,7 @@ AUDITED = [
     ("join_skew_salted", "forced ShuffledHashJoin on (key, salt): dim replicated 8x, hot key spread over 8 reducers (the hint reproduces the big-dim plan Catalyst would pick at scale); post-join agg map-side combines"),
     ("merge_upsert", "the MERGE itself is BroadcastHashJoin-only (no vault shuffle; full-outer would SMJ) — the exchanges present belong to deriving latest-state from the version log; inserts from a tiny anti-join"),
     ("trade_edges_stage", "one-time graph build, force-re-run so its cost stays measured: DISTINCT on the raw int pair (16-byte rows through the only edge-sized exchange), node labels built after, node-sized degree frame broadcast; artifact written dst-partitioned"),
-    ("pagerank_trade_network", "returned plan = top-k over the eagerly-checkpointed final rank state; the 5 iteration rounds (edges JOIN broadcast(ranks), contributions aggregated on the dst partitioning of the session-cached repartitioned+checkpointed artifact read — plain parquet read-back would lose it — so the edge frame never re-shuffles) run inside the call, one bounded job each; above PR_BROADCAST_MAX_NODES the loop auto-switches to a co-partitioned shuffle-hash join (both plans pinned in tests/test_graph.py)"),
+    ("pagerank_trade_network", "returned plan = top-k over the eagerly-checkpointed final rank state; the 5 iteration rounds (edges JOIN broadcast(ranks), contributions aggregated on the dst partitioning of the session-cached repartitioned+checkpointed artifact read — plain parquet read-back would lose it — so the edge frame never re-shuffles) run inside the call, one bounded job each; above PR_BROADCAST_MAX_BYTES (byte-estimated rank relation) the loop auto-switches to a co-partitioned shuffle-hash join (both plans pinned in tests/test_graph.py)"),
     ("dedup_rp_lsh", "adaptive-width signature projection with constant-folded literal plane arrays (no per-row md5); candidates from a (band, bucket) equi-join — never corpus²; exact cosine only on DISTINCT candidates"),
     ("retrieval_rrf_topk", "each retriever cut to top-DEPTH via TakeOrderedAndProject BEFORE its rank window, so the single-partition row_number touches ≤ DEPTH rows by construction; fusion is a DEPTH-row full-outer join; the BM25 side reads the session-staged corpus pass"),
     ("ml_quantile_bin_approx", "NO Window (the exact form's per-type total order is gone): percentile_approx boundaries via one mergeable hash aggregate, bin by range lookup against the broadcast boundary frame"),
