@@ -25,15 +25,24 @@ Scale shape (100 TB corpus, |Q| query terms):
 Oracle parity: per-term contributions are scaled to integer micro-units
 (ROUND(x * 1e6) AS BIGINT) before the per-document sum, so the sum is exact
 and ASSOCIATIVE — Spark's and DuckDB's different aggregation orders cannot
-produce last-ulp drift. The one transcendental (idf's ln) is QUANTIZED to
-integer micro-units in both dialects before entering the product, so a
-1-ulp libm difference between JVM Math.log and DuckDB's std::log can only
-matter if ln(x)*1e6 lands exactly on a .5 rounding boundary for one of the
-≤|Q| distinct (N, df) pairs — a measure-zero residual documented here
-rather than claimed away (every downstream op is correctly-rounded IEEE
-arithmetic on identical doubles). Ranking ties break on doc_id in both
-engines; RRF's 1/(K+rank) terms are exact-integer-input divisions summed
-in a fixed written order, so the fusion adds no float risk of its own.
+produce last-ulp drift. The one transcendental (idf's ln) never runs on the
+JVM in the registered queries: df takes ≤|Q| distinct values, so the
+engine reads the (term, df) rows once driver-side (a bounded ≤|Q|-row
+collect — the PageRank n_nodes precedent), computes the quantized idf in
+PYTHON (math.log — the EWMA precedent of precomputing transcendentals,
+hypertable.py), and embeds the exact doubles as constant-folded literals
+in the Spark plan. The oracle's in-engine ln then compares against
+CPython's — BOTH bind the same system libm, eliminating the JVM
+Math.log/StrictMath unknown entirely — and `_bm25_idf_literals` ASSERTS
+that each ln(x)·1e6 sits further than BM25_IDF_BOUNDARY_MARGIN from a .5
+rounding boundary (vs ≤ a-few-ulp ≈ 1e-8 cross-libm drift at this
+magnitude), so on data where any conforming libm could disagree the build
+fails loudly instead of hashing differently. The in-engine idf path
+remains for ad-hoc frames; tests pin literal == in-engine score equality.
+Downstream ops are correctly-rounded IEEE arithmetic on identical doubles.
+Ranking ties break on doc_id in both engines; RRF's 1/(K+rank) terms are
+exact-integer-input divisions summed in a fixed written order, so the
+fusion adds no float risk of its own.
 """
 
 from __future__ import annotations
@@ -91,6 +100,13 @@ def bm25_base(docs: DataFrame, terms: tuple[str, ...] = BM25_QUERY_TERMS) -> Dat
 
 
 _BM25_BASE_CACHE: dict[tuple, DataFrame] = {}
+_BM25_IDF_CACHE: dict[tuple, dict[str, float]] = {}
+
+# ln(x)·1e6 must sit at least this far from a .5 rounding boundary for the
+# driver-side literal idf to be provably round-identical to ANY conforming
+# libm's in-engine evaluation (cross-libm drift at this magnitude is ≤ a few
+# ulps ≈ 1e-8; the margin is 100x that)
+BM25_IDF_BOUNDARY_MARGIN = 1e-6
 
 
 def _bm25_base_cached(
@@ -109,12 +125,65 @@ def _bm25_base_cached(
     return base
 
 
+def _bm25_idf_literals(base: DataFrame, terms: tuple[str, ...]) -> dict[str, float]:
+    """term -> quantized idf double, computed DRIVER-SIDE from one bounded
+    read of the checkpointed base: n_docs plus the ≤|terms| (term, df) rows.
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (Robertson-Sparck Jones,
+    always > 0 here since the argument > 1), half-up-quantized to integer
+    micro-units exactly as the in-engine path and the oracle do.
+
+    Raises if any ln(x)·1e6 lands within BM25_IDF_BOUNDARY_MARGIN of a .5
+    rounding boundary — the one spot where two conforming libms could
+    round to different micro-units (module docstring). Terms absent from
+    the corpus produce no tf rows downstream, so they need no entry."""
+    import math
+
+    # df per term from the base's qtoks: explode, count distinct docs
+    dfs = {
+        r["term"]: r["df"]
+        for r in base.select(F.explode("qtoks").alias("term"), "doc_id")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .collect()  # bounded: ≤|terms| rows
+    }
+    n = base.count()  # the checkpointed slim frame: a metadata-cheap count
+    out: dict[str, float] = {}
+    for t, df in dfs.items():
+        y = math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6
+        frac = y - math.floor(y)
+        if abs(frac - 0.5) <= BM25_IDF_BOUNDARY_MARGIN:
+            raise ValueError(
+                f"BM25 idf for term {t!r} (N={n}, df={df}) lands within "
+                f"{BM25_IDF_BOUNDARY_MARGIN} of a .5 micro-unit rounding "
+                "boundary — cross-libm parity cannot be guaranteed; "
+                "adjust the quantization scale for this corpus"
+            )
+        out[t] = math.floor(y + 0.5) / 1e6  # HALF_UP, matching both engines
+    return out
+
+
+def _bm25_idf_cached(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...] = BM25_QUERY_TERMS
+) -> dict[str, float]:
+    """Session-cached idf literal map, derived from the cached base under
+    the same freshness key."""
+    from temporalvault_spark.operators.llm import _corpus_key
+
+    key = (*_corpus_key(spark, sf_dir), terms)
+    idf = _BM25_IDF_CACHE.get(key)
+    if idf is None:
+        idf = _bm25_idf_literals(_bm25_base_cached(spark, sf_dir, terms), terms)
+        _BM25_IDF_CACHE[key] = idf
+    return idf
+
+
 def bm25_scores(
     docs: DataFrame,
     terms: tuple[str, ...] = BM25_QUERY_TERMS,
     k1: float = BM25_K1,
     b: float = BM25_B,
     base: DataFrame | None = None,
+    idf: dict[str, float] | None = None,
 ) -> DataFrame:
     """(doc_id, bm25, n_terms_hit) for every document matching ≥1 query
     term — the unlimited scored frame bm25_topk and the RRF fusion rank.
@@ -123,7 +192,10 @@ def bm25_scores(
     guarded positive), tf saturation k1, length normalization b.
     ``base``: a prebuilt bm25_base frame (registered queries pass the
     session-cached one; ad-hoc callers let it build inline).
-    """
+    ``idf``: precomputed quantized idf literals from ``_bm25_idf_literals``
+    (MUST derive from the same base frame — the registered path); ``None``
+    computes idf in-engine from the same frame. Both paths quantize to the
+    same micro-units; tests pin their score equality."""
     if base is None:
         base = bm25_base(docs, terms)
     dl = base.select("doc_id", "dl")
@@ -132,31 +204,40 @@ def bm25_scores(
     )  # one row, broadcast below
     hits = base.select("doc_id", F.explode("qtoks").alias("term"))
     tf = hits.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # tf has exactly one row per (doc, term), so document frequency is a
-    # plain count over tf — no second pass over the hit stream
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    # idf quantized to micro-units: the only transcendental leaves the
-    # libm-sensitive domain here (module docstring has the residual-risk note)
-    idf_q = (
-        F.round(
-            F.log(
-                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            )
-            * 1e6
-        ).cast("bigint")
-        / 1e6
-    )
+    if idf is not None:
+        # driver-precomputed literal map: term -> exact quantized double
+        # (constant-folded; no df join, no in-engine transcendental)
+        idf_map = F.create_map(
+            *[F.lit(x) for t, v in sorted(idf.items()) for x in (t, v)]
+        )
+        scored_in = tf.join(dl, "doc_id").crossJoin(F.broadcast(stats))
+        idf_q = F.element_at(idf_map, F.col("term"))
+    else:
+        # tf has exactly one row per (doc, term), so document frequency is a
+        # plain count over tf — no second pass over the hit stream
+        df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+        scored_in = (
+            tf.join(F.broadcast(df_), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+        )
+        # idf quantized to micro-units — identical quantization to the
+        # literal path (module docstring has the parity contract)
+        idf_q = (
+            F.round(
+                F.log(
+                    1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * 1e6
+            ).cast("bigint")
+            / 1e6
+        )
     tf_norm = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     )
-    contrib = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.round(idf_q * tf_norm * 1e6).cast("bigint").alias("contrib_u"),
-        )
+    contrib = scored_in.select(
+        "doc_id",
+        F.round(idf_q * tf_norm * 1e6).cast("bigint").alias("contrib_u"),
     )
     return contrib.groupBy("doc_id").agg(
         F.round(F.sum("contrib_u") / 1e6, 6).alias("bm25"),
@@ -171,10 +252,11 @@ def bm25_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     base: DataFrame | None = None,
+    idf: dict[str, float] | None = None,
 ) -> DataFrame:
     """Top-k documents by Okapi BM25 for a bag-of-terms query. Documents
     containing none of the query terms are absent from the ranking."""
-    scored = bm25_scores(docs, terms, k1, b, base=base)
+    scored = bm25_scores(docs, terms, k1, b, base=base, idf=idf)
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
 
 
@@ -223,10 +305,12 @@ def _bm25_scored_sql(terms: tuple[str, ...] = BM25_QUERY_TERMS) -> str:
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered BM25 ranking with the fixed 5-term query (module
-    constant); consumes the session-staged corpus pass."""
+    constant); consumes the session-staged corpus pass and the
+    driver-precomputed idf literals (module docstring's parity contract)."""
     return bm25_topk(
         load_catalog(spark, sf_dir).table("documents"),
         base=_bm25_base_cached(spark, sf_dir),
+        idf=_bm25_idf_cached(spark, sf_dir),
     )
 
 
@@ -312,7 +396,11 @@ def q_retrieval_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_catalog(spark, sf_dir).table("documents")
     lex = (
-        bm25_scores(docs, base=_bm25_base_cached(spark, sf_dir))
+        bm25_scores(
+            docs,
+            base=_bm25_base_cached(spark, sf_dir),
+            idf=_bm25_idf_cached(spark, sf_dir),
+        )
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(RRF_DEPTH)
     )

@@ -179,3 +179,74 @@ def test_rrf_fuse_matches_python_replay_randomized(spark):
             for r in rrf_fuse(ldf, ddf).collect()
         }
         assert got == want_top, (trial, lex, den, got, want_top)
+
+
+def test_idf_literals_match_in_engine_scores(spark, corpus, sf_dir):
+    """The driver-precomputed idf literal path must score EXACTLY like the
+    in-engine ln path (same micro-unit quantization) — on a crafted corpus
+    and on the real documents table — and every literal must clear the .5
+    rounding-boundary margin that makes the parity libm-proof."""
+    import math
+
+    from temporalvault_spark.operators.retrieval import (
+        BM25_IDF_BOUNDARY_MARGIN,
+        BM25_QUERY_TERMS,
+        _bm25_idf_literals,
+        bm25_base,
+        bm25_scores,
+    )
+
+    for docs, terms in (
+        (corpus, ("apple", "banana")),
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            BM25_QUERY_TERMS,
+        ),
+    ):
+        base = bm25_base(docs, terms)
+        lits = _bm25_idf_literals(base, terms)
+        for t, v in lits.items():
+            y = v * 1e6
+            assert y == round(y), (t, v)  # exact micro-unit multiple
+        in_engine = {
+            r["doc_id"]: (r["bm25"], r["n_terms_hit"])
+            for r in bm25_scores(docs, terms, base=base).collect()
+        }
+        literal = {
+            r["doc_id"]: (r["bm25"], r["n_terms_hit"])
+            for r in bm25_scores(docs, terms, base=base, idf=lits).collect()
+        }
+        assert literal == in_engine  # exact equality, not approx
+        # and the boundary margin actually holds on this data
+        n = base.count()
+        for t in lits:
+            # re-derive df the way the builder does and check the margin
+            df = (
+                base.selectExpr("doc_id", "explode(qtoks) AS term")
+                .filter(f"term = '{t}'")
+                .select("doc_id")
+                .distinct()
+                .count()
+            )
+            y = math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6
+            assert abs((y - math.floor(y)) - 0.5) > BM25_IDF_BOUNDARY_MARGIN
+
+
+def test_idf_boundary_guard_raises(monkeypatch, spark, corpus):
+    """A ln value landing on the .5 micro-unit boundary must fail loudly,
+    never hash silently differently."""
+    import math
+
+    import temporalvault_spark.operators.retrieval as retrieval
+
+    real_log = math.log
+    real_floor = math.floor
+
+    def poisoned(x, *a):
+        # force the scaled value onto an exact .5 boundary
+        return (real_floor(real_log(x) * 1e6) + 0.5) / 1e6 if not a else real_log(x, *a)
+
+    monkeypatch.setattr(math, "log", poisoned)
+    base = retrieval.bm25_base(corpus, ("apple",))
+    with pytest.raises(ValueError, match="rounding"):
+        retrieval._bm25_idf_literals(base, ("apple",))
