@@ -319,52 +319,65 @@ def win_ewma(events: DataFrame) -> DataFrame:
 @query(
     "win_rolling_median_1h",
     """SELECT event_id, user_id, ts,
-           ROUND(quantile_cont(value, 0.5) OVER (
-               PARTITION BY user_id ORDER BY epoch_us(ts)
-               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6)
-           AS med_1h
-    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL""",
+           ROUND(CASE WHEN len(arr) % 2 = 1 THEN arr[len(arr) // 2 + 1]
+                 ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) * 0.5
+                 END + 0.0, 6) AS med_1h
+    FROM (
+        SELECT event_id, user_id, ts,
+               list_sort(list(value) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) AS arr
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL) x""",
 )
 def q_win_rolling_median_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median of ``value`` over the trailing 1-hour TIME-RANGE window
     per user — the holistic-aggregate-over-a-window capability (a rolling
     AVG distributes; a rolling MEDIAN does not). TimescaleDB ships this as
-    percentile_agg over a window; here it's Spark's ``percentile`` window
-    aggregate over a RANGE frame on integer microseconds.
+    percentile_agg over a window; here the frame's sorted values feed an
+    EXPLICIT midpoint written identically in both dialects.
 
     Scale shape: one shuffle on user_id; the RANGE frame is evaluated
     per-partition with a sliding frame over the time-sorted run (no
-    self-join explosion, no per-row re-scan of the partition from scratch).
+    self-join explosion, no per-row re-scan of the partition from scratch),
+    buffering exactly what a holistic percentile aggregate would buffer.
     Peers at the same microsecond are frame-equal in both engines because
-    the frame bound is the ORDER BY value itself. Interpolation convention
-    (linear at p=0.5) matches DuckDB's quantile_cont.
+    the frame bound is the ORDER BY value itself.
 
-    KNOWN BOUNDARY RISK (round-7 advice, accepted): on even-sized frames
-    the two engines' linear-interpolation formulas (lo + (hi-lo)*f vs the
-    (1-f)*lo + f*hi family) can differ in the last ulp, so a value sitting
-    exactly on a ROUND(x, 6) half-boundary could hash differently. A
-    holistic median admits no integer-micro-unit rewrite (the fix used for
-    every SUM in this repo) — the midpoint is data, not a sum — so the
-    risk is documented rather than engineered away, like the repo's other
-    float-parity notes (unicode case folding in COVERAGE.md). Current
-    testdata sits nowhere near a boundary; the streaming-scale twin
-    (HLL sketch) is exempt by construction."""
+    Parity (closes the round-7/8 documented ulp risk): the engines'
+    percentile/quantile_cont interpolation FORMULAS can differ in the last
+    ulp (lo + (hi-lo)·f vs (1-f)·lo + f·hi), so the median is instead
+    computed as an explicit shared formula over the sorted frame array:
+    the middle element (odd n — a data value, no arithmetic), or
+    (lo + hi) · 0.5 (even n — ONE correctly-rounded IEEE add, then an
+    exact power-of-two scale). Identical input doubles therefore produce
+    BIT-IDENTICAL medians in both engines, and the ROUND(·, 6) boundary
+    can no longer discriminate. `+ 0.0` normalizes a -0.0 middle element
+    so both engines render the same sign. Double ordering on the sorted
+    array agrees (values are non-null; non-NaN doubles totally ordered)."""
     return win_rolling_median_1h(_events(spark, sf_dir))
 
 
 def win_rolling_median_1h(events: DataFrame) -> DataFrame:
-    """Core of ``win_rolling_median_1h`` on an arbitrary events frame."""
+    """Core of ``win_rolling_median_1h`` on an arbitrary events frame
+    (parity contract on the registered query above)."""
     ev = events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    half = (F.size(arr) / 2).cast("int")  # floor: size is positive
+    med = F.when(
+        F.size(arr) % 2 == 1, F.element_at(arr, half + 1)
+    ).otherwise(
+        (F.element_at(arr, half) + F.element_at(arr, half + 1)) * F.lit(0.5)
+    )
     return ev.select(
         "event_id",
         "user_id",
         "ts",
-        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med_1h"),
+        F.round(med + F.lit(0.0), 6).alias("med_1h"),
     )
 
 

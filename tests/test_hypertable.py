@@ -308,3 +308,57 @@ def test_rolling_distinct_time_range(spark):
     )
     got = {r["event_id"]: r["n"] for r in out.collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_rolling_median_midpoint_matches_percentile_and_normalizes_zero(spark):
+    """The explicit sorted-array midpoint (the libm-proof form) must equal
+    Spark's own percentile(value, 0.5) on random frames, and a -0.0
+    midpoint must come out +0.0."""
+    import math
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from temporalvault_spark.operators.hypertable import win_rolling_median_1h
+
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            _ts(i // 60, i % 60),
+            i % 3,
+            "A",
+            round(rng.uniform(-5, 5), 4),
+            "{}",
+        )
+        for i in range(120)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    got = {r["event_id"]: r["med_1h"] for r in win_rolling_median_1h(ev).collect()}
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    ref = {
+        r["event_id"]: r["m"]
+        for r in ev.select(
+            "event_id", F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("m")
+        ).collect()
+    }
+    assert got.keys() == ref.keys()
+    for k in got:
+        assert got[k] == pytest.approx(ref[k], abs=1e-9), k
+
+    # -0.0 normalization: a frame whose median IS -0.0 must render +0.0
+    neg = spark.createDataFrame(
+        [(1, _ts(0, 0), 9, "A", -0.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    m = win_rolling_median_1h(neg).collect()[0]["med_1h"]
+    assert m == 0.0 and math.copysign(1.0, m) == 1.0
