@@ -173,6 +173,11 @@ HEADLINE = [
     "agg_skew_salted",
     "dedup_soft_weights",
     "contrastive_negatives",
+    # round 9: weighted fixed-k sampling (min-of-w-tickets E-S form),
+    # persisted RP-LSH band index benched as its two halves
+    "sample_weighted_k",
+    "rp_index_build",
+    "dedup_rp_incremental_probe",
 ]
 
 

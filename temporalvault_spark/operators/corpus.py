@@ -699,6 +699,82 @@ def q_sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHTED_K = 100
+WEIGHT_CHARS_PER_UNIT = 500  # +1 weight unit per 500 chars, capped at 8
+WEIGHT_MAX = 8
+
+
+def _weight_col():
+    """Integer document weight 1..WEIGHT_MAX derived from length — the
+    quality-weight stand-in for the registered query (a deployment plugs in
+    any positive-integer weight column)."""
+    return F.lit(1) + F.least(
+        F.expr(f"coalesce(n_chars, 0) DIV {WEIGHT_CHARS_PER_UNIT}"),
+        F.lit(WEIGHT_MAX - 1).cast("bigint"),
+    )
+
+
+def sample_weighted_k(docs: DataFrame, k: int = WEIGHTED_K) -> DataFrame:
+    """Weighted fixed-k sample WITHOUT replacement: inclusion odds
+    proportional to remaining integer weights — the quality-weighted
+    corpus-selection form (Efraimidis–Spirakis semantics).
+
+    Construction: each document holds ``w`` tickets; its key is the MIN of
+    w salted-md5 draws, and the k smallest keys win. A uniform random
+    permutation of the ticket multiset visits distinct documents in
+    exactly the successive weighted-without-replacement order
+    (P(first = i) = w_i/Σw, then renormalized on the remainder — the
+    classic ticket argument), and taking each document's min ticket then
+    the k smallest IS that first-occurrence order. Integer/string md5
+    arithmetic only — no u^(1/w) pow, no libm, so the oracle replays the
+    selection bit-for-bit (the exponential-race form of E–S would put a
+    transcendental inside a cross-engine comparison; this form doesn't).
+
+    Scale shape: the key is ROW-LOCAL (transform over sequence(1, w) +
+    array_min — no explode, no shuffle); top-k plans as
+    TakeOrderedAndProject, so each partition forwards only k slim rows.
+    Weights are small integers by contract (ticket count = w); huge or
+    real-valued weights belong to the u^(1/w) form a deployment would
+    quantize onto this one."""
+    ukey = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1).cast("bigint"), F.col("w")),
+            lambda t: F.md5(
+                F.concat(
+                    F.lit("wk:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    t.cast("string"),
+                )
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id", "source", "lang", _weight_col().alias("w"))
+        .select("doc_id", "source", "lang", "w", ukey.alias("ukey"))
+        .orderBy("ukey", "doc_id")
+        .limit(k)
+        .select("doc_id", "source", "lang", "w")
+    )
+
+
+@query(
+    "sample_weighted_k",
+    f"""SELECT doc_id, source, lang, w FROM (
+        SELECT doc_id, source, lang, w,
+               list_min(list_transform(range(1, w + 1),
+                   t -> md5('wk:' || CAST(doc_id AS VARCHAR)
+                            || ':' || CAST(t AS VARCHAR)))) AS ukey
+        FROM (SELECT doc_id, source, lang,
+                     1 + LEAST(COALESCE(n_chars, 0) // {WEIGHT_CHARS_PER_UNIT},
+                               {WEIGHT_MAX - 1}) AS w
+              FROM documents) ww) x
+    ORDER BY ukey, doc_id LIMIT {WEIGHTED_K}""",
+)
+def q_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_weighted_k(_docs(spark, sf_dir))
+
+
 OVERLAP_NGRAM = 5
 
 

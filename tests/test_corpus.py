@@ -417,3 +417,66 @@ def test_contrastive_negatives_single_doc_corpus_is_empty(spark):
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
     assert contrastive_negatives(one).count() == 0
+
+
+def test_sample_weighted_k_matches_python_replay(spark, sf_dir):
+    """The weighted sample is a pure function of (doc_id, n_chars): a
+    hashlib replay of the min-ticket keys must select the identical set, in
+    the identical weight assignment."""
+    import hashlib
+
+    from temporalvault_spark.operators.corpus import (
+        WEIGHT_CHARS_PER_UNIT,
+        WEIGHT_MAX,
+        WEIGHTED_K,
+        sample_weighted_k,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.select("doc_id", "n_chars").collect()
+
+    def w_of(nc):
+        return 1 + min((nc or 0) // WEIGHT_CHARS_PER_UNIT, WEIGHT_MAX - 1)
+
+    def key(doc_id, w):
+        return min(
+            hashlib.md5(f"wk:{doc_id}:{t}".encode()).hexdigest()
+            for t in range(1, w + 1)
+        )
+
+    ranked = sorted(
+        ((key(r["doc_id"], w_of(r["n_chars"])), r["doc_id"], w_of(r["n_chars"])) for r in rows)
+    )[:WEIGHTED_K]
+    want = {(d, w) for _k, d, w in ranked}
+    got = {(r["doc_id"], r["w"]) for r in sample_weighted_k(docs).collect()}
+    assert got == want
+
+
+def test_sample_weighted_k_rate_follows_weight(spark):
+    """Docs with weight 8 must be selected ~8x as often as weight-1 docs:
+    with 400 of each and k=180, the split concentrates heavily on the
+    heavy stratum (expected ≈ 160 vs 20)."""
+    from temporalvault_spark.operators.corpus import sample_weighted_k
+
+    rows = [
+        # doc_id < 400: heavy (n_chars 99999 -> w=8); >= 400: light (w=1)
+        (i, "t", "en", "heavy" if i < 400 else "light",
+         99_999 if i < 400 else 10)
+        for i in range(800)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    got = sample_weighted_k(docs, k=180).groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    assert by.get("heavy", 0) + by.get("light", 0) == 180
+    assert by.get("heavy", 0) > 3 * by.get("light", 1)
+
+
+def test_sample_weighted_k_plans_take_ordered(spark, sf_dir):
+    """Top-k must plan as TakeOrderedAndProject — no global sort."""
+    from temporalvault_spark.operators.corpus import sample_weighted_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = sample_weighted_k(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
