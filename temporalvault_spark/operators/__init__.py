@@ -23,6 +23,7 @@ from temporalvault_spark.operators import (  # noqa: F401
     relational,
     retrieval,
     rp_lsh,
+    rp_lsh_index,
     similarity,
     temporal,
     temporal_analytics,

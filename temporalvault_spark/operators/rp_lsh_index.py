@@ -1,0 +1,326 @@
+"""Persisted random-hyperplane LSH band index: incremental COSINE near-dup
+against an existing embedding corpus WITHOUT re-signing it.
+
+Closes the last cell of the incremental-index family: MinHash has a
+persisted band index (minhash_index.py), IVF and IVF-PQ have persisted
+cluster indexes (ivf_index.py / ivfpq_index.py) — but RP-LSH (rp_lsh.py)
+was in-memory only, so cosine near-dup against an indexed corpus re-signed
+the corpus every session. At 100 TB the corpus signing is the cost you pay
+ONCE: the band signatures become a TABLE, (vec_id, band, bucket) written
+partitioned by (band, bkt) where bkt is the bucket bit-string's prefix —
+a query batch's signatures touch only their own (band, bkt) directories
+(directory-level pruning; PartitionFilters in the plan is the proof), so
+probe cost scales with the BATCH, not the corpus. Vectors live in an
+underscore-prefixed ``_vectors`` sidecar (ignored by index scans) for the
+exact-cosine verify, read only for candidate ids.
+
+The adaptive bucket width (bits) is chosen AT BUILD TIME from the indexed
+corpus size and persisted in the ``_meta`` sidecar; probes and appends
+always sign with the PERSISTED width, never recompute it — assignment
+stays consistent with every earlier batch (the ivf_index _centroids
+contract). Plane coefficients are md5-derived (rp_lsh._plane_coef), so an
+index build is deterministic and reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.operators.rp_lsh import (
+    RP_BANDS,
+    _bits_case_duck,
+    _bucket_duck_full,
+    _dot,
+    adaptive_rp_bits,
+    rp_corpus_stats,
+    rp_signatures,
+)
+from temporalvault_spark.operators.similarity import (
+    EMB_DUP_THRESHOLD,
+    EMB_STRICT_WHERE,
+)
+from temporalvault_spark.registry import query
+
+
+def _bkt_chars_for(n_vecs: int) -> int:
+    """Partition-key width (leading chars of the '0'/'1' bucket string),
+    chosen at build time from corpus size: 8 chars (256 dirs/band) once the
+    corpus is big enough that each directory still holds substantial data;
+    4 chars (16 dirs/band) below that — the minhash-index small-file rule
+    (a wide fan-out on a small corpus is pure partitioned-write overhead).
+    Always ≤ the minimum signature width (RP_BITS = 8)."""
+    return 8 if n_vecs > 1_000_000 else 4
+
+
+# (path, _meta mtime) -> (bits, bkt_chars): reading the 1-row sidecar is a
+# full Spark parquet job — per-PROBE that's pure overhead (the minhash
+# _BKT_CHARS_CACHE precedent). An append never rewrites _meta; a rebuild
+# does, which bumps the mtime and invalidates the entry.
+_META_CACHE: dict[tuple[str, int], tuple[int, int]] = {}
+
+
+def _read_meta(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(bits, bkt_chars) from the index's ``_meta`` sidecar. A missing
+    sidecar means a torn write (crash between the signature overwrite and
+    the _meta rewrite); probing with a guessed width would silently find
+    nothing, so raise instead."""
+    meta = f"{path}/_meta"
+    if not os.path.isdir(meta) and not os.path.isfile(meta):
+        raise ValueError(
+            f"rp-lsh index at {path} has no _meta sidecar — torn/partial "
+            "index write; rebuild the index"
+        )
+    key = (os.path.normpath(meta), os.stat(meta).st_mtime_ns)
+    got = _META_CACHE.get(key)
+    if got is None:
+        row = spark.read.parquet(meta).first()
+        got = (row["bits"], row["bkt_chars"])
+        _META_CACHE[key] = got
+    return got
+
+
+def build_rp_index(
+    emb: DataFrame,
+    path: str,
+    bits: int | None = None,
+    append: bool = False,
+    stats: tuple[int, int] | None = None,
+) -> None:
+    """Index build: sign the corpus once (rp_signatures — the expensive
+    plane-dot pass, paid here instead of once per query batch) and write
+    the slim (vec_id, band, bucket) table partitioned by (band, bkt), plus
+    the ``_vectors`` sidecar for the exact-cosine verify and the 1-row
+    ``_meta`` (bits, bkt_chars).
+
+    ``append=True`` signs a NEW batch against the PERSISTED width (new
+    parquet files inside the same (band, bkt) directories — append-only
+    ingest, no rewrite; ``bits`` must not be passed); vec_id uniqueness
+    across appends is the caller's contract. ``stats``/``bits`` pin the
+    corpus stats / width explicitly (tests, the session stats cache)."""
+    spark = emb.sparkSession
+    if append:
+        if bits is not None:
+            raise ValueError("append signs with the persisted width; bits= is build-only")
+        bits, bkt_chars = _read_meta(spark, path)
+        mode = "append"
+    else:
+        if stats is None:
+            stats = rp_corpus_stats(emb)
+        if bits is None:
+            bits = adaptive_rp_bits(stats[0])
+        bkt_chars = _bkt_chars_for(stats[0])
+        mode = "overwrite"
+    sigs = rp_signatures(emb, bits=bits, stats=stats)
+    (
+        sigs.select(
+            "vec_id", "band", "bucket", F.substring("bucket", 1, bkt_chars).alias("bkt")
+        )
+        .repartition("band", "bkt")
+        .write.mode(mode)
+        .partitionBy("band", "bkt")
+        .parquet(path)
+    )
+    # one row per vector (sigs carries RP_BANDS copies of e/nrm)
+    sigs.filter(F.col("band") == 0).select("vec_id", "e", "nrm").write.mode(
+        mode
+    ).parquet(f"{path}/_vectors")
+    if not append:
+        # JVM-native 1-row frame (range + lit), NOT createDataFrame — the
+        # minhash_index._meta note: a local-data frame pays Python-worker
+        # round-trips measured in seconds for one row
+        spark.range(0, 1, 1, 1).select(
+            F.lit(bits).cast("int").alias("bits"),
+            F.lit(bkt_chars).cast("int").alias("bkt_chars"),
+        ).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def query_rp_index(
+    spark: SparkSession,
+    index_path: str,
+    new_emb: DataFrame,
+    threshold: float = EMB_DUP_THRESHOLD,
+    stats: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Near-dup pairs (query_vec, index_vec, cosine >= threshold) between a
+    new batch and the indexed corpus.
+
+    Probe shape: the batch signs itself with the index's persisted width
+    (batch-sized plane-dot pass); its distinct (band, bkt) keys — at most
+    RP_BANDS x |batch| of them — collect to the driver and become an
+    explicit partition-pruning predicate, so the index scan reads only
+    those directories. Candidates equi-join on (band, bucket); the exact
+    verify broadcasts the batch's vectors (a query batch is small by
+    contract) against the ``_vectors`` sidecar semi-reduced to candidate
+    index ids. Self-pairs (a probe vector already indexed under the same
+    id) are excluded."""
+    bits, bkt_chars = _read_meta(spark, index_path)
+    qsigs = rp_signatures(new_emb, bits=bits, stats=stats)
+
+    hit_bkts: dict[int, list[str]] = {}
+    for r in (
+        qsigs.select("band", F.substring("bucket", 1, bkt_chars).alias("bkt"))
+        .distinct()
+        .collect()
+    ):
+        hit_bkts.setdefault(r["band"], []).append(r["bkt"])
+    if not hit_bkts:
+        return spark.createDataFrame(
+            [], "query_vec bigint, index_vec bigint, cosine double"
+        )
+    prune = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("band") == band) & F.col("bkt").isin(bkts)
+            for band, bkts in hit_bkts.items()
+        ],
+    )
+    idx = spark.read.parquet(index_path).filter(prune)
+
+    q = qsigs.select(F.col("vec_id").alias("q_vec"), "band", "bucket")
+    cand = (
+        idx.join(F.broadcast(q), ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_vec"))
+        .select("q_vec", F.col("vec_id").alias("index_vec"))
+        .distinct()
+    )
+    vecs = spark.read.parquet(f"{index_path}/_vectors").dropDuplicates(["vec_id"])
+    vred = vecs.join(
+        F.broadcast(cand.select(F.col("index_vec").alias("vec_id")).distinct()),
+        "vec_id",
+        "semi",
+    ).select(
+        F.col("vec_id").alias("i_id"), F.col("e").alias("ie"), F.col("nrm").alias("inrm")
+    )
+    qvec = F.broadcast(
+        qsigs.select("vec_id", "e", "nrm")
+        .dropDuplicates(["vec_id"])
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    cos = _dot(F.col("qe"), F.col("ie")) / (F.col("qn") * F.col("inrm"))
+    return (
+        cand.join(qvec, F.col("q_vec") == F.col("q_id"))
+        .join(vred, F.col("index_vec") == F.col("i_id"))
+        .select(
+            F.col("q_vec").alias("query_vec"),
+            "index_vec",
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(cos >= threshold)
+    )
+
+
+# --- incremental two-batch scenario (benchable) ------------------------------
+# The production shape the index exists for: a base corpus indexed ONCE,
+# then each ingest batch probes it. Staged per (application, embeddings
+# fingerprint) — the minhash stage_incremental_index contract — so the probe
+# query benches ONLY the per-batch cost that recurs at 100 TB, while
+# rp_index_build (force=True) benches the one-time partitioned write.
+
+_STAGED_RP_INDEX: dict[tuple, str] = {}
+
+
+def stage_rp_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Build (once per application + embeddings fingerprint) the persisted
+    RP band index over the base corpus (vec_id % 10 != 0). Returns the
+    index path."""
+    from temporalvault_spark.operators.llm import _corpus_key
+
+    key = _corpus_key(spark, sf_dir, table="embeddings")
+    path = _STAGED_RP_INDEX.get(key)
+    if path is None or force:
+        if path is None:
+            path = os.path.join(tempfile.mkdtemp(prefix="tv_rp_idx_"), "index")
+        emb = load_catalog(spark, sf_dir).table("embeddings")
+        base = emb.filter(F.col("vec_id") % 10 != 0)
+        build_rp_index(base, path)
+        _STAGED_RP_INDEX[key] = path
+    return path
+
+
+def _sigs_union_duck(src: str) -> str:
+    """DuckDB: the banded signature rows for CTE ``src`` (vec_id, e) at the
+    adaptive width in scalar CTE ``nb`` — shared by the build and probe
+    oracles so the replayed formula cannot drift from rp_lsh's."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id, e, {b} AS band, "
+        f"left({_bucket_duck_full(b)}, nb.bits) AS bucket FROM {src}, nb"
+        for b in range(RP_BANDS)
+    )
+
+
+_BUILD_ORACLE = f"""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}
+          AND vec_id % 10 <> 0),
+    nb AS (SELECT {_bits_case_duck()} AS bits
+           FROM (SELECT COUNT(*) AS n FROM e)),
+    sigs AS ({_sigs_union_duck("e")})
+    SELECT CAST(band AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets
+    FROM sigs GROUP BY 1"""
+
+
+@query("rp_index_build", _BUILD_ORACLE)
+def q_rp_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-time index build, benched in isolation: force-rebuilds the
+    staged RP index (partitioned (band, bkt) write + vectors/meta sidecars)
+    and returns per-band row and distinct-bucket counts read back FROM the
+    persisted index — the oracle value-checks the signatures that actually
+    landed on disk, not an in-memory twin."""
+    path = stage_rp_index(spark, sf_dir, force=True)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("band").cast("int").alias("band"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("bucket").alias("n_buckets"),
+        )
+    )
+
+
+_PROBE_ORACLE = f"""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
+    base AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+    batch AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+    nb AS (SELECT {_bits_case_duck()} AS bits
+           FROM (SELECT COUNT(*) AS n FROM base)),
+    bs AS ({_sigs_union_duck("base")}),
+    qs AS ({_sigs_union_duck("batch")}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_vec, b.vec_id AS index_vec
+        FROM qs q JOIN bs b ON q.band = b.band AND q.bucket = b.bucket)
+    SELECT c.query_vec, c.index_vec,
+           ROUND(list_dot_product(x.e, y.e)
+                 / (sqrt(list_dot_product(x.e, x.e))
+                    * sqrt(list_dot_product(y.e, y.e))), 6) AS cosine
+    FROM cand c
+    JOIN e x ON x.vec_id = c.query_vec
+    JOIN e y ON y.vec_id = c.index_vec
+    WHERE list_dot_product(x.e, y.e)
+          / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))
+          >= {EMB_DUP_THRESHOLD}"""
+
+
+@query("dedup_rp_incremental_probe", _PROBE_ORACLE)
+def q_dedup_rp_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurring half: probe the staged RP index with the held-out
+    batch (vec_id % 10 == 0) — the per-ingest-batch cosine-dedup cost a
+    100 TB pipeline pays, with the one-time build amortized away (benched
+    separately as rp_index_build). The oracle replays BOTH halves from the
+    shared signature CTEs: the width comes from the BASE corpus count
+    (exactly what the persisted _meta holds), candidates are cross-batch
+    (band, bucket) collisions, exact-cosine verified."""
+    path = stage_rp_index(spark, sf_dir)
+    emb = load_catalog(spark, sf_dir).table("embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    return query_rp_index(spark, path, batch)

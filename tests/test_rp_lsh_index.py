@@ -1,0 +1,188 @@
+"""Persisted RP-LSH band index: build-once / probe-batch cosine near-dup
+with directory-level pruning (the incremental twin of rp_lsh_pairs)."""
+
+import re
+
+import pytest
+
+from temporalvault_spark.operators.rp_lsh_index import (
+    build_rp_index,
+    query_rp_index,
+)
+from temporalvault_spark.plans import executed_plan
+
+BASE_VEC = [0.9, -0.3, 0.5, 0.1, -0.7, 0.2, 0.4, -0.6]
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+def _scaled(s):
+    return [s * x for x in BASE_VEC]
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    # base corpus: two copies of the BASE direction + one far direction
+    corpus = _emb(
+        spark,
+        [
+            (1, BASE_VEC, 0),
+            (2, _scaled(2.0), 0),
+            (3, [-x for x in BASE_VEC], 0),
+        ],
+    )
+    path = str(tmp_path_factory.mktemp("rp_index") / "idx")
+    build_rp_index(corpus, path)
+    return path
+
+
+def test_probe_finds_near_dup_with_exact_cosine(spark, index_path):
+    """A scaled copy of the indexed direction collides in every band and
+    verifies at cosine 1.0; an orthogonal-ish probe pairs with nothing."""
+    batch = _emb(spark, [(100, _scaled(0.5), 0)])
+    got = {
+        (r["query_vec"], r["index_vec"]): r["cosine"]
+        for r in query_rp_index(spark, index_path, batch).collect()
+    }
+    assert set(got) == {(100, 1), (100, 2)}
+    for v in got.values():
+        assert v == pytest.approx(1.0, abs=1e-6)
+
+
+def test_probe_scan_is_partition_pruned(spark, index_path):
+    """The index scan must carry PartitionFilters on (band, bkt) — the
+    proof that a batch probe reads only its own band-bucket directories."""
+    batch = _emb(spark, [(100, _scaled(0.5), 0)])
+    df = query_rp_index(spark, index_path, batch)
+    df.collect()
+    plan = executed_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "band" in m.group(1) and "bkt" in m.group(1), plan[:1500]
+
+
+def test_empty_batch_returns_empty(spark, index_path):
+    batch = _emb(spark, [(200, None, 0)])  # strict filter drops the row
+    assert query_rp_index(spark, index_path, batch).count() == 0
+
+
+def test_self_pairs_excluded(spark, index_path):
+    """Probing with a vector already indexed under the SAME id must not
+    report the trivial (v, v) pair, but still finds its true near-dups."""
+    batch = _emb(spark, [(1, BASE_VEC, 0)])
+    got = {
+        (r["query_vec"], r["index_vec"])
+        for r in query_rp_index(spark, index_path, batch).collect()
+    }
+    assert (1, 1) not in got
+    assert (1, 2) in got
+
+
+def test_append_equals_fresh_build(spark, tmp_path_factory):
+    """build(A) + append(B) must probe identically to build(A ∪ B) with the
+    same pinned width — the persisted-planes/width consistency contract —
+    and the append must not touch _meta."""
+    import os
+
+    a = [(i, _scaled(1.0 + 0.1 * i), 0) for i in range(1, 5)]
+    b = [(i, [-x for x in _scaled(1.0)], 0) for i in range(11, 14)]
+    batch = _emb(spark, [(100, _scaled(3.0), 0), (101, [-x for x in BASE_VEC], 0)])
+    root = tmp_path_factory.mktemp("rp_append")
+
+    p_incr, p_fresh = str(root / "incr"), str(root / "fresh")
+    build_rp_index(_emb(spark, a), p_incr, bits=8)
+    meta_mtime = os.stat(f"{p_incr}/_meta").st_mtime_ns
+    build_rp_index(_emb(spark, b), p_incr, append=True)
+    assert os.stat(f"{p_incr}/_meta").st_mtime_ns == meta_mtime
+    build_rp_index(_emb(spark, a + b), p_fresh, bits=8)
+
+    got_incr = {
+        (r["query_vec"], r["index_vec"]): r["cosine"]
+        for r in query_rp_index(spark, p_incr, batch).collect()
+    }
+    got_fresh = {
+        (r["query_vec"], r["index_vec"]): r["cosine"]
+        for r in query_rp_index(spark, p_fresh, batch).collect()
+    }
+    assert got_incr == got_fresh
+    assert any(q == 100 for q, _ in got_incr)  # the aligned probe hits A
+    assert any(q == 101 for q, _ in got_incr)  # the flipped probe hits B
+
+
+def test_append_rejects_explicit_bits(spark, index_path):
+    with pytest.raises(ValueError, match="persisted width"):
+        build_rp_index(_emb(spark, [(50, BASE_VEC, 0)]), index_path, bits=8, append=True)
+
+
+def test_missing_meta_raises(spark, tmp_path_factory):
+    """A torn write (no _meta) must raise, not silently probe nothing."""
+    import shutil
+
+    path = str(tmp_path_factory.mktemp("rp_torn") / "idx")
+    build_rp_index(_emb(spark, [(1, BASE_VEC, 0)]), path)
+    shutil.rmtree(f"{path}/_meta")
+    with pytest.raises(ValueError, match="torn"):
+        query_rp_index(spark, path, _emb(spark, [(2, BASE_VEC, 0)]))
+
+
+def test_probe_matches_in_memory_pairs_cross_batch(spark, sf_dir):
+    """On the real embeddings table: probing the base-corpus index with the
+    held-out batch must produce exactly the cross-batch subset of what the
+    in-memory operator finds over the union, when both use the same width
+    (the in-memory form derives bits from the UNION count, the index from
+    the BASE count — pin bits=8, the sf0.001 adaptive floor, for both)."""
+    from pyspark.sql import functions as F
+
+    from temporalvault_spark.operators.rp_lsh import rp_signatures
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="tv_rp_idx_test_") + "/idx"
+    build_rp_index(base, path, bits=8)
+    got = {
+        (r["query_vec"], r["index_vec"]): r["cosine"]
+        for r in query_rp_index(spark, path, batch).collect()
+    }
+
+    # in-memory twin: cross-batch (band, bucket) collisions at bits=8
+    sigs = rp_signatures(emb, bits=8)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    from temporalvault_spark.operators.similarity import EMB_DUP_THRESHOLD
+    from temporalvault_spark.operators.rp_lsh import _dot
+
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") % 10 == 0)
+            & (F.col("b.vec_id") % 10 != 0),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_vec"),
+            F.col("b.vec_id").alias("index_vec"),
+            F.col("a.e").alias("ea"),
+            F.col("b.e").alias("eb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["query_vec", "index_vec"])
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    want = {
+        (r["query_vec"], r["index_vec"]): r["cosine"]
+        for r in cand.select(
+            "query_vec", "index_vec", F.round(cos, 6).alias("cosine")
+        )
+        .filter(cos >= EMB_DUP_THRESHOLD)
+        .collect()
+    }
+    assert got == want
