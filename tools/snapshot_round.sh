@@ -31,28 +31,40 @@ if [ "$SKIP_BENCH" -eq 0 ]; then
     # keep the full one locally for scale_stress + bench_compare.
     BENCH_OUT=$(mktemp)
     python bench.py > "$BENCH_OUT"
-    # BENCH_LOCAL.json is a per-query MINIMA ledger across local runs —
-    # merge the fresh run in (min per query, new queries added) instead of
-    # overwriting, so one loaded-host run can't inflate the ledger.
+    # BENCH_LOCAL.json: per-query best-of ledger RE-ANCHORED to the fresh
+    # run (r8 advice — the old forever-minima form could never show a
+    # regression, kept removed/renamed queries forever, and let an errored
+    # query keep its stale passing time). Now: "queries" = min(old best,
+    # fresh) over queries GREEN IN THE FRESH RUN only; "latest" = the fresh
+    # run unmerged (so best-vs-latest makes regressions visible);
+    # vanished/errored names are listed under "pruned"/"errors_latest".
     grep '^{"metric"' "$BENCH_OUT" | head -1 > /tmp/bench_snapshot_run.json
     rm -f "$BENCH_OUT"
     python - <<'PYEOF'
 import json, os
 new = json.load(open("/tmp/bench_snapshot_run.json"))
+old_best = {}
 if os.path.exists("BENCH_LOCAL.json"):
-    old = json.load(open("BENCH_LOCAL.json"))
-    q = dict(old.get("queries", {}))
-    for k, v in new["queries"].items():
-        if k not in q or v < q[k]:
-            q[k] = v
-    old["queries"] = q
-    old["value"] = round(sum(q.values()), 3)
-    out = old
-else:
-    out = new
+    old_best = dict(json.load(open("BENCH_LOCAL.json")).get("queries", {}))
+q = {k: min(v, old_best[k]) if k in old_best else v
+     for k, v in new["queries"].items()}
+out = {
+    "metric": new["metric"], "unit": new.get("unit", "sec"),
+    "sf": new.get("sf"),
+    "value": round(sum(q.values()), 3),
+    "value_latest": round(sum(new["queries"].values()), 3),
+    "queries": q,
+    "latest": new["queries"],
+}
+if new.get("errors"):
+    out["errors_latest"] = new["errors"]
+pruned = sorted(set(old_best) - set(q))
+if pruned:
+    out["pruned"] = pruned
 json.dump(out, open("BENCH_LOCAL.json", "w"), indent=1)
-print(out["value"], "s (best-of),", len(out["queries"]), "queries,",
-      len(new.get("errors", {})), "errors this run")
+print(out["value"], "s (best-of) /", out["value_latest"], "s (latest),",
+      len(q), "queries,", len(new.get("errors", {})), "errors,",
+      len(pruned), "pruned")
 PYEOF
     echo "== vs previous round =="
     # sort -V: lexicographic sort would pick r9 over r10 once rounds hit
