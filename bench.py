@@ -176,6 +176,7 @@ HEADLINE = [
     # round 9: weighted fixed-k sampling (min-of-w-tickets E-S form),
     # persisted RP-LSH band index benched as its two halves
     "sample_weighted_k",
+    "sample_weighted_k_per_group",
     "rp_index_build",
     "dedup_rp_incremental_probe",
 ]

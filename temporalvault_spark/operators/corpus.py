@@ -775,6 +775,67 @@ def q_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_weighted_k(_docs(spark, sf_dir))
 
 
+WEIGHTED_STRATA_K = 10
+
+
+@query(
+    "sample_weighted_k_per_group",
+    f"""SELECT doc_id, source, lang, w FROM (
+        SELECT doc_id, source, lang, w,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY list_min(list_transform(range(1, w + 1),
+                       t -> md5('wk:' || CAST(doc_id AS VARCHAR)
+                                || ':' || CAST(t AS VARCHAR)))), doc_id) AS rn
+        FROM (SELECT doc_id, source, lang,
+                     1 + LEAST(COALESCE(n_chars, 0) // {WEIGHT_CHARS_PER_UNIT},
+                               {WEIGHT_MAX - 1}) AS w
+              FROM documents) ww) x
+    WHERE rn <= {WEIGHTED_STRATA_K}""",
+)
+def q_sample_weighted_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified WEIGHTED sampling: the {WEIGHTED_STRATA_K} weighted-draw
+    winners per source (fewer if the stratum is smaller) — per-domain
+    quality-weighted selection, the composition of sample_weighted_k's
+    min-of-w-tickets key (exact E-S semantics for integer weights, zero
+    libm) with sample_fixed_k_per_group's per-stratum rank. Same ticket
+    key, so a doc's draw is identical whether it competes globally or
+    within its stratum.
+
+    Scale shape: the key stays ROW-LOCAL; the per-source rank plans as
+    WindowGroupLimit — each partition keeps only its local top-k per
+    source BEFORE the exchange, so the shuffle is bounded by
+    k x strata x partitions slim rows, independent of corpus size."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    ukey = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1).cast("bigint"), F.col("w")),
+            lambda t: F.md5(
+                F.concat(
+                    F.lit("wk:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    t.cast("string"),
+                )
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id", "source", "lang", _weight_col().alias("w"))
+        .select("doc_id", "source", "lang", "w", ukey.alias("ukey"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("ukey", "doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= WEIGHTED_STRATA_K)
+        .select("doc_id", "source", "lang", "w")
+    )
+
+
 OVERLAP_NGRAM = 5
 
 

@@ -480,3 +480,48 @@ def test_sample_weighted_k_plans_take_ordered(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = sample_weighted_k(docs)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_weighted_k_per_group_matches_python_replay(spark, sf_dir):
+    """Per-stratum weighted winners: hashlib replay of the same ticket keys,
+    ranked within source, must select the identical rows; and the plan uses
+    WindowGroupLimit (per-partition top-k before the exchange)."""
+    import hashlib
+
+    import __spark_entry__ as entrymod
+
+    from temporalvault_spark.operators.corpus import (
+        WEIGHT_CHARS_PER_UNIT,
+        WEIGHT_MAX,
+        WEIGHTED_STRATA_K,
+    )
+
+    q = entrymod.queries()["sample_weighted_k_per_group"]
+    df = q(spark, sf_dir)
+    got = {(r["doc_id"], r["source"], r["w"]) for r in df.collect()}
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "lang", "n_chars"
+    ).collect()
+
+    def w_of(nc):
+        return 1 + min((nc or 0) // WEIGHT_CHARS_PER_UNIT, WEIGHT_MAX - 1)
+
+    def key(doc_id, w):
+        return min(
+            hashlib.md5(f"wk:{doc_id}:{t}".encode()).hexdigest()
+            for t in range(1, w + 1)
+        )
+
+    by_src = {}
+    for r in rows:
+        w = w_of(r["n_chars"])
+        by_src.setdefault(r["source"], []).append((key(r["doc_id"], w), r["doc_id"], w))
+    want = set()
+    for src, lst in by_src.items():
+        for _k, d, w in sorted(lst)[:WEIGHTED_STRATA_K]:
+            want.add((d, src, w))
+    assert got == want
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
