@@ -566,3 +566,30 @@ def test_semdedup_two_level_auto_switch_preserves_crafted_dups(spark):
         for r in embedding_cosine_pairs(emb, 0.9, assign=shared).collect()
     }
     assert (100, 101) in got and got[(100, 101)] >= 0.98
+
+
+def test_two_level_assignment_vector_side_never_shuffles(spark):
+    """The two-level path must add only BROADCAST joins on the vector side:
+    the N-row frame never crosses a shuffle exchange (the fine/cells/coarse
+    frames are centroid-sized and may aggregate freely)."""
+    import re
+
+    from temporalvault_spark.operators.similarity import assign_to_centroids_2level
+    from temporalvault_spark.plans import executed_plan
+
+    dim = 12
+    e = spark.createDataFrame(
+        [(i, [float((i + j) % 5 + 1) for j in range(dim)]) for i in range(100, 400)],
+        "vec_id bigint, e array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(c, [float(c == j) for j in range(dim)]) for c in range(9)],
+        "centroid_id bigint, ce array<double>",
+    )
+    df = assign_to_centroids_2level(e, cents, k1=3)
+    df.collect()
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # every join the vector frame participates in is broadcast: no
+    # SortMergeJoin / ShuffledHashJoin anywhere in the plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
