@@ -56,7 +56,6 @@ AUDITED = [
     ("agg_stats_moments", "five moment families in ONE partial+final hash aggregate; shuffle carries one moment tuple per group"),
     ("bm25_topk", "consumes the session-staged (doc_id, dl, query-filtered tokens) checkpoint — ONE corpus pass per session instead of four; 1-row corpus stats + per-term df broadcast; TakeOrderedAndProject top-k"),
     ("win_ewma", "ONE window shuffle on user_id; bounded 8-element frame folded by a JVM higher-order function — no UDF"),
-    ("win_rolling_median_1h", "holistic percentile over a RANGE frame: one user_id shuffle, sliding frame evaluation — no self-join"),
     ("join_skew_salted", "forced ShuffledHashJoin on (key, salt): dim replicated 8x, hot key spread over 8 reducers (the hint reproduces the big-dim plan Catalyst would pick at scale); post-join agg map-side combines"),
     ("merge_upsert", "the MERGE itself is BroadcastHashJoin-only (no vault shuffle; full-outer would SMJ) — the exchanges present belong to deriving latest-state from the version log; inserts from a tiny anti-join"),
     ("trade_edges_stage", "one-time graph build, force-re-run so its cost stays measured: DISTINCT on the raw int pair (16-byte rows through the only edge-sized exchange), node labels built after, node-sized degree frame broadcast; artifact written dst-partitioned"),
@@ -66,6 +65,11 @@ AUDITED = [
     ("ml_quantile_bin_approx", "NO Window (the exact form's per-type total order is gone): percentile_approx boundaries via one mergeable hash aggregate, bin by range lookup against the broadcast boundary frame"),
     ("agg_skew_salted", "two-stage skewed aggregate: partial agg on (key, salt) fans the hot key over 16 reducers; merge agg sees salt rows per group"),
     ("dedup_soft_weights", "soft dedup: duplicate-bounded (doc_id, group_size) map broadcasts onto the corpus (left join, no corpus shuffle); weights are exact 1/size projections"),
+    ("sample_weighted_k", "weighted reservoir: ROW-LOCAL min-of-w-tickets key (transform + array_min, no explode); TakeOrderedAndProject top-k — no global sort, no data-sized shuffle"),
+    ("sample_weighted_k_per_group", "same ticket key ranked per source: WindowGroupLimit keeps k rows/source/partition before the exchange"),
+    ("rp_index_build", "one-time RP index build, force-re-run so its cost stays measured: one signature pass, (band, bkt)-partitioned write + vectors/meta sidecars; returned plan reads per-band counts back FROM the persisted index"),
+    ("dedup_rp_incremental_probe", "PartitionFilters on (band, bkt) from the batch's own signatures (persisted width); broadcast batch vectors; index corpus never reshuffles — the RP twin of dedup_incremental_probe"),
+    ("win_rolling_median_1h", "explicit sorted-frame midpoint over a RANGE window: one user_id shuffle, sliding frame — no self-join; (lo+hi)*0.5 is engine-exact"),
 ]
 
 
