@@ -51,11 +51,18 @@ from temporalvault_spark.registry import query
 def _bkt_chars_for(n_vecs: int) -> int:
     """Partition-key width (leading chars of the '0'/'1' bucket string),
     chosen at build time from corpus size: 8 chars (256 dirs/band) once the
-    corpus is big enough that each directory still holds substantial data;
-    4 chars (16 dirs/band) below that — the minhash-index small-file rule
-    (a wide fan-out on a small corpus is pure partitioned-write overhead).
-    Always ≤ the minimum signature width (RP_BITS = 8)."""
-    return 8 if n_vecs > 1_000_000 else 4
+    corpus is big enough that each directory still holds substantial data,
+    4 chars (16 dirs/band) in between, 2 chars (4 dirs/band) for small
+    corpora — the minhash-index small-file rule (a wide fan-out on a small
+    corpus is pure partitioned-write overhead: 64 directories of ~125 rows
+    each measured as the dominant cost of the whole sf0.1 build). Probe
+    pruning granularity follows the width — coarser dirs on a small corpus
+    still bound the scan at corpus/4 per touched band, and the full-bucket
+    equi-join is unaffected. Always ≤ the minimum signature width
+    (RP_BITS = 8)."""
+    if n_vecs > 1_000_000:
+        return 8
+    return 4 if n_vecs > 100_000 else 2
 
 
 # (path, _meta mtime) -> (bits, bkt_chars): reading the 1-row sidecar is a
@@ -320,7 +327,13 @@ def q_dedup_rp_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared signature CTEs: the width comes from the BASE corpus count
     (exactly what the persisted _meta holds), candidates are cross-batch
     (band, bucket) collisions, exact-cosine verified."""
+    from temporalvault_spark.operators.rp_lsh import _rp_stats_cached
+
     path = stage_rp_index(spark, sf_dir)
     emb = load_catalog(spark, sf_dir).table("embeddings")
     batch = emb.filter(F.col("vec_id") % 10 == 0)
-    return query_rp_index(spark, path, batch)
+    # session-cached (n, dim): bits come from _meta, so only dim matters —
+    # the full-corpus max dim is >= the batch's, and a longer literal
+    # coefficient array folds identically (the fold is bounded by size(e)),
+    # so reusing it skips the per-probe stats scan without changing a bit
+    return query_rp_index(spark, path, batch, stats=_rp_stats_cached(spark, sf_dir))
