@@ -179,6 +179,7 @@ HEADLINE = [
     "sample_weighted_k_per_group",
     "rp_index_build",
     "dedup_rp_incremental_probe",
+    "corpus_select_token_budget",
 ]
 
 

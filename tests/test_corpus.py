@@ -525,3 +525,61 @@ def test_sample_weighted_k_per_group_matches_python_replay(spark, sf_dir):
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_select_to_token_budget_matches_naive_window(spark):
+    """The distributed prefix-cut must select the identical set as the
+    naive global cumulative window, with the cut landing INSIDE a block
+    (ids spread past BUDGET_TARGET_BUCKETS so blocks hold >1 doc) and
+    ACROSS strata."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from temporalvault_spark.operators.corpus import select_to_token_budget
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        doc_id = i * 37  # spread ids to 11k > 4096 -> blk_sz 3+
+        n_words = rng.randint(5, 60)
+        text = " ".join(f"t{j}" for j in range(n_words))
+        # n_chars drives the weight strata; mix all strata
+        rows.append((doc_id, text, "en", "s", rng.choice([10, 600, 1200, 4000])))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    for budget in (0, 500, 3000, 10**9):
+        got = {
+            (r["doc_id"], r["w"], r["n_tok"])
+            for r in select_to_token_budget(docs, budget=budget).collect()
+        }
+        base = docs.select(
+            "doc_id",
+            (F.lit(1) + F.least(F.expr("coalesce(n_chars, 0) DIV 500"), F.lit(7))).alias("w"),
+            F.size(F.split(F.lower(F.trim("text")), " ")).alias("n_tok"),
+        )
+        cum = F.sum("n_tok").over(
+            Window.orderBy(F.desc("w"), F.asc("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        want = {
+            (r["doc_id"], r["w"], r["n_tok"])
+            for r in base.withColumn("c", cum).filter(F.col("c") <= budget).collect()
+        }
+        assert got == want, budget
+    # budget 0 -> empty; huge budget -> everything
+    assert select_to_token_budget(docs, budget=0).count() == 0
+    assert select_to_token_budget(docs, budget=10**9).count() == 300
+
+
+def test_select_to_token_budget_common_case_has_no_global_window(spark):
+    """The fully-included region must be a pure predicate filter — the only
+    window in the assembled plan touches the single boundary block."""
+    from temporalvault_spark.operators.corpus import select_to_token_budget
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = select_to_token_budget(docs, budget=5_000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # at most one Window node, and it sits under a (w, blk) equality filter
+    assert plan.count("Window") <= 1
