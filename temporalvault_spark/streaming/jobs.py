@@ -586,6 +586,91 @@ def dedup_ingest_stream(
     return writer.start()
 
 
+def embedding_dedup_ingest_stream(
+    emb_stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint: str,
+    threshold: float | None = None,
+    available_now: bool = True,
+):
+    """Streaming incremental COSINE near-dup gate — the embedding twin of
+    ``dedup_ingest_stream``: each micro-batch of vectors is probed against
+    the persisted RP-LSH band index (operators/rp_lsh_index.py); batch
+    vectors that near-dup an already-ingested vector (cosine >= threshold)
+    are REJECTED, survivors are appended to the accepted parquet AND their
+    signatures are appended to the index (signed with the index's
+    PERSISTED width), so later batches dedup against them too. Within-batch
+    duplicates collapse via the in-memory pair join on just the batch
+    (batch-sized): the lowest vec_id of each local near-dup group survives.
+
+    Exactly-once across every crash window, by the same two mechanisms as
+    the text gate: committed batches leave batch_id marker files (replays
+    skip); a crash BETWEEN the appends and the marker is repaired by the
+    writes themselves — the accepted corpus partitions by ingest_batch
+    with dynamic partition overwrite (a replayed batch rewrites its own
+    partition), and the index probe path is replay-immune by construction
+    (candidates are DISTINCT pairs, the ``_vectors`` sidecar read
+    deduplicates by vec_id), so a replayed index append cannot produce
+    duplicate or corrupted pairs. tests/test_rp_lsh_index.py simulates the
+    marker-lost crash and pins both properties."""
+    import os
+
+    from temporalvault_spark.operators.rp_lsh import rp_lsh_pairs
+    from temporalvault_spark.operators.rp_lsh_index import (
+        build_rp_index,
+        query_rp_index,
+    )
+    from temporalvault_spark.operators.similarity import EMB_DUP_THRESHOLD
+
+    thr = EMB_DUP_THRESHOLD if threshold is None else threshold
+    marker_dir = f"{accepted_path}/_ingest_batches"
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{marker_dir}/{batch_id}"
+        if os.path.exists(marker):
+            return  # replayed batch — already committed
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)  # stream source -> plain frame
+        idx_exists = os.path.exists(f"{index_path}/_meta")
+        if idx_exists:
+            hits = query_rp_index(spark, index_path, batch, thr)
+            cross_rej = hits.select(F.col("query_vec").alias("vec_id")).distinct()
+        else:
+            cross_rej = None
+        local_rej = (
+            rp_lsh_pairs(batch, thr)
+            .select(F.col("vec_b").alias("vec_id"))
+            .distinct()
+        )
+        survivors = batch.join(local_rej, "vec_id", "left_anti")
+        if cross_rej is not None:
+            survivors = survivors.join(cross_rej, "vec_id", "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        (
+            survivors.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(accepted_path)
+        )
+        build_rp_index(survivors, index_path, append=idx_exists)
+        with open(marker, "w") as f:
+            f.write("committed")
+
+    writer = (
+        emb_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()
+
+
 def run_available_now(
     stream_df: DataFrame,
     name: str,

@@ -186,3 +186,79 @@ def test_probe_matches_in_memory_pairs_cross_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_embedding_dedup_ingest_stream_end_to_end(spark, tmp_path_factory):
+    """Streaming cosine-dedup gate over two micro-batches: batch 1 seeds the
+    corpus+index; batch 2's cross-batch near-dup is rejected, its
+    within-batch dup group keeps only the lowest id, its novel vector is
+    accepted and indexed (a later probe finds it). A replay with a fresh
+    checkpoint (same batch ids) must be a no-op (marker idempotency)."""
+    from temporalvault_spark.streaming import embedding_dedup_ingest_stream
+
+    root = tmp_path_factory.mktemp("emb_ingest")
+    src, idx, acc = str(root / "src"), str(root / "idx"), str(root / "acc")
+    schema = "vec_id bigint, embedding array<float>, label int"
+
+    far = [-x for x in BASE_VEC]
+    novel = [0.1, 0.9, -0.2, 0.4, 0.3, -0.8, 0.2, 0.5]
+    batch1 = _emb(spark, [(0, BASE_VEC, 0), (1, far, 0)])
+    batch2 = _emb(
+        spark,
+        [
+            (100, _scaled(2.0), 0),              # cross-batch dup of 0
+            (101, novel, 0),                     # novel -> accepted
+            (102, [0.5, -0.5, 0.5, -0.5, 0.1, 0.1, 0.1, 0.1], 0),  # local pair,
+            (103, [1.0, -1.0, 1.0, -1.0, 0.2, 0.2, 0.2, 0.2], 0),  # keep 102
+        ],
+    )
+
+    batch1.write.mode("overwrite").parquet(f"{src}/b1.parquet")
+    stream = spark.readStream.schema(batch1.schema).parquet(f"{src}/*.parquet")
+    embedding_dedup_ingest_stream(stream, idx, acc, str(root / "ck1"))
+    assert {r["vec_id"] for r in spark.read.parquet(acc).collect()} == {0, 1}
+
+    batch2.write.mode("overwrite").parquet(f"{src}/b2.parquet")
+    embedding_dedup_ingest_stream(stream, idx, acc, str(root / "ck1"))
+    got = {r["vec_id"] for r in spark.read.parquet(acc).collect()}
+    assert got == {0, 1, 101, 102}  # 100 rejected cross-batch, 103 within-batch
+
+    # later batches dedup against batch-2 survivors too: 102 is indexed now
+    probe = _emb(spark, [(300, [2.0 * x for x in [0.5, -0.5, 0.5, -0.5, 0.1, 0.1, 0.1, 0.1]], 0)])
+    hits = query_rp_index(spark, idx, probe).collect()
+    assert {(r["query_vec"], r["index_vec"]) for r in hits} == {(300, 102)}
+
+    # replay idempotency: fresh checkpoint -> same batch ids -> markers skip
+    embedding_dedup_ingest_stream(stream, idx, acc, str(root / "ck2"))
+    assert {r["vec_id"] for r in spark.read.parquet(acc).collect()} == got
+
+
+def test_embedding_ingest_crash_window_replay_is_idempotent(spark, tmp_path_factory):
+    """Crash BETWEEN the appends and the marker write: the replay must not
+    double rows — the accepted corpus heals via dynamic partition overwrite,
+    and the probe path stays duplicate-free (DISTINCT candidates + vec_id
+    dedup on the _vectors sidecar) despite the doubled index append."""
+    import os
+
+    from temporalvault_spark.streaming import embedding_dedup_ingest_stream
+
+    root = tmp_path_factory.mktemp("emb_crash")
+    src, idx, acc = str(root / "src"), str(root / "idx"), str(root / "acc")
+    batch1 = _emb(spark, [(0, BASE_VEC, 0), (1, [-x for x in BASE_VEC], 0)])
+    batch1.write.mode("overwrite").parquet(f"{src}/b1.parquet")
+    stream = spark.readStream.schema(batch1.schema).parquet(f"{src}/*.parquet")
+
+    embedding_dedup_ingest_stream(stream, idx, acc, str(root / "ck1"))
+    marker = f"{acc}/_ingest_batches/0"
+    assert os.path.exists(marker)
+    os.remove(marker)  # simulate: appends landed, marker write lost
+
+    embedding_dedup_ingest_stream(stream, idx, acc, str(root / "ck2"))  # replay
+    rows = spark.read.parquet(acc).collect()
+    assert sorted(r["vec_id"] for r in rows) == [0, 1]  # no duplicate rows
+    assert os.path.exists(marker)  # marker restored by the replay
+
+    # probe path: exactly one pair for a near-dup probe, never duplicates
+    probe = _emb(spark, [(500, _scaled(0.5), 0)])
+    hits = query_rp_index(spark, idx, probe).collect()
+    assert [(r["query_vec"], r["index_vec"]) for r in hits] == [(500, 0)]
