@@ -882,14 +882,12 @@ def select_to_token_budget(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataF
     sums = b.groupBy("w", "blk").agg(F.sum("n_tok").alias("s")).collect()
     # driver prefix over ordered buckets: (w DESC, blk ASC)
     running = 0
-    boundary = None  # (w, blk, offset)
-    full_until = None  # the last fully-included bucket's (w, blk)
+    boundary = None  # (w, blk, offset): the single bucket the cut lands in
     for r in sorted(sums, key=lambda r: (-r["w"], r["blk"])):
         if running + r["s"] > budget:
             boundary = (r["w"], r["blk"], running)
             break
         running += r["s"]
-        full_until = (r["w"], r["blk"])
     if boundary is None:
         return b.select("doc_id", "w", "n_tok")  # whole corpus fits
     w_b, blk_b, offset = boundary
