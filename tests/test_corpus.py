@@ -583,3 +583,54 @@ def test_select_to_token_budget_common_case_has_no_global_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # at most one Window node, and it sits under a (w, blk) equality filter
     assert plan.count("Window") <= 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20_000),  # doc_id (sparse, forces multi-doc blocks)
+            st.integers(min_value=1, max_value=40),      # words
+            st.integers(min_value=0, max_value=4_500),   # n_chars -> weight
+        ),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=0, max_value=1_000),
+)
+def test_select_to_token_budget_hypothesis_vs_python_model(spark, rows, budget):
+    """Property: for ANY corpus and budget, the distributed prefix-cut
+    selects exactly the Python prefix model's set (order by weight DESC,
+    doc_id ASC; take while running tokens <= budget)."""
+    from temporalvault_spark.operators.corpus import (
+        WEIGHT_CHARS_PER_UNIT,
+        WEIGHT_MAX,
+        select_to_token_budget,
+    )
+
+    data = [
+        (d, " ".join(f"w{j}" for j in range(nw)), "en", "s", nc)
+        for d, nw, nc in rows
+    ]
+    docs = spark.createDataFrame(
+        data, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    got = {
+        (r["doc_id"], r["w"], r["n_tok"])
+        for r in select_to_token_budget(docs, budget=budget).collect()
+    }
+    model = sorted(
+        (
+            (d, 1 + min(nc // WEIGHT_CHARS_PER_UNIT, WEIGHT_MAX - 1), nw)
+            for d, nw, nc in rows
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    want, running = set(), 0
+    for d, w, nt in model:
+        if running + nt > budget:
+            break
+        running += nt
+        want.add((d, w, nt))
+    assert got == want
