@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from temporalvault_spark.operators.similarity import (
     _dot,
     _norm,
-    assign_to_centroids,
+    assign_to_centroids_auto,
 )
 
 
@@ -40,7 +40,7 @@ def append_to_ivf_index(emb: DataFrame, path: str) -> None:
     cents = spark.read.parquet(f"{path}/_centroids")
     e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
     (
-        assign_to_centroids(e, cents)
+        assign_to_centroids_auto(e, cents)
         .repartition("centroid_id")
         .write.mode("append")
         .partitionBy("centroid_id")
@@ -79,7 +79,7 @@ def build_ivf_index(emb: DataFrame, path: str, centroids: DataFrame | None = Non
         )
     cents = centroids
     (
-        assign_to_centroids(e, cents)
+        assign_to_centroids_auto(e, cents)
         .repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")

