@@ -295,6 +295,14 @@ def q_rp_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The registered probe scenario verifies at a LOWER threshold than the
+# operator default: the synthetic embeddings hold zero cross-batch pairs at
+# EMB_DUP_THRESHOLD (measured: the whole corpus has ONE rp pair at sf0.01,
+# within-batch), and a 0-row oracle row value-checks nothing. 0.3 yields 17
+# pairs at sf0.01 / 194 at sf0.1 — non-trivial, bounded, and the threshold
+# is a plain parameter of query_rp_index either way.
+RP_PROBE_THRESHOLD = 0.3
+
 _PROBE_ORACLE = f"""WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
     base AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
@@ -315,7 +323,7 @@ _PROBE_ORACLE = f"""WITH e AS (
     JOIN e y ON y.vec_id = c.index_vec
     WHERE list_dot_product(x.e, y.e)
           / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))
-          >= {EMB_DUP_THRESHOLD}"""
+          >= {RP_PROBE_THRESHOLD}"""
 
 
 @query("dedup_rp_incremental_probe", _PROBE_ORACLE)
@@ -336,4 +344,6 @@ def q_dedup_rp_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full-corpus max dim is >= the batch's, and a longer literal
     # coefficient array folds identically (the fold is bounded by size(e)),
     # so reusing it skips the per-probe stats scan without changing a bit
-    return query_rp_index(spark, path, batch, stats=_rp_stats_cached(spark, sf_dir))
+    return query_rp_index(
+        spark, path, batch, RP_PROBE_THRESHOLD, stats=_rp_stats_cached(spark, sf_dir)
+    )

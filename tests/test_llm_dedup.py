@@ -593,3 +593,36 @@ def test_two_level_assignment_vector_side_never_shuffles(spark):
     # every join the vector frame participates in is broadcast: no
     # SortMergeJoin / ShuffledHashJoin anywhere in the plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_assign_auto_switches_on_centroid_count(spark):
+    """k <= TWO_LEVEL_MIN_K must take the exact path (bit-identical to
+    assign_to_centroids); a large crafted centroid set must take the
+    two-level path (bit-identical to assign_to_centroids_2level)."""
+    from temporalvault_spark.operators.similarity import (
+        TWO_LEVEL_MIN_K,
+        assign_to_centroids,
+        assign_to_centroids_2level,
+        assign_to_centroids_auto,
+    )
+
+    dim = 8
+    e = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 9 + 1) for j in range(dim)]) for i in range(200, 260)],
+        "vec_id bigint, e array<double>",
+    )
+    small = spark.createDataFrame(
+        [(c, [float(c == j) for j in range(dim)]) for c in range(dim)],
+        "centroid_id bigint, ce array<double>",
+    )
+    got_small = {(r["vec_id"], r["centroid_id"]) for r in assign_to_centroids_auto(e, small).collect()}
+    want_small = {(r["vec_id"], r["centroid_id"]) for r in assign_to_centroids(e, small).collect()}
+    assert got_small == want_small
+
+    big = spark.createDataFrame(
+        [(c, [float((c + j) % 11 + 1) for j in range(dim)]) for c in range(TWO_LEVEL_MIN_K + 10)],
+        "centroid_id bigint, ce array<double>",
+    )
+    got_big = {(r["vec_id"], r["centroid_id"]) for r in assign_to_centroids_auto(e, big).collect()}
+    want_big = {(r["vec_id"], r["centroid_id"]) for r in assign_to_centroids_2level(e, big).collect()}
+    assert got_big == want_big

@@ -144,18 +144,19 @@ def test_probe_matches_in_memory_pairs_cross_batch(spark, sf_dir):
 
     import tempfile
 
+    from temporalvault_spark.operators.rp_lsh_index import RP_PROBE_THRESHOLD
+
     path = tempfile.mkdtemp(prefix="tv_rp_idx_test_") + "/idx"
     build_rp_index(base, path, bits=8)
     got = {
         (r["query_vec"], r["index_vec"]): r["cosine"]
-        for r in query_rp_index(spark, path, batch).collect()
+        for r in query_rp_index(spark, path, batch, RP_PROBE_THRESHOLD).collect()
     }
 
     # in-memory twin: cross-batch (band, bucket) collisions at bits=8
     sigs = rp_signatures(emb, bits=8)
     a = sigs.alias("a")
     b = sigs.alias("b")
-    from temporalvault_spark.operators.similarity import EMB_DUP_THRESHOLD
     from temporalvault_spark.operators.rp_lsh import _dot
 
     cand = (
@@ -182,10 +183,11 @@ def test_probe_matches_in_memory_pairs_cross_batch(spark, sf_dir):
         for r in cand.select(
             "query_vec", "index_vec", F.round(cos, 6).alias("cosine")
         )
-        .filter(cos >= EMB_DUP_THRESHOLD)
+        .filter(cos >= RP_PROBE_THRESHOLD)
         .collect()
     }
     assert got == want
+    assert got, "threshold chosen so the twin check is non-trivial"  
 
 
 def test_embedding_dedup_ingest_stream_end_to_end(spark, tmp_path_factory):
