@@ -1688,11 +1688,15 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
     url = r"https?://[^ ]+"
     phone = r"\b\d{3}[- .]\d{3}[- .]\d{4}\b"
+    # idx=0 (the whole match): the patterns carry NO capture groups, and
+    # regexp_extract_all's default idx=1 raises the moment a match actually
+    # fires — invisible on the PII-free testdata, caught by the crafted
+    # corpus in tests/test_llm_text.py
     d = _docs(spark, sf_dir).select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(email))).cast("bigint").alias("n_emails"),
-        F.size(F.regexp_extract_all("text", F.lit(url))).cast("bigint").alias("n_urls"),
-        F.size(F.regexp_extract_all("text", F.lit(phone))).cast("bigint").alias("n_phoneish"),
+        F.size(F.regexp_extract_all("text", F.lit(email), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(url), 0)).cast("bigint").alias("n_urls"),
+        F.size(F.regexp_extract_all("text", F.lit(phone), 0)).cast("bigint").alias("n_phoneish"),
     )
     return d.filter((F.col("n_emails") > 0) | (F.col("n_urls") > 0) | (F.col("n_phoneish") > 0))
 

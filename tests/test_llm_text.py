@@ -143,3 +143,47 @@ def test_bigram_logprob_crafted(spark):
     assert got3[0] == got3[1] == round(-math.log(2.0 / 3.0), 6)
     assert got3[2] == round(-math.log(1.0 / 3.0), 6)
     assert got3[2] > got3[0]  # the rarer transition scores worse
+
+
+def test_pii_scan_crafted_and_engine_parity(spark, tmp_path):
+    """pii_scan's oracle row matches trivially on the PII-free testdata
+    (0 = 0 rows) — so prove it on a crafted corpus where matches FIRE:
+    per-category counts and a direct Spark-vs-DuckDB value comparison."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL
+    from tests.oracle_check import compare, duckdb_conn
+
+    texts = [
+        (0, "mail me at a.b-c@ex-ample.org or x@y.io soon"),
+        (1, "see https://example.com/path and http://a.b/c?q=1"),
+        (2, "dial 555 123 4567 or 800-555-0199 x2"),
+        (3, "clean words only here"),
+        (4, None),
+    ]
+    pdf = pd.DataFrame(
+        [dict(doc_id=i, text=t, lang="en", source="s", n_chars=len(t or "")) for i, t in texts]
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    dst = str(tmp_path)
+    for f in os.listdir(SF_SMALL):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SF_SMALL, f), os.path.join(dst, f))
+    pdf.to_parquet(os.path.join(dst, "documents.parquet"), index=False)
+
+    got = {r["doc_id"]: r for r in entrymod.queries()["pii_scan"](spark, dst).collect()}
+    assert set(got) == {0, 1, 2}  # clean + NULL docs pruned
+    assert got[0]["n_emails"] == 2
+    assert got[1]["n_urls"] == 2
+    assert got[2]["n_phoneish"] >= 1
+
+    con = duckdb_conn(dst)
+    ok, msg = compare(
+        entrymod.queries()["pii_scan"](spark, dst), con, entrymod.oracle_sql()["pii_scan"]
+    )
+    assert ok, msg
