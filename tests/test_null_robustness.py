@@ -71,6 +71,21 @@ def null_sf_dir(tmp_path_factory, sf_dir):
                 source="web",
                 n_chars=78,
             ),
+            # pattern-dense row: the word-soup corpus contains NO
+            # emails/URLs/phones/markup/digits, so selective pattern
+            # operators matched trivially on 0 rows at every sf — a
+            # group-index crash in pii_scan hid behind exactly that for
+            # five rounds (fixed round 9). This row makes every pattern
+            # fire inside the full-parity sweep from now on.
+            dict(
+                doc_id=mx + 6,
+                text="reach ops@example.com via https://ex.io/p?q=1 "
+                "or 555 123 4567 from host 10.0.0.7 <b>bold</b> &amp; "
+                "plain 2024 words",
+                lang="en",
+                source="web",
+                n_chars=110,
+            ),
         ]
     )
     out = pd.concat([pdf, extra], ignore_index=True)[pdf.columns]
