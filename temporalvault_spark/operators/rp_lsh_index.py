@@ -20,6 +20,15 @@ always sign with the PERSISTED width, never recompute it — assignment
 stays consistent with every earlier batch (the ivf_index _centroids
 contract). Plane coefficients are md5-derived (rp_lsh._plane_coef), so an
 index build is deterministic and reproducible across runs and engines.
+
+Growth contract: an index that has grown far past its build-time size
+keeps its original (narrower) width, so bucket occupancy — and with it
+per-batch candidate fan-out — rises linearly with the corpus. The remedy
+is an OPTIMIZE-style periodic REBUILD at the current adaptive width
+(build_rp_index overwrite — the same maintenance cadence as
+compact_small_files), which restores constant occupancy; appends between
+rebuilds stay correct throughout, just gradually less selective. The
+minhash index's bkt_chars carries the identical contract.
 """
 
 from __future__ import annotations
