@@ -46,6 +46,11 @@ def main() -> int:
                 if not ok:
                     n_fail += 1
                 results[name] = {"ok": ok, "msg": msg, "sec": round(time.time() - t0, 2)}
+                # 0 = 0 hash-matches trivially (the pii_scan trap, round 9):
+                # record it so empty-by-data oracle rows stay VISIBLE and
+                # get a crafted-corpus test instead of silent green
+                if ok and not con.execute(oracles[name]).fetchone():
+                    results[name]["zero_rows"] = True
             else:
                 n = df.count()
                 results[name] = {"ok": True, "msg": f"rows_only:{n}", "sec": round(time.time() - t0, 2)}
@@ -57,6 +62,10 @@ def main() -> int:
 
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
+    zero = sorted(n for n, r in results.items() if r.get("zero_rows"))
+    if zero:
+        print(f"note: {len(zero)} oracle row(s) matched on ZERO rows "
+              f"(verify them with crafted corpora): {', '.join(zero)}")
     print(f"\n{len(queries) - n_fail}/{len(queries)} green -> {out}")
     return 1 if n_fail else 0
 
