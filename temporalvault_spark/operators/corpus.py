@@ -714,6 +714,29 @@ def _weight_col():
     )
 
 
+def _weighted_ticket_key():
+    """The Efraimidis–Spirakis min-of-w-tickets key over columns (doc_id, w):
+    MIN over t in 1..w of md5('wk:<doc_id>:<t>') — integer/string md5
+    arithmetic only (no u^(1/w) pow, no libm), ROW-LOCAL (transform over
+    sequence + array_min: no explode, no shuffle). ONE definition shared by
+    the global and stratified weighted samplers so their draws cannot drift
+    (the _argmax_scored precedent): a doc's ticket is identical whether it
+    competes globally or within its stratum."""
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1).cast("bigint"), F.col("w")),
+            lambda t: F.md5(
+                F.concat(
+                    F.lit("wk:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    t.cast("string"),
+                )
+            ),
+        )
+    )
+
+
 def sample_weighted_k(docs: DataFrame, k: int = WEIGHTED_K) -> DataFrame:
     """Weighted fixed-k sample WITHOUT replacement: inclusion odds
     proportional to remaining integer weights — the quality-weighted
@@ -736,19 +759,7 @@ def sample_weighted_k(docs: DataFrame, k: int = WEIGHTED_K) -> DataFrame:
     Weights are small integers by contract (ticket count = w); huge or
     real-valued weights belong to the u^(1/w) form a deployment would
     quantize onto this one."""
-    ukey = F.array_min(
-        F.transform(
-            F.sequence(F.lit(1).cast("bigint"), F.col("w")),
-            lambda t: F.md5(
-                F.concat(
-                    F.lit("wk:"),
-                    F.col("doc_id").cast("string"),
-                    F.lit(":"),
-                    t.cast("string"),
-                )
-            ),
-        )
-    )
+    ukey = _weighted_ticket_key()
     return (
         docs.select("doc_id", "source", "lang", _weight_col().alias("w"))
         .select("doc_id", "source", "lang", "w", ukey.alias("ukey"))
@@ -794,13 +805,12 @@ WEIGHTED_STRATA_K = 10
     WHERE rn <= {WEIGHTED_STRATA_K}""",
 )
 def q_sample_weighted_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified WEIGHTED sampling: the {WEIGHTED_STRATA_K} weighted-draw
-    winners per source (fewer if the stratum is smaller) — per-domain
-    quality-weighted selection, the composition of sample_weighted_k's
-    min-of-w-tickets key (exact E-S semantics for integer weights, zero
-    libm) with sample_fixed_k_per_group's per-stratum rank. Same ticket
-    key, so a doc's draw is identical whether it competes globally or
-    within its stratum.
+    """Stratified WEIGHTED sampling: the WEIGHTED_STRATA_K (= 10)
+    weighted-draw winners per source (fewer if the stratum is smaller) —
+    per-domain quality-weighted selection, the composition of
+    sample_weighted_k's min-of-w-tickets key (exact E-S semantics for
+    integer weights, zero libm — _weighted_ticket_key, one shared
+    definition) with sample_fixed_k_per_group's per-stratum rank.
 
     Scale shape: the key stays ROW-LOCAL; the per-source rank plans as
     WindowGroupLimit — each partition keeps only its local top-k per
@@ -809,19 +819,7 @@ def q_sample_weighted_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    ukey = F.array_min(
-        F.transform(
-            F.sequence(F.lit(1).cast("bigint"), F.col("w")),
-            lambda t: F.md5(
-                F.concat(
-                    F.lit("wk:"),
-                    F.col("doc_id").cast("string"),
-                    F.lit(":"),
-                    t.cast("string"),
-                )
-            ),
-        )
-    )
+    ukey = _weighted_ticket_key()
     return (
         docs.select("doc_id", "source", "lang", _weight_col().alias("w"))
         .select("doc_id", "source", "lang", "w", ukey.alias("ukey"))
@@ -930,9 +928,10 @@ def select_to_token_budget(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataF
     FROM sel WHERE cum <= {TOKEN_BUDGET}""",
 )
 def q_corpus_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered budget selection at the fixed {TOKEN_BUDGET}-token budget.
-    The oracle replays the NAIVE global-window form — the value-hash match
-    proves the distributed prefix-cut selects the identical set."""
+    """Registered budget selection at the fixed TOKEN_BUDGET (= 20,000
+    tokens). The oracle replays the NAIVE global-window form — the
+    value-hash match proves the distributed prefix-cut selects the
+    identical set."""
     df = select_to_token_budget(_docs(spark, sf_dir))
     return df.select(
         "doc_id", F.col("w").cast("bigint").alias("w"),

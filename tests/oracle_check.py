@@ -100,4 +100,6 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
         return False, f"value mismatch, first diffs: {diffs}"
-    return True, "ok"
+    # row count in the success message: driver_sim's 0-row-oracle trap reads
+    # it from here instead of re-executing the oracle SQL a second time
+    return True, f"ok rows={len(d_rows)}"

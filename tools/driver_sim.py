@@ -48,8 +48,10 @@ def main() -> int:
                 results[name] = {"ok": ok, "msg": msg, "sec": round(time.time() - t0, 2)}
                 # 0 = 0 hash-matches trivially (the pii_scan trap, round 9):
                 # record it so empty-by-data oracle rows stay VISIBLE and
-                # get a crafted-corpus test instead of silent green
-                if ok and not con.execute(oracles[name]).fetchone():
+                # get a crafted-corpus test instead of silent green. The
+                # count comes from compare()'s already-materialized oracle
+                # rows — no second execution of the oracle SQL
+                if ok and msg == "ok rows=0":
                     results[name]["zero_rows"] = True
             else:
                 n = df.count()
