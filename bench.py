@@ -180,6 +180,8 @@ HEADLINE = [
     "rp_index_build",
     "dedup_rp_incremental_probe",
     "corpus_select_token_budget",
+    # round 10: growth-contract maintenance (build + grow + rebuild cycle)
+    "rp_index_rebuild",
 ]
 
 

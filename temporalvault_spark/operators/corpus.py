@@ -836,9 +836,63 @@ def q_sample_weighted_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame
 
 TOKEN_BUDGET = 20_000  # fixed training-token budget for the registered query
 BUDGET_TARGET_BUCKETS = 4096  # id-blocks per stratum for the prefix cut
+# Rows above which the exact window inside a boundary bucket recurses the
+# prefix-cut again instead of single-partition-sorting the bucket: 100k slim
+# (doc_id, w, n_tok) rows sort in-memory in well under a second; each
+# recursion level divides the bucket by BUDGET_TARGET_BUCKETS, so depth is
+# log_4096(N) — 3 levels clear a 10^12-doc corpus.
+BUDGET_EDGE_ROWS = 100_000
 
 
-def select_to_token_budget(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+def _edge_select(inside: DataFrame, remaining: int, edge_rows: int) -> DataFrame:
+    """Exact budget prefix inside ONE boundary bucket (uniform weight, so
+    the order is doc_id ASC and the cut point is a pure doc_id prefix).
+
+    At extreme N the boundary bucket (~N/4096 rows) is itself too large for
+    a single-partition cumulative window, so recurse the SAME prefix-cut on
+    finer doc_id sub-blocks: one slim aggregate sizes the bucket (count +
+    id range — column-pruned, no tokenization), per-sub-block token sums
+    collect (≤ BUDGET_TARGET_BUCKETS rows, bounded by construction), the
+    driver prefix finds the one boundary sub-block, fully-included
+    sub-blocks pass by PREDICATE, and only the boundary sub-block recurses.
+    The window runs only once the bucket fits ``edge_rows``."""
+    from pyspark.sql import Window
+
+    stat = inside.agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).first()
+    if stat["n"] <= edge_rows or stat["lo"] == stat["hi"]:
+        cum = F.sum("n_tok").over(
+            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            inside.withColumn("cum", cum)
+            .filter(F.col("cum") <= F.lit(remaining))
+            .drop("cum")
+        )
+    sub_sz = (stat["hi"] - stat["lo"]) // BUDGET_TARGET_BUCKETS + 1
+    sb = inside.withColumn("sblk", F.expr(f"(doc_id - {stat['lo']}) DIV {sub_sz}"))
+    sums = sb.groupBy("sblk").agg(F.sum("n_tok").alias("s")).collect()
+    running = 0
+    boundary = None
+    for r in sorted(sums, key=lambda r: r["sblk"]):
+        if running + r["s"] > remaining:
+            boundary = (r["sblk"], running)
+            break
+        running += r["s"]
+    if boundary is None:  # defensive: the parent guaranteed an overflow here
+        return inside
+    sblk_b, off = boundary
+    full = sb.filter(F.col("sblk") < sblk_b).drop("sblk")
+    sub_inside = sb.filter(F.col("sblk") == sblk_b).drop("sblk")
+    return full.unionByName(_edge_select(sub_inside, remaining - off, edge_rows))
+
+
+def select_to_token_budget(
+    docs: DataFrame, budget: int = TOKEN_BUDGET, edge_rows: int = BUDGET_EDGE_ROWS
+) -> DataFrame:
     """Token-budget-constrained corpus selection: take documents in
     quality order (weight DESC, doc_id ASC — the same 1..8 length-derived
     weight as the weighted sampler) until the running token total would
@@ -856,9 +910,10 @@ def select_to_token_budget(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataF
       3. the driver prefix-sums the ordered buckets to find the single
          boundary bucket; everything strictly before it is included by a
          PREDICATE (no window at all — the common case covers ~all rows),
-         and the exact cumulative window runs ONLY inside the boundary
-         bucket (~N/4096 rows; a deployment at extreme N recurses the
-         same cut inside the bucket instead).
+         and ONLY the boundary bucket (~N/4096 rows) goes to _edge_select,
+         which recurses the same prefix-cut on finer doc_id sub-blocks
+         while the bucket exceeds ``edge_rows`` and runs the exact
+         cumulative window only once it fits.
     The selected set is identical to the naive global window's — the
     oracle replays exactly that naive form, value-hashing the equivalence.
 
@@ -896,19 +951,12 @@ def select_to_token_budget(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataF
     # boundary ACROSS strata boundaries too: for w > w_b all blocks
     # qualify, within w_b only blocks before blk_b — exactly the buckets
     # the driver prefix marked fully-included
-    full = b.filter(full_pred)
-    from pyspark.sql import Window
-
-    inside = b.filter((F.col("w") == w_b) & (F.col("blk") == blk_b))
-    cum = F.sum("n_tok").over(
-        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    full = b.filter(full_pred).select("doc_id", "w", "n_tok")
+    inside = b.filter((F.col("w") == w_b) & (F.col("blk") == blk_b)).select(
+        "doc_id", "w", "n_tok"
     )
-    edge = (
-        inside.withColumn("cum", cum)
-        .filter(F.col("cum") + F.lit(offset) <= budget)
-        .drop("cum")
-    )
-    return full.unionByName(edge).select("doc_id", "w", "n_tok")
+    edge = _edge_select(inside, budget - offset, edge_rows)
+    return full.unionByName(edge.select("doc_id", "w", "n_tok"))
 
 
 @query(

@@ -32,7 +32,6 @@ loop, so the formulas cannot drift."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -267,16 +266,13 @@ def stage_trade_edges(spark: SparkSession, sf_dir: str, force: bool = False) -> 
     """Materialize the degree-annotated symmetric edge frame (src, dst, deg)
     once per session, partitioned on dst so the per-iteration contribution
     aggregate reuses the partitioning with no exchange."""
-    import atexit
-    import shutil
+    from temporalvault_spark.staging import stage_dir
 
     key = _edges_key(spark, sf_dir)
     path = _STAGED_EDGES.get(key)
-    if path is None or force:
-        if path is None:
-            root = tempfile.mkdtemp(prefix="tv_edges_stage_")
-            atexit.register(shutil.rmtree, root, ignore_errors=True)
-            path = os.path.join(root, "edges")
+    if path is None or force or not os.path.isdir(path):
+        if path is None or not os.path.isdir(path):
+            path = os.path.join(stage_dir(spark, "edges_stage"), "edges")
         edges = trade_edges(spark, sf_dir)
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         # deg is NODE-sized (the same broadcast regime as the rank state in

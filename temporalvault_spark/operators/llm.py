@@ -15,7 +15,6 @@ Design rules for 100 TB corpora:
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -190,11 +189,13 @@ def stage_shingle_signatures(
     fingerprint. ``force`` re-runs the pass, which the bench uses so the
     stage cost stays measured instead of hidden. Returns the artifact
     path."""
+    from temporalvault_spark.staging import stage_dir
+
     key = _corpus_key(spark, sf_dir)
     path = _STAGED_SIGS.get(key)
-    if path is None or force:
-        if path is None:
-            path = os.path.join(tempfile.mkdtemp(prefix="tv_sig_stage_"), "signatures")
+    if path is None or force or not os.path.isdir(path):
+        if path is None or not os.path.isdir(path):
+            path = os.path.join(stage_dir(spark, "sig_stage"), "signatures")
         shingle_signatures(_docs(spark, sf_dir)).write.mode("overwrite").parquet(path)
         _STAGED_SIGS[key] = path
     return path
@@ -230,11 +231,13 @@ def stage_ngram_pairs(spark: SparkSession, sf_dir: str, force: bool = False) -> 
     band/join/verify pipeline — from the staged signature artifact, NOT a
     fresh md5 pass — which the bench uses so the stage cost stays measured
     instead of hidden). Returns the artifact path."""
+    from temporalvault_spark.staging import stage_dir
+
     key = _corpus_key(spark, sf_dir)
     path = _STAGED_PAIRS.get(key)
-    if path is None or force:
-        if path is None:
-            path = os.path.join(tempfile.mkdtemp(prefix="tv_pairs_stage_"), "pairs")
+    if path is None or force or not os.path.isdir(path):
+        if path is None or not os.path.isdir(path):
+            path = os.path.join(stage_dir(spark, "pairs_stage"), "pairs")
         pairs = ngram_jaccard_pairs(
             _docs(spark, sf_dir),
             signatures=staged_shingle_signatures(spark, sf_dir),
@@ -742,11 +745,13 @@ def stage_bpe_1k(spark: SparkSession, sf_dir: str, force: bool = False) -> tuple
     """Run the BPE_ROUNDS_FULL x 64 = 1024-merge iterative trainer once per
     application + corpus fingerprint; persist (merge table, word
     segmentation) as parquet artifacts. Returns (merges_path, seg_path)."""
+    from temporalvault_spark.staging import stage_dir
+
     key = _corpus_key(spark, sf_dir)
     paths = _STAGED_BPE_1K.get(key)
-    if paths is None or force:
-        if paths is None:
-            root = tempfile.mkdtemp(prefix="tv_bpe_stage_")
+    if paths is None or force or not all(os.path.isdir(q) for q in paths):
+        if paths is None or not all(os.path.isdir(q) for q in paths):
+            root = stage_dir(spark, "bpe_stage")
             paths = (os.path.join(root, "merges"), os.path.join(root, "seg"))
         merge_rows, seg = bpe_train_segment(
             _docs(spark, sf_dir), BPE_ROUNDS_FULL, BPE_MERGES_PER_ROUND

@@ -17,12 +17,22 @@ for candidate docs.
 Same one-permutation md5 scheme as the oracle-checked dedup_ngram_jaccard
 (llm.shingle_signatures / band_sketch — shared code, cannot drift), so an
 index build is deterministic and reproducible across runs and engines.
+
+The third ``ingest`` partition level exists for exactly-once streaming
+appends (dedup_ingest_stream): an ingest batch writes its sketch and
+signature rows under its own batch id with dynamic partition overwrite, so
+a crash-replayed append REWRITES its own partitions instead of duplicating
+rows. Growth contract: ``minhash_index_occupancy`` measures bucket
+occupancy vs the persisted build-time key width, and
+``rebuild_minhash_index_if_grown`` re-derives the sketch from the
+``_signatures`` sidecar at the fresh width and atomically swaps it in —
+the identical machinery as rp_lsh_index's (see its module docstring).
 """
 
 from __future__ import annotations
 
 import os
-import tempfile
+import shutil
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,34 +48,59 @@ from temporalvault_spark.operators.llm import (
 from temporalvault_spark.registry import query
 
 
-def _bkt_chars_for(n_docs: int) -> int:
+MIN_H_CHARS = 8  # a band minimum is an 8-hex-char digest slice
+
+# Explicit read schemas (the rp_lsh_index RP_INDEX_SCHEMA note): partition-
+# type inference can read an all-digit bkt value back as INT; pinning the
+# types keeps the probe's isin() prune a plain string comparison.
+MH_INDEX_SCHEMA = (
+    "doc_id BIGINT, n_sh INT, min_h STRING, band INT, bkt STRING, ingest INT"
+)
+MH_SIGNATURES_SCHEMA = "doc_id BIGINT, hs ARRAY<STRING>, n_sh INT, ingest INT"
+
+
+def _index_frame(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(MH_INDEX_SCHEMA).parquet(path)
+
+
+def _signatures_frame(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(MH_SIGNATURES_SCHEMA).parquet(f"{path}/_signatures")
+
+
+def _bkt_chars_for(n_docs: int, wide_threshold: int = 1_000_000) -> int:
     """Bucket-key width, chosen at build time from corpus size: 2 hex chars
     (256 buckets/band) once the corpus is big enough that each directory
     still holds substantial data; 1 hex char (16 buckets/band) below that —
     a fixed 4x256 fan-out on a small corpus is pure small-file overhead
     (measured: the partitioned write alone cost 5.6s on a 4.5k-doc corpus
     at 332 directories). Persisted in the ``_meta`` sidecar so probes and
-    appends always derive the SAME keys the build used."""
-    return 2 if n_docs > 1_000_000 else 1
+    appends always derive the SAME keys the build used. ``wide_threshold``
+    is the widening dial (tests drop it to exercise the growth contract at
+    unit scale)."""
+    return 2 if n_docs > wide_threshold else 1
 
 
-# (path, _meta mtime) -> bkt_chars: the sidecar is one int, but reading it
-# is a full Spark parquet job (~0.1-0.2s) — per-PROBE that's pure overhead,
-# so cache it keyed on the sidecar's mtime (an append never rewrites _meta;
-# a rebuild does, which bumps the mtime and invalidates the entry)
-_BKT_CHARS_CACHE: dict[tuple[str, int], int] = {}
+# (path, _meta mtime) -> (bkt_chars, n_built): the sidecar is one row, but
+# reading it is a full Spark parquet job (~0.1-0.2s) — per-PROBE that's pure
+# overhead, so cache it keyed on the sidecar's mtime (an append never
+# rewrites _meta; a rebuild does, which bumps the mtime and invalidates the
+# entry)
+_META_CACHE: dict[tuple[str, int], tuple[int, int]] = {}
 
 
-def _read_bkt_chars(spark: SparkSession, path: str) -> int:
-    """Bucket width from the index's ``_meta`` sidecar. Indexes persisted by
-    pre-sidecar builds (fixed 2-char buckets, no ``_meta`` directory) fall
-    back to ``bkt_chars=2`` — but ONLY when the on-disk layout actually
-    looks like that legacy format (its ``bkt=XX`` directory names are
-    2 chars wide). A missing _meta over 1-char bucket directories means a
-    torn write (crash between the sketch overwrite and the _meta rewrite),
-    and a silent 2-char fallback there would make every probe compute keys
-    matching zero partitions — dedup silently finding nothing — so that
-    case raises instead."""
+def _read_meta_full(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(bkt_chars, n_built) from the index's ``_meta`` sidecar. Indexes
+    persisted by pre-sidecar builds (fixed 2-char buckets, no ``_meta``
+    directory) fall back to ``bkt_chars=2`` — but ONLY when the on-disk
+    layout actually looks like that legacy format (its ``bkt=XX`` directory
+    names are 2 chars wide). A missing _meta over 1-char bucket directories
+    means a torn write (crash between the sketch overwrite and the _meta
+    rewrite), and a silent 2-char fallback there would make every probe
+    compute keys matching zero partitions — dedup silently finding
+    nothing — so that case raises instead. Invalid persisted widths (a
+    hand-edited or future-format index) would silently mis-prune the same
+    way, so the invariant 1 <= bkt_chars <= MIN_H_CHARS is validated on
+    read."""
     meta = f"{path}/_meta"
     if not os.path.isdir(meta) and not os.path.isfile(meta):
         widths = {
@@ -76,7 +111,7 @@ def _read_bkt_chars(spark: SparkSession, path: str) -> int:
             if n.startswith("bkt=")
         } if os.path.isdir(path) else set()
         if widths == {2}:
-            return 2  # pre-_meta index format: fixed 2-hex-char buckets
+            return 2, 0  # pre-_meta index format: fixed 2-hex-char buckets
         raise ValueError(
             f"minhash index at {path} has no _meta sidecar and its bucket "
             f"directories are not the legacy 2-char layout (widths seen: "
@@ -84,11 +119,22 @@ def _read_bkt_chars(spark: SparkSession, path: str) -> int:
             "rebuild the index"
         )
     key = (os.path.normpath(meta), os.stat(meta).st_mtime_ns)
-    got = _BKT_CHARS_CACHE.get(key)
+    got = _META_CACHE.get(key)
     if got is None:
-        got = spark.read.parquet(meta).first()["bkt_chars"]
-        _BKT_CHARS_CACHE[key] = got
+        d = spark.read.parquet(meta).first().asDict()
+        got = (d["bkt_chars"], d.get("n_built", 0) or 0)
+        if not (1 <= got[0] <= MIN_H_CHARS):
+            raise ValueError(
+                f"minhash index at {path} has invalid _meta "
+                f"(bkt_chars={got[0]}): requires 1 <= bkt_chars <= "
+                f"{MIN_H_CHARS} — corrupted or future-format index"
+            )
+        _META_CACHE[key] = got
     return got
+
+
+def _read_bkt_chars(spark: SparkSession, path: str) -> int:
+    return _read_meta_full(spark, path)[0]
 
 
 def build_minhash_index(
@@ -97,6 +143,8 @@ def build_minhash_index(
     n_bands: int = NGRAM_BANDS,
     append: bool = False,
     signatures: DataFrame | None = None,
+    ingest_id: int | None = None,
+    wide_threshold: int = 1_000_000,
 ) -> None:
     """Index build: shingle+hash the corpus once, write the slim band sketch
     partitioned by (band, bkt) and the signature sets as the `_signatures`
@@ -113,24 +161,49 @@ def build_minhash_index(
     ``signatures`` short-circuits the md5 pass with a pre-staged signature
     frame (llm.staged_shingle_signatures' artifact, filtered to this
     corpus's docs) — the session then pays ONE md5 pass across the whole
-    minhash family instead of one per build."""
+    minhash family instead of one per build.
+
+    ``ingest_id`` names the write's ingest partition layer: pass the
+    streaming batch id for EXACTLY-ONCE appends (the write runs as a
+    dynamic partition overwrite of that ingest's own partitions, so a
+    crash-replayed batch rewrites its rows instead of duplicating them);
+    ``None`` plain-appends into ingest=0, the non-idempotent bulk form.
+    ``wide_threshold`` is the bucket-widening dial (_bkt_chars_for)."""
     spark = docs.sparkSession
-    mode = "append" if append else "overwrite"
     if signatures is not None:
         sh = signatures  # parquet-backed artifact: already materialized
     else:
         sh = shingle_signatures(docs).localCheckpoint(eager=True)  # one md5 pass
-    bkt_chars = _read_bkt_chars(spark, path) if append else _bkt_chars_for(sh.count())
-    banded = band_sketch(sh, n_bands).withColumn(
-        "bkt", F.substring("min_h", 1, bkt_chars)
+    if append:
+        bkt_chars = _read_bkt_chars(spark, path)
+        n_docs = 0
+        if ingest_id is None:
+            mode, dyn, ingest = "append", False, 0
+        else:
+            mode, dyn, ingest = "overwrite", True, int(ingest_id)
+    else:
+        n_docs = sh.count()
+        bkt_chars = _bkt_chars_for(n_docs, wide_threshold)
+        mode, dyn, ingest = "overwrite", False, int(ingest_id or 0)
+    banded = band_sketch(sh, n_bands).select(
+        "doc_id",
+        "n_sh",
+        "band",
+        "min_h",
+        F.substring("min_h", 1, bkt_chars).alias("bkt"),
+        F.lit(ingest).cast("int").alias("ingest"),
     )
-    (
-        banded.repartition("band", "bkt")
+    w = banded.repartition("band", "bkt").write.mode(mode)
+    if dyn:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.partitionBy("band", "bkt", "ingest").parquet(path)
+    sw = (
+        sh.select("doc_id", "hs", "n_sh", F.lit(ingest).cast("int").alias("ingest"))
         .write.mode(mode)
-        .partitionBy("band", "bkt")
-        .parquet(path)
     )
-    sh.write.mode(mode).parquet(f"{path}/_signatures")
+    if dyn:
+        sw = sw.option("partitionOverwriteMode", "dynamic")
+    sw.partitionBy("ingest").parquet(f"{path}/_signatures")
     if not append:
         # JVM-native 1-row frame, NOT createDataFrame: a local-data frame
         # parallelizes into defaultParallelism Python partitions, and
@@ -138,7 +211,8 @@ def build_minhash_index(
         # serially inside one task — measured 4-6s for this one-row write;
         # range(...,numPartitions=1) + lit() stays entirely JVM-side (~0.1s)
         spark.range(0, 1, 1, 1).select(
-            F.lit(bkt_chars).cast("int").alias("bkt_chars")
+            F.lit(bkt_chars).cast("int").alias("bkt_chars"),
+            F.lit(n_docs).cast("bigint").alias("n_built"),
         ).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
@@ -186,7 +260,7 @@ def query_minhash_index(
             for band, bkts in hit_bkts.items()
         ],
     )
-    idx = spark.read.parquet(index_path).filter(prune)
+    idx = _index_frame(spark, index_path).filter(prune)
 
     q = qbanded.select(
         F.col("doc_id").alias("q_doc"),
@@ -207,7 +281,7 @@ def query_minhash_index(
     # marker lost after the write) can leave a doc's signature twice; the
     # sketch side is immune (candidates are .distinct()ed) and this guard
     # keeps the verify join exactly-once too
-    sig = spark.read.parquet(f"{index_path}/_signatures").dropDuplicates(["doc_id"])
+    sig = _signatures_frame(spark, index_path).dropDuplicates(["doc_id"])
     sig_red = sig.join(
         F.broadcast(cand.select(F.col("index_doc").alias("doc_id")).distinct()),
         "doc_id",
@@ -227,6 +301,73 @@ def query_minhash_index(
         )
         .filter(jac >= threshold)
     )
+
+
+# --- growth contract: occupancy probe + OPTIMIZE-style rebuild ---------------
+
+
+def minhash_index_occupancy(
+    spark: SparkSession, path: str, wide_threshold: int = 1_000_000
+) -> dict:
+    """Measure the growth contract: ONE aggregate over the slim sketch
+    (doc_id/band/min_h — never the signature sets) against the persisted
+    build-time key width. ``grown`` is True when the current corpus size
+    calls for a wider bucket key than the persisted one — i.e. probe
+    fan-out per (band, bkt) directory has drifted past the build-time
+    design point. ``wide_threshold`` is _bkt_chars_for's widening dial
+    (tests drop it to exercise the contract at unit scale)."""
+    bkt_chars, n_built = _read_meta_full(spark, path)
+    row = (
+        _index_frame(spark, path)
+        .agg(
+            F.count("*").alias("rows"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count_distinct("band", "min_h").alias("n_bkts"),
+        )
+        .first()
+    )
+    n_docs = row["n_docs"]
+    target = _bkt_chars_for(n_docs, wide_threshold)
+    return {
+        "bkt_chars": bkt_chars,
+        "n_built": n_built,
+        "n_docs": n_docs,
+        "rows": row["rows"],
+        "occupancy": round(row["rows"] / max(row["n_bkts"], 1), 3),
+        "target_bkt_chars": target,
+        "grown": target > bkt_chars,
+    }
+
+
+def rebuild_minhash_index_if_grown(
+    spark: SparkSession, path: str, wide_threshold: int = 1_000_000
+) -> dict:
+    """OPTIMIZE-style maintenance (the compact_small_files cadence): when
+    ``minhash_index_occupancy`` says the index has outgrown its persisted
+    bucket-key width, re-derive the band sketch from the ``_signatures``
+    sidecar (deduplicated by doc_id — this also compacts rows a
+    pre-ingest-partition crash replay may have duplicated; NO fresh md5
+    pass, the signatures are the expensive artifact and they are already on
+    disk) at the fresh width into a SIBLING directory and atomically swap
+    it in, so probes never see a half-rebuilt index. Returns the occupancy
+    report plus ``rebuilt``."""
+    rep = minhash_index_occupancy(spark, path, wide_threshold)
+    if not rep["grown"]:
+        return {**rep, "rebuilt": False}
+    sh = (
+        _signatures_frame(spark, path)
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "hs", "n_sh")
+        .localCheckpoint(eager=True)
+    )
+    tmp_new, tmp_old = f"{path}.rebuild", f"{path}.old"
+    shutil.rmtree(tmp_new, ignore_errors=True)
+    shutil.rmtree(tmp_old, ignore_errors=True)
+    build_minhash_index(sh, tmp_new, signatures=sh, wide_threshold=wide_threshold)
+    os.rename(path, tmp_old)
+    os.rename(tmp_new, path)
+    shutil.rmtree(tmp_old)
+    return {**rep, "rebuilt": True}
 
 
 # --- incremental two-batch scenario (benchable) ------------------------------
@@ -266,10 +407,12 @@ def q_dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     separately instead (minhash_index_build / dedup_incremental_probe
     below): at 100 TB only the probe recurs per batch, so one combined
     number conflates a one-time cost with the recurring one."""
+    from temporalvault_spark.staging import stage_dir
+
     docs = load_catalog(spark, sf_dir).table("documents")
     base = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    path = tempfile.mkdtemp(prefix="tv_mh_incr_") + "/index"
+    path = os.path.join(stage_dir(spark, "mh_incr"), "index")
     build_minhash_index(base, path)
     return query_minhash_index(spark, path, batch)
 
@@ -292,12 +435,13 @@ def stage_incremental_index(spark: SparkSession, sf_dir: str, force: bool = Fals
         _corpus_key,
         staged_shingle_signatures,
     )
+    from temporalvault_spark.staging import stage_dir
 
     key = _corpus_key(spark, sf_dir)
     path = _STAGED_INDEX.get(key)
-    if path is None or force:
-        if path is None:
-            path = os.path.join(tempfile.mkdtemp(prefix="tv_mh_incr_"), "index")
+    if path is None or force or not os.path.isdir(path):
+        if path is None or not os.path.isdir(path):
+            path = os.path.join(stage_dir(spark, "mh_incr"), "index")
         docs = load_catalog(spark, sf_dir).table("documents")
         base = docs.filter(F.col("doc_id") % 10 != 0)
         sig = staged_shingle_signatures(spark, sf_dir).filter(

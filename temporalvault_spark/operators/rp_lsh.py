@@ -71,20 +71,23 @@ RP_BITS_MAX = 16  # plane-index stride; widest supported band
 RP_OCC_TARGET = 8  # expected vectors per (band, bucket) the width maintains
 
 
-def adaptive_rp_bits(n: int) -> int:
-    """Bucket bit-width holding expected occupancy ~RP_OCC_TARGET: the
-    smallest bits in [RP_BITS, RP_BITS_MAX] with n <= RP_OCC_TARGET·2^bits.
-    Pure integer comparisons — replayed verbatim by _bits_case_duck()."""
+def adaptive_rp_bits(n: int, occ: int = RP_OCC_TARGET) -> int:
+    """Bucket bit-width holding expected occupancy ~occ: the smallest bits
+    in [RP_BITS, RP_BITS_MAX] with n <= occ·2^bits. Pure integer
+    comparisons — replayed verbatim by _bits_case_duck(). ``occ`` is the
+    recall/cost dial (default RP_OCC_TARGET); the index-maintenance tier
+    passes it through so a rebuild's target width is testable at any
+    corpus size."""
     bits = RP_BITS
-    while bits < RP_BITS_MAX and n > RP_OCC_TARGET << bits:
+    while bits < RP_BITS_MAX and n > occ << bits:
         bits += 1
     return bits
 
 
-def _bits_case_duck() -> str:
+def _bits_case_duck(occ: int = RP_OCC_TARGET) -> str:
     """DuckDB twin of adaptive_rp_bits, generated from the same thresholds."""
     whens = " ".join(
-        f"WHEN n <= {RP_OCC_TARGET << b} THEN {b}"
+        f"WHEN n <= {occ << b} THEN {b}"
         for b in range(RP_BITS, RP_BITS_MAX)
     )
     return f"CASE {whens} ELSE {RP_BITS_MAX} END"

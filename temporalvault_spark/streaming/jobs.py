@@ -522,13 +522,16 @@ def dedup_ingest_stream(
     Exactly-once across EVERY crash window: committed batches are marked
     with batch_id files and replays skip them; a crash BETWEEN the appends
     and the marker is repaired by the writes themselves — the accepted
-    corpus is partitioned by ingest_batch and written with dynamic
-    partition overwrite, so a replayed batch REWRITES its own partition
-    instead of double-appending, and the index query path deduplicates
-    signatures by doc_id (query_minhash_index), so a replayed index append
-    (new files in the same directories) cannot produce duplicate or
-    corrupted pairs. tests/test_minhash_index.py simulates the
-    marker-lost crash and pins both properties."""
+    corpus AND the index appends are partitioned by ingest batch and
+    written with dynamic partition overwrite, so a replayed batch REWRITES
+    its own partitions instead of double-appending: neither the corpus nor
+    the index grows duplicate rows under any crash/replay interleaving
+    (the survivor set is deterministic on replay — survivors-only are
+    indexed, and surviving pairs are below threshold by construction, so a
+    half-indexed batch cannot reject its own survivors). The probe path
+    additionally deduplicates signatures by doc_id as defense in depth.
+    tests/test_minhash_index.py simulates the marker-lost crash and pins
+    both properties."""
     import os
 
     from temporalvault_spark.operators.llm import ngram_jaccard_pairs
@@ -570,7 +573,9 @@ def dedup_ingest_stream(
             .partitionBy("ingest_batch")
             .parquet(accepted_path)
         )
-        build_minhash_index(survivors, index_path, append=idx_exists)
+        build_minhash_index(
+            survivors, index_path, append=idx_exists, ingest_id=batch_id
+        )
         with open(marker, "w") as f:
             f.write("committed")
 
@@ -607,13 +612,13 @@ def embedding_dedup_ingest_stream(
     Exactly-once across every crash window, by the same two mechanisms as
     the text gate: committed batches leave batch_id marker files (replays
     skip); a crash BETWEEN the appends and the marker is repaired by the
-    writes themselves — the accepted corpus partitions by ingest_batch
-    with dynamic partition overwrite (a replayed batch rewrites its own
-    partition), and the index probe path is replay-immune by construction
-    (candidates are DISTINCT pairs, the ``_vectors`` sidecar read
-    deduplicates by vec_id), so a replayed index append cannot produce
-    duplicate or corrupted pairs. tests/test_rp_lsh_index.py simulates the
-    marker-lost crash and pins both properties."""
+    writes themselves — the accepted corpus AND the index appends
+    partition by ingest batch with dynamic partition overwrite (a replayed
+    batch rewrites its own partitions), so neither corpus nor index grows
+    duplicate rows under any crash/replay interleaving. The probe path
+    additionally deduplicates (DISTINCT candidate pairs, vec_id-deduped
+    ``_vectors`` reads) as defense in depth. tests/test_rp_lsh_index.py
+    simulates the marker-lost crash and pins both properties."""
     import os
 
     from temporalvault_spark.operators.rp_lsh import rp_lsh_pairs
@@ -655,7 +660,7 @@ def embedding_dedup_ingest_stream(
             .partitionBy("ingest_batch")
             .parquet(accepted_path)
         )
-        build_rp_index(survivors, index_path, append=idx_exists)
+        build_rp_index(survivors, index_path, append=idx_exists, ingest_id=batch_id)
         with open(marker, "w") as f:
             f.write("committed")
 

@@ -634,3 +634,85 @@ def test_select_to_token_budget_hypothesis_vs_python_model(spark, rows, budget):
         running += nt
         want.add((d, w, nt))
     assert got == want
+
+
+def test_select_to_token_budget_boundary_recursion_matches_naive(spark, monkeypatch):
+    """r9 verdict #3: at extreme N the exact window inside the boundary
+    bucket recurses the prefix-cut instead of single-partition-sorting the
+    bucket. Forced here by shrinking the block fan-out to 4 (so the
+    boundary block holds ~60 docs) with edge_rows=2 (every boundary bucket
+    recurses until <= 2 rows, ~3 levels deep): the selection must STILL
+    equal the naive global window bit-for-bit, across cuts landing at
+    different depths."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from temporalvault_spark.operators import corpus as c
+    from temporalvault_spark.operators.corpus import select_to_token_budget
+
+    monkeypatch.setattr(c, "BUDGET_TARGET_BUCKETS", 4)
+    rng = random.Random(7)
+    rows = []
+    for i in range(240):
+        n_words = rng.randint(5, 50)
+        text = " ".join(f"t{j}" for j in range(n_words))
+        # ONE stratum (constant n_chars) -> one giant boundary bucket at
+        # most budgets, the worst case for the edge path
+        rows.append((i * 13, text, "en", "s", 10))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    base = docs.select(
+        "doc_id",
+        F.lit(1).cast("bigint").alias("w"),
+        F.size(F.split(F.lower(F.trim("text")), " ")).alias("n_tok"),
+    )
+    cum = F.sum("n_tok").over(
+        Window.orderBy(F.desc("w"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for budget in (0, 37, 800, 3_000, 10**9):
+        got = {
+            (r["doc_id"], r["n_tok"])
+            for r in select_to_token_budget(docs, budget=budget, edge_rows=2).collect()
+        }
+        want = {
+            (r["doc_id"], r["n_tok"])
+            for r in base.withColumn("c", cum).filter(F.col("c") <= budget).collect()
+        }
+        assert got == want, budget
+
+
+def test_edge_select_recurses_and_window_only_at_leaf(spark):
+    """_edge_select directly: with edge_rows below the bucket size it must
+    recurse (observable: the leaf window runs over < bucket-size rows) and
+    return exactly the budget prefix; with edge_rows above, one window."""
+    from pyspark.sql import functions as F
+
+    from temporalvault_spark.operators import corpus as c
+
+    inside = spark.createDataFrame(
+        [(i * 5, 1, 10) for i in range(50)], "doc_id bigint, w int, n_tok int"
+    )
+    # remaining=105 -> docs 0..45 by fives (10 full docs), prefix sum 100
+    want = {i * 5 for i in range(10)}
+    exact = {r["doc_id"] for r in c._edge_select(inside, 105, edge_rows=10_000).collect()}
+    assert exact == want
+    recursed = {r["doc_id"] for r in c._edge_select(inside, 105, edge_rows=4).collect()}
+    assert recursed == want
+
+    # instrument the recursion: count calls via a wrapper
+    calls = {"n": 0}
+    orig = c._edge_select
+
+    def spy(df, remaining, edge_rows):
+        calls["n"] += 1
+        return orig(df, remaining, edge_rows)
+
+    c._edge_select = spy
+    try:
+        spy(inside, 105, 4)
+    finally:
+        c._edge_select = orig
+    assert calls["n"] >= 2  # the boundary bucket recursed at least once

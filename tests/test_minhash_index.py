@@ -162,7 +162,7 @@ def test_pre_meta_index_readable_via_bkt_chars_fallback(spark, tmp_path_factory,
 
     from temporalvault_spark.operators import minhash_index as mi
 
-    monkeypatch.setattr(mi, "_bkt_chars_for", lambda n: 2)  # the old format
+    monkeypatch.setattr(mi, "_bkt_chars_for", lambda n, wt=0: 2)  # the old format
     corpus = _docs_df(spark, [BASE, FAR])
     path = str(tmp_path_factory.mktemp("mh_premeta") / "idx")
     build_minhash_index(corpus, path)
@@ -209,3 +209,101 @@ def test_build_and_probe_with_pre_staged_signatures(spark, tmp_path_factory):
         ).collect()
     }
     assert staged == plain and (100, 0) in staged
+
+
+def test_corrupted_meta_raises(spark, tmp_path_factory):
+    """A persisted bkt_chars outside [1, MIN_H_CHARS] (hand-edited /
+    future-format index) would make every probe's substring keys match
+    zero partitions — must raise, not silently find nothing."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("mh_badmeta") / "idx")
+    build_minhash_index(_docs_df(spark, [BASE, FAR]), path)
+    spark.range(0, 1, 1, 1).select(
+        F.lit(9).cast("int").alias("bkt_chars"),  # > MIN_H_CHARS: invalid
+        F.lit(2).cast("bigint").alias("n_built"),
+    ).write.mode("overwrite").parquet(f"{path}/_meta")
+    with pytest.raises(ValueError, match="invalid _meta"):
+        query_minhash_index(spark, path, _docs_df(spark, [NEAR], id0=100))
+
+
+def test_growth_contract_occupancy_and_rebuild(spark, tmp_path_factory):
+    """The minhash side of the r9-verdict growth contract: grow a 1-char
+    index past a lowered widening threshold, see the occupancy probe flag
+    it, rebuild from the _signatures sidecar (no fresh md5 pass) at 2-char
+    keys via atomic sibling swap, and verify probes are value-identical
+    across the swap with the wider partition pruning in effect."""
+    from temporalvault_spark.operators.minhash_index import (
+        _read_meta_full,
+        minhash_index_occupancy,
+        rebuild_minhash_index_if_grown,
+    )
+
+    path = str(tmp_path_factory.mktemp("mh_grow") / "idx")
+    seeds = [f"{BASE} variation token{i} extra{i} more{i}" for i in range(6)]
+    build_minhash_index(_docs_df(spark, seeds[:2]), path)  # n=2 -> 1 char
+    build_minhash_index(_docs_df(spark, seeds[2:], id0=10), path, append=True)
+
+    rep = minhash_index_occupancy(spark, path, wide_threshold=4)
+    assert rep["bkt_chars"] == 1 and rep["n_built"] == 2 and rep["n_docs"] == 6
+    assert rep["target_bkt_chars"] == 2 and rep["grown"]
+
+    probe = _docs_df(spark, [NEAR], id0=100)
+    before = {
+        (r["query_doc"], r["index_doc"]): r["jaccard"]
+        for r in query_minhash_index(spark, path, probe).collect()
+    }
+    assert before  # NEAR pairs with the BASE variants
+
+    res = rebuild_minhash_index_if_grown(spark, path, wide_threshold=4)
+    assert res["rebuilt"]
+    bkt_chars, n_built = _read_meta_full(spark, path)
+    assert bkt_chars == 2 and n_built == 6
+    assert not minhash_index_occupancy(spark, path, wide_threshold=4)["grown"]
+
+    after = {
+        (r["query_doc"], r["index_doc"]): r["jaccard"]
+        for r in query_minhash_index(spark, path, probe).collect()
+    }
+    assert after == before
+
+    # no-op on a second call; post-rebuild append derives the NEW keys
+    assert not rebuild_minhash_index_if_grown(spark, path, wide_threshold=4)["rebuilt"]
+    build_minhash_index(_docs_df(spark, [BASE], id0=50), path, append=True)
+    got = {
+        (r["query_doc"], r["index_doc"])
+        for r in query_minhash_index(spark, path, probe).collect()
+    }
+    assert (100, 50) in got
+
+
+def test_crash_replay_does_not_grow_index(spark, tmp_path_factory):
+    """Marker-lost crash replay must leave sketch and signature sidecars at
+    the same row counts — the ingest partition layer rewrites instead of
+    appending. (Batch 2 is the interesting case: its replay takes the
+    APPEND path against a live index.)"""
+    import os
+
+    from temporalvault_spark.streaming import dedup_ingest_stream
+
+    root = tmp_path_factory.mktemp("mh_crash_rows")
+    src, idx, acc = str(root / "src"), str(root / "idx"), str(root / "acc")
+    b1 = _docs_df(spark, [BASE, FAR])
+    b1.write.mode("overwrite").parquet(f"{src}/b1.parquet")
+    stream = spark.readStream.schema(b1.schema).parquet(f"{src}/*.parquet")
+    dedup_ingest_stream(stream, idx, acc, str(root / "ck1"))
+
+    _docs_df(spark, [NOVEL, NEAR], id0=100).write.mode("overwrite").parquet(
+        f"{src}/b2.parquet"
+    )
+    dedup_ingest_stream(stream, idx, acc, str(root / "ck1"))
+    n_idx = spark.read.parquet(idx).count()
+    n_sig = spark.read.parquet(f"{idx}/_signatures").count()
+    accepted = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    assert 100 in accepted and 101 not in accepted  # NEAR rejected vs BASE
+
+    os.remove(f"{acc}/_ingest_batches/1")  # batch-2 appends landed, marker lost
+    dedup_ingest_stream(stream, idx, acc, str(root / "ck2"))  # replay
+    assert spark.read.parquet(idx).count() == n_idx
+    assert spark.read.parquet(f"{idx}/_signatures").count() == n_sig
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == accepted

@@ -237,9 +237,11 @@ def test_embedding_dedup_ingest_stream_end_to_end(spark, tmp_path_factory):
 
 def test_embedding_ingest_crash_window_replay_is_idempotent(spark, tmp_path_factory):
     """Crash BETWEEN the appends and the marker write: the replay must not
-    double rows — the accepted corpus heals via dynamic partition overwrite,
-    and the probe path stays duplicate-free (DISTINCT candidates + vec_id
-    dedup on the _vectors sidecar) despite the doubled index append."""
+    double rows — the accepted corpus AND the index appends heal via
+    dynamic partition overwrite of their own ingest partitions (see
+    test_crash_replay_does_not_grow_index for the row-count pin), and the
+    probe path stays duplicate-free (DISTINCT candidates + vec_id dedup on
+    the _vectors sidecar) as defense in depth."""
     import os
 
     from temporalvault_spark.streaming import embedding_dedup_ingest_stream
@@ -264,3 +266,138 @@ def test_embedding_ingest_crash_window_replay_is_idempotent(spark, tmp_path_fact
     probe = _emb(spark, [(500, _scaled(0.5), 0)])
     hits = query_rp_index(spark, idx, probe).collect()
     assert [(r["query_vec"], r["index_vec"]) for r in hits] == [(500, 0)]
+
+
+def test_explicit_schema_pins_bkt_as_string_with_leading_zeros(spark, index_path):
+    """The index read must pin bkt as STRING (r9 advice: partition-type
+    inference reads the all-digit '0'/'1' prefixes back as INT, so bkt=0010
+    becomes 10 and the probe's isin() prune works only via implicit
+    coercion). With the explicit schema, every bkt value equals the
+    leading substring of its bucket — including leading-zero values."""
+    from pyspark.sql import functions as F
+
+    from temporalvault_spark.operators.rp_lsh_index import _index_frame
+
+    idx = _index_frame(spark, index_path)
+    assert dict(idx.dtypes)["bkt"] == "string"
+    rows = idx.select("bucket", "bkt").collect()
+    assert rows and all(r["bkt"] == r["bucket"][: len(r["bkt"])] for r in rows)
+    assert any(r["bkt"].startswith("0") for r in rows), (
+        "fixture should include a leading-zero bkt for the coercion trap"
+    )
+
+
+def test_corrupted_meta_raises(spark, tmp_path_factory):
+    """A persisted bkt_chars > bits (hand-edited / future-format index)
+    would silently prune every probe to zero partitions — must raise."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("rp_badmeta") / "idx")
+    build_rp_index(_emb(spark, [(1, BASE_VEC, 0)]), path)
+    spark.range(0, 1, 1, 1).select(
+        F.lit(8).cast("int").alias("bits"),
+        F.lit(9).cast("int").alias("bkt_chars"),  # > bits: invalid
+        F.lit(1).cast("bigint").alias("n_built"),
+        F.lit(8).cast("int").alias("occ"),
+    ).write.mode("overwrite").parquet(f"{path}/_meta")
+    with pytest.raises(ValueError, match="invalid _meta"):
+        query_rp_index(spark, path, _emb(spark, [(2, BASE_VEC, 0)]))
+
+
+def _pseudo_vecs(n, dim=8, id0=0):
+    """Deterministic pseudo-random vectors (no RNG: reproducible tickets)."""
+    return [
+        (id0 + i, [((i * 31 + j * 17 + i * j) % 97) / 97.0 - 0.5 for j in range(dim)], 0)
+        for i in range(n)
+    ]
+
+
+def test_growth_contract_occupancy_and_rebuild(spark, tmp_path_factory):
+    """The r9-verdict growth contract as machinery: build at the default
+    occupancy dial, grow the corpus past the tighter occ_target=1 width,
+    and (a) the occupancy probe reports grown with a rising fan-out,
+    (b) rebuild_rp_index_if_grown re-signs at the wider adaptive width and
+    the per-bucket occupancy drops, (c) crafted near-dup pairs survive the
+    rebuild bit-identically, (d) a post-rebuild append signs with the NEW
+    persisted width (meta cache invalidated by the _meta mtime bump)."""
+    from temporalvault_spark.operators.rp_lsh import adaptive_rp_bits
+    from temporalvault_spark.operators.rp_lsh_index import (
+        _read_meta_full,
+        rebuild_rp_index_if_grown,
+        rp_index_occupancy,
+    )
+
+    path = str(tmp_path_factory.mktemp("rp_grow") / "idx")
+    base = _pseudo_vecs(60)
+    build_rp_index(_emb(spark, base), path)  # adaptive(60, occ=8) = 8 bits
+    build_rp_index(_emb(spark, _pseudo_vecs(240, id0=1000)), path, append=True)
+
+    rep = rp_index_occupancy(spark, path, occ_target=1)
+    assert rep["bits"] == 8 and rep["n_built"] == 60 and rep["n_vecs"] == 300
+    assert rep["target_bits"] == adaptive_rp_bits(300, 1) == 9
+    assert rep["grown"]
+    occ_before = rep["occupancy"]
+
+    probe = _emb(spark, [(9001, _scaled(0.5), 0)])
+    pairs_before = {
+        (r["query_vec"], r["index_vec"]): r["cosine"]
+        for r in query_rp_index(
+            spark, path, _emb(spark, [(9001, [2.0 * x for x in base[7][1]], 0)])
+        ).collect()
+    }
+    assert (9001, 7) in pairs_before  # exact-direction dup of an indexed vec
+
+    res = rebuild_rp_index_if_grown(spark, path, occ_target=1)
+    assert res["rebuilt"]
+    bits, bkt_chars, n_built, occ = _read_meta_full(spark, path)
+    assert bits == 9 and n_built == 300 and occ == 1
+    after = rp_index_occupancy(spark, path)
+    assert not after["grown"] and after["n_vecs"] == 300
+    assert after["occupancy"] < occ_before  # fan-out restored
+
+    pairs_after = {
+        (r["query_vec"], r["index_vec"]): r["cosine"]
+        for r in query_rp_index(
+            spark, path, _emb(spark, [(9001, [2.0 * x for x in base[7][1]], 0)])
+        ).collect()
+    }
+    assert pairs_after[(9001, 7)] == pairs_before[(9001, 7)]
+
+    # a second call is a no-op (already at the adaptive width)
+    assert not rebuild_rp_index_if_grown(spark, path, occ_target=1)["rebuilt"]
+
+    # post-rebuild append signs with the NEW width: a fresh exact dup of an
+    # appended vector is still found (width consistency across the swap)
+    build_rp_index(_emb(spark, [(5000, base[3][1], 0)]), path, append=True)
+    got = {
+        (r["query_vec"], r["index_vec"])
+        for r in query_rp_index(
+            spark, path, _emb(spark, [(9002, [0.5 * x for x in base[3][1]], 0)])
+        ).collect()
+    }
+    assert (9002, 5000) in got and (9002, 3) in got
+
+
+def test_crash_replay_does_not_grow_index(spark, tmp_path_factory):
+    """The ingest partition layer's whole point (r9 advice): a marker-lost
+    crash replay must leave the index at the SAME row count — the replayed
+    append dynamically overwrites its own ingest partitions instead of
+    appending duplicate signature/vector rows."""
+    import os
+
+    from temporalvault_spark.streaming import embedding_dedup_ingest_stream
+
+    root = tmp_path_factory.mktemp("emb_crash_rows")
+    src, idx, acc = str(root / "src"), str(root / "idx"), str(root / "acc")
+    batch1 = _emb(spark, [(0, BASE_VEC, 0), (1, [-x for x in BASE_VEC], 0)])
+    batch1.write.mode("overwrite").parquet(f"{src}/b1.parquet")
+    stream = spark.readStream.schema(batch1.schema).parquet(f"{src}/*.parquet")
+
+    embedding_dedup_ingest_stream(stream, idx, acc, str(root / "ck1"))
+    n_idx = spark.read.parquet(idx).count()
+    n_vec = spark.read.parquet(f"{idx}/_vectors").count()
+    os.remove(f"{acc}/_ingest_batches/0")  # appends landed, marker lost
+
+    embedding_dedup_ingest_stream(stream, idx, acc, str(root / "ck2"))  # replay
+    assert spark.read.parquet(idx).count() == n_idx
+    assert spark.read.parquet(f"{idx}/_vectors").count() == n_vec
