@@ -180,8 +180,11 @@ HEADLINE = [
     "rp_index_build",
     "dedup_rp_incremental_probe",
     "corpus_select_token_budget",
-    # round 10: growth-contract maintenance (build + grow + rebuild cycle)
+    # round 10: growth-contract maintenance (build + grow + rebuild cycle),
+    # perceptual image near-dup (staged aHash pass + Hamming-banded pairs)
     "rp_index_rebuild",
+    "image_phash_stage",
+    "dedup_image_phash",
 ]
 
 

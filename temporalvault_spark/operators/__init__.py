@@ -19,6 +19,7 @@ from temporalvault_spark.operators import (  # noqa: F401
     hypertable,
     llm,
     minhash_index,
+    phash,
     pq,
     relational,
     retrieval,
