@@ -167,7 +167,10 @@ def build_minhash_index(
     streaming batch id for EXACTLY-ONCE appends (the write runs as a
     dynamic partition overwrite of that ingest's own partitions, so a
     crash-replayed batch rewrites its rows instead of duplicating them);
-    ``None`` plain-appends into ingest=0, the non-idempotent bulk form.
+    ``None`` plain-appends into the bulk namespace ingest=-1, the
+    non-idempotent form (base builds live there too, so a stream's
+    batch-id overwrites can NEVER clobber base or bulk rows; one
+    gate per index is the caller's contract for batch-id uniqueness).
     ``wide_threshold`` is the bucket-widening dial (_bkt_chars_for)."""
     spark = docs.sparkSession
     if signatures is not None:
@@ -178,13 +181,17 @@ def build_minhash_index(
         bkt_chars = _read_bkt_chars(spark, path)
         n_docs = 0
         if ingest_id is None:
-            mode, dyn, ingest = "append", False, 0
+            mode, dyn, ingest = "append", False, -1
         else:
             mode, dyn, ingest = "overwrite", True, int(ingest_id)
     else:
         n_docs = sh.count()
         bkt_chars = _bkt_chars_for(n_docs, wide_threshold)
-        mode, dyn, ingest = "overwrite", False, int(ingest_id or 0)
+        mode, dyn, ingest = (
+            "overwrite",
+            False,
+            int(ingest_id) if ingest_id is not None else -1,
+        )
     banded = band_sketch(sh, n_bands).select(
         "doc_id",
         "n_sh",

@@ -173,7 +173,10 @@ def build_rp_index(
     appends: the write runs as a dynamic partition overwrite of that
     ingest's own (band, bkt, ingest) partitions, so a crash-replayed batch
     rewrites its rows instead of duplicating them; ``ingest_id=None``
-    plain-appends into ingest=0, the non-idempotent bulk form. ``bits``
+    plain-appends into the bulk namespace ingest=-1, the
+    non-idempotent form (base builds live there too, so a stream's
+    batch-id overwrites can NEVER clobber base or bulk rows; one
+    gate per index is the caller's contract for batch-id uniqueness). ``bits``
     must not be passed); vec_id uniqueness across appends is the caller's
     contract. ``stats``/``bits`` pin the corpus stats / width explicitly
     (tests, the session stats cache); ``occ`` is the build-time occupancy
@@ -185,7 +188,7 @@ def build_rp_index(
             raise ValueError("append signs with the persisted width; bits= is build-only")
         bits, bkt_chars = _read_meta(spark, path)
         if ingest_id is None:
-            mode, dyn, ingest = "append", False, 0
+            mode, dyn, ingest = "append", False, -1
         else:
             mode, dyn, ingest = "overwrite", True, int(ingest_id)
     else:
@@ -194,7 +197,11 @@ def build_rp_index(
         if bits is None:
             bits = adaptive_rp_bits(stats[0], occ)
         bkt_chars = _bkt_chars_for(stats[0])
-        mode, dyn, ingest = "overwrite", False, int(ingest_id or 0)
+        mode, dyn, ingest = (
+            "overwrite",
+            False,
+            int(ingest_id) if ingest_id is not None else -1,
+        )
     sigs = rp_signatures(emb, bits=bits, stats=stats)
     w = (
         sigs.select(

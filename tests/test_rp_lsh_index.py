@@ -401,3 +401,39 @@ def test_crash_replay_does_not_grow_index(spark, tmp_path_factory):
     embedding_dedup_ingest_stream(stream, idx, acc, str(root / "ck2"))  # replay
     assert spark.read.parquet(idx).count() == n_idx
     assert spark.read.parquet(f"{idx}/_vectors").count() == n_vec
+
+
+def test_gate_on_prebuilt_index_replay_preserves_base_rows(spark, tmp_path_factory):
+    """A gate started on a PRE-BUILT index: base rows live in the bulk
+    namespace (ingest=-1), so a batch-0 crash replay's dynamic overwrite of
+    ingest=0 can never clobber them — the base near-dup is still rejected
+    after the replay and the index never grows."""
+    import os
+
+    from temporalvault_spark.streaming import embedding_dedup_ingest_stream
+
+    root = tmp_path_factory.mktemp("emb_prebuilt")
+    src, idx, acc = str(root / "src"), str(root / "idx"), str(root / "acc")
+    build_rp_index(_emb(spark, [(1, BASE_VEC, 0)]), idx)  # pre-built base
+
+    novel = [0.1, 0.9, -0.2, 0.4, 0.3, -0.8, 0.2, 0.5]
+    b1 = _emb(spark, [(100, _scaled(0.5), 0), (101, novel, 0)])
+    b1.write.mode("overwrite").parquet(f"{src}/b1.parquet")
+    stream = spark.readStream.schema(b1.schema).parquet(f"{src}/*.parquet")
+
+    embedding_dedup_ingest_stream(stream, idx, acc, str(root / "ck1"))
+    acc1 = {r["vec_id"] for r in spark.read.parquet(acc).collect()}
+    assert acc1 == {101}  # 100 rejected against the pre-built base
+    n_idx = spark.read.parquet(idx).count()
+
+    os.remove(f"{acc}/_ingest_batches/0")  # crash window
+    embedding_dedup_ingest_stream(stream, idx, acc, str(root / "ck2"))
+    assert {r["vec_id"] for r in spark.read.parquet(acc).collect()} == {101}
+    assert spark.read.parquet(idx).count() == n_idx
+    # base rows intact under the bulk namespace
+    from temporalvault_spark.operators.rp_lsh_index import _index_frame
+
+    assert _index_frame(spark, idx).filter("ingest = -1").count() > 0
+    # and the base near-dup is STILL rejected by a later probe
+    hits = query_rp_index(spark, idx, _emb(spark, [(500, _scaled(3.0), 0)])).collect()
+    assert (500, 1) in {(r["query_vec"], r["index_vec"]) for r in hits}

@@ -70,6 +70,9 @@ AUDITED = [
     ("rp_index_build", "one-time RP index build, force-re-run so its cost stays measured: one signature pass, (band, bkt)-partitioned write + vectors/meta sidecars; returned plan reads per-band counts back FROM the persisted index"),
     ("dedup_rp_incremental_probe", "PartitionFilters on (band, bkt) from the batch's own signatures (persisted width); broadcast batch vectors; index corpus never reshuffles — the RP twin of dedup_incremental_probe"),
     ("win_rolling_median_1h", "explicit sorted-frame midpoint over a RANGE window: one user_id shuffle, sliding frame — no self-join; (lo+hi)*0.5 is engine-exact"),
+    ("rp_index_rebuild", "growth-contract maintenance cycle (build + append + rebuild-if-grown, all inside the call); returned plan reads per-band counts back FROM the rebuilt on-disk index — the occupancy probe is one slim aggregate, the rebuild re-signs the _vectors sidecar and atomically swaps"),
+    ("image_phash_stage", "staged decode+hash pass: Arrow-batched mapInPandas over binary PPM payloads (per-row map, zero shuffles before the parquet write); the returned plan is the slim hash-table read-back"),
+    ("dedup_image_phash", "Hamming-banded image pairs off the staged hash table: 4x16-bit band equi-join (never all-pairs), exact 64-position verify only on DISTINCT band collisions"),
 ]
 
 
