@@ -185,6 +185,8 @@ HEADLINE = [
     "rp_index_rebuild",
     "image_phash_stage",
     "dedup_image_phash",
+    "phash_index_build",
+    "dedup_phash_incremental_probe",
 ]
 
 

@@ -20,6 +20,7 @@ from temporalvault_spark.operators import (  # noqa: F401
     llm,
     minhash_index,
     phash,
+    phash_index,
     pq,
     relational,
     retrieval,

@@ -1,0 +1,362 @@
+"""Persisted perceptual-hash band index: incremental IMAGE near-dup against
+an already-ingested corpus WITHOUT re-hashing it — the image cell of the
+incremental-index family (text: minhash_index.py, embeddings:
+rp_lsh_index.py, images: THIS). A training-data pipeline's recurring
+question is "is this new image batch a near-dup of anything already
+ingested?"; at 100 TB the decode+hash pass is paid ONCE per image at
+ingest, and the 64-bit hashes become a TABLE:
+
+    (img_id, hash64, band, bv) partitioned by (band, bkt, ingest)
+
+where bv is one of PHASH_BANDS 16-bit Hamming band slices and bkt its
+leading chars — a probe batch's bands touch only their own (band, bkt)
+directories (PartitionFilters is the proof), so probe cost scales with the
+BATCH, not the corpus. Simpler than both siblings: the 8-byte hash IS the
+verification object, so there is no signature/vector sidecar at all — the
+exact Hamming verify reads the candidate index rows' own hash64.
+
+The ``ingest`` layer and the growth contract are the shared machinery:
+streaming appends write their own ingest partitions with dynamic partition
+overwrite (crash replays rewrite, never duplicate — see
+streaming.image_dedup_ingest_stream), ``phash_index_occupancy`` measures
+bucket fan-out vs the persisted build-time key width, and
+``rebuild_phash_index_if_grown`` re-derives the bands from the index's own
+deduplicated rows (no re-decode, no re-hash) at the fresh width and
+atomically swaps — identical contract, file-for-file, as
+rp_lsh_index.rebuild_rp_index_if_grown.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporalvault_spark.operators.phash import (
+    BAND_BITS,
+    IMG_EVERY,
+    PHASH_BANDS,
+    PHASH_THRESHOLD,
+    VARIANT_GROUP,
+    _PHASH_CTES,
+)
+from temporalvault_spark.registry import query
+
+# Explicit read schema: bkt/bv are all-digit '0'/'1' strings that partition
+# type inference would coerce to INT (the rp_lsh_index lesson)
+PH_INDEX_SCHEMA = "img_id BIGINT, hash64 STRING, bv STRING, band INT, bkt STRING, ingest INT"
+
+
+def _index_frame(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(PH_INDEX_SCHEMA).parquet(path)
+
+
+def _bkt_chars_for(n_imgs: int, wide_threshold: int = 1_000_000) -> int:
+    """Partition-key width (leading chars of the 16-bit band value): 4
+    chars (16 dirs/band) once the corpus is big enough to fill them, 2
+    chars (4 dirs/band) below — the minhash small-file rule. Always <=
+    BAND_BITS."""
+    return 4 if n_imgs > wide_threshold else 2
+
+
+_META_CACHE: dict[tuple[str, int], tuple[int, int]] = {}
+
+
+def _read_meta_full(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(bkt_chars, n_built); raises on a missing sidecar (torn write) or an
+    invalid persisted width (would silently prune every probe to zero
+    partitions)."""
+    meta = f"{path}/_meta"
+    if not os.path.isdir(meta) and not os.path.isfile(meta):
+        raise ValueError(
+            f"phash index at {path} has no _meta sidecar — torn/partial "
+            "index write; rebuild the index"
+        )
+    key = (os.path.normpath(meta), os.stat(meta).st_mtime_ns)
+    got = _META_CACHE.get(key)
+    if got is None:
+        d = spark.read.parquet(meta).first().asDict()
+        got = (d["bkt_chars"], d.get("n_built", 0) or 0)
+        if not (1 <= got[0] <= BAND_BITS):
+            raise ValueError(
+                f"phash index at {path} has invalid _meta (bkt_chars="
+                f"{got[0]}): requires 1 <= bkt_chars <= {BAND_BITS} — "
+                "corrupted or future-format index"
+            )
+        _META_CACHE[key] = got
+    return got
+
+
+def _banded(hashes: DataFrame, bkt_chars: int, ingest: int) -> DataFrame:
+    return hashes.select(
+        "img_id",
+        "hash64",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PHASH_BANDS - 1}), b -> struct("
+                f"b AS band, substring(hash64, b * {BAND_BITS} + 1, {BAND_BITS}) AS bv))"
+            )
+        ).alias("s"),
+    ).select(
+        "img_id",
+        "hash64",
+        F.col("s.bv").alias("bv"),
+        F.col("s.band").alias("band"),
+        F.substring("s.bv", 1, bkt_chars).alias("bkt"),
+        F.lit(ingest).cast("int").alias("ingest"),
+    )
+
+
+def build_phash_index(
+    hashes: DataFrame,
+    path: str,
+    append: bool = False,
+    ingest_id: int | None = None,
+    wide_threshold: int = 1_000_000,
+) -> None:
+    """Write (img_id, hash64, band, bv) partitioned by (band, bkt, ingest)
+    plus the 1-row ``_meta`` (bkt_chars, n_built). ``append=True`` derives
+    the PERSISTED key width; ``ingest_id`` names the ingest partition for
+    EXACTLY-ONCE streaming appends (dynamic partition overwrite — replays
+    rewrite); ``None`` uses the bulk namespace ingest=-1 (base builds live
+    there, so a stream's batch-id overwrites can never clobber them).
+    img_id uniqueness across appends is the caller's contract."""
+    spark = hashes.sparkSession
+    if append:
+        bkt_chars = _read_meta_full(spark, path)[0]
+        n_imgs = 0
+        if ingest_id is None:
+            mode, dyn, ingest = "append", False, -1
+        else:
+            mode, dyn, ingest = "overwrite", True, int(ingest_id)
+    else:
+        n_imgs = hashes.count()
+        bkt_chars = _bkt_chars_for(n_imgs, wide_threshold)
+        mode, dyn, ingest = (
+            "overwrite",
+            False,
+            int(ingest_id) if ingest_id is not None else -1,
+        )
+    w = _banded(hashes, bkt_chars, ingest).repartition("band", "bkt").write.mode(mode)
+    if dyn:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.partitionBy("band", "bkt", "ingest").parquet(path)
+    if not append:
+        spark.range(0, 1, 1, 1).select(
+            F.lit(bkt_chars).cast("int").alias("bkt_chars"),
+            F.lit(n_imgs).cast("bigint").alias("n_built"),
+        ).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def query_phash_index(
+    spark: SparkSession,
+    index_path: str,
+    new_hashes: DataFrame,
+    threshold: int = PHASH_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs (query_img, index_img, hamming <= threshold) between
+    a new batch's hashes and the indexed corpus. The batch's distinct
+    (band, bkt) keys become an explicit partition-pruning predicate (at
+    most PHASH_BANDS x |batch| directories read); candidates equi-join on
+    (band, bv); the exact 64-position verify reads hash64 straight off the
+    joined rows — no sidecar, no second scan. Self-pairs excluded."""
+    bkt_chars = _read_meta_full(spark, index_path)[0]
+    qb = _banded(new_hashes, bkt_chars, 0).localCheckpoint(eager=True)
+
+    hit: dict[int, list[str]] = {}
+    for r in qb.select("band", "bkt").distinct().collect():
+        hit.setdefault(r["band"], []).append(r["bkt"])
+    if not hit:
+        return spark.createDataFrame(
+            [], "query_img bigint, index_img bigint, hamming int"
+        )
+    prune = reduce(
+        lambda a, b: a | b,
+        [(F.col("band") == b) & F.col("bkt").isin(v) for b, v in hit.items()],
+    )
+    idx = _index_frame(spark, index_path).filter(prune)
+    q = qb.select(
+        F.col("img_id").alias("q_img"), F.col("hash64").alias("qh"), "band", "bv"
+    )
+    cand = (
+        idx.join(F.broadcast(q), ["band", "bv"])
+        .filter(F.col("img_id") != F.col("q_img"))
+        .select(
+            "q_img",
+            F.col("img_id").alias("index_img"),
+            "qh",
+            F.col("hash64").alias("ih"),
+        )
+        .dropDuplicates(["q_img", "index_img"])
+    )
+    ham = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> "
+        "acc + IF(substring(qh, i, 1) <> substring(ih, i, 1), 1, 0))"
+    )
+    return (
+        cand.select(
+            F.col("q_img").alias("query_img"),
+            "index_img",
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= threshold)
+    )
+
+
+# --- growth contract (the shared machinery) -----------------------------------
+
+
+def phash_index_occupancy(
+    spark: SparkSession, path: str, wide_threshold: int = 1_000_000
+) -> dict:
+    """ONE aggregate over the index vs the persisted build-time key width;
+    ``grown`` when the current corpus size calls for a wider bkt."""
+    bkt_chars, n_built = _read_meta_full(spark, path)
+    row = (
+        _index_frame(spark, path)
+        .agg(
+            F.count("*").alias("rows"),
+            F.count_distinct("img_id").alias("n_imgs"),
+            F.count_distinct("band", "bv").alias("n_bkts"),
+        )
+        .first()
+    )
+    target = _bkt_chars_for(row["n_imgs"], wide_threshold)
+    return {
+        "bkt_chars": bkt_chars,
+        "n_built": n_built,
+        "n_imgs": row["n_imgs"],
+        "rows": row["rows"],
+        "occupancy": round(row["rows"] / max(row["n_bkts"], 1), 3),
+        "target_bkt_chars": target,
+        "grown": target > bkt_chars,
+    }
+
+
+def rebuild_phash_index_if_grown(
+    spark: SparkSession, path: str, wide_threshold: int = 1_000_000
+) -> dict:
+    """OPTIMIZE-style rebuild at the fresh key width from the index's OWN
+    deduplicated (img_id, hash64) rows — no re-decode, no re-hash — into a
+    sibling directory, atomically swapped (also compacts any
+    pre-ingest-layer replay duplicates)."""
+    rep = phash_index_occupancy(spark, path, wide_threshold)
+    if not rep["grown"]:
+        return {**rep, "rebuilt": False}
+    hashes = (
+        _index_frame(spark, path)
+        .select("img_id", "hash64")
+        .dropDuplicates(["img_id"])
+        .localCheckpoint(eager=True)
+    )
+    tmp_new, tmp_old = f"{path}.rebuild", f"{path}.old"
+    shutil.rmtree(tmp_new, ignore_errors=True)
+    shutil.rmtree(tmp_old, ignore_errors=True)
+    build_phash_index(hashes, tmp_new, wide_threshold=wide_threshold)
+    os.rename(path, tmp_old)
+    os.rename(tmp_new, path)
+    shutil.rmtree(tmp_old)
+    return {**rep, "rebuilt": True}
+
+
+# --- incremental two-batch scenario (benchable) --------------------------------
+# base corpus = the seed-group variants v != 0 (already ingested), probe
+# batch = each group's v == 0 image — every group guarantees cross-batch
+# near-dups, so the oracle rows are non-trivial by construction.
+
+_STAGED_PH_INDEX: dict[tuple, str] = {}
+
+
+def stage_phash_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Build (once per application + corpus fingerprint) the persisted
+    phash band index over the base images (variant != 0), deriving from
+    the staged hash table — no re-decode."""
+    from temporalvault_spark.operators.llm import _corpus_key
+    from temporalvault_spark.operators.phash import stage_phash
+    from temporalvault_spark.staging import stage_dir
+
+    key = _corpus_key(spark, sf_dir)
+    path = _STAGED_PH_INDEX.get(key)
+    if path is None or force or not os.path.isdir(path):
+        if path is None or not os.path.isdir(path):
+            path = os.path.join(stage_dir(spark, "ph_idx"), "index")
+        hashes = spark.read.parquet(stage_phash(spark, sf_dir))
+        base = hashes.filter(
+            F.expr(f"(img_id DIV {IMG_EVERY}) % {VARIANT_GROUP} <> 0")
+        )
+        build_phash_index(base, path)
+        _STAGED_PH_INDEX[key] = path
+    return path
+
+
+_PH_BUILD_ORACLE = f"""WITH {_PHASH_CTES},
+    base AS (SELECT h.* FROM hashes h JOIN ids i ON h.img_id = i.img_id
+             WHERE i.v <> 0),
+    bands AS (
+        SELECT img_id, b.range AS band,
+               substr(hash64, b.range * {BAND_BITS} + 1, {BAND_BITS}) AS bv
+        FROM base, range(0, {PHASH_BANDS}) b)
+    SELECT CAST(band AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT bv) AS BIGINT) AS n_buckets
+    FROM bands GROUP BY 1"""
+
+
+@query("phash_index_build", _PH_BUILD_ORACLE)
+def q_phash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-time image-index build, benched in isolation (force=True):
+    per-band row and distinct-band-value counts read back FROM the
+    persisted index — the oracle value-checks what landed on disk by
+    replaying pixels -> hashes -> bands for the base (variant != 0)
+    images."""
+    path = stage_phash_index(spark, sf_dir, force=True)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("band").cast("int").alias("band"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("bv").alias("n_buckets"),
+        )
+    )
+
+
+_PH_PROBE_ORACLE = f"""WITH {_PHASH_CTES},
+    hv AS (SELECT h.img_id, h.hash64, i.v FROM hashes h
+           JOIN ids i ON h.img_id = i.img_id),
+    bands AS (
+        SELECT img_id, hash64, v, b.range AS band,
+               substr(hash64, b.range * {BAND_BITS} + 1, {BAND_BITS}) AS bv
+        FROM hv, range(0, {PHASH_BANDS}) b),
+    cand AS (
+        SELECT DISTINCT q.img_id AS query_img, x.img_id AS index_img,
+               q.hash64 AS qh, x.hash64 AS ih
+        FROM bands q JOIN bands x
+          ON q.band = x.band AND q.bv = x.bv
+         AND q.v = 0 AND x.v <> 0 AND q.img_id <> x.img_id)
+    SELECT query_img, index_img,
+           CAST(64 - len(list_filter(range(1, 65),
+               i -> substr(qh, i, 1) = substr(ih, i, 1))) AS INTEGER) AS hamming
+    FROM cand
+    WHERE 64 - len(list_filter(range(1, 65),
+              i -> substr(qh, i, 1) = substr(ih, i, 1))) <= {PHASH_THRESHOLD}"""
+
+
+@query("dedup_phash_incremental_probe", _PH_PROBE_ORACLE)
+def q_dedup_phash_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurring half: probe the staged image index with the held-out
+    batch (variant == 0) — the per-ingest-batch image-dedup cost, with the
+    one-time build amortized away (benched separately as
+    phash_index_build). The oracle replays BOTH halves from the shared
+    pixel->hash CTEs: candidates are cross-batch band collisions,
+    exact-Hamming verified at PHASH_THRESHOLD (= 12)."""
+    from temporalvault_spark.operators.phash import stage_phash
+
+    path = stage_phash_index(spark, sf_dir)
+    hashes = spark.read.parquet(stage_phash(spark, sf_dir))
+    batch = hashes.filter(
+        F.expr(f"(img_id DIV {IMG_EVERY}) % {VARIANT_GROUP} = 0")
+    )
+    return query_phash_index(spark, path, batch)

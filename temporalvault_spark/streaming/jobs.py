@@ -676,6 +676,102 @@ def embedding_dedup_ingest_stream(
     return writer.start()
 
 
+def image_dedup_ingest_stream(
+    img_stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint: str,
+    threshold: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming perceptual IMAGE near-dup gate — the third modality of the
+    ingest-gate family (text: dedup_ingest_stream, embeddings:
+    embedding_dedup_ingest_stream): each micro-batch of (img_id, image
+    binary) rows is decoded+aHashed ONCE (operators/phash.ahash_frame, the
+    Arrow-batched real-PPM kernel), probed against the persisted phash band
+    index (operators/phash_index.py); images whose hash sits within
+    Hamming-``threshold`` of an already-ingested image are REJECTED,
+    survivors' raw bytes append to the accepted parquet AND their hash rows
+    append to the index, so later batches dedup against them. Within-batch
+    duplicates collapse via the in-memory banded pair join on just the
+    batch's hashes: the lowest img_id of each local near-dup group
+    survives.
+
+    Exactly-once across every crash window by the shared mechanism:
+    committed batches leave batch_id markers (replays skip); the accepted
+    corpus AND the index appends partition by ingest batch with dynamic
+    partition overwrite, so a marker-lost replay rewrites its own
+    partitions — neither grows duplicate rows (survivor determinism: only
+    survivors are indexed, and surviving pairs are above-threshold-distant
+    by construction, so a half-indexed batch cannot reject its own
+    survivors). tests/test_phash_index.py pins both properties."""
+    import os
+
+    from temporalvault_spark.operators.phash import (
+        PHASH_THRESHOLD,
+        ahash_frame,
+        phash_hamming_pairs,
+    )
+    from temporalvault_spark.operators.phash_index import (
+        build_phash_index,
+        query_phash_index,
+    )
+
+    thr = PHASH_THRESHOLD if threshold is None else threshold
+    marker_dir = f"{accepted_path}/_ingest_batches"
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{marker_dir}/{batch_id}"
+        if os.path.exists(marker):
+            return  # replayed batch — already committed
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)  # stream source -> plain frame
+        hashes = ahash_frame(batch).localCheckpoint(eager=True)  # ONE decode pass
+        idx_exists = os.path.exists(f"{index_path}/_meta")
+        if idx_exists:
+            hits = query_phash_index(spark, index_path, hashes, thr)
+            cross_rej = hits.select(F.col("query_img").alias("img_id")).distinct()
+        else:
+            cross_rej = None
+        local_rej = (
+            phash_hamming_pairs(hashes, thr)
+            .select(F.col("img_b").alias("img_id"))
+            .distinct()
+        )
+        surv_ids = hashes.select("img_id").join(local_rej, "img_id", "left_anti")
+        if cross_rej is not None:
+            surv_ids = surv_ids.join(cross_rej, "img_id", "left_anti")
+        surv_ids = surv_ids.localCheckpoint(eager=True)
+        (
+            batch.join(surv_ids, "img_id", "semi")
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(accepted_path)
+        )
+        build_phash_index(
+            hashes.join(surv_ids, "img_id", "semi"),
+            index_path,
+            append=idx_exists,
+            ingest_id=batch_id,
+        )
+        with open(marker, "w") as f:
+            f.write("committed")
+
+    writer = (
+        img_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()
+
+
 def run_available_now(
     stream_df: DataFrame,
     name: str,

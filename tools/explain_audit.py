@@ -73,6 +73,8 @@ AUDITED = [
     ("rp_index_rebuild", "growth-contract maintenance cycle (build + append + rebuild-if-grown, all inside the call); returned plan reads per-band counts back FROM the rebuilt on-disk index — the occupancy probe is one slim aggregate, the rebuild re-signs the _vectors sidecar and atomically swaps"),
     ("image_phash_stage", "staged decode+hash pass: Arrow-batched mapInPandas over binary PPM payloads (per-row map, zero shuffles before the parquet write); the returned plan is the slim hash-table read-back"),
     ("dedup_image_phash", "Hamming-banded image pairs off the staged hash table: 4x16-bit band equi-join (never all-pairs), exact 64-position verify only on DISTINCT band collisions"),
+    ("phash_index_build", "one-time image-index build (force-re-run): (band, bkt, ingest)-partitioned hash-band write, no sidecar; returned plan reads per-band counts back FROM the persisted index"),
+    ("dedup_phash_incremental_probe", "PartitionFilters on (band, bkt) from the batch's own bands; broadcast batch; exact Hamming verify reads hash64 off the joined rows — the image twin of the minhash/RP probes"),
 ]
 
 
