@@ -32,13 +32,18 @@ the identical machinery as rp_lsh_index's (see its module docstring).
 from __future__ import annotations
 
 import os
-import shutil
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.operators.index_common import (
+    assert_ingest_layout,
+    atomic_swap_rebuild,
+    meta_row,
+    resolve_write_mode,
+)
 from temporalvault_spark.operators.llm import (
     NGRAM_BANDS,
     NGRAM_SKETCH_CTES,
@@ -80,14 +85,6 @@ def _bkt_chars_for(n_docs: int, wide_threshold: int = 1_000_000) -> int:
     return 2 if n_docs > wide_threshold else 1
 
 
-# (path, _meta mtime) -> (bkt_chars, n_built): the sidecar is one row, but
-# reading it is a full Spark parquet job (~0.1-0.2s) — per-PROBE that's pure
-# overhead, so cache it keyed on the sidecar's mtime (an append never
-# rewrites _meta; a rebuild does, which bumps the mtime and invalidates the
-# entry)
-_META_CACHE: dict[tuple[str, int], tuple[int, int]] = {}
-
-
 def _read_meta_full(spark: SparkSession, path: str) -> tuple[int, int]:
     """(bkt_chars, n_built) from the index's ``_meta`` sidecar. Indexes
     persisted by pre-sidecar builds (fixed 2-char buckets, no ``_meta``
@@ -101,8 +98,8 @@ def _read_meta_full(spark: SparkSession, path: str) -> tuple[int, int]:
     hand-edited or future-format index) would silently mis-prune the same
     way, so the invariant 1 <= bkt_chars <= MIN_H_CHARS is validated on
     read."""
-    meta = f"{path}/_meta"
-    if not os.path.isdir(meta) and not os.path.isfile(meta):
+    d = meta_row(spark, path, missing_ok=True)
+    if d is None:
         widths = {
             len(n.split("=", 1)[1])
             for band_dir in os.listdir(path)
@@ -118,18 +115,13 @@ def _read_meta_full(spark: SparkSession, path: str) -> tuple[int, int]:
             f"{sorted(widths) or 'none'}) — torn/partial index write; "
             "rebuild the index"
         )
-    key = (os.path.normpath(meta), os.stat(meta).st_mtime_ns)
-    got = _META_CACHE.get(key)
-    if got is None:
-        d = spark.read.parquet(meta).first().asDict()
-        got = (d["bkt_chars"], d.get("n_built", 0) or 0)
-        if not (1 <= got[0] <= MIN_H_CHARS):
-            raise ValueError(
-                f"minhash index at {path} has invalid _meta "
-                f"(bkt_chars={got[0]}): requires 1 <= bkt_chars <= "
-                f"{MIN_H_CHARS} — corrupted or future-format index"
-            )
-        _META_CACHE[key] = got
+    got = (d["bkt_chars"], d.get("n_built", 0) or 0)
+    if not (1 <= got[0] <= MIN_H_CHARS):
+        raise ValueError(
+            f"minhash index at {path} has invalid _meta "
+            f"(bkt_chars={got[0]}): requires 1 <= bkt_chars <= "
+            f"{MIN_H_CHARS} — corrupted or future-format index"
+        )
     return got
 
 
@@ -177,21 +169,14 @@ def build_minhash_index(
         sh = signatures  # parquet-backed artifact: already materialized
     else:
         sh = shingle_signatures(docs).localCheckpoint(eager=True)  # one md5 pass
+    mode, dyn, ingest = resolve_write_mode(append, ingest_id)
     if append:
+        assert_ingest_layout(path, "minhash")
         bkt_chars = _read_bkt_chars(spark, path)
         n_docs = 0
-        if ingest_id is None:
-            mode, dyn, ingest = "append", False, -1
-        else:
-            mode, dyn, ingest = "overwrite", True, int(ingest_id)
     else:
         n_docs = sh.count()
         bkt_chars = _bkt_chars_for(n_docs, wide_threshold)
-        mode, dyn, ingest = (
-            "overwrite",
-            False,
-            int(ingest_id) if ingest_id is not None else -1,
-        )
     banded = band_sketch(sh, n_bands).select(
         "doc_id",
         "n_sh",
@@ -277,6 +262,13 @@ def query_minhash_index(
     )
     cand = (
         idx.join(F.broadcast(q), ["band", "min_h"])
+        # self-pair exclusion (the rp/phash siblings' contract): a doc
+        # already indexed under the SAME id must not reject itself — the
+        # crash-replay determinism argument in dedup_ingest_stream's
+        # docstring DEPENDS on this (a half-indexed batch's replay must
+        # re-derive the same survivors, not reject them against their own
+        # partial index rows)
+        .filter(F.col("doc_id") != F.col("q_doc"))
         .filter(
             # lossless prefilter: jaccard >= 0.6 bounds the set-size ratio
             F.least("n_sh", "q_n_sh") * 5 >= F.greatest("n_sh", "q_n_sh") * 3
@@ -367,13 +359,12 @@ def rebuild_minhash_index_if_grown(
         .select("doc_id", "hs", "n_sh")
         .localCheckpoint(eager=True)
     )
-    tmp_new, tmp_old = f"{path}.rebuild", f"{path}.old"
-    shutil.rmtree(tmp_new, ignore_errors=True)
-    shutil.rmtree(tmp_old, ignore_errors=True)
-    build_minhash_index(sh, tmp_new, signatures=sh, wide_threshold=wide_threshold)
-    os.rename(path, tmp_old)
-    os.rename(tmp_new, path)
-    shutil.rmtree(tmp_old)
+    atomic_swap_rebuild(
+        path,
+        lambda tmp: build_minhash_index(
+            sh, tmp, signatures=sh, wide_threshold=wide_threshold
+        ),
+    )
     return {**rep, "rebuilt": True}
 
 

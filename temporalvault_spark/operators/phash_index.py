@@ -29,12 +29,17 @@ rp_lsh_index.rebuild_rp_index_if_grown.
 from __future__ import annotations
 
 import os
-import shutil
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from temporalvault_spark.operators.index_common import (
+    assert_ingest_layout,
+    atomic_swap_rebuild,
+    meta_row,
+    resolve_write_mode,
+)
 from temporalvault_spark.operators.phash import (
     BAND_BITS,
     IMG_EVERY,
@@ -62,31 +67,18 @@ def _bkt_chars_for(n_imgs: int, wide_threshold: int = 1_000_000) -> int:
     return 4 if n_imgs > wide_threshold else 2
 
 
-_META_CACHE: dict[tuple[str, int], tuple[int, int]] = {}
-
-
 def _read_meta_full(spark: SparkSession, path: str) -> tuple[int, int]:
-    """(bkt_chars, n_built); raises on a missing sidecar (torn write) or an
-    invalid persisted width (would silently prune every probe to zero
-    partitions)."""
-    meta = f"{path}/_meta"
-    if not os.path.isdir(meta) and not os.path.isfile(meta):
+    """(bkt_chars, n_built) via index_common.meta_row (mtime-cached;
+    raises on a torn write); an invalid persisted width would silently
+    prune every probe to zero partitions, so validate on read."""
+    d = meta_row(spark, path)
+    got = (d["bkt_chars"], d.get("n_built", 0) or 0)
+    if not (1 <= got[0] <= BAND_BITS):
         raise ValueError(
-            f"phash index at {path} has no _meta sidecar — torn/partial "
-            "index write; rebuild the index"
+            f"phash index at {path} has invalid _meta (bkt_chars="
+            f"{got[0]}): requires 1 <= bkt_chars <= {BAND_BITS} — "
+            "corrupted or future-format index"
         )
-    key = (os.path.normpath(meta), os.stat(meta).st_mtime_ns)
-    got = _META_CACHE.get(key)
-    if got is None:
-        d = spark.read.parquet(meta).first().asDict()
-        got = (d["bkt_chars"], d.get("n_built", 0) or 0)
-        if not (1 <= got[0] <= BAND_BITS):
-            raise ValueError(
-                f"phash index at {path} has invalid _meta (bkt_chars="
-                f"{got[0]}): requires 1 <= bkt_chars <= {BAND_BITS} — "
-                "corrupted or future-format index"
-            )
-        _META_CACHE[key] = got
     return got
 
 
@@ -125,21 +117,14 @@ def build_phash_index(
     there, so a stream's batch-id overwrites can never clobber them).
     img_id uniqueness across appends is the caller's contract."""
     spark = hashes.sparkSession
+    mode, dyn, ingest = resolve_write_mode(append, ingest_id)
     if append:
+        assert_ingest_layout(path, "phash")
         bkt_chars = _read_meta_full(spark, path)[0]
         n_imgs = 0
-        if ingest_id is None:
-            mode, dyn, ingest = "append", False, -1
-        else:
-            mode, dyn, ingest = "overwrite", True, int(ingest_id)
     else:
         n_imgs = hashes.count()
         bkt_chars = _bkt_chars_for(n_imgs, wide_threshold)
-        mode, dyn, ingest = (
-            "overwrite",
-            False,
-            int(ingest_id) if ingest_id is not None else -1,
-        )
     w = _banded(hashes, bkt_chars, ingest).repartition("band", "bkt").write.mode(mode)
     if dyn:
         w = w.option("partitionOverwriteMode", "dynamic")
@@ -252,13 +237,9 @@ def rebuild_phash_index_if_grown(
         .dropDuplicates(["img_id"])
         .localCheckpoint(eager=True)
     )
-    tmp_new, tmp_old = f"{path}.rebuild", f"{path}.old"
-    shutil.rmtree(tmp_new, ignore_errors=True)
-    shutil.rmtree(tmp_old, ignore_errors=True)
-    build_phash_index(hashes, tmp_new, wide_threshold=wide_threshold)
-    os.rename(path, tmp_old)
-    os.rename(tmp_new, path)
-    shutil.rmtree(tmp_old)
+    atomic_swap_rebuild(
+        path, lambda tmp: build_phash_index(hashes, tmp, wide_threshold=wide_threshold)
+    )
     return {**rep, "rebuilt": True}
 
 

@@ -549,8 +549,12 @@ def dedup_ingest_stream(
             return  # replayed batch — already committed
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint(eager=True)  # stream source -> plain frame
-        # cross-batch rejects: anything near-dupping the indexed corpus
-        idx_exists = os.path.exists(f"{index_path}/_signatures")
+        # cross-batch rejects: anything near-dupping the indexed corpus.
+        # Keyed on _meta — the LAST artifact the build writes — so a crash
+        # anywhere inside a first-batch build replays as a full rebuild
+        # (keying on an earlier artifact wedged the gate permanently: the
+        # append path then found no _meta and raised on every replay)
+        idx_exists = os.path.exists(f"{index_path}/_meta")
         if idx_exists:
             hits = query_minhash_index(spark, index_path, batch, threshold)
             cross_rej = hits.select(F.col("query_doc").alias("doc_id")).distinct()

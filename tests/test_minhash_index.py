@@ -1,6 +1,7 @@
 """Persisted MinHash band index: build-once / query-batch near-dup detection
 with directory-level pruning (the incremental twin of ngram_jaccard_pairs)."""
 
+import os
 import re
 
 import pytest
@@ -307,3 +308,31 @@ def test_crash_replay_does_not_grow_index(spark, tmp_path_factory):
     assert spark.read.parquet(idx).count() == n_idx
     assert spark.read.parquet(f"{idx}/_signatures").count() == n_sig
     assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == accepted
+
+
+def test_first_batch_torn_build_self_repairs(spark, tmp_path_factory):
+    """Crash inside the FIRST batch's index build after _signatures landed
+    but before _meta (and the marker): the replay must key existence on
+    _meta — the LAST artifact written — and run a full rebuild, not wedge
+    on the append path's torn-write raise (the round-10 review's finding)."""
+    import shutil as _sh
+
+    from temporalvault_spark.streaming import dedup_ingest_stream
+
+    root = tmp_path_factory.mktemp("mh_torn_gate")
+    src, idx, acc = str(root / "src"), str(root / "idx"), str(root / "acc")
+    b1 = _docs_df(spark, [BASE, FAR])
+    b1.write.mode("overwrite").parquet(f"{src}/b1.parquet")
+    stream = spark.readStream.schema(b1.schema).parquet(f"{src}/*.parquet")
+    dedup_ingest_stream(stream, idx, acc, str(root / "ck1"))
+
+    # simulate the torn first-batch build: signatures exist, _meta lost,
+    # marker lost (crash before both)
+    _sh.rmtree(f"{idx}/_meta")
+    os.remove(f"{acc}/_ingest_batches/0")
+
+    dedup_ingest_stream(stream, idx, acc, str(root / "ck2"))  # must not raise
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {0, 1}
+    assert os.path.exists(f"{idx}/_meta")  # rebuilt
+    hits = query_minhash_index(spark, idx, _docs_df(spark, [NEAR], id0=500)).collect()
+    assert [(r["query_doc"], r["index_doc"]) for r in hits] == [(500, 0)]

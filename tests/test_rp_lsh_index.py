@@ -437,3 +437,42 @@ def test_gate_on_prebuilt_index_replay_preserves_base_rows(spark, tmp_path_facto
     # and the base near-dup is STILL rejected by a later probe
     hits = query_rp_index(spark, idx, _emb(spark, [(500, _scaled(3.0), 0)])).collect()
     assert (500, 1) in {(r["query_vec"], r["index_vec"]) for r in hits}
+
+
+def _strip_ingest_layer(path):
+    """Simulate a pre-round-10 index: hoist files out of the ingest=*
+    leaf directories (band=X/bkt=Y/ingest=-1/f.parquet -> band=X/bkt=Y/f)."""
+    import os
+
+    for root, dirs, _files in list(os.walk(path)):
+        for d in list(dirs):
+            if d.startswith("ingest="):
+                full = os.path.join(root, d)
+                for f in os.listdir(full):
+                    os.rename(os.path.join(full, f), os.path.join(root, f))
+                os.rmdir(full)
+
+
+def test_legacy_layout_probe_works_append_refused(spark, tmp_path_factory):
+    """A pre-ingest-layer index stays READABLE (explicit schema null-fills
+    the missing ingest column; occupancy probe included), but an append
+    must be REFUSED — mixed partition depths would break every subsequent
+    read — with the rebuild remedy named."""
+    from temporalvault_spark.operators.rp_lsh_index import rp_index_occupancy
+
+    path = str(tmp_path_factory.mktemp("rp_legacy") / "idx")
+    build_rp_index(
+        _emb(spark, [(1, BASE_VEC, 0), (2, _scaled(2.0), 0)]), path
+    )
+    _strip_ingest_layer(path)
+    _strip_ingest_layer(f"{path}/_vectors")
+
+    got = {
+        (r["query_vec"], r["index_vec"])
+        for r in query_rp_index(spark, path, _emb(spark, [(100, _scaled(0.5), 0)])).collect()
+    }
+    assert got == {(100, 1), (100, 2)}  # legacy probe intact
+    assert rp_index_occupancy(spark, path)["n_vecs"] == 2
+
+    with pytest.raises(ValueError, match="pre-ingest-layer"):
+        build_rp_index(_emb(spark, [(50, BASE_VEC, 0)]), path, append=True)
