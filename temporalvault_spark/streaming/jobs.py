@@ -497,6 +497,68 @@ def stream_into_rollup(rollup, events: DataFrame, checkpoint: str, available_now
     return writer.start()
 
 
+def _dedup_gate_run(
+    stream_df: DataFrame,
+    accepted_path: str,
+    checkpoint: str,
+    available_now: bool,
+    process,
+):
+    """Shared ingest-gate skeleton for the three dedup gates (text /
+    embedding / image): batch-id marker files (replays of committed batches
+    skip), the foreachBatch wiring, and the marker commit live ONCE here —
+    the round-10 review found the triplicated copies already drifting.
+    ``process(batch, batch_id)`` does the modality-specific
+    probe/reject/persist work; everything it writes must be idempotent
+    under replay (dynamic partition overwrite on ingest partitions — the
+    gates' shared exactly-once contract)."""
+    import os
+
+    marker_dir = f"{accepted_path}/_ingest_batches"
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{marker_dir}/{batch_id}"
+        if os.path.exists(marker):
+            return  # replayed batch — already committed
+        # stream source -> plain frame, materialized once for every
+        # downstream job in the gate body
+        process(batch_df.localCheckpoint(eager=True), batch_id)
+        with open(marker, "w") as f:
+            f.write("committed")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()
+
+
+def _accepted_overwrite(frame: DataFrame, batch_id: int, accepted_path: str) -> None:
+    """Idempotent accepted-corpus append: a replayed batch REWRITES its own
+    ingest_batch partition instead of double-appending."""
+    (
+        frame.withColumn("ingest_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(accepted_path)
+    )
+
+
+def _gate_survivors(batch: DataFrame, id_col: str, local_rej, cross_rej) -> DataFrame:
+    """Batch rows minus within-batch rejects minus cross-corpus rejects."""
+    surv = batch.join(local_rej, id_col, "left_anti")
+    if cross_rej is not None:
+        surv = surv.join(cross_rej, id_col, "left_anti")
+    return surv
+
+
 def dedup_ingest_stream(
     docs_stream: DataFrame,
     index_path: str,
@@ -540,15 +602,8 @@ def dedup_ingest_stream(
         query_minhash_index,
     )
 
-    marker_dir = f"{accepted_path}/_ingest_batches"
-    os.makedirs(marker_dir, exist_ok=True)
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = f"{marker_dir}/{batch_id}"
-        if os.path.exists(marker):
-            return  # replayed batch — already committed
-        spark = batch_df.sparkSession
-        batch = batch_df.localCheckpoint(eager=True)  # stream source -> plain frame
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
         # cross-batch rejects: anything near-dupping the indexed corpus.
         # Keyed on _meta — the LAST artifact the build writes — so a crash
         # anywhere inside a first-batch build replays as a full rebuild
@@ -566,33 +621,16 @@ def dedup_ingest_stream(
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
-        survivors = batch.join(local_rej, "doc_id", "left_anti")
-        if cross_rej is not None:
-            survivors = survivors.join(cross_rej, "doc_id", "left_anti")
+        survivors = _gate_survivors(batch, "doc_id", local_rej, cross_rej)
         survivors = survivors.localCheckpoint(eager=True)
-        (
-            survivors.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(accepted_path)
-        )
+        _accepted_overwrite(survivors, batch_id, accepted_path)
         build_minhash_index(
             survivors, index_path, append=idx_exists, ingest_id=batch_id
         )
-        with open(marker, "w") as f:
-            f.write("committed")
 
-    writer = (
-        docs_stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
+    return _dedup_gate_run(
+        docs_stream, accepted_path, checkpoint, available_now, process
     )
-    if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        return None
-    return writer.start()
 
 
 def embedding_dedup_ingest_stream(
@@ -633,15 +671,9 @@ def embedding_dedup_ingest_stream(
     from temporalvault_spark.operators.similarity import EMB_DUP_THRESHOLD
 
     thr = EMB_DUP_THRESHOLD if threshold is None else threshold
-    marker_dir = f"{accepted_path}/_ingest_batches"
-    os.makedirs(marker_dir, exist_ok=True)
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = f"{marker_dir}/{batch_id}"
-        if os.path.exists(marker):
-            return  # replayed batch — already committed
-        spark = batch_df.sparkSession
-        batch = batch_df.localCheckpoint(eager=True)  # stream source -> plain frame
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
         idx_exists = os.path.exists(f"{index_path}/_meta")
         if idx_exists:
             hits = query_rp_index(spark, index_path, batch, thr)
@@ -653,31 +685,14 @@ def embedding_dedup_ingest_stream(
             .select(F.col("vec_b").alias("vec_id"))
             .distinct()
         )
-        survivors = batch.join(local_rej, "vec_id", "left_anti")
-        if cross_rej is not None:
-            survivors = survivors.join(cross_rej, "vec_id", "left_anti")
+        survivors = _gate_survivors(batch, "vec_id", local_rej, cross_rej)
         survivors = survivors.localCheckpoint(eager=True)
-        (
-            survivors.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(accepted_path)
-        )
+        _accepted_overwrite(survivors, batch_id, accepted_path)
         build_rp_index(survivors, index_path, append=idx_exists, ingest_id=batch_id)
-        with open(marker, "w") as f:
-            f.write("committed")
 
-    writer = (
-        emb_stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
+    return _dedup_gate_run(
+        emb_stream, accepted_path, checkpoint, available_now, process
     )
-    if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        return None
-    return writer.start()
 
 
 def image_dedup_ingest_stream(
@@ -722,15 +737,9 @@ def image_dedup_ingest_stream(
     )
 
     thr = PHASH_THRESHOLD if threshold is None else threshold
-    marker_dir = f"{accepted_path}/_ingest_batches"
-    os.makedirs(marker_dir, exist_ok=True)
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = f"{marker_dir}/{batch_id}"
-        if os.path.exists(marker):
-            return  # replayed batch — already committed
-        spark = batch_df.sparkSession
-        batch = batch_df.localCheckpoint(eager=True)  # stream source -> plain frame
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
         hashes = ahash_frame(batch).localCheckpoint(eager=True)  # ONE decode pass
         idx_exists = os.path.exists(f"{index_path}/_meta")
         if idx_exists:
@@ -743,17 +752,11 @@ def image_dedup_ingest_stream(
             .select(F.col("img_b").alias("img_id"))
             .distinct()
         )
-        surv_ids = hashes.select("img_id").join(local_rej, "img_id", "left_anti")
-        if cross_rej is not None:
-            surv_ids = surv_ids.join(cross_rej, "img_id", "left_anti")
-        surv_ids = surv_ids.localCheckpoint(eager=True)
-        (
-            batch.join(surv_ids, "img_id", "semi")
-            .withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(accepted_path)
+        surv_ids = _gate_survivors(
+            hashes.select("img_id"), "img_id", local_rej, cross_rej
+        ).localCheckpoint(eager=True)
+        _accepted_overwrite(
+            batch.join(surv_ids, "img_id", "semi"), batch_id, accepted_path
         )
         build_phash_index(
             hashes.join(surv_ids, "img_id", "semi"),
@@ -761,19 +764,10 @@ def image_dedup_ingest_stream(
             append=idx_exists,
             ingest_id=batch_id,
         )
-        with open(marker, "w") as f:
-            f.write("committed")
 
-    writer = (
-        img_stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
+    return _dedup_gate_run(
+        img_stream, accepted_path, checkpoint, available_now, process
     )
-    if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        return None
-    return writer.start()
 
 
 def run_available_now(
