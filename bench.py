@@ -187,6 +187,7 @@ HEADLINE = [
     "dedup_image_phash",
     "phash_index_build",
     "dedup_phash_incremental_probe",
+    "dedup_image_apply",
 ]
 
 

@@ -265,7 +265,10 @@ def q_image_phash_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select("img_id", "hash64")
 
 
-_PAIRS_ORACLE = f"""WITH {_PHASH_CTES},
+# pixels -> hashes -> banding -> exact-verified pairs, as shareable CTEs
+# (dedup_image_phash selects the pairs; dedup_image_apply closes them into
+# components and applies the keeper rule)
+_PH_PAIRS_CTES = f"""{_PHASH_CTES},
     bands AS (
         SELECT img_id, hash64, b.range AS band,
                substr(hash64, b.range * {BAND_BITS} + 1, {BAND_BITS}) AS bv
@@ -275,13 +278,17 @@ _PAIRS_ORACLE = f"""WITH {_PHASH_CTES},
                a.hash64 AS ha, b.hash64 AS hb
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bv = b.bv AND a.img_id < b.img_id),
-    verified AS (
-        SELECT img_a, img_b,
-               CAST(len(ha) - len(list_filter(range(1, 65),
-                   i -> substr(ha, i, 1) = substr(hb, i, 1))) AS INTEGER) AS hamming
-        FROM cand)
-    SELECT img_a, img_b, hamming FROM verified
-    WHERE hamming <= {PHASH_THRESHOLD}"""
+    ppairs AS (
+        SELECT img_a, img_b, hamming FROM (
+            SELECT img_a, img_b,
+                   CAST(len(ha) - len(list_filter(range(1, 65),
+                       i -> substr(ha, i, 1) = substr(hb, i, 1))) AS INTEGER)
+                       AS hamming
+            FROM cand)
+        WHERE hamming <= {PHASH_THRESHOLD})"""
+
+_PAIRS_ORACLE = f"""WITH {_PH_PAIRS_CTES}
+    SELECT img_a, img_b, hamming FROM ppairs"""
 
 
 @query("dedup_image_phash", _PAIRS_ORACLE)
@@ -292,3 +299,58 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end from the shared CTE pipeline."""
     path = stage_phash(spark, sf_dir)
     return phash_hamming_pairs(spark.read.parquet(path))
+
+
+# --- APPLY: keep one image per near-dup component --------------------------
+
+
+@query(
+    "dedup_image_apply",
+    f"""WITH RECURSIVE {_PH_PAIRS_CTES},
+    sym AS (SELECT img_a AS src, img_b AS dst FROM ppairs
+            UNION ALL SELECT img_b, img_a FROM ppairs),
+    walk(node, lbl) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.dst, MIN(w.lbl) FROM walk w JOIN sym s ON s.src = w.node
+        GROUP BY s.dst
+    ),
+    comp AS (SELECT node, MIN(lbl) AS keep FROM walk GROUP BY node),
+    dropd AS (SELECT node FROM comp WHERE node <> keep)
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_imgs_kept
+    FROM documents d
+    WHERE d.doc_id % {IMG_EVERY} = 0
+      AND NOT EXISTS (SELECT 1 FROM dropd WHERE dropd.node = d.doc_id)
+    GROUP BY d.source""",
+)
+def q_dedup_image_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the image near-dup clustering: close the Hamming pairs into
+    connected components (dedup_cluster.connected_components — the same
+    solver the text tier uses), keep each component's representative (min
+    img_id), and summarize the surviving image corpus per source — the
+    step that actually shrinks a multimodal training set after
+    dedup_image_phash names the pairs. Images outside the near-dup graph
+    survive untouched. The oracle replays pixels -> hashes -> banding ->
+    verify -> a recursive-CTE reachability closure -> the keeper rule.
+
+    Scale shape: the drop set is slim img_ids bounded by the duplicate
+    count; the corpus-side exclusion is an anti-join; the summary is one
+    map-side-combined aggregate."""
+    from temporalvault_spark.operators.dedup_cluster import connected_components
+
+    hashes = spark.read.parquet(stage_phash(spark, sf_dir))
+    pairs = phash_hamming_pairs(hashes)
+    comps = connected_components(
+        pairs.select(F.col("img_a").alias("src"), F.col("img_b").alias("dst"))
+    )
+    drop = (
+        comps.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("img_id"))
+    )
+    kept = hashes.select("img_id").join(drop, "img_id", "left_anti")
+    docs = load_catalog(spark, sf_dir).table("documents")
+    return (
+        kept.join(docs, kept["img_id"] == docs["doc_id"])
+        .groupBy("source")
+        .agg(F.count("*").alias("n_imgs_kept"))
+    )

@@ -99,3 +99,35 @@ def test_synth_pipeline_matches_driver_side_kernel(spark):
     }
     want = {i: ahash64(_synth_ppm(i)) for i in range(0, 130, 10)}
     assert got == want and len(got) == 13
+
+
+def test_dedup_image_apply_keeper_rule(spark):
+    """Components over crafted hash pairs: {1,2,3} chain (1-2 and 2-3 near,
+    1-3 transitively grouped) keeps only 1; isolated 9 survives."""
+    from pyspark.sql import functions as F
+
+    from temporalvault_spark.operators.dedup_cluster import connected_components
+    from temporalvault_spark.operators.phash import phash_hamming_pairs
+
+    h = "0" * 64
+    # 2 is 3 bits from 1; 3 is 3 bits from 2 (6 from 1 — still banded via 2)
+    h2 = "111" + h[3:]
+    h3 = "111" + h[3:16] + "111" + h[19:]
+    h9 = ("10" * 32)
+    hashes = spark.createDataFrame(
+        [(1, h), (2, h2), (3, h3), (9, h9)], "img_id bigint, hash64 string"
+    )
+    pairs = phash_hamming_pairs(hashes)
+    comps = connected_components(
+        pairs.select(F.col("img_a").alias("src"), F.col("img_b").alias("dst"))
+    )
+    drop = {
+        r["node"]
+        for r in comps.filter(F.col("node") != F.col("component")).collect()
+    }
+    assert drop == {2, 3}
+    kept = {r["img_id"] for r in hashes.join(
+        comps.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("img_id")),
+        "img_id", "left_anti").collect()}
+    assert kept == {1, 9}

@@ -75,6 +75,7 @@ AUDITED = [
     ("dedup_image_phash", "Hamming-banded image pairs off the staged hash table: 4x16-bit band equi-join (never all-pairs), exact 64-position verify only on DISTINCT band collisions"),
     ("phash_index_build", "one-time image-index build (force-re-run): (band, bkt, ingest)-partitioned hash-band write, no sidecar; returned plan reads per-band counts back FROM the persisted index"),
     ("dedup_phash_incremental_probe", "PartitionFilters on (band, bkt) from the batch's own bands; broadcast batch; exact Hamming verify reads hash64 off the joined rows — the image twin of the minhash/RP probes"),
+    ("dedup_image_apply", "pairs closed by the shared components solver (slim id edges only); drop set anti-joined onto the hash table; one map-side-combined per-source summary"),
 ]
 
 
