@@ -23,8 +23,10 @@ from __future__ import annotations
 import os
 import shutil
 from collections.abc import Callable
+from functools import reduce
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def resolve_write_mode(
@@ -60,19 +62,67 @@ def meta_row(
     the _meta rewrite); probing with a guessed width would silently find
     nothing. Callers validate their own field invariants on top."""
     meta = f"{path}/_meta"
-    if not os.path.isdir(meta) and not os.path.isfile(meta):
-        if missing_ok:
-            return None
-        raise ValueError(
-            f"index at {path} has no _meta sidecar — torn/partial index "
-            "write; rebuild the index"
-        )
-    key = (os.path.normpath(meta), os.stat(meta).st_mtime_ns)
-    got = _META_ROW_CACHE.get(key)
-    if got is None:
-        got = spark.read.parquet(meta).first().asDict()
-        _META_ROW_CACHE[key] = got
-    return got
+    if os.path.isdir(meta) or os.path.isfile(meta):
+        key = (os.path.normpath(meta), os.stat(meta).st_mtime_ns)
+        got = _META_ROW_CACHE.get(key)
+        if got is not None:
+            return got
+        # a crash DURING the sidecar write leaves a half-existing _meta
+        # directory (only _temporary inside, or zero committed rows) that
+        # passes the exists() check but cannot be read — treat it exactly
+        # like a missing sidecar (torn write), or every replay of a gate
+        # would wedge on an undiagnostic AnalysisException instead of
+        # self-repairing
+        try:
+            from pyspark.errors import AnalysisException
+
+            row = spark.read.parquet(meta).first()
+        except AnalysisException:
+            row = None
+        if row is not None:
+            got = row.asDict()
+            _META_ROW_CACHE[key] = got
+            return got
+    if missing_ok:
+        return None
+    raise ValueError(
+        f"index at {path} has no readable _meta sidecar — torn/partial "
+        "index write; rebuild the index"
+    )
+
+
+def index_ready(spark: SparkSession, path: str) -> bool:
+    """True iff the index has a READABLE ``_meta`` sidecar — the LAST
+    artifact a build writes. The streaming gates key their build-vs-append
+    decision on this (never on a bare exists()): an unreadable sidecar
+    means the only write that creates it — the first batch's build — tore,
+    so nothing of value is in the index and the replay self-repairs with a
+    full rebuild. (External corruption of a long-lived index's sidecar
+    would also read as not-ready and rebuild from the current batch; batch
+    probes raise loudly on the same state, so the corruption cannot pass
+    silently outside the gate.)"""
+    return meta_row(spark, path, missing_ok=True) is not None
+
+
+def collect_prune(keys: DataFrame, band_col: str = "band", bkt_col: str = "bkt") -> Column | None:
+    """The probe-side partition-pruning predicate shared by the three
+    band indexes: the batch's DISTINCT (band, bkt) keys — at most
+    bands x |batch| of them, bounded by construction — collect to the
+    driver and become an explicit OR-of-isin predicate over the partition
+    columns, so the index scan reads only the batch's own directories.
+    ``None`` when the batch produced no keys (empty batch)."""
+    hit: dict = {}
+    for r in keys.select(band_col, bkt_col).distinct().collect():
+        hit.setdefault(r[band_col], []).append(r[bkt_col])
+    if not hit:
+        return None
+    return reduce(
+        lambda a, b: a | b,
+        [
+            (F.col(band_col) == band) & F.col(bkt_col).isin(v)
+            for band, v in hit.items()
+        ],
+    )
 
 
 def assert_ingest_layout(path: str, family: str) -> None:
@@ -85,31 +135,32 @@ def assert_ingest_layout(path: str, family: str) -> None:
     names that remedy."""
     if not os.path.isdir(path):
         return  # fresh index: nothing on disk yet
-    for band_dir in os.listdir(path):
-        if not band_dir.startswith("band="):
-            continue
-        stack = [os.path.join(path, band_dir)]
-        while stack:
-            d = stack.pop()
-            entries = os.listdir(d)
-            if any(e.startswith("ingest=") for e in entries):
-                return  # current layout
-            subdirs = [
-                os.path.join(d, e)
-                for e in entries
-                if os.path.isdir(os.path.join(d, e)) and "=" in e
-            ]
-            if subdirs:
-                stack.extend(subdirs)
-            elif any(e.endswith(".parquet") for e in entries):
-                raise ValueError(
-                    f"{family} index at {path} uses the pre-ingest-layer "
-                    "layout — appending would mix partition depths and "
-                    "break every subsequent read; rebuild the index first "
-                    "(rebuild-if-grown reads legacy layouts and writes the "
-                    "current one)"
-                )
-        break  # one band directory settles the layout
+    # scan EVERY band directory: a single legacy leaf anywhere is enough to
+    # corrupt the layout on append (an early version settled on the first
+    # band dir and silently approved when that one happened to be empty)
+    stack = [
+        os.path.join(path, e) for e in os.listdir(path) if e.startswith("band=")
+    ]
+    while stack:
+        d = stack.pop()
+        entries = os.listdir(d)
+        if any(e.startswith("ingest=") for e in entries):
+            continue  # this branch is current-layout
+        subdirs = [
+            os.path.join(d, e)
+            for e in entries
+            if "=" in e and os.path.isdir(os.path.join(d, e))
+        ]
+        if subdirs:
+            stack.extend(subdirs)
+        elif any(e.endswith(".parquet") for e in entries):
+            raise ValueError(
+                f"{family} index at {path} uses the pre-ingest-layer "
+                "layout — appending would mix partition depths and "
+                "break every subsequent read; rebuild the index first "
+                "(rebuild-if-grown reads legacy layouts and writes the "
+                "current one)"
+            )
 
 
 def atomic_swap_rebuild(path: str, build_to: Callable[[str], None]) -> None:

@@ -32,7 +32,6 @@ the identical machinery as rp_lsh_index's (see its module docstring).
 from __future__ import annotations
 
 import os
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,6 +40,7 @@ from temporalvault_spark.catalog import load_catalog
 from temporalvault_spark.operators.index_common import (
     assert_ingest_layout,
     atomic_swap_rebuild,
+    collect_prune,
     meta_row,
     resolve_write_mode,
 )
@@ -239,19 +239,10 @@ def query_minhash_index(
         "bkt", F.substring("min_h", 1, bkt_chars)
     )
 
-    hit_bkts: dict[int, list[str]] = {}
-    for r in qbanded.select("band", "bkt").distinct().collect():
-        hit_bkts.setdefault(r["band"], []).append(r["bkt"])
-    if not hit_bkts:
+    prune = collect_prune(qbanded)
+    if prune is None:
         schema = "query_doc bigint, index_doc bigint, jaccard double"
         return spark.createDataFrame([], schema)
-    prune = reduce(
-        lambda a, b: a | b,
-        [
-            (F.col("band") == band) & F.col("bkt").isin(bkts)
-            for band, bkts in hit_bkts.items()
-        ],
-    )
     idx = _index_frame(spark, index_path).filter(prune)
 
     q = qbanded.select(

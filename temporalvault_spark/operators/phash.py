@@ -140,15 +140,12 @@ def ahash_frame(images: DataFrame) -> DataFrame:
     return images.mapInPandas(run, "img_id bigint, hash64 string")
 
 
-def phash_hamming_pairs(
-    hashes: DataFrame, threshold: int = PHASH_THRESHOLD
-) -> DataFrame:
-    """Near-dup image pairs (img_a < img_b, hamming <= threshold) from a
-    hash frame: 4 x 16-bit band collisions propose candidates (pigeonhole
-    guarantees Hamming < 4; LSH-probabilistic above), exact 64-position
-    Hamming verifies. The self-join is banded — shuffle keys are (band,
-    16-bit value), never all-pairs."""
-    bands = hashes.select(
+def band_explode(hashes: DataFrame) -> DataFrame:
+    """(img_id, hash64, band, bv): the 4 x 16-bit Hamming band slices of
+    each hash — ONE definition shared by the in-memory pair join and the
+    persisted index (phash_index), whose correctness depends on bit-
+    identical banding (the gate mixes both paths on the same batch)."""
+    return hashes.select(
         "img_id",
         "hash64",
         F.explode(
@@ -158,6 +155,26 @@ def phash_hamming_pairs(
             )
         ).alias("s"),
     ).select("img_id", "hash64", F.col("s.band").alias("band"), F.col("s.bv").alias("bv"))
+
+
+def hamming_expr(a: str, b: str):
+    """Exact 64-position Hamming distance between two hash64 columns —
+    the single verify definition both pair paths share."""
+    return F.expr(
+        f"aggregate(sequence(1, 64), 0, (acc, i) -> "
+        f"acc + IF(substring({a}, i, 1) <> substring({b}, i, 1), 1, 0))"
+    )
+
+
+def phash_hamming_pairs(
+    hashes: DataFrame, threshold: int = PHASH_THRESHOLD
+) -> DataFrame:
+    """Near-dup image pairs (img_a < img_b, hamming <= threshold) from a
+    hash frame: 4 x 16-bit band collisions propose candidates (pigeonhole
+    guarantees Hamming < 4; LSH-probabilistic above), exact 64-position
+    Hamming verifies. The self-join is banded — shuffle keys are (band,
+    16-bit value), never all-pairs."""
+    bands = band_explode(hashes)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -174,12 +191,10 @@ def phash_hamming_pairs(
         )
         .dropDuplicates(["img_a", "img_b"])
     )
-    ham = F.expr(
-        "aggregate(sequence(1, 64), 0, (acc, i) -> "
-        "acc + IF(substring(ha, i, 1) <> substring(hb, i, 1), 1, 0))"
-    )
     return (
-        cand.select("img_a", "img_b", ham.cast("int").alias("hamming"))
+        cand.select(
+            "img_a", "img_b", hamming_expr("ha", "hb").cast("int").alias("hamming")
+        )
         .filter(F.col("hamming") <= threshold)
     )
 

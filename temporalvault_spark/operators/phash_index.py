@@ -29,7 +29,6 @@ rp_lsh_index.rebuild_rp_index_if_grown.
 from __future__ import annotations
 
 import os
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +36,7 @@ from pyspark.sql import functions as F
 from temporalvault_spark.operators.index_common import (
     assert_ingest_layout,
     atomic_swap_rebuild,
+    collect_prune,
     meta_row,
     resolve_write_mode,
 )
@@ -47,6 +47,8 @@ from temporalvault_spark.operators.phash import (
     PHASH_THRESHOLD,
     VARIANT_GROUP,
     _PHASH_CTES,
+    band_explode,
+    hamming_expr,
 )
 from temporalvault_spark.registry import query
 
@@ -83,21 +85,15 @@ def _read_meta_full(spark: SparkSession, path: str) -> tuple[int, int]:
 
 
 def _banded(hashes: DataFrame, bkt_chars: int, ingest: int) -> DataFrame:
-    return hashes.select(
+    """phash.band_explode (the ONE banding definition — index-vs-operator
+    parity is load-bearing for the gate) plus the index's partition
+    columns."""
+    return band_explode(hashes).select(
         "img_id",
         "hash64",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {PHASH_BANDS - 1}), b -> struct("
-                f"b AS band, substring(hash64, b * {BAND_BITS} + 1, {BAND_BITS}) AS bv))"
-            )
-        ).alias("s"),
-    ).select(
-        "img_id",
-        "hash64",
-        F.col("s.bv").alias("bv"),
-        F.col("s.band").alias("band"),
-        F.substring("s.bv", 1, bkt_chars).alias("bkt"),
+        "bv",
+        "band",
+        F.substring("bv", 1, bkt_chars).alias("bkt"),
         F.lit(ingest).cast("int").alias("ingest"),
     )
 
@@ -151,17 +147,11 @@ def query_phash_index(
     bkt_chars = _read_meta_full(spark, index_path)[0]
     qb = _banded(new_hashes, bkt_chars, 0).localCheckpoint(eager=True)
 
-    hit: dict[int, list[str]] = {}
-    for r in qb.select("band", "bkt").distinct().collect():
-        hit.setdefault(r["band"], []).append(r["bkt"])
-    if not hit:
+    prune = collect_prune(qb)
+    if prune is None:
         return spark.createDataFrame(
             [], "query_img bigint, index_img bigint, hamming int"
         )
-    prune = reduce(
-        lambda a, b: a | b,
-        [(F.col("band") == b) & F.col("bkt").isin(v) for b, v in hit.items()],
-    )
     idx = _index_frame(spark, index_path).filter(prune)
     q = qb.select(
         F.col("img_id").alias("q_img"), F.col("hash64").alias("qh"), "band", "bv"
@@ -177,15 +167,11 @@ def query_phash_index(
         )
         .dropDuplicates(["q_img", "index_img"])
     )
-    ham = F.expr(
-        "aggregate(sequence(1, 64), 0, (acc, i) -> "
-        "acc + IF(substring(qh, i, 1) <> substring(ih, i, 1), 1, 0))"
-    )
     return (
         cand.select(
             F.col("q_img").alias("query_img"),
             "index_img",
-            ham.cast("int").alias("hamming"),
+            hamming_expr("qh", "ih").cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= threshold)
     )

@@ -46,7 +46,6 @@ machinery (minhash_index.rebuild_minhash_index_if_grown).
 from __future__ import annotations
 
 import os
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +65,7 @@ from temporalvault_spark.operators.rp_lsh import (
 from temporalvault_spark.operators.index_common import (
     assert_ingest_layout,
     atomic_swap_rebuild,
+    collect_prune,
     meta_row,
     resolve_write_mode,
 )
@@ -241,24 +241,13 @@ def query_rp_index(
     bits, bkt_chars = _read_meta(spark, index_path)
     qsigs = rp_signatures(new_emb, bits=bits, stats=stats)
 
-    hit_bkts: dict[int, list[str]] = {}
-    for r in (
+    prune = collect_prune(
         qsigs.select("band", F.substring("bucket", 1, bkt_chars).alias("bkt"))
-        .distinct()
-        .collect()
-    ):
-        hit_bkts.setdefault(r["band"], []).append(r["bkt"])
-    if not hit_bkts:
+    )
+    if prune is None:
         return spark.createDataFrame(
             [], "query_vec bigint, index_vec bigint, cosine double"
         )
-    prune = reduce(
-        lambda a, b: a | b,
-        [
-            (F.col("band") == band) & F.col("bkt").isin(bkts)
-            for band, bkts in hit_bkts.items()
-        ],
-    )
     idx = _index_frame(spark, index_path).filter(prune)
 
     q = qsigs.select(F.col("vec_id").alias("q_vec"), "band", "bucket")

@@ -594,8 +594,7 @@ def dedup_ingest_stream(
     additionally deduplicates signatures by doc_id as defense in depth.
     tests/test_minhash_index.py simulates the marker-lost crash and pins
     both properties."""
-    import os
-
+    from temporalvault_spark.operators.index_common import index_ready
     from temporalvault_spark.operators.llm import ngram_jaccard_pairs
     from temporalvault_spark.operators.minhash_index import (
         build_minhash_index,
@@ -605,11 +604,11 @@ def dedup_ingest_stream(
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         # cross-batch rejects: anything near-dupping the indexed corpus.
-        # Keyed on _meta — the LAST artifact the build writes — so a crash
-        # anywhere inside a first-batch build replays as a full rebuild
-        # (keying on an earlier artifact wedged the gate permanently: the
-        # append path then found no _meta and raised on every replay)
-        idx_exists = os.path.exists(f"{index_path}/_meta")
+        # Keyed on a READABLE _meta — the LAST artifact the build writes —
+        # so a crash anywhere inside a first-batch build (including DURING
+        # the _meta write itself, which leaves a half-existing directory a
+        # bare exists() would approve) replays as a full rebuild
+        idx_exists = index_ready(spark, index_path)
         if idx_exists:
             hits = query_minhash_index(spark, index_path, batch, threshold)
             cross_rej = hits.select(F.col("query_doc").alias("doc_id")).distinct()
@@ -661,8 +660,7 @@ def embedding_dedup_ingest_stream(
     additionally deduplicates (DISTINCT candidate pairs, vec_id-deduped
     ``_vectors`` reads) as defense in depth. tests/test_rp_lsh_index.py
     simulates the marker-lost crash and pins both properties."""
-    import os
-
+    from temporalvault_spark.operators.index_common import index_ready
     from temporalvault_spark.operators.rp_lsh import rp_lsh_pairs
     from temporalvault_spark.operators.rp_lsh_index import (
         build_rp_index,
@@ -674,7 +672,10 @@ def embedding_dedup_ingest_stream(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        idx_exists = os.path.exists(f"{index_path}/_meta")
+        # READABLE _meta, not bare exists(): a crash during the first
+        # batch's _meta write must replay as a full rebuild (see the text
+        # gate's note)
+        idx_exists = index_ready(spark, index_path)
         if idx_exists:
             hits = query_rp_index(spark, index_path, batch, thr)
             cross_rej = hits.select(F.col("query_vec").alias("vec_id")).distinct()
@@ -724,8 +725,7 @@ def image_dedup_ingest_stream(
     survivors are indexed, and surviving pairs are above-threshold-distant
     by construction, so a half-indexed batch cannot reject its own
     survivors). tests/test_phash_index.py pins both properties."""
-    import os
-
+    from temporalvault_spark.operators.index_common import index_ready
     from temporalvault_spark.operators.phash import (
         PHASH_THRESHOLD,
         ahash_frame,
@@ -741,7 +741,10 @@ def image_dedup_ingest_stream(
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         hashes = ahash_frame(batch).localCheckpoint(eager=True)  # ONE decode pass
-        idx_exists = os.path.exists(f"{index_path}/_meta")
+        # READABLE _meta, not bare exists(): a crash during the first
+        # batch's _meta write must replay as a full rebuild (see the text
+        # gate's note)
+        idx_exists = index_ready(spark, index_path)
         if idx_exists:
             hits = query_phash_index(spark, index_path, hashes, thr)
             cross_rej = hits.select(F.col("query_img").alias("img_id")).distinct()

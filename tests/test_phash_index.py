@@ -259,3 +259,27 @@ def test_image_ingest_crash_replay_does_not_grow_index(
     probe = _hashes(spark, [(500, _ppm(_img(corpus["base"], 44)))])
     hits = query_phash_index(spark, idx, probe).collect()
     assert (500, 1) in {(r["query_img"], r["index_img"]) for r in hits}
+
+
+def test_layout_guard_scans_every_band_dir(spark, corpus, tmp_path_factory):
+    """The legacy-layout guard must not be fooled by an empty first band
+    directory: any legacy leaf anywhere refuses the append."""
+    from temporalvault_spark.operators.index_common import assert_ingest_layout
+
+    path = str(tmp_path_factory.mktemp("ph_mixed") / "idx")
+    build_phash_index(_hashes(spark, [(1, _ppm(corpus["base"]))]), path)
+    # strip the ingest layer everywhere (legacy), then empty one band dir
+    for root, dirs, _files in list(os.walk(path)):
+        for d in list(dirs):
+            if d.startswith("ingest="):
+                full = os.path.join(root, d)
+                for f in os.listdir(full):
+                    os.rename(os.path.join(full, f), os.path.join(root, f))
+                os.rmdir(full)
+    bands = sorted(e for e in os.listdir(path) if e.startswith("band="))
+    assert len(bands) >= 2
+    first = os.path.join(path, bands[0])
+    shutil.rmtree(first)
+    os.makedirs(os.path.join(first, "bkt=00"))  # indeterminate branch
+    with pytest.raises(ValueError, match="pre-ingest-layer"):
+        assert_ingest_layout(path, "phash")

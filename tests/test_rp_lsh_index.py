@@ -476,3 +476,39 @@ def test_legacy_layout_probe_works_append_refused(spark, tmp_path_factory):
 
     with pytest.raises(ValueError, match="pre-ingest-layer"):
         build_rp_index(_emb(spark, [(50, BASE_VEC, 0)]), path, append=True)
+
+
+def test_half_written_meta_is_torn_and_gate_self_repairs(spark, tmp_path_factory):
+    """A crash DURING the _meta write leaves a half-existing directory
+    (only _temporary inside): probes must raise the torn-write error — not
+    an undiagnostic AnalysisException — and the streaming gate's replay
+    must self-repair with a full rebuild instead of wedging."""
+    import os
+    import shutil
+
+    from temporalvault_spark.operators.index_common import index_ready
+    from temporalvault_spark.streaming import embedding_dedup_ingest_stream
+
+    root = tmp_path_factory.mktemp("rp_halfmeta")
+    src, idx, acc = str(root / "src"), str(root / "idx"), str(root / "acc")
+    b1 = _emb(spark, [(0, BASE_VEC, 0), (1, [-x for x in BASE_VEC], 0)])
+    b1.write.mode("overwrite").parquet(f"{src}/b1.parquet")
+    stream = spark.readStream.schema(b1.schema).parquet(f"{src}/*.parquet")
+    embedding_dedup_ingest_stream(stream, idx, acc, str(root / "ck1"))
+
+    # simulate the crash window: _meta exists but holds no readable rows
+    shutil.rmtree(f"{idx}/_meta")
+    os.makedirs(f"{idx}/_meta/_temporary")
+    os.remove(f"{acc}/_ingest_batches/0")
+
+    assert not index_ready(spark, idx)
+    with pytest.raises(ValueError, match="torn"):
+        query_rp_index(spark, idx, _emb(spark, [(9, BASE_VEC, 0)]))
+
+    embedding_dedup_ingest_stream(stream, idx, acc, str(root / "ck2"))  # replay
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(acc).collect()
+    ) == [0, 1]
+    assert index_ready(spark, idx)  # rebuilt
+    hits = query_rp_index(spark, idx, _emb(spark, [(9, _scaled(0.5), 0)])).collect()
+    assert [(r["query_vec"], r["index_vec"]) for r in hits] == [(9, 0)]
