@@ -188,6 +188,7 @@ HEADLINE = [
     "phash_index_build",
     "dedup_phash_incremental_probe",
     "dedup_image_apply",
+    "minhash_index_rebuild",
 ]
 
 

@@ -461,6 +461,72 @@ def q_minhash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The rebuild scenario lowers the widening threshold to 300 docs so the
+# growth contract actually FIRES at test scale (the production dial is 1M):
+# build on the base corpus at the default dial (1-char keys), append the
+# held-out batch (growth), rebuild-if-grown at wide_threshold=300. The
+# oracle replays the width DECISION (n_union > 300 -> 2-char keys) and the
+# full per-(band, bkt) row counts — the value-hash proves both that the
+# rebuild landed at the fresh width and that its content equals a fresh
+# build over the union (the rp_index_rebuild twin for this family).
+MH_REBUILD_WT = 300
+
+_MH_REBUILD_DIR: dict[tuple, str] = {}
+
+_REBUILD_ORACLE = f"""WITH {NGRAM_SKETCH_CTES},
+    w AS (SELECT CASE WHEN COUNT(*) > {MH_REBUILD_WT} THEN 2 ELSE 1 END AS c
+          FROM sh)
+    SELECT CAST(band AS INTEGER) AS band,
+           substr(min_h, 1, w.c) AS bkt,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM banded, w GROUP BY 1, 2, w.c"""
+
+
+@query("minhash_index_rebuild", _REBUILD_ORACLE)
+def q_minhash_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The minhash growth-contract maintenance cycle end-to-end: build a
+    private index on the base corpus (doc_id % 10 != 0, staged signatures —
+    no fresh md5 pass) at the default widening dial, append the held-out
+    batch, then ``rebuild_minhash_index_if_grown(wide_threshold=300)``.
+    Returns per-(band, bkt) row counts read back FROM the rebuilt on-disk
+    index via the explicit schema (bkt stays STRING) — the oracle's
+    replayed width decision + counts prove rebuild-after-growth is
+    byte-identical to never having grown."""
+    from temporalvault_spark.operators.llm import (
+        _corpus_key,
+        staged_shingle_signatures,
+    )
+    from temporalvault_spark.staging import stage_dir
+
+    docs = load_catalog(spark, sf_dir).table("documents")
+    sig = staged_shingle_signatures(spark, sf_dir)
+    # ONE private directory per corpus, reused across invocations (the
+    # q_rp_index_rebuild precedent: bench best-of-2 must not pile up
+    # abandoned index copies)
+    key = _corpus_key(spark, sf_dir)
+    path = _MH_REBUILD_DIR.get(key)
+    if path is None or not os.path.isdir(os.path.dirname(path)):
+        path = os.path.join(stage_dir(spark, "mh_rebuild"), "index")
+        _MH_REBUILD_DIR[key] = path
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    build_minhash_index(
+        base, path, signatures=sig.filter(F.col("doc_id") % 10 != 0)
+    )
+    build_minhash_index(
+        batch,
+        path,
+        append=True,
+        signatures=sig.filter(F.col("doc_id") % 10 == 0),
+    )
+    rebuild_minhash_index_if_grown(spark, path, wide_threshold=MH_REBUILD_WT)
+    return (
+        _index_frame(spark, path)
+        .groupBy(F.col("band").cast("int").alias("band"), "bkt")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
 @query("dedup_incremental_probe", _INCR_ORACLE)
 def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recurring half: probe the staged index with the held-out batch

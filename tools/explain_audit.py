@@ -76,6 +76,7 @@ AUDITED = [
     ("phash_index_build", "one-time image-index build (force-re-run): (band, bkt, ingest)-partitioned hash-band write, no sidecar; returned plan reads per-band counts back FROM the persisted index"),
     ("dedup_phash_incremental_probe", "PartitionFilters on (band, bkt) from the batch's own bands; broadcast batch; exact Hamming verify reads hash64 off the joined rows — the image twin of the minhash/RP probes"),
     ("dedup_image_apply", "pairs closed by the shared components solver (slim id edges only); drop set anti-joined onto the hash table; one map-side-combined per-source summary"),
+    ("minhash_index_rebuild", "growth-contract cycle for the text index (build from staged signatures + append + rebuild-if-grown at a lowered widening dial); returned plan reads per-(band, bkt) counts back FROM the rebuilt index — the width decision is value-visible in the bkt partition values"),
 ]
 
 
