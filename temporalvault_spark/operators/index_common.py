@@ -48,9 +48,45 @@ def resolve_write_mode(
     return "overwrite", False, int(ingest_id) if ingest_id is not None else -1
 
 
-# (normpath(_meta), mtime_ns) -> row dict. An append never rewrites _meta;
-# a rebuild does, which bumps the mtime and invalidates the entry.
-_META_ROW_CACHE: dict[tuple[str, int], dict] = {}
+# normpath(_meta) -> (mtime_ns, row dict). An append never rewrites _meta;
+# a rebuild does, which bumps the mtime and replaces the entry (keying on
+# the path alone keeps the cache bounded at one entry per live index —
+# keying on (path, mtime) leaked one stale entry per rebuild for the life
+# of the session).
+_META_ROW_CACHE: dict[str, tuple[int, dict]] = {}
+
+
+def adopt_swapped(path: str) -> bool:
+    """Adopt-on-read recovery for the ``atomic_swap_rebuild`` crash window:
+    the swap is two renames (``path`` -> ``path.old`` then
+    ``path.rebuild`` -> ``path``), and a crash BETWEEN them leaves no index
+    at ``path`` while the complete old index sits untouched at
+    ``path.old``. Without recovery the streaming gates' ``index_ready``
+    would read that as no-index and silently cold-rebuild from a single
+    batch — permanently losing dedup coverage against the historic corpus.
+    So every sidecar read first checks for exactly that signature (nothing
+    at ``path``, a directory at ``path.old``) and renames the old index
+    back. A leftover ``path.old`` NEXT TO a live index (crash after the
+    second rename, before the cleanup rmtree) is not adopted — the new
+    index won; the next rebuild's entry sweep removes it."""
+    old = f"{path}.old"
+    if not os.path.exists(path) and os.path.isdir(old):
+        try:
+            os.rename(old, path)
+            return True
+        except OSError:
+            pass  # racing reader already adopted it — path now exists
+    return False
+
+
+def meta_sidecar_exists(path: str) -> bool:
+    """Whether a ``_meta`` sidecar entry is physically present on disk —
+    readable or not. Lets callers distinguish 'sidecar absent' (a genuinely
+    pre-sidecar legacy index, where a width fallback is legitimate) from
+    'sidecar present but unreadable' (a torn write, which must raise: a
+    guessed width there would silently probe zero partitions)."""
+    meta = f"{path}/_meta"
+    return os.path.isdir(meta) or os.path.isfile(meta)
 
 
 def meta_row(
@@ -60,13 +96,17 @@ def meta_row(
     sidecar's mtime. ``None`` (with ``missing_ok``) or raises when the
     sidecar is absent — a torn write (crash between the data overwrite and
     the _meta rewrite); probing with a guessed width would silently find
-    nothing. Callers validate their own field invariants on top."""
+    nothing. Callers validate their own field invariants on top. Use
+    ``meta_sidecar_exists`` to tell absent from torn when that distinction
+    changes the remedy. Recovers a crashed rebuild swap first (see
+    ``adopt_swapped``)."""
+    adopt_swapped(path)
     meta = f"{path}/_meta"
     if os.path.isdir(meta) or os.path.isfile(meta):
-        key = (os.path.normpath(meta), os.stat(meta).st_mtime_ns)
-        got = _META_ROW_CACHE.get(key)
-        if got is not None:
-            return got
+        mtime = os.stat(meta).st_mtime_ns
+        cached = _META_ROW_CACHE.get(os.path.normpath(meta))
+        if cached is not None and cached[0] == mtime:
+            return cached[1]
         # a crash DURING the sidecar write leaves a half-existing _meta
         # directory (only _temporary inside, or zero committed rows) that
         # passes the exists() check but cannot be read — treat it exactly
@@ -81,7 +121,7 @@ def meta_row(
             row = None
         if row is not None:
             got = row.asDict()
-            _META_ROW_CACHE[key] = got
+            _META_ROW_CACHE[os.path.normpath(meta)] = (mtime, got)
             return got
     if missing_ok:
         return None
@@ -164,10 +204,16 @@ def assert_ingest_layout(path: str, family: str) -> None:
 
 
 def atomic_swap_rebuild(path: str, build_to: Callable[[str], None]) -> None:
-    """Build a replacement index into a SIBLING directory and atomically
-    swap it in (the rollback_state swap precedent): probes racing the
-    rebuild see either the old index or the new one, never a mixture."""
+    """Build a replacement index into a SIBLING directory and rename-swap
+    it in (the rollback_state swap precedent): probes racing the rebuild
+    see either the old index or the new one, never a mixture. The swap
+    itself is two renames, so a crash exactly between them leaves no index
+    at ``path`` and the complete old one at ``path.old`` — that window is
+    repaired by ``adopt_swapped``, which every sidecar read (and this
+    function's own entry) runs first, so the next touch of the index
+    renames the old one back instead of reading it as vanished."""
     tmp_new, tmp_old = f"{path}.rebuild", f"{path}.old"
+    adopt_swapped(path)  # a crashed prior swap: restore before rebuilding
     shutil.rmtree(tmp_new, ignore_errors=True)
     shutil.rmtree(tmp_old, ignore_errors=True)
     build_to(tmp_new)

@@ -42,6 +42,7 @@ from temporalvault_spark.operators.index_common import (
     atomic_swap_rebuild,
     collect_prune,
     meta_row,
+    meta_sidecar_exists,
     resolve_write_mode,
 )
 from temporalvault_spark.operators.llm import (
@@ -100,6 +101,17 @@ def _read_meta_full(spark: SparkSession, path: str) -> tuple[int, int]:
     read."""
     d = meta_row(spark, path, missing_ok=True)
     if d is None:
+        if meta_sidecar_exists(path):
+            # a _meta entry is physically present but unreadable: a crash
+            # DURING the sidecar write. The legacy-width fallback must not
+            # apply here even over 2-char bucket dirs — a torn new-format
+            # sidecar silently classified as legacy would probe with a
+            # possibly-wrong width and report n_built=0 to the growth
+            # contract. Absent and torn have different remedies.
+            raise ValueError(
+                f"minhash index at {path} has a _meta sidecar that cannot "
+                "be read — torn/partial sidecar write; rebuild the index"
+            )
         widths = {
             len(n.split("=", 1)[1])
             for band_dir in os.listdir(path)
@@ -524,6 +536,64 @@ def q_minhash_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         _index_frame(spark, path)
         .groupBy(F.col("band").cast("int").alias("band"), "bkt")
         .agg(F.count("*").alias("n_rows"))
+    )
+
+
+# The RECURRING maintenance cost, benched alone (r10 verdict: the bundled
+# build+append+rebuild cycle queries are correctness gates — 15s of
+# deliberately-forced small-file rewrites — and a regression in the cheap
+# recurring probe could hide inside their noise). One slim aggregate over
+# the sketch (never signatures) + the persisted _meta vs the replayed width
+# decision: the oracle recomputes rows/docs/buckets from the shared sketch
+# CTEs and replays _bkt_chars_for on BOTH the persisted build size and the
+# current size, value-checking that what _meta recorded is what the build
+# rule dictates and that `grown` is the comparison of the two.
+_MH_OCC_ORACLE = f"""WITH {NGRAM_SKETCH_CTES},
+    base AS (SELECT * FROM banded WHERE doc_id % 10 <> 0),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(COUNT(DISTINCT (band, min_h)) AS BIGINT) AS n_bkts
+          FROM base)
+    SELECT n_rows, n_docs, n_bkts,
+           CAST(CASE WHEN n_docs > 1000000 THEN 2 ELSE 1 END AS INTEGER)
+               AS bkt_chars,
+           CAST(CASE WHEN n_docs > 1000000 THEN 2 ELSE 1 END AS INTEGER)
+               AS target_bkt_chars,
+           FALSE AS grown
+    FROM m"""
+
+
+@query("minhash_index_occupancy", _MH_OCC_ORACLE)
+def q_minhash_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-contract occupancy PROBE over the staged incremental
+    index — the cost a 100 TB pipeline pays per maintenance tick (the
+    rebuild itself fires rarely and is value-checked separately by
+    minhash_index_rebuild). Returns the slim aggregate plus the persisted
+    vs recomputed width decision; at the production dial the staged base
+    corpus is far below the widening threshold, so grown=false — the
+    ORACLE's value-hash proves the persisted _meta equals the replayed
+    build rule and that the probe's comparison arithmetic agrees
+    cross-engine."""
+    path = stage_incremental_index(spark, sf_dir)
+    bkt_chars, _n_built = _read_meta_full(spark, path)
+    return (
+        _index_frame(spark, path)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count_distinct("band", "min_h").alias("n_bkts"),
+        )
+        .select(
+            "n_rows",
+            "n_docs",
+            "n_bkts",
+            F.lit(bkt_chars).cast("int").alias("bkt_chars"),
+            F.when(F.col("n_docs") > 1_000_000, 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("target_bkt_chars"),
+        )
+        .withColumn("grown", F.col("target_bkt_chars") > F.col("bkt_chars"))
     )
 
 

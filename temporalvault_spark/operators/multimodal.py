@@ -188,6 +188,147 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int] | None:
     return w, h, maxval, i + 1  # +1: the single whitespace after maxval
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_decode_rgb(payload: bytes) -> np.ndarray | None:
+    """Full stdlib PNG pixel decode (public spec, RFC 2083 / W3C PNG):
+    chunk walk -> zlib-inflate the IDAT stream -> per-scanline unfilter
+    (None/Sub/Up/Average/Paeth) -> (h, w, 3) uint8 RGB. Returns None for
+    non-PNG payloads (format dispatch); raises NotImplementedError for
+    PNG features outside this tier (interlace, palette, bit depth != 8) —
+    the honest-seam contract multimodal codecs follow. Grayscale
+    replicates to RGB; RGBA drops alpha. This is the real-format pixel
+    path that feeds phash.ahash64, so compressed real-world images go
+    through the SAME integer hash the PPM tier value-checks."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("png_decode_rgb: PNG signature without IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace or ctype not in (0, 2, 6):
+        raise NotImplementedError(
+            f"png_decode_rgb: depth={depth} color_type={ctype} "
+            f"interlace={interlace} is outside the stdlib tier "
+            "(8-bit gray/RGB/RGBA, non-interlaced) — needs Pillow in the "
+            "worker image"
+        )
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * nch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("png_decode_rgb: IDAT stream length mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        rec = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
+        p += 1 + stride
+        if f == 1:  # Sub: left-neighbor prediction (sequential in x)
+            for i in range(nch, stride):
+                rec[i] = (rec[i] + rec[i - nch]) & 0xFF
+        elif f == 2:  # Up: uint8 addition wraps mod 256 — vectorized
+            rec += prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = int(rec[i - nch]) if i >= nch else 0
+                rec[i] = (rec[i] + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(rec[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"png_decode_rgb: unknown filter type {f}")
+        out[y] = rec
+        prev = rec
+    arr = out.reshape(h, w, nch)
+    if nch == 1:
+        return np.repeat(arr, 3, axis=2)
+    if nch == 4:
+        return np.ascontiguousarray(arr[:, :, :3])
+    return arr
+
+
+def png_encode_rgb(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal stdlib PNG encoder: (h, w, 3) uint8 RGB -> 8-bit truecolor
+    non-interlaced PNG, one IDAT chunk. ``filter_type`` applies the same
+    scanline filter (0-4) to every row — production writes use 0 (zlib
+    already squeezes the synthetic corpus); the other filters exist so
+    round-trip tests exercise EVERY unfilter branch of png_decode_rgb."""
+    import struct
+    import zlib
+
+    h, w, nch = arr.shape
+    if nch != 3 or arr.dtype != np.uint8:
+        raise ValueError("png_encode_rgb expects (h, w, 3) uint8 RGB")
+    stride = w * nch
+    raw = bytearray()
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        cur = arr[y].reshape(-1).astype(np.int64)
+        if filter_type == 0:
+            flt = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(nch, np.int64), cur[:-nch]])
+            flt = (cur - left) & 0xFF
+        elif filter_type == 2:
+            flt = (cur - prev) & 0xFF
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(nch, np.int64), cur[:-nch]])
+            flt = (cur - ((left + prev) >> 1)) & 0xFF
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(nch, np.int64), cur[:-nch]])
+            ul = np.concatenate([np.zeros(nch, np.int64), prev[:-nch]])
+            pa = np.abs(prev - ul)
+            pb = np.abs(left - ul)
+            pc = np.abs(left + prev - 2 * ul)
+            pr = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            flt = (cur - pr) & 0xFF
+        else:
+            raise ValueError(f"png_encode_rgb: unknown filter type {filter_type}")
+        raw.append(filter_type)
+        raw += flt.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _real_decode(payload: bytes, kind: str) -> dict:
     """Tier-3 kernel: real decode. Stdlib sub-tier first (header-native
     image dims, wave-module WAV — always available), then the library

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog
-from temporalvault_spark.operators.multimodal import _ppm_header
+from temporalvault_spark.operators.multimodal import _ppm_header, png_decode_rgb
 from temporalvault_spark.registry import query
 
 IMG_SIDE = 16  # synthesized image edge (pixels)
@@ -102,21 +102,35 @@ def synth_ppm_images(docs: DataFrame) -> DataFrame:
     return ids.mapInPandas(gen, "img_id bigint, image binary")
 
 
-def ahash64(payload: bytes) -> str:
-    """64-bit average hash of a binary PPM as a '0'/'1' string (row-major
-    over the 8x8 block grid). Integer-only: gray = (r+g+b) DIV 3, block
-    value = block-sum DIV block-pixels, mean = grid-sum DIV 64, bit =
-    block >= mean — every step replayable in ANSI SQL, so the oracle can
-    value-check the kernel. Raises on non-PPM payloads or dims not
-    divisible by the grid (the multimodal real-codec seam: other formats
-    resize to PPM first)."""
+def _decode_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from a binary PPM (P6, raw bytes) or a PNG
+    (stdlib zlib inflate + unfilter, multimodal.png_decode_rgb) — the two
+    real in-process pixel codecs. Raises on anything else (the multimodal
+    real-codec seam: JPEG still needs Pillow in the worker image)."""
     hdr = _ppm_header(payload)
-    if hdr is None:
-        raise ValueError("ahash64: payload is not a binary PPM (P6)")
-    w, h, _maxval, off = hdr
+    if hdr is not None:
+        w, h, _maxval, off = hdr
+        return np.frombuffer(payload, np.uint8, w * h * 3, off).reshape(h, w, 3)
+    arr = png_decode_rgb(payload)
+    if arr is None:
+        raise ValueError("ahash64: payload is not a binary PPM (P6) or PNG")
+    return arr
+
+
+def ahash64(payload: bytes) -> str:
+    """64-bit average hash of a binary PPM or PNG as a '0'/'1' string
+    (row-major over the 8x8 block grid). Integer-only: gray = (r+g+b) DIV
+    3, block value = block-sum DIV block-pixels, mean = grid-sum DIV 64,
+    bit = block >= mean — every step replayable in ANSI SQL, so the oracle
+    can value-check the kernel. The hash depends only on the PIXELS: a PNG
+    and a PPM holding the same grid hash identically (pinned in
+    tests/test_phash.py), so mixed-format corpora dedup against each
+    other. Raises on other formats or dims not divisible by the grid (the
+    multimodal real-codec seam)."""
+    arr = _decode_pixels(payload)
+    h, w = arr.shape[:2]
     if w % HASH_GRID or h % HASH_GRID:
         raise ValueError(f"ahash64: dims {w}x{h} not divisible by {HASH_GRID}")
-    arr = np.frombuffer(payload, np.uint8, w * h * 3, off).reshape(h, w, 3)
     gray = arr.astype(np.int64).sum(axis=2) // 3
     bh, bw = h // HASH_GRID, w // HASH_GRID
     blocks = gray.reshape(HASH_GRID, bh, HASH_GRID, bw).sum(axis=(1, 3)) // (bh * bw)

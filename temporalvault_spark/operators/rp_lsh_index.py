@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from temporalvault_spark.catalog import load_catalog
 from temporalvault_spark.operators.rp_lsh import (
     RP_BANDS,
+    RP_BITS,
     RP_BITS_MAX,
     RP_OCC_TARGET,
     _bits_case_duck,
@@ -426,6 +427,80 @@ def q_rp_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_rows"),
             F.count_distinct("bucket").alias("n_buckets"),
+        )
+    )
+
+
+# The RECURRING maintenance cost benched alone (the minhash_index_occupancy
+# note: the bundled cycle queries are correctness gates whose forced-dial
+# rewrites would mask a regression in this cheap recurring probe). The
+# oracle recomputes the slim aggregate from the replayed signatures and
+# replays BOTH width decisions (bits via _bits_case_duck, bkt_chars via the
+# corpus-size CASE) — value-checking that the persisted _meta equals the
+# build rule and that `grown` compares the two.
+_OCC_ORACLE = f"""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}
+          AND vec_id % 10 <> 0),
+    nb AS (SELECT {_bits_case_duck()} AS bits, n
+           FROM (SELECT COUNT(*) AS n FROM e)),
+    sigs AS ({_sigs_union_duck("e")}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+                 CAST(COUNT(DISTINCT (band, bucket)) AS BIGINT) AS n_bkts
+          FROM sigs)
+    SELECT m.n_rows, m.n_vecs, m.n_bkts,
+           CAST(nb.bits AS INTEGER) AS bits,
+           CAST(CASE WHEN nb.n > 1000000 THEN 8
+                     WHEN nb.n > 100000 THEN 4 ELSE 2 END AS INTEGER)
+               AS bkt_chars,
+           CAST(nb.bits AS INTEGER) AS target_bits,
+           CAST(CASE WHEN m.n_vecs > 1000000 THEN 8
+                     WHEN m.n_vecs > 100000 THEN 4 ELSE 2 END AS INTEGER)
+               AS target_bkt_chars,
+           FALSE AS grown
+    FROM m, nb"""
+
+
+@query("rp_index_occupancy", _OCC_ORACLE)
+def q_rp_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-contract occupancy PROBE over the staged RP index — the
+    per-maintenance-tick cost at 100 TB (the rebuild fires rarely; its
+    correctness is value-checked separately by rp_index_rebuild). One slim
+    aggregate (vec_id/band/bucket, never the vectors) joined with the
+    persisted _meta widths and the recomputed targets; at the production
+    dial the staged base corpus sits inside the 8-bit floor, so
+    grown=false — the oracle's value-hash proves the persisted _meta
+    equals the replayed build rule cross-engine."""
+    path = stage_rp_index(spark, sf_dir)
+    bits, bkt_chars, _n_built, occ = _read_meta_full(spark, path)
+    target_bits_sql = "CASE " + " ".join(
+        f"WHEN n_vecs <= {occ << b} THEN {b}"
+        for b in range(RP_BITS, RP_BITS_MAX)
+    ) + f" ELSE {RP_BITS_MAX} END"
+    return (
+        _index_frame(spark, path)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("vec_id").alias("n_vecs"),
+            F.count_distinct("band", "bucket").alias("n_bkts"),
+        )
+        .select(
+            "n_rows",
+            "n_vecs",
+            "n_bkts",
+            F.lit(bits).cast("int").alias("bits"),
+            F.lit(bkt_chars).cast("int").alias("bkt_chars"),
+            F.expr(target_bits_sql).cast("int").alias("target_bits"),
+            F.when(F.col("n_vecs") > 1_000_000, 8)
+            .when(F.col("n_vecs") > 100_000, 4)
+            .otherwise(2)
+            .cast("int")
+            .alias("target_bkt_chars"),
+        )
+        .withColumn(
+            "grown",
+            (F.col("target_bits") > F.col("bits"))
+            | (F.col("target_bkt_chars") > F.col("bkt_chars")),
         )
     )
 

@@ -559,6 +559,38 @@ def _gate_survivors(batch: DataFrame, id_col: str, local_rej, cross_rej) -> Data
     return surv
 
 
+def _gate_index_ready(spark, index_path: str, accepted_path: str) -> bool:
+    """The gates' build-vs-append decision, with a loud failure mode for a
+    vanished index: ``index_ready`` alone reads 'no readable _meta' as
+    'first batch — cold-build', which is correct on a fresh gate but
+    catastrophic on an established one (an externally deleted or torn
+    long-lived index would be silently restarted from a single batch,
+    permanently losing dedup coverage against the whole historic corpus).
+    Committed-batch markers are the gate's own durable record that an index
+    MUST exist — if any marker is present and the index is not ready, the
+    gate raises instead of cold-building. The one legitimate
+    markers-without-index window (a crash mid-swap during rebuild-if-grown)
+    is repaired before this check by ``meta_row``'s adopt-on-read recovery
+    (index_common.adopt_swapped)."""
+    import os
+
+    from temporalvault_spark.operators.index_common import index_ready
+
+    if index_ready(spark, index_path):
+        return True
+    marker_dir = f"{accepted_path}/_ingest_batches"
+    if os.path.isdir(marker_dir) and any(os.scandir(marker_dir)):
+        raise ValueError(
+            f"dedup gate at {accepted_path} has committed-batch markers but "
+            f"no readable index at {index_path} — the index vanished or its "
+            "sidecar tore outside the crash windows the gate repairs; "
+            "cold-rebuilding from one batch would silently drop dedup "
+            "coverage against the historic corpus. Rebuild the index from "
+            "the accepted corpus, then resume the stream."
+        )
+    return False
+
+
 def dedup_ingest_stream(
     docs_stream: DataFrame,
     index_path: str,
@@ -594,7 +626,6 @@ def dedup_ingest_stream(
     additionally deduplicates signatures by doc_id as defense in depth.
     tests/test_minhash_index.py simulates the marker-lost crash and pins
     both properties."""
-    from temporalvault_spark.operators.index_common import index_ready
     from temporalvault_spark.operators.llm import ngram_jaccard_pairs
     from temporalvault_spark.operators.minhash_index import (
         build_minhash_index,
@@ -608,7 +639,7 @@ def dedup_ingest_stream(
         # so a crash anywhere inside a first-batch build (including DURING
         # the _meta write itself, which leaves a half-existing directory a
         # bare exists() would approve) replays as a full rebuild
-        idx_exists = index_ready(spark, index_path)
+        idx_exists = _gate_index_ready(spark, index_path, accepted_path)
         if idx_exists:
             hits = query_minhash_index(spark, index_path, batch, threshold)
             cross_rej = hits.select(F.col("query_doc").alias("doc_id")).distinct()
@@ -660,7 +691,6 @@ def embedding_dedup_ingest_stream(
     additionally deduplicates (DISTINCT candidate pairs, vec_id-deduped
     ``_vectors`` reads) as defense in depth. tests/test_rp_lsh_index.py
     simulates the marker-lost crash and pins both properties."""
-    from temporalvault_spark.operators.index_common import index_ready
     from temporalvault_spark.operators.rp_lsh import rp_lsh_pairs
     from temporalvault_spark.operators.rp_lsh_index import (
         build_rp_index,
@@ -675,7 +705,7 @@ def embedding_dedup_ingest_stream(
         # READABLE _meta, not bare exists(): a crash during the first
         # batch's _meta write must replay as a full rebuild (see the text
         # gate's note)
-        idx_exists = index_ready(spark, index_path)
+        idx_exists = _gate_index_ready(spark, index_path, accepted_path)
         if idx_exists:
             hits = query_rp_index(spark, index_path, batch, thr)
             cross_rej = hits.select(F.col("query_vec").alias("vec_id")).distinct()
@@ -725,7 +755,6 @@ def image_dedup_ingest_stream(
     survivors are indexed, and surviving pairs are above-threshold-distant
     by construction, so a half-indexed batch cannot reject its own
     survivors). tests/test_phash_index.py pins both properties."""
-    from temporalvault_spark.operators.index_common import index_ready
     from temporalvault_spark.operators.phash import (
         PHASH_THRESHOLD,
         ahash_frame,
@@ -744,7 +773,7 @@ def image_dedup_ingest_stream(
         # READABLE _meta, not bare exists(): a crash during the first
         # batch's _meta write must replay as a full rebuild (see the text
         # gate's note)
-        idx_exists = index_ready(spark, index_path)
+        idx_exists = _gate_index_ready(spark, index_path, accepted_path)
         if idx_exists:
             hits = query_phash_index(spark, index_path, hashes, thr)
             cross_rej = hits.select(F.col("query_img").alias("img_id")).distinct()

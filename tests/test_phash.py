@@ -46,10 +46,110 @@ def test_ahash64_one_pixel_flip_is_tiny_hamming():
 
 def test_ahash64_rejects_non_ppm_and_bad_dims():
     with pytest.raises(ValueError, match="not a binary PPM"):
-        ahash64(b"\x89PNG\r\n\x1a\nxxxx")
+        ahash64(b"\xff\xd8\xff\xe0 jpeg-ish garbage")
+    with pytest.raises(ValueError, match="IHDR"):
+        ahash64(b"\x89PNG\r\n\x1a\nxxxx")  # PNG signature, truncated body
     bad = b"P6\n15 16\n255\n" + bytes(15 * 16 * 3)
     with pytest.raises(ValueError, match="not divisible"):
         ahash64(bad)
+
+
+# --- PNG tier (round 11): stdlib zlib codec feeding the same integer hash ---
+
+
+def _pixels_array(pixels):
+    import numpy as np
+
+    return np.array(pixels, dtype=np.uint8).reshape(IMG_SIDE, IMG_SIDE, 3)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(filter_type):
+    """Encode with each scanline filter, decode, get the exact pixel grid
+    back — every unfilter branch (None/Sub/Up/Average/Paeth) exercised."""
+    import numpy as np
+
+    from temporalvault_spark.operators.multimodal import (
+        png_decode_rgb,
+        png_encode_rgb,
+    )
+
+    arr = _pixels_array([(x * 16 % 256, y * 16 % 256, (x * y) % 256)
+                         for y in range(IMG_SIDE) for x in range(IMG_SIDE)])
+    out = png_decode_rgb(png_encode_rgb(arr, filter_type=filter_type))
+    assert out is not None and np.array_equal(out, arr)
+
+
+def test_png_and_ppm_same_pixels_hash_identically():
+    """The verdict-#3 contract: PNG(img) and PPM(same pixels) produce the
+    SAME ahash64 — format-independent dedup, through the real zlib
+    inflate+unfilter path."""
+    from temporalvault_spark.operators.multimodal import png_encode_rgb
+
+    px = _half_split()
+    for ft in (0, 2, 4):
+        assert ahash64(png_encode_rgb(_pixels_array(px), filter_type=ft)) == \
+            ahash64(_ppm(px)) == "00001111" * 8
+
+
+def test_png_gray_and_rgba_tiers():
+    """Color type 0 (grayscale, replicated to RGB) and 6 (RGBA, alpha
+    dropped) decode to the RGB grid ahash64 expects; 16-bit depth raises
+    the honest-seam NotImplementedError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from temporalvault_spark.operators.multimodal import _PNG_SIG, png_decode_rgb
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data)
+        )
+
+    def make_png(ctype, depth, rows):
+        ihdr = struct.pack(">IIBBBBB", IMG_SIDE, IMG_SIDE, depth, ctype, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in rows)
+        return (_PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    g = [bytes((x * 17) % 256 for x in range(IMG_SIDE)) for _ in range(IMG_SIDE)]
+    gray = png_decode_rgb(make_png(0, 8, g))
+    assert gray.shape == (IMG_SIDE, IMG_SIDE, 3)
+    assert np.array_equal(gray[:, :, 0], gray[:, :, 2])
+    assert gray[0, 1, 0] == 17
+
+    rgba_rows = [
+        bytes(c for x in range(IMG_SIDE) for c in (x, 2 * x, 3 * x % 256, 128))
+        for _ in range(IMG_SIDE)
+    ]
+    rgba = png_decode_rgb(make_png(6, 8, rgba_rows))
+    assert rgba.shape == (IMG_SIDE, IMG_SIDE, 3)
+    assert tuple(rgba[5, 3]) == (3, 6, 9)  # alpha stripped
+
+    with pytest.raises(NotImplementedError, match="stdlib tier"):
+        png_decode_rgb(make_png(2, 16, [bytes(IMG_SIDE * 6)] * IMG_SIDE))
+
+
+def test_mixed_format_corpus_dedups_cross_format(spark):
+    """A PNG re-encode of a PPM image is found by the banded pair query at
+    Hamming 0 — the phash stage accepts mixed formats in one frame."""
+    from temporalvault_spark.operators.multimodal import png_decode_rgb, png_encode_rgb
+
+    ppm = _synth_ppm(0)
+    from temporalvault_spark.operators.phash import _decode_pixels
+
+    png = png_encode_rgb(_decode_pixels(ppm), filter_type=4)
+    far = _ppm([(255 * ((x + y) % 2),) * 3
+                for y in range(IMG_SIDE) for x in range(IMG_SIDE)])
+    df = spark.createDataFrame(
+        [(1, ppm), (2, png), (3, far)], "img_id bigint, image binary"
+    )
+    pairs = {(r["img_a"], r["img_b"], r["hamming"])
+             for r in phash_hamming_pairs(ahash_frame(df)).collect()}
+    assert (1, 2, 0) in pairs
+    assert not any(3 in (a, b) for a, b, _ in pairs)
 
 
 def test_pairs_found_and_rejected(spark):
