@@ -197,6 +197,16 @@ HEADLINE = [
     "minhash_index_occupancy",
     "rp_index_occupancy",
     "phash_index_occupancy",
+    # round 11: audio near-dup — the dedup matrix's fourth modality
+    # (staged envelope-fingerprint pass + Hamming-banded pairs + corpus
+    # apply + persisted index build/probe/occupancy; the rebuild cycle
+    # stays correctness-only like its three siblings)
+    "audio_fp_stage",
+    "dedup_audio_fp",
+    "dedup_audio_apply",
+    "afp_index_build",
+    "dedup_afp_incremental_probe",
+    "afp_index_occupancy",
 ]
 
 

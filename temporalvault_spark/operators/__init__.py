@@ -9,8 +9,10 @@ bench.py.
 """
 
 from temporalvault_spark.operators import (  # noqa: F401
+    afp_index,
     analytics,
     analytics_tpch2,
+    audio_fp,
     corpus,
     dedup_cluster,
     dq,

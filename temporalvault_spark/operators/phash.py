@@ -154,13 +154,15 @@ def ahash_frame(images: DataFrame) -> DataFrame:
     return images.mapInPandas(run, "img_id bigint, hash64 string")
 
 
-def band_explode(hashes: DataFrame) -> DataFrame:
-    """(img_id, hash64, band, bv): the 4 x 16-bit Hamming band slices of
-    each hash — ONE definition shared by the in-memory pair join and the
-    persisted index (phash_index), whose correctness depends on bit-
-    identical banding (the gate mixes both paths on the same batch)."""
+def band_explode(hashes: DataFrame, id_col: str = "img_id") -> DataFrame:
+    """(id, hash64, band, bv): the 4 x 16-bit Hamming band slices of
+    each hash — ONE definition shared by the in-memory pair join, the
+    persisted index (phash_index), and the audio fingerprint tier
+    (audio_fp — same 64-bit banding over a different kernel), whose
+    correctness depends on bit-identical banding (the gates mix both
+    paths on the same batch)."""
     return hashes.select(
-        "img_id",
+        id_col,
         "hash64",
         F.explode(
             F.expr(
@@ -168,7 +170,7 @@ def band_explode(hashes: DataFrame) -> DataFrame:
                 f"b AS band, substring(hash64, b * {BAND_BITS} + 1, {BAND_BITS}) AS bv))"
             )
         ).alias("s"),
-    ).select("img_id", "hash64", F.col("s.band").alias("band"), F.col("s.bv").alias("bv"))
+    ).select(id_col, "hash64", F.col("s.band").alias("band"), F.col("s.bv").alias("bv"))
 
 
 def hamming_expr(a: str, b: str):
@@ -180,37 +182,48 @@ def hamming_expr(a: str, b: str):
     )
 
 
-def phash_hamming_pairs(
-    hashes: DataFrame, threshold: int = PHASH_THRESHOLD
+def banded_hamming_pairs(
+    hashes: DataFrame, id_col: str, prefix: str, threshold: int
 ) -> DataFrame:
-    """Near-dup image pairs (img_a < img_b, hamming <= threshold) from a
-    hash frame: 4 x 16-bit band collisions propose candidates (pigeonhole
-    guarantees Hamming < 4; LSH-probabilistic above), exact 64-position
-    Hamming verifies. The self-join is banded — shuffle keys are (band,
-    16-bit value), never all-pairs."""
-    bands = band_explode(hashes)
+    """Near-dup pairs ({prefix}_a < {prefix}_b, hamming <= threshold) from
+    any (id, hash64) frame: 4 x 16-bit band collisions propose candidates
+    (pigeonhole guarantees Hamming < 4 is ALWAYS caught; LSH-probabilistic
+    above), exact 64-position Hamming verifies. The self-join is banded —
+    shuffle keys are (band, 16-bit value), never all-pairs. ONE definition
+    shared by the image (phash_hamming_pairs) and audio
+    (audio_fp.afp_hamming_pairs) modalities."""
+    a_id, b_id = f"{prefix}_a", f"{prefix}_b"
+    bands = band_explode(hashes, id_col)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.img_id") < F.col("b.img_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col("a.img_id").alias("img_a"),
-            F.col("b.img_id").alias("img_b"),
+            F.col(f"a.{id_col}").alias(a_id),
+            F.col(f"b.{id_col}").alias(b_id),
             F.col("a.hash64").alias("ha"),
             F.col("b.hash64").alias("hb"),
         )
-        .dropDuplicates(["img_a", "img_b"])
+        .dropDuplicates([a_id, b_id])
     )
     return (
         cand.select(
-            "img_a", "img_b", hamming_expr("ha", "hb").cast("int").alias("hamming")
+            a_id, b_id, hamming_expr("ha", "hb").cast("int").alias("hamming")
         )
         .filter(F.col("hamming") <= threshold)
     )
+
+
+def phash_hamming_pairs(
+    hashes: DataFrame, threshold: int = PHASH_THRESHOLD
+) -> DataFrame:
+    """Near-dup image pairs (img_a < img_b, hamming <= threshold) — the
+    image instantiation of banded_hamming_pairs."""
+    return banded_hamming_pairs(hashes, "img_id", "img", threshold)
 
 
 # --- staged hash table (one decode+hash pass per session) --------------------

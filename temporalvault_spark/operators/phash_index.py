@@ -1,28 +1,32 @@
 """Persisted perceptual-hash band index: incremental IMAGE near-dup against
 an already-ingested corpus WITHOUT re-hashing it — the image cell of the
 incremental-index family (text: minhash_index.py, embeddings:
-rp_lsh_index.py, images: THIS). A training-data pipeline's recurring
-question is "is this new image batch a near-dup of anything already
-ingested?"; at 100 TB the decode+hash pass is paid ONCE per image at
-ingest, and the 64-bit hashes become a TABLE:
+rp_lsh_index.py, images: THIS, audio: afp_index.py). A training-data
+pipeline's recurring question is "is this new image batch a near-dup of
+anything already ingested?"; at 100 TB the decode+hash pass is paid ONCE
+per image at ingest, and the 64-bit hashes become a TABLE:
 
     (img_id, hash64, band, bv) partitioned by (band, bkt, ingest)
 
 where bv is one of PHASH_BANDS 16-bit Hamming band slices and bkt its
 leading chars — a probe batch's bands touch only their own (band, bkt)
 directories (PartitionFilters is the proof), so probe cost scales with the
-BATCH, not the corpus. Simpler than both siblings: the 8-byte hash IS the
-verification object, so there is no signature/vector sidecar at all — the
-exact Hamming verify reads the candidate index rows' own hash64.
+BATCH, not the corpus. Simpler than the text/embedding siblings: the
+8-byte hash IS the verification object, so there is no signature/vector
+sidecar at all — the exact Hamming verify reads the candidate index rows'
+own hash64.
 
-The ``ingest`` layer and the growth contract are the shared machinery:
-streaming appends write their own ingest partitions with dynamic partition
+The MECHANICS (layout, meta, write modes, pruning probe, growth contract)
+live in band64_index.Band64Index, shared one-for-one with the audio family
+(afp_index.py) — round 10's review found every drift bug in per-module
+restatements, so the two 64-bit-fingerprint indexes instantiate one class.
+Streaming appends write their own ingest partitions with dynamic partition
 overwrite (crash replays rewrite, never duplicate — see
-streaming.image_dedup_ingest_stream), ``phash_index_occupancy`` measures
-bucket fan-out vs the persisted build-time key width, and
+streaming.image_dedup_ingest_stream); ``phash_index_occupancy`` measures
+bucket fan-out vs the persisted build-time key width; and
 ``rebuild_phash_index_if_grown`` re-derives the bands from the index's own
 deduplicated rows (no re-decode, no re-hash) at the fresh width and
-atomically swaps — identical contract, file-for-file, as
+atomically swaps — identical contract as
 rp_lsh_index.rebuild_rp_index_if_grown.
 """
 
@@ -33,13 +37,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from temporalvault_spark.operators.index_common import (
-    assert_ingest_layout,
-    atomic_swap_rebuild,
-    collect_prune,
-    meta_row,
-    resolve_write_mode,
-)
+from temporalvault_spark.operators.band64_index import Band64Index
 from temporalvault_spark.operators.phash import (
     BAND_BITS,
     IMG_EVERY,
@@ -47,55 +45,25 @@ from temporalvault_spark.operators.phash import (
     PHASH_THRESHOLD,
     VARIANT_GROUP,
     _PHASH_CTES,
-    band_explode,
-    hamming_expr,
 )
 from temporalvault_spark.registry import query
 
-# Explicit read schema: bkt/bv are all-digit '0'/'1' strings that partition
-# type inference would coerce to INT (the rp_lsh_index lesson)
-PH_INDEX_SCHEMA = "img_id BIGINT, hash64 STRING, bv STRING, band INT, bkt STRING, ingest INT"
+_FAMILY = Band64Index("phash", "img_id", "img")
+
+# kept as module-level names: tests and the gate read them
+PH_INDEX_SCHEMA = _FAMILY.schema
 
 
 def _index_frame(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.schema(PH_INDEX_SCHEMA).parquet(path)
+    return _FAMILY.frame(spark, path)
 
 
 def _bkt_chars_for(n_imgs: int, wide_threshold: int = 1_000_000) -> int:
-    """Partition-key width (leading chars of the 16-bit band value): 4
-    chars (16 dirs/band) once the corpus is big enough to fill them, 2
-    chars (4 dirs/band) below — the minhash small-file rule. Always <=
-    BAND_BITS."""
-    return 4 if n_imgs > wide_threshold else 2
+    return _FAMILY.bkt_chars_for(n_imgs, wide_threshold)
 
 
 def _read_meta_full(spark: SparkSession, path: str) -> tuple[int, int]:
-    """(bkt_chars, n_built) via index_common.meta_row (mtime-cached;
-    raises on a torn write); an invalid persisted width would silently
-    prune every probe to zero partitions, so validate on read."""
-    d = meta_row(spark, path)
-    got = (d["bkt_chars"], d.get("n_built", 0) or 0)
-    if not (1 <= got[0] <= BAND_BITS):
-        raise ValueError(
-            f"phash index at {path} has invalid _meta (bkt_chars="
-            f"{got[0]}): requires 1 <= bkt_chars <= {BAND_BITS} — "
-            "corrupted or future-format index"
-        )
-    return got
-
-
-def _banded(hashes: DataFrame, bkt_chars: int, ingest: int) -> DataFrame:
-    """phash.band_explode (the ONE banding definition — index-vs-operator
-    parity is load-bearing for the gate) plus the index's partition
-    columns."""
-    return band_explode(hashes).select(
-        "img_id",
-        "hash64",
-        "bv",
-        "band",
-        F.substring("bv", 1, bkt_chars).alias("bkt"),
-        F.lit(ingest).cast("int").alias("ingest"),
-    )
+    return _FAMILY.read_meta_full(spark, path)
 
 
 def build_phash_index(
@@ -105,31 +73,9 @@ def build_phash_index(
     ingest_id: int | None = None,
     wide_threshold: int = 1_000_000,
 ) -> None:
-    """Write (img_id, hash64, band, bv) partitioned by (band, bkt, ingest)
-    plus the 1-row ``_meta`` (bkt_chars, n_built). ``append=True`` derives
-    the PERSISTED key width; ``ingest_id`` names the ingest partition for
-    EXACTLY-ONCE streaming appends (dynamic partition overwrite — replays
-    rewrite); ``None`` uses the bulk namespace ingest=-1 (base builds live
-    there, so a stream's batch-id overwrites can never clobber them).
-    img_id uniqueness across appends is the caller's contract."""
-    spark = hashes.sparkSession
-    mode, dyn, ingest = resolve_write_mode(append, ingest_id)
-    if append:
-        assert_ingest_layout(path, "phash")
-        bkt_chars = _read_meta_full(spark, path)[0]
-        n_imgs = 0
-    else:
-        n_imgs = hashes.count()
-        bkt_chars = _bkt_chars_for(n_imgs, wide_threshold)
-    w = _banded(hashes, bkt_chars, ingest).repartition("band", "bkt").write.mode(mode)
-    if dyn:
-        w = w.option("partitionOverwriteMode", "dynamic")
-    w.partitionBy("band", "bkt", "ingest").parquet(path)
-    if not append:
-        spark.range(0, 1, 1, 1).select(
-            F.lit(bkt_chars).cast("int").alias("bkt_chars"),
-            F.lit(n_imgs).cast("bigint").alias("n_built"),
-        ).write.mode("overwrite").parquet(f"{path}/_meta")
+    """Band64Index.build for the image family (see its docstring for the
+    write-mode/meta/exactly-once contracts)."""
+    _FAMILY.build(hashes, path, append, ingest_id, wide_threshold)
 
 
 def query_phash_index(
@@ -139,42 +85,9 @@ def query_phash_index(
     threshold: int = PHASH_THRESHOLD,
 ) -> DataFrame:
     """Near-dup pairs (query_img, index_img, hamming <= threshold) between
-    a new batch's hashes and the indexed corpus. The batch's distinct
-    (band, bkt) keys become an explicit partition-pruning predicate (at
-    most PHASH_BANDS x |batch| directories read); candidates equi-join on
-    (band, bv); the exact 64-position verify reads hash64 straight off the
-    joined rows — no sidecar, no second scan. Self-pairs excluded."""
-    bkt_chars = _read_meta_full(spark, index_path)[0]
-    qb = _banded(new_hashes, bkt_chars, 0).localCheckpoint(eager=True)
-
-    prune = collect_prune(qb)
-    if prune is None:
-        return spark.createDataFrame(
-            [], "query_img bigint, index_img bigint, hamming int"
-        )
-    idx = _index_frame(spark, index_path).filter(prune)
-    q = qb.select(
-        F.col("img_id").alias("q_img"), F.col("hash64").alias("qh"), "band", "bv"
-    )
-    cand = (
-        idx.join(F.broadcast(q), ["band", "bv"])
-        .filter(F.col("img_id") != F.col("q_img"))
-        .select(
-            "q_img",
-            F.col("img_id").alias("index_img"),
-            "qh",
-            F.col("hash64").alias("ih"),
-        )
-        .dropDuplicates(["q_img", "index_img"])
-    )
-    return (
-        cand.select(
-            F.col("q_img").alias("query_img"),
-            "index_img",
-            hamming_expr("qh", "ih").cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= threshold)
-    )
+    a new batch's hashes and the indexed corpus — Band64Index.query (the
+    partition-pruned broadcast probe)."""
+    return _FAMILY.query(spark, index_path, new_hashes, threshold)
 
 
 # --- growth contract (the shared machinery) -----------------------------------
@@ -185,26 +98,7 @@ def phash_index_occupancy(
 ) -> dict:
     """ONE aggregate over the index vs the persisted build-time key width;
     ``grown`` when the current corpus size calls for a wider bkt."""
-    bkt_chars, n_built = _read_meta_full(spark, path)
-    row = (
-        _index_frame(spark, path)
-        .agg(
-            F.count("*").alias("rows"),
-            F.count_distinct("img_id").alias("n_imgs"),
-            F.count_distinct("band", "bv").alias("n_bkts"),
-        )
-        .first()
-    )
-    target = _bkt_chars_for(row["n_imgs"], wide_threshold)
-    return {
-        "bkt_chars": bkt_chars,
-        "n_built": n_built,
-        "n_imgs": row["n_imgs"],
-        "rows": row["rows"],
-        "occupancy": round(row["rows"] / max(row["n_bkts"], 1), 3),
-        "target_bkt_chars": target,
-        "grown": target > bkt_chars,
-    }
+    return _FAMILY.occupancy(spark, path, wide_threshold)
 
 
 def rebuild_phash_index_if_grown(
@@ -214,19 +108,7 @@ def rebuild_phash_index_if_grown(
     deduplicated (img_id, hash64) rows — no re-decode, no re-hash — into a
     sibling directory, atomically swapped (also compacts any
     pre-ingest-layer replay duplicates)."""
-    rep = phash_index_occupancy(spark, path, wide_threshold)
-    if not rep["grown"]:
-        return {**rep, "rebuilt": False}
-    hashes = (
-        _index_frame(spark, path)
-        .select("img_id", "hash64")
-        .dropDuplicates(["img_id"])
-        .localCheckpoint(eager=True)
-    )
-    atomic_swap_rebuild(
-        path, lambda tmp: build_phash_index(hashes, tmp, wide_threshold=wide_threshold)
-    )
-    return {**rep, "rebuilt": True}
+    return _FAMILY.rebuild_if_grown(spark, path, wide_threshold)
 
 
 # --- incremental two-batch scenario (benchable) --------------------------------

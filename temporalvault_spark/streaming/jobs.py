@@ -802,6 +802,78 @@ def image_dedup_ingest_stream(
     )
 
 
+def audio_dedup_ingest_stream(
+    aud_stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint: str,
+    threshold: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming incremental AUDIO near-dup gate — the fourth modality's
+    ingest gate (text: dedup_ingest_stream, embeddings:
+    embedding_dedup_ingest_stream, images: image_dedup_ingest_stream,
+    audio: THIS; all four ride the shared skeleton). Each micro-batch of
+    (aud_id, audio) rows is fingerprinted ONCE (the real stdlib-wave
+    envelope kernel), probed against the persisted band index
+    (operators/afp_index.py); near-dups of already-ingested clips are
+    REJECTED; survivors land in the accepted corpus AND append to the
+    index, so later batches dedup against them. Within-batch duplicates
+    collapse via the in-memory banded pair join on just the batch's
+    fingerprints: the lowest aud_id of each local near-dup group survives.
+
+    Exactly-once across every crash window by the shared mechanism:
+    committed batches leave batch_id markers (replays skip); the accepted
+    corpus AND the index appends partition by ingest batch with dynamic
+    partition overwrite, so a marker-lost replay rewrites its own
+    partitions — neither grows duplicate rows (survivor determinism: only
+    survivors are indexed, and surviving pairs are above-threshold-distant
+    by construction, so a half-indexed batch cannot reject its own
+    survivors). tests/test_afp_index.py pins both properties."""
+    from temporalvault_spark.operators.afp_index import (
+        build_afp_index,
+        query_afp_index,
+    )
+    from temporalvault_spark.operators.audio_fp import (
+        AFP_THRESHOLD,
+        afp_frame,
+        afp_hamming_pairs,
+    )
+
+    thr = AFP_THRESHOLD if threshold is None else threshold
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        hashes = afp_frame(batch).localCheckpoint(eager=True)  # ONE decode pass
+        idx_exists = _gate_index_ready(spark, index_path, accepted_path)
+        if idx_exists:
+            hits = query_afp_index(spark, index_path, hashes, thr)
+            cross_rej = hits.select(F.col("query_aud").alias("aud_id")).distinct()
+        else:
+            cross_rej = None
+        local_rej = (
+            afp_hamming_pairs(hashes, thr)
+            .select(F.col("aud_b").alias("aud_id"))
+            .distinct()
+        )
+        surv_ids = _gate_survivors(
+            hashes.select("aud_id"), "aud_id", local_rej, cross_rej
+        ).localCheckpoint(eager=True)
+        _accepted_overwrite(
+            batch.join(surv_ids, "aud_id", "semi"), batch_id, accepted_path
+        )
+        build_afp_index(
+            hashes.join(surv_ids, "aud_id", "semi"),
+            index_path,
+            append=idx_exists,
+            ingest_id=batch_id,
+        )
+
+    return _dedup_gate_run(
+        aud_stream, accepted_path, checkpoint, available_now, process
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     name: str,

@@ -3,22 +3,34 @@
 # artifact so `git status` is clean when the driver takes over (r5 verdict
 # #1 — artifact tracking is mechanical now, not willpower).
 #
-# Usage: bash tools/snapshot_round.sh [--skip-bench] [--skip-oracle]
+# Usage: bash tools/snapshot_round.sh [--skip-bench] [--skip-oracle] [--skip-sf01]
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SKIP_BENCH=0
 SKIP_ORACLE=0
+SKIP_SF01=0
 for a in "$@"; do
     case "$a" in
         --skip-bench) SKIP_BENCH=1 ;;
         --skip-oracle) SKIP_ORACLE=1 ;;
+        --skip-sf01) SKIP_SF01=1 ;;
     esac
 done
 
 if [ "$SKIP_ORACLE" -eq 0 ]; then
     echo "== driver_sim (full registry oracle check, sf0.01) =="
     python tools/driver_sim.py /root/testdata/sf0.01 CORRECTNESS_LOCAL.json
+fi
+
+if [ "$SKIP_SF01" -eq 0 ]; then
+    # The sf0.1 sweep runs in the SNAPSHOT, not on demand (r10 verdict #1:
+    # the committed SF01 ledger went a whole round stale while COVERAGE.md
+    # cited it — mechanical refresh, not willpower). It has caught real
+    # bugs the smaller scales never exercised (the round-6 session-gap
+    # precision bug).
+    echo "== driver_sim (full registry oracle check, sf0.1) =="
+    python tools/driver_sim.py /root/testdata/sf0.1 CORRECTNESS_LOCAL_SF01.json
 fi
 
 if [ "$SKIP_BENCH" -eq 0 ]; then
@@ -75,6 +87,7 @@ fi
 
 echo "== staging round artifacts =="
 git add -- BENCH_r*.json CORRECTNESS_r*.json BENCH_LOCAL.json \
-    CORRECTNESS_LOCAL.json 2>/dev/null || true
-git add -- SURVEY.md COVERAGE.md SCALE.md PLANS.md FIXTURES.md 2>/dev/null || true
+    CORRECTNESS_LOCAL.json CORRECTNESS_LOCAL_SF01.json 2>/dev/null || true
+git add -- SURVEY.md COVERAGE.md SCALE.md PLANS.md FIXTURES.md \
+    WINDOWS.md 2>/dev/null || true
 git status --short
