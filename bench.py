@@ -207,6 +207,9 @@ HEADLINE = [
     "afp_index_build",
     "dedup_afp_incremental_probe",
     "afp_index_occupancy",
+    # round 11: pii_scan's nonzero-rows twin (the driver's hash gate now
+    # exercises rows where the PII patterns actually fire)
+    "pii_scan_dense",
 ]
 
 

@@ -1706,6 +1706,89 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter((F.col("n_emails") > 0) | (F.col("n_urls") > 0) | (F.col("n_phoneish") > 0))
 
 
+# pii_scan's hard signal on NONZERO rows (r10 verdict #6): the testdata
+# corpus is digit-free word soup, so the selective scan matches zero rows at
+# every SF and the driver's hash check was trivially green (0 = 0) — the
+# exact trap that hid a crash for five rounds. This twin injects
+# deterministic md5-derived PII spans into the text BEFORE the same scan,
+# in both dialects identically, so the driver value-checks real matching
+# rows: emails on doc_id % 3 == 0, URLs on % 4 == 0, phone-shaped digit
+# runs on % 5 == 0 (a production corpus, simulated — the crafted-corpus
+# pytest tier still covers exotic span shapes).
+
+
+def _pii_dense_text_spark():
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" ping "),
+                F.substring(F.md5(F.concat(F.lit("e"), did)), 1, 6),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" see https://ex.org/"),
+                F.substring(F.md5(F.concat(F.lit("u"), did)), 1, 5),
+            ),
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-123-4567")).otherwise(""),
+    )
+
+
+_PII_DENSE_TEXT_DUCK = """text
+    || CASE WHEN doc_id % 3 = 0 THEN ' ping '
+            || substr(md5('e' || CAST(doc_id AS VARCHAR)), 1, 6)
+            || '@mail.example.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' see https://ex.org/'
+            || substr(md5('u' || CAST(doc_id AS VARCHAR)), 1, 5) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END"""
+
+
+@query(
+    "pii_scan_dense",
+    rf"""WITH dense AS (SELECT doc_id, {_PII_DENSE_TEXT_DUCK} AS text
+                       FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text,
+               '\b\d{{3}}[- .]\d{{3}}[- .]\d{{4}}\b')) AS BIGINT) AS n_phoneish
+    FROM dense
+    WHERE len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}')) > 0
+       OR len(regexp_extract_all(text, 'https?://[^ ]+')) > 0
+       OR len(regexp_extract_all(text,
+               '\b\d{{3}}[- .]\d{{3}}[- .]\d{{4}}\b')) > 0""",
+)
+def q_pii_scan_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pii_scan over a pattern-DENSE corpus: the identical scan (same
+    regexes, same WHERE prune) run after deterministically injecting
+    md5-derived email/URL/phone spans — so the driver's value-hash gate
+    exercises rows where the patterns actually FIRE (see the module note:
+    the clean corpus matches zero rows and 0 = 0 verifies nothing). Still
+    a pure JVM regexp projection at scan speed; the injection is one
+    concat of constant-folded md5 slices."""
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    url = r"https?://[^ ]+"
+    phone = r"\b\d{3}[- .]\d{3}[- .]\d{4}\b"
+    d = _docs(spark, sf_dir).select("doc_id", _pii_dense_text_spark().alias("text"))
+    d = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(url), 0)).cast("bigint").alias("n_urls"),
+        F.size(F.regexp_extract_all("text", F.lit(phone), 0)).cast("bigint").alias("n_phoneish"),
+    )
+    return d.filter(
+        (F.col("n_emails") > 0) | (F.col("n_urls") > 0) | (F.col("n_phoneish") > 0)
+    )
+
+
 DECONTAM_NGRAM = 13
 DECONTAM_BENCH_DOCS = 50
 

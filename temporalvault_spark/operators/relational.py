@@ -263,6 +263,79 @@ def q_win_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_ntile_ranks_scalable",
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+           ntile(4) OVER w AS price_quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           dense_rank() OVER w AS drank
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice NULLS FIRST, o_orderkey)""",
+)
+def q_win_ntile_ranks_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """win_ntile_ranks WITHOUT the global window — the 100 TB form of a
+    whole-table ranked report, value-hash-identical to the single-window
+    twin (same oracle). A partition-less Window moves the entire table to
+    ONE task; this plan keeps every stage parallel:
+
+      1. ``repartitionByRange`` on the total order (range partitioner
+         boundaries from a sample — partition p holds ranks strictly
+         before partition p+1);
+      2. a ~n_partitions-row per-partition count -> cumulative rank
+         offsets, collected and re-broadcast (the zipWithIndex recipe in
+         DataFrame form);
+      3. ``row_number`` partitioned BY the range partition id (parallel),
+         global rank = offset + local row_number;
+      4. every distribution rank derives from (rank, N) in a projection:
+         the order includes the unique o_orderkey, so ties are impossible
+         and dense_rank == rank, percent_rank == (rank-1)/(N-1), cume ==
+         rank/N, and ntile(4) is the exact SQL bucket formula (first
+         N mod 4 buckets take one extra row).
+
+    The eager checkpoint freezes the range partitioning so the count pass
+    and the rank pass see identical placement."""
+    c = _cat(spark, sf_dir)
+    order_cols = [F.asc_nulls_first("o_totalprice"), F.asc("o_orderkey")]
+    df = (
+        c.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(16, *order_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in df.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }  # <= 16 rows — bounded by the partition count, never the data
+    n_total = sum(counts.values())
+    acc, offsets = 0, []
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets, "pid int, off bigint")
+    w = Window.partitionBy("pid").orderBy(*order_cols)
+    rank = (F.col("off") + F.row_number().over(w)).cast("bigint")
+    # exact ntile(4): the first (N mod 4) buckets hold ceil(N/4) rows
+    big, r_big = n_total // 4 + (1 if n_total % 4 else 0), n_total % 4
+    small = n_total // 4
+    in_big = rank <= r_big * big
+    quartile = F.when(in_big, ((rank - 1) / big).cast("bigint") + 1).otherwise(
+        (((rank - r_big * big - 1) / small).cast("bigint") + r_big + 1)
+        if small
+        else F.lit(r_big)  # n_total < 4: every row sits in a big bucket
+    )
+    return df.join(F.broadcast(off_df), "pid").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        quartile.alias("price_quartile"),
+        F.round((rank - 1) / F.lit(max(n_total - 1, 1)), 6).alias("pct_rank"),
+        F.round(rank / F.lit(n_total), 6).alias("cume"),
+        rank.alias("drank"),
+    )
+
+
+@query(
     "join_asof",
     temporal_oracle(
         f"""SELECT record_id, probe_ts, version, ts FROM (

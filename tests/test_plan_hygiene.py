@@ -585,3 +585,30 @@ def test_agg_skew_salted_two_stage_shape(q):
         and c["CartesianProduct"] == 0
     )
     assert "Window" not in executed_plan(df)
+
+
+def test_ntile_scalable_has_no_global_window(q, spark, sf_dir):
+    """win_ntile_ranks_scalable: the distributed ranked report must plan
+    with ZERO partition-less Window nodes (windows partition by the range-
+    partition id) and must be value-identical to the global-window twin."""
+    from tools.window_audit import global_window_lines
+
+    df = q("win_ntile_ranks_scalable")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert global_window_lines(plan) == [], plan[:1500]
+    got = {r["o_orderkey"]: (r["price_quartile"], r["pct_rank"], r["cume"], r["drank"])
+           for r in df.collect()}
+    want = {r["o_orderkey"]: (r["price_quartile"], r["pct_rank"], r["cume"], r["drank"])
+            for r in q("win_ntile_ranks").collect()}
+    assert got == want
+
+
+def test_pii_scan_dense_matches_on_nonzero_rows(q):
+    """The driver-facing dense twin must actually produce matching rows at
+    test scale (the whole point: pii_scan's oracle is 0-row on the clean
+    corpus) with every category firing."""
+    rows = q("pii_scan_dense").collect()
+    assert len(rows) > 0
+    assert any(r["n_emails"] > 0 for r in rows)
+    assert any(r["n_urls"] > 0 for r in rows)
+    assert any(r["n_phoneish"] > 0 for r in rows)

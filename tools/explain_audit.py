@@ -77,6 +77,17 @@ AUDITED = [
     ("dedup_phash_incremental_probe", "PartitionFilters on (band, bkt) from the batch's own bands; broadcast batch; exact Hamming verify reads hash64 off the joined rows — the image twin of the minhash/RP probes"),
     ("dedup_image_apply", "pairs closed by the shared components solver (slim id edges only); drop set anti-joined onto the hash table; one map-side-combined per-source summary"),
     ("minhash_index_rebuild", "growth-contract cycle for the text index (build from staged signatures + append + rebuild-if-grown at a lowered widening dial); returned plan reads per-(band, bkt) counts back FROM the rebuilt index — the width decision is value-visible in the bkt partition values"),
+    ("phash_index_rebuild", "growth-contract cycle for the image index (base build + v=0 append + rebuild-if-grown at wide_threshold=40 so the width switch fires at every test SF); the oracle replays pixels -> hashes -> bands at the replayed width"),
+    ("minhash_index_occupancy", "the RECURRING maintenance tick benched alone: ONE slim aggregate over the sketch (never signatures) + persisted _meta vs replayed width decision — no forced-dial rewrite in the timing"),
+    ("rp_index_occupancy", "same recurring probe for the RP family: slim (vec_id, band, bucket) aggregate; bits + bkt_chars decisions replayed in both engines"),
+    ("phash_index_occupancy", "same recurring probe for the image family: slim (img_id, band, bv) aggregate vs persisted width"),
+    ("audio_fp_stage", "staged decode+fingerprint pass for the AUDIO modality: Arrow-batched mapInPandas over real RIFF/WAVE payloads through the stdlib wave codec (per-row map, zero shuffles before the parquet write); the oracle replays every SAMPLE from the md5 formulas"),
+    ("dedup_audio_fp", "Hamming-banded audio pairs off the staged fingerprint table: the SAME 4x16-bit band equi-join the image tier uses (banded_hamming_pairs — one definition), exact 64-position verify on DISTINCT collisions only"),
+    ("afp_index_build", "one-time audio-index build (force-re-run): (band, bkt, ingest)-partitioned fingerprint-band write via the shared Band64Index class; returned plan reads per-band counts back FROM the persisted index"),
+    ("dedup_afp_incremental_probe", "PartitionFilters on (band, bkt) from the batch's own bands; broadcast batch; exact Hamming verify reads hash64 off the joined rows — the audio twin of the minhash/RP/phash probes"),
+    ("dedup_audio_apply", "audio pairs closed by the shared components solver (slim id edges); drop set anti-joined onto the fingerprint table; one map-side-combined per-source summary"),
+    ("pii_scan_dense", "pii_scan with deterministically injected md5-derived spans so the hash gate runs on NONZERO rows: still a pure regexp projection at scan speed — the injection is one concat of constant-folded md5 slices"),
+    ("win_ntile_ranks_scalable", "the 100 TB form of the global ranked report: range repartition on the total order, <= 16-row per-partition counts -> broadcast rank offsets, row_number partitioned by range-partition id — ZERO partition-less Window nodes, value-hash-identical to the single-window twin"),
 ]
 
 

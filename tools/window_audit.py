@@ -30,8 +30,34 @@ from temporalvault_spark.session import get_spark
 
 # query name -> why its global window is bounded (reviewed, not guessed).
 # A query listed here is ASSERTED to keep its partition-less window frame
-# O(k) or O(groups), never O(corpus).
-BOUNDED: dict[str, str] = {}
+# O(k) or O(grid), never O(corpus) — except where the note says the global
+# order IS the query's semantics and names the scalable twin.
+BOUNDED: dict[str, str] = {
+    "corpus_select_token_budget": (
+        "the exact prefix-sum window runs ONLY on the boundary bucket after "
+        "_edge_select's recursive prefix-cut (corpus.py) — <= edge_rows rows "
+        "by construction at ANY corpus size; the recursion unit forces a "
+        "tiny bucket and pins it (tests/test_corpus.py)"
+    ),
+    "keys_alive_daily": (
+        "the running sum rides the DAY GRID, not the record log: one "
+        "min-per-key aggregate is the only data-sized pass, then the window "
+        "sees one row per calendar day in the log's range — grows with the "
+        "calendar, not the data"
+    ),
+    "retrieval_rrf_topk": (
+        "both rank windows run AFTER TakeOrderedAndProject cut each "
+        "retriever to top-DEPTH rows — <= DEPTH rows per window by "
+        "construction (explain_audit note; fusion joins DEPTH-row frames)"
+    ),
+    "win_ntile_ranks": (
+        "semantically a GLOBAL ranked report — the output is the sorted "
+        "table, so one ordered pass is the query's meaning at any engine; "
+        "for the 100 TB form use win_ntile_ranks_scalable, the value-hash-"
+        "identical twin with range partitioning + broadcast rank offsets "
+        "and ZERO global windows"
+    ),
+}
 
 
 def top_bracket_groups(s: str) -> list[str]:
@@ -57,13 +83,19 @@ def top_bracket_groups(s: str) -> list[str]:
 
 def global_window_lines(plan: str) -> list[str]:
     """Plan lines holding a Window/WindowInPandas node with NO partition
-    spec. A partitioned Window prints three top-level bracket groups
-    ([functions], [partition], [order]); a global one prints two."""
+    spec. A fully-specified Window prints three top-level bracket groups
+    ([functions], [partition], [order]); two groups mean either
+    partition-only (an unordered per-group aggregate — fine, it does NOT
+    move data to one partition) or order-only (the global window this
+    audit hunts). The two are told apart by the second group's content:
+    an order spec carries ASC/DESC sort directions, a partition spec is a
+    bare column list."""
     out = []
     for line in plan.splitlines():
         t = line.strip().lstrip("+-: *")
         if t.startswith(("Window ", "WindowInPandas ")):
-            if len(top_bracket_groups(t)) == 2:
+            groups = top_bracket_groups(t)
+            if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
                 out.append(t[:160])
     return out
 
