@@ -159,9 +159,9 @@ _AFP_OCC_ORACLE = f"""WITH {_AFP_CTES},
                  CAST(COUNT(DISTINCT (band, bv)) AS BIGINT) AS n_bkts
           FROM bands)
     SELECT n_rows, n_auds, n_bkts,
-           CAST(CASE WHEN n_auds > 1000000 THEN 4 ELSE 2 END AS INTEGER)
+           CAST({Band64Index.bkt_chars_case_sql("n_auds")} AS INTEGER)
                AS bkt_chars,
-           CAST(CASE WHEN n_auds > 1000000 THEN 4 ELSE 2 END AS INTEGER)
+           CAST({Band64Index.bkt_chars_case_sql("n_auds")} AS INTEGER)
                AS target_bkt_chars,
            FALSE AS grown
     FROM m"""
@@ -188,10 +188,7 @@ def q_afp_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_auds",
             "n_bkts",
             F.lit(bkt_chars).cast("int").alias("bkt_chars"),
-            F.when(F.col("n_auds") > 1_000_000, 4)
-            .otherwise(2)
-            .cast("int")
-            .alias("target_bkt_chars"),
+            Band64Index.bkt_chars_col("n_auds").alias("target_bkt_chars"),
         )
         .withColumn("grown", F.col("target_bkt_chars") > F.col("bkt_chars"))
     )
@@ -208,7 +205,7 @@ AFP_REBUILD_WT = 40
 _AFP_REBUILD_DIR: dict[tuple, str] = {}
 
 _AFP_REBUILD_ORACLE = f"""WITH {_AFP_CTES},
-    w AS (SELECT CASE WHEN COUNT(*) > {AFP_REBUILD_WT} THEN 4 ELSE 2 END AS c
+    w AS (SELECT {Band64Index.bkt_chars_case_sql("COUNT(*)", AFP_REBUILD_WT)} AS c
           FROM aids),
     bands AS (
         SELECT aud_id, b.range AS band,

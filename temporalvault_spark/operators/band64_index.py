@@ -58,13 +58,42 @@ class Band64Index:
     def frame(self, spark: SparkSession, path: str) -> DataFrame:
         return spark.read.schema(self.schema).parquet(path)
 
-    @staticmethod
-    def bkt_chars_for(n: int, wide_threshold: int = 1_000_000) -> int:
+    # the ONE statement of the width rule: narrow/wide key widths and the
+    # production widening dial. bkt_chars_for (builds), bkt_chars_case_sql
+    # (oracles), and bkt_chars_col (registered probes) are all generated
+    # from these three names, so a dial change cannot leave a query and its
+    # oracle agreeing with each other while both diverge from what builds
+    # actually persist (the per-module-restatement drift class).
+    NARROW, WIDE = 2, 4
+    WIDE_DEFAULT = 1_000_000
+
+    @classmethod
+    def bkt_chars_for(cls, n: int, wide_threshold: int = WIDE_DEFAULT) -> int:
         """Partition-key width (leading chars of the 16-bit band value): 4
         chars (16 dirs/band) once the corpus is big enough to fill them, 2
         chars (4 dirs/band) below — the minhash small-file rule. Always <=
         BAND_BITS."""
-        return 4 if n > wide_threshold else 2
+        return cls.WIDE if n > wide_threshold else cls.NARROW
+
+    @classmethod
+    def bkt_chars_case_sql(cls, n_expr: str, wide_threshold: int = WIDE_DEFAULT) -> str:
+        """DuckDB CASE replaying bkt_chars_for, generated from the same
+        constants — embed in oracle SQL wherever the width decision must be
+        value-visible."""
+        return (
+            f"CASE WHEN {n_expr} > {wide_threshold} "
+            f"THEN {cls.WIDE} ELSE {cls.NARROW} END"
+        )
+
+    @classmethod
+    def bkt_chars_col(cls, n_col: str, wide_threshold: int = WIDE_DEFAULT):
+        """Spark Column replaying bkt_chars_for — the probe-side twin of
+        bkt_chars_case_sql."""
+        return (
+            F.when(F.col(n_col) > wide_threshold, cls.WIDE)
+            .otherwise(cls.NARROW)
+            .cast("int")
+        )
 
     def read_meta_full(self, spark: SparkSession, path: str) -> tuple[int, int]:
         """(bkt_chars, n_built) via index_common.meta_row (mtime-cached;

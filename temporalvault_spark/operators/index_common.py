@@ -67,15 +67,26 @@ def adopt_swapped(path: str) -> bool:
     So every sidecar read first checks for exactly that signature (nothing
     at ``path``, a directory at ``path.old``) and renames the old index
     back. A leftover ``path.old`` NEXT TO a live index (crash after the
-    second rename, before the cleanup rmtree) is not adopted — the new
-    index won; the next rebuild's entry sweep removes it."""
+    second rename, before the cleanup rmtree) is NOT adopted — the new
+    index won — and is removed here (completing the crashed cleanup):
+    letting it linger would let a LATER external deletion of the live
+    index silently resurrect the stale pre-rebuild index instead of
+    tripping the gates' markers-without-index guard. Cross-PROCESS races
+    (a reader adopting while a live rebuild sits between its two renames)
+    are handled on the writer side: atomic_swap_rebuild retries its second
+    rename after re-parking an adopted directory."""
     old = f"{path}.old"
-    if not os.path.exists(path) and os.path.isdir(old):
-        try:
-            os.rename(old, path)
-            return True
-        except OSError:
-            pass  # racing reader already adopted it — path now exists
+    if os.path.isdir(old):
+        if not os.path.exists(path):
+            try:
+                os.rename(old, path)
+                return True
+            except OSError:
+                pass  # racing reader already adopted it — path now exists
+        else:
+            # stale .old beside a live index: finish the crashed rmtree so
+            # it can never be adopted after a future deletion of path
+            shutil.rmtree(old, ignore_errors=True)
     return False
 
 
@@ -218,5 +229,21 @@ def atomic_swap_rebuild(path: str, build_to: Callable[[str], None]) -> None:
     shutil.rmtree(tmp_old, ignore_errors=True)
     build_to(tmp_new)
     os.rename(path, tmp_old)
-    os.rename(tmp_new, path)
+    # a cross-process reader can adopt tmp_old back into path between the
+    # two renames (adopt_swapped cannot tell that crash signature from a
+    # LIVE swap); re-park it and retry — each retry empties path again, so
+    # this converges unless readers adopt continuously (bounded attempts,
+    # then raise rather than spin)
+    for attempt in range(5):
+        try:
+            os.rename(tmp_new, path)
+            break
+        except OSError:
+            os.rename(path, tmp_old)
+    else:
+        raise OSError(
+            f"atomic_swap_rebuild: could not swap {path} after 5 attempts — "
+            "a racing reader keeps adopting the old index; serialize "
+            "rebuilds against probes (external lock) and retry"
+        )
     shutil.rmtree(tmp_old)

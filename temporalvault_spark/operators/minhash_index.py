@@ -73,7 +73,17 @@ def _signatures_frame(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(MH_SIGNATURES_SCHEMA).parquet(f"{path}/_signatures")
 
 
-def _bkt_chars_for(n_docs: int, wide_threshold: int = 1_000_000) -> int:
+# the ONE statement of the minhash width rule (narrow/wide hex-char key
+# widths + the production widening dial); _bkt_chars_for (builds),
+# _bkt_chars_case_sql (oracles), and _bkt_chars_col (the registered probe)
+# all derive from these names — the same single-sourcing the Band64Index
+# families use, so a dial change cannot leave a query and its oracle
+# agreeing with each other while both diverge from what builds persist.
+MH_NARROW, MH_WIDE = 1, 2
+MH_WIDE_DEFAULT = 1_000_000
+
+
+def _bkt_chars_for(n_docs: int, wide_threshold: int = MH_WIDE_DEFAULT) -> int:
     """Bucket-key width, chosen at build time from corpus size: 2 hex chars
     (256 buckets/band) once the corpus is big enough that each directory
     still holds substantial data; 1 hex char (16 buckets/band) below that —
@@ -83,7 +93,25 @@ def _bkt_chars_for(n_docs: int, wide_threshold: int = 1_000_000) -> int:
     appends always derive the SAME keys the build used. ``wide_threshold``
     is the widening dial (tests drop it to exercise the growth contract at
     unit scale)."""
-    return 2 if n_docs > wide_threshold else 1
+    return MH_WIDE if n_docs > wide_threshold else MH_NARROW
+
+
+def _bkt_chars_case_sql(n_expr: str, wide_threshold: int = MH_WIDE_DEFAULT) -> str:
+    """DuckDB CASE replaying _bkt_chars_for, generated from the same
+    constants."""
+    return (
+        f"CASE WHEN {n_expr} > {wide_threshold} "
+        f"THEN {MH_WIDE} ELSE {MH_NARROW} END"
+    )
+
+
+def _bkt_chars_col(n_col: str, wide_threshold: int = MH_WIDE_DEFAULT):
+    """Spark Column replaying _bkt_chars_for — the probe-side twin."""
+    return (
+        F.when(F.col(n_col) > wide_threshold, MH_WIDE)
+        .otherwise(MH_NARROW)
+        .cast("int")
+    )
 
 
 def _read_meta_full(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -486,7 +514,7 @@ MH_REBUILD_WT = 300
 _MH_REBUILD_DIR: dict[tuple, str] = {}
 
 _REBUILD_ORACLE = f"""WITH {NGRAM_SKETCH_CTES},
-    w AS (SELECT CASE WHEN COUNT(*) > {MH_REBUILD_WT} THEN 2 ELSE 1 END AS c
+    w AS (SELECT {_bkt_chars_case_sql("COUNT(*)", MH_REBUILD_WT)} AS c
           FROM sh)
     SELECT CAST(band AS INTEGER) AS band,
            substr(min_h, 1, w.c) AS bkt,
@@ -555,9 +583,9 @@ _MH_OCC_ORACLE = f"""WITH {NGRAM_SKETCH_CTES},
                  CAST(COUNT(DISTINCT (band, min_h)) AS BIGINT) AS n_bkts
           FROM base)
     SELECT n_rows, n_docs, n_bkts,
-           CAST(CASE WHEN n_docs > 1000000 THEN 2 ELSE 1 END AS INTEGER)
+           CAST({_bkt_chars_case_sql("n_docs")} AS INTEGER)
                AS bkt_chars,
-           CAST(CASE WHEN n_docs > 1000000 THEN 2 ELSE 1 END AS INTEGER)
+           CAST({_bkt_chars_case_sql("n_docs")} AS INTEGER)
                AS target_bkt_chars,
            FALSE AS grown
     FROM m"""
@@ -588,10 +616,7 @@ def q_minhash_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_bkts",
             F.lit(bkt_chars).cast("int").alias("bkt_chars"),
-            F.when(F.col("n_docs") > 1_000_000, 2)
-            .otherwise(1)
-            .cast("int")
-            .alias("target_bkt_chars"),
+            _bkt_chars_col("n_docs").alias("target_bkt_chars"),
         )
         .withColumn("grown", F.col("target_bkt_chars") > F.col("bkt_chars"))
     )

@@ -233,31 +233,48 @@ def png_decode_rgb(payload: bytes) -> np.ndarray | None:
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("png_decode_rgb: IDAT stream length mismatch")
+    # Unfilter throughput: None/Sub/Up are fully vectorized (Sub is a
+    # per-channel cumulative sum — mod-256 distributes over addition);
+    # Average/Paeth have an inherent left-neighbor dependency, so they run
+    # as a sequential pass over plain-int lists (no numpy scalar ops:
+    # ~10x faster than scalar array indexing and no overflow warnings).
+    # For bulk compressed-image ingest at production resolutions the
+    # Pillow tier is still the right kernel where installed — this is the
+    # dependency-free tier, exact and tested.
     out = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
     p = 0
     for y in range(h):
         f = raw[p]
-        rec = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
+        row = np.frombuffer(raw, np.uint8, stride, p + 1)
         p += 1 + stride
-        if f == 1:  # Sub: left-neighbor prediction (sequential in x)
-            for i in range(nch, stride):
-                rec[i] = (rec[i] + rec[i - nch]) & 0xFF
-        elif f == 2:  # Up: uint8 addition wraps mod 256 — vectorized
-            rec += prev
-        elif f == 3:  # Average
+        if f == 0:
+            rec = row.copy()
+        elif f == 1:  # Sub: per-channel cumsum, vectorized
+            rec = (
+                np.cumsum(row.reshape(-1, nch).astype(np.int64), axis=0) & 0xFF
+            ).astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up: uint8 array addition wraps mod 256 — vectorized
+            rec = row + prev
+        elif f == 3:  # Average (sequential: left-neighbor dependency)
+            rl, pl = row.tolist(), prev.tolist()
+            rec_l = [0] * stride
             for i in range(stride):
-                a = int(rec[i - nch]) if i >= nch else 0
-                rec[i] = (rec[i] + ((a + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
+                a = rec_l[i - nch] if i >= nch else 0
+                rec_l[i] = (rl[i] + ((a + pl[i]) >> 1)) & 0xFF
+            rec = np.array(rec_l, np.uint8)
+        elif f == 4:  # Paeth (sequential: left-neighbor dependency)
+            rl, pl = row.tolist(), prev.tolist()
+            rec_l = [0] * stride
             for i in range(stride):
-                a = int(rec[i - nch]) if i >= nch else 0
-                b = int(prev[i])
-                c = int(prev[i - nch]) if i >= nch else 0
+                a = rec_l[i - nch] if i >= nch else 0
+                b = pl[i]
+                c = pl[i - nch] if i >= nch else 0
                 pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
                 pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                rec[i] = (rec[i] + pr) & 0xFF
-        elif f != 0:
+                rec_l[i] = (rl[i] + pr) & 0xFF
+            rec = np.array(rec_l, np.uint8)
+        else:
             raise ValueError(f"png_decode_rgb: unknown filter type {f}")
         out[y] = rec
         prev = rec

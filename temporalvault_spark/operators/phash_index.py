@@ -188,9 +188,9 @@ _PH_OCC_ORACLE = f"""WITH {_PHASH_CTES},
                  CAST(COUNT(DISTINCT (band, bv)) AS BIGINT) AS n_bkts
           FROM bands)
     SELECT n_rows, n_imgs, n_bkts,
-           CAST(CASE WHEN n_imgs > 1000000 THEN 4 ELSE 2 END AS INTEGER)
+           CAST({Band64Index.bkt_chars_case_sql("n_imgs")} AS INTEGER)
                AS bkt_chars,
-           CAST(CASE WHEN n_imgs > 1000000 THEN 4 ELSE 2 END AS INTEGER)
+           CAST({Band64Index.bkt_chars_case_sql("n_imgs")} AS INTEGER)
                AS target_bkt_chars,
            FALSE AS grown
     FROM m"""
@@ -218,10 +218,7 @@ def q_phash_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_imgs",
             "n_bkts",
             F.lit(bkt_chars).cast("int").alias("bkt_chars"),
-            F.when(F.col("n_imgs") > 1_000_000, 4)
-            .otherwise(2)
-            .cast("int")
-            .alias("target_bkt_chars"),
+            Band64Index.bkt_chars_col("n_imgs").alias("target_bkt_chars"),
         )
         .withColumn("grown", F.col("target_bkt_chars") > F.col("bkt_chars"))
     )
@@ -243,7 +240,7 @@ PH_REBUILD_WT = 40
 _PH_REBUILD_DIR: dict[tuple, str] = {}
 
 _PH_REBUILD_ORACLE = f"""WITH {_PHASH_CTES},
-    w AS (SELECT CASE WHEN COUNT(*) > {PH_REBUILD_WT} THEN 4 ELSE 2 END AS c
+    w AS (SELECT {Band64Index.bkt_chars_case_sql("COUNT(*)", PH_REBUILD_WT)} AS c
           FROM ids),
     bands AS (
         SELECT img_id, b.range AS band,

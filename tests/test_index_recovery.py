@@ -77,10 +77,13 @@ def test_adopt_swapped_recovers_mid_swap_crash(spark, tmp_path_factory):
     assert after == before
 
 
-def test_adopt_swapped_ignores_stale_old_next_to_live_index(tmp_path):
+def test_adopt_swapped_sweeps_stale_old_next_to_live_index(tmp_path):
     """A leftover path.old NEXT TO a live index (crash after the second
     rename, before the cleanup rmtree) must not be adopted — the new index
-    won the swap."""
+    won the swap — and must be REMOVED: left lingering, a later external
+    deletion of the live index would silently resurrect the stale
+    pre-rebuild index instead of tripping the gates' markers-without-index
+    guard (review finding, round 11)."""
     live, old = str(tmp_path / "idx"), str(tmp_path / "idx.old")
     os.makedirs(live)
     os.makedirs(old)
@@ -88,6 +91,12 @@ def test_adopt_swapped_ignores_stale_old_next_to_live_index(tmp_path):
         f.write("new")
     assert adopt_swapped(live) is False
     assert os.path.exists(f"{live}/marker")  # live index untouched
+    assert not os.path.exists(old)  # crashed cleanup completed
+
+    # and therefore: external deletion of the live index now fails loudly
+    # at the next read instead of resurrecting the stale copy
+    shutil.rmtree(live)
+    assert adopt_swapped(live) is False and not os.path.exists(live)
 
 
 def test_torn_meta_is_not_misread_as_legacy_width(spark, tmp_path_factory, monkeypatch):

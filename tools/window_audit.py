@@ -87,15 +87,20 @@ def global_window_lines(plan: str) -> list[str]:
     ([functions], [partition], [order]); two groups mean either
     partition-only (an unordered per-group aggregate — fine, it does NOT
     move data to one partition) or order-only (the global window this
-    audit hunts). The two are told apart by the second group's content:
-    an order spec carries ASC/DESC sort directions, a partition spec is a
-    bare column list."""
+    audit hunts) — told apart by the second group's content: an order spec
+    carries ASC/DESC sort directions, a partition spec is a bare column
+    list. ONE group means no partition AND no order (e.g. a global
+    unbounded-frame total, sum(x).over(Window.partitionBy())) — also a
+    single-partition funnel, also flagged (a review pass found the
+    two-group-only heuristic blind to exactly that shape)."""
     out = []
     for line in plan.splitlines():
         t = line.strip().lstrip("+-: *")
         if t.startswith(("Window ", "WindowInPandas ")):
             groups = top_bracket_groups(t)
-            if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+            if len(groups) == 1 or (
+                len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1])
+            ):
                 out.append(t[:160])
     return out
 
