@@ -210,6 +210,9 @@ HEADLINE = [
     # round 11: pii_scan's nonzero-rows twin (the driver's hash gate now
     # exercises rows where the PII patterns actually fire)
     "pii_scan_dense",
+    # round 11: cross-modal (caption OR image) dedup apply — the composed
+    # multimodal curation step over both staged pair artifacts
+    "dedup_crossmodal_apply",
 ]
 
 

@@ -74,6 +74,12 @@ def afp_index_occupancy(
     return _FAMILY.occupancy(spark, path, wide_threshold)
 
 
+def compact_afp_index(spark: SparkSession, path: str) -> dict:
+    """Band64Index.compact_ingest for the audio family (see the shared
+    docstring for the quiesce contract)."""
+    return _FAMILY.compact_ingest(spark, path)
+
+
 def rebuild_afp_index_if_grown(
     spark: SparkSession, path: str, wide_threshold: int = 1_000_000
 ) -> dict:

@@ -238,6 +238,46 @@ class Band64Index:
             "grown": target > bkt_chars,
         }
 
+    def compact_ingest(self, spark: SparkSession, path: str) -> dict:
+        """OPTIMIZE the ingest layers at the SAME key width: after N
+        streaming batches every touched (band, bkt) directory holds one
+        small file set per batch — file-count pressure that grows with
+        stream lifetime even while the width is still right (the growth
+        contract won't fire). Rewrites the index's deduplicated rows into
+        the bulk namespace (ingest=-1) via the shared atomic sibling swap;
+        no-op when the index already has <= 1 ingest layer. Run it with
+        the gate QUIESCED (no in-flight batch): a marker-lost crash replay
+        pending at compaction time would re-append its rows under its
+        batch id after they were folded into -1 — between batches no such
+        window exists, and committed markers make replays skip entirely.
+        (rebuild_if_grown has the same quiesce contract for the same
+        reason.)"""
+        bkt_chars, _ = self.read_meta_full(spark, path)
+        n_ing = self.frame(spark, path).select("ingest").distinct().count()
+        if n_ing <= 1:
+            return {"n_ingest_layers": n_ing, "bkt_chars": bkt_chars,
+                    "compacted": False}
+        if bkt_chars == self.WIDE:
+            wt = 0  # any nonzero corpus re-derives WIDE
+        elif bkt_chars == self.NARROW:
+            wt = 1 << 62  # nothing re-derives past NARROW
+        else:
+            raise ValueError(
+                f"{self.family} index at {path} has non-standard width "
+                f"{bkt_chars}; run rebuild_if_grown instead"
+            )
+        hashes = (
+            self.frame(spark, path)
+            .select(self.id_col, "hash64")
+            .dropDuplicates([self.id_col])
+            .localCheckpoint(eager=True)
+        )
+        atomic_swap_rebuild(
+            path, lambda tmp: self.build(hashes, tmp, wide_threshold=wt)
+        )
+        return {"n_ingest_layers": n_ing, "bkt_chars": bkt_chars,
+                "compacted": True}
+
     def rebuild_if_grown(
         self, spark: SparkSession, path: str, wide_threshold: int = 1_000_000
     ) -> dict:

@@ -346,6 +346,68 @@ def png_encode_rgb(arr: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def bmp_decode_rgb(payload: bytes) -> np.ndarray | None:
+    """Stdlib BMP pixel decode (public spec: BITMAPFILEHEADER +
+    BITMAPINFOHEADER): 24-bit uncompressed BGR rows, 4-byte row padding,
+    bottom-up by default (top-down when height is negative) -> (h, w, 3)
+    uint8 RGB, fully vectorized. Returns None for non-BMP payloads; raises
+    NotImplementedError for BMP features outside this tier (palettes,
+    compression, other bit depths) — the honest-seam contract."""
+    import struct
+
+    if payload[:2] != b"BM":
+        return None
+    if len(payload) < 54:
+        raise ValueError("bmp_decode_rgb: truncated BMP header")
+    off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError(
+            "bmp_decode_rgb: BITMAPCOREHEADER is outside the stdlib tier"
+        )
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    comp = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"bmp_decode_rgb: bpp={bpp} compression={comp} is outside the "
+            "stdlib tier (24-bit uncompressed) — needs Pillow in the worker "
+            "image"
+        )
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(payload) < off + stride * h:
+        raise ValueError("bmp_decode_rgb: pixel data shorter than dimensions")
+    rows = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)
+    arr = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        arr = arr[::-1]
+    return np.ascontiguousarray(arr[:, :, ::-1])  # BGR -> RGB
+
+
+def bmp_encode_rgb(arr: np.ndarray, top_down: bool = False) -> bytes:
+    """Minimal stdlib BMP encoder: (h, w, 3) uint8 RGB -> 24-bit
+    uncompressed BMP (bottom-up by default, like every real writer; pass
+    top_down=True to exercise the negative-height branch). Exists so tests
+    round-trip the decoder including the row-padding and row-order paths."""
+    import struct
+
+    h, w, nch = arr.shape
+    if nch != 3 or arr.dtype != np.uint8:
+        raise ValueError("bmp_encode_rgb expects (h, w, 3) uint8 RGB")
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    bgr = arr[:, :, ::-1]
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    body = b"".join(bgr[y].tobytes() + pad for y in order)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    return file_hdr + info + body
+
+
 def _real_decode(payload: bytes, kind: str) -> dict:
     """Tier-3 kernel: real decode. Stdlib sub-tier first (header-native
     image dims, wave-module WAV — always available), then the library

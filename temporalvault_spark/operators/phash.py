@@ -47,7 +47,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog
-from temporalvault_spark.operators.multimodal import _ppm_header, png_decode_rgb
+from temporalvault_spark.operators.multimodal import (
+    _ppm_header,
+    bmp_decode_rgb,
+    png_decode_rgb,
+)
 from temporalvault_spark.registry import query
 
 IMG_SIDE = 16  # synthesized image edge (pixels)
@@ -103,18 +107,21 @@ def synth_ppm_images(docs: DataFrame) -> DataFrame:
 
 
 def _decode_pixels(payload: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB from a binary PPM (P6, raw bytes) or a PNG
-    (stdlib zlib inflate + unfilter, multimodal.png_decode_rgb) — the two
-    real in-process pixel codecs. Raises on anything else (the multimodal
-    real-codec seam: JPEG still needs Pillow in the worker image)."""
+    """(h, w, 3) uint8 RGB from a binary PPM (P6, raw bytes), a PNG
+    (stdlib zlib inflate + unfilter), or a 24-bit BMP (row un-pad +
+    BGR/bottom-up normalize) — the three real in-process pixel codecs
+    (multimodal.png_decode_rgb / bmp_decode_rgb). Raises on anything else
+    (the multimodal real-codec seam: JPEG still needs Pillow in the worker
+    image)."""
     hdr = _ppm_header(payload)
     if hdr is not None:
         w, h, _maxval, off = hdr
         return np.frombuffer(payload, np.uint8, w * h * 3, off).reshape(h, w, 3)
-    arr = png_decode_rgb(payload)
-    if arr is None:
-        raise ValueError("ahash64: payload is not a binary PPM (P6) or PNG")
-    return arr
+    for decode in (png_decode_rgb, bmp_decode_rgb):
+        arr = decode(payload)
+        if arr is not None:
+            return arr
+    raise ValueError("ahash64: payload is not a binary PPM (P6), PNG, or BMP")
 
 
 def ahash64(payload: bytes) -> str:
@@ -395,4 +402,84 @@ def q_dedup_image_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.join(docs, kept["img_id"] == docs["doc_id"])
         .groupBy("source")
         .agg(F.count("*").alias("n_imgs_kept"))
+    )
+
+
+# --- CROSS-MODAL apply: text OR image match makes a duplicate ---------------
+# A multimodal training pair (caption + image) is a duplicate of another if
+# EITHER modality near-dups: re-captioned copies of one image, and
+# re-rendered/re-encoded images of one caption, must both collapse. The
+# edge set is the UNION of the text near-dup graph (restricted to docs that
+# carry an image) and the image near-dup graph, closed by the one shared
+# components solver — the composition a multimodal curation pipeline runs
+# after the per-modality pair stages.
+
+from temporalvault_spark.operators.llm import NGRAM_PAIRS_SQL as _NGRAM_PAIRS_SQL
+
+_XMODAL_ORACLE = f"""WITH RECURSIVE tpairs AS ({_NGRAM_PAIRS_SQL}),
+    {_PH_PAIRS_CTES},
+    xedges AS (
+        SELECT doc_a AS a, doc_b AS b FROM tpairs
+        WHERE doc_a % {IMG_EVERY} = 0 AND doc_b % {IMG_EVERY} = 0
+        UNION
+        SELECT img_a, img_b FROM ppairs),
+    xsym AS (SELECT a AS src, b AS dst FROM xedges
+             UNION ALL SELECT b, a FROM xedges),
+    xwalk(node, lbl) AS (
+        SELECT src, src FROM xsym
+        UNION
+        SELECT s.dst, MIN(w.lbl) FROM xwalk w JOIN xsym s ON s.src = w.node
+        GROUP BY s.dst
+    ),
+    xcomp AS (SELECT node, MIN(lbl) AS keep FROM xwalk GROUP BY node),
+    xdrop AS (SELECT node FROM xcomp WHERE node <> keep)
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_pairs_kept
+    FROM documents d
+    WHERE d.doc_id % {IMG_EVERY} = 0
+      AND NOT EXISTS (SELECT 1 FROM xdrop WHERE xdrop.node = d.doc_id)
+    GROUP BY d.source"""
+
+
+@query("dedup_crossmodal_apply", _XMODAL_ORACLE)
+def q_dedup_crossmodal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY cross-modal dedup over the (caption, image) corpus (docs with
+    doc_id % IMG_EVERY == 0 carry the synthesized image): edges = text
+    near-dup pairs between image-carrying docs (the staged shingle-jaccard
+    artifact — no re-shingle) UNION image phash pairs (the staged hash
+    table — no re-decode); one components closure; keep each component's
+    min id; summarize survivors per source. The oracle replays BOTH pair
+    pipelines (shingles -> minhash bands -> exact jaccard, and pixels ->
+    aHash -> Hamming bands -> exact verify), unions the edges, and closes
+    them with the recursive-CTE reachability twin — the whole composition
+    is under one value-hash.
+
+    Scale shape: both edge sets are slim id pairs from staged artifacts;
+    the union is duplicate-bounded; the solver is the shared hybrid
+    (driver union-find under 200k edges, distributed label propagation
+    above); the corpus-side exclusion is an anti-join."""
+    from temporalvault_spark.operators.dedup_cluster import connected_components
+    from temporalvault_spark.operators.llm import staged_ngram_pairs
+
+    tpairs = (
+        staged_ngram_pairs(spark, sf_dir)
+        .filter(
+            (F.col("doc_a") % IMG_EVERY == 0) & (F.col("doc_b") % IMG_EVERY == 0)
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    hashes = spark.read.parquet(stage_phash(spark, sf_dir))
+    ipairs = phash_hamming_pairs(hashes).select(
+        F.col("img_a").alias("src"), F.col("img_b").alias("dst")
+    )
+    comps = connected_components(tpairs.unionByName(ipairs).distinct())
+    drop = (
+        comps.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    docs = load_catalog(spark, sf_dir).table("documents")
+    return (
+        docs.filter(F.col("doc_id") % IMG_EVERY == 0)
+        .join(drop, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_pairs_kept"))
     )

@@ -101,6 +101,14 @@ def phash_index_occupancy(
     return _FAMILY.occupancy(spark, path, wide_threshold)
 
 
+def compact_phash_index(spark: SparkSession, path: str) -> dict:
+    """Band64Index.compact_ingest for the image family: fold the per-batch
+    ingest layers into the bulk namespace at the same key width (small-file
+    maintenance between growth rebuilds; quiesce the gate first — see the
+    shared docstring)."""
+    return _FAMILY.compact_ingest(spark, path)
+
+
 def rebuild_phash_index_if_grown(
     spark: SparkSession, path: str, wide_threshold: int = 1_000_000
 ) -> dict:

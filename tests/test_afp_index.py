@@ -197,3 +197,49 @@ def test_audio_ingest_crash_replay_does_not_grow_index(spark, tmp_path_factory):
     probe = _hashes(spark, [(500, _clip(_flip(BASE, 44)))])
     hits = query_afp_index(spark, idx, probe).collect()
     assert (500, 1) in {(r["query_aud"], r["index_aud"]) for r in hits}
+
+
+def test_compact_ingest_folds_batches_same_width(spark, tmp_path):
+    """After streaming appends, compact_ingest folds every ingest layer
+    into the bulk namespace at the SAME key width: probes value-identical,
+    one ingest layer, row count unchanged (ids unique across appends)."""
+    import os as _os
+
+    from temporalvault_spark.operators.afp_index import (
+        _index_frame,
+        compact_afp_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_afp_index(_hashes(spark, [(1, _clip(BASE)), (2, _clip(FAR))]), path)
+    build_afp_index(
+        _hashes(spark, [(10, _clip(_flip(BASE, 3)))]), path,
+        append=True, ingest_id=0,
+    )
+    build_afp_index(
+        _hashes(spark, [(11, _clip(_flip(FAR, 7)))]), path,
+        append=True, ingest_id=1,
+    )
+    probe = _hashes(spark, [(100, _clip(BASE))])
+    before = {
+        (r["query_aud"], r["index_aud"]): r["hamming"]
+        for r in query_afp_index(spark, path, probe).collect()
+    }
+    n_rows = _index_frame(spark, path).count()
+    meta_mtime = _os.stat(f"{path}/_meta").st_mtime_ns
+
+    rep = compact_afp_index(spark, path)
+    assert rep["compacted"] and rep["n_ingest_layers"] == 3
+
+    idx = _index_frame(spark, path)
+    assert idx.select("ingest").distinct().count() == 1
+    assert idx.filter("ingest = -1").count() == n_rows
+    after = {
+        (r["query_aud"], r["index_aud"]): r["hamming"]
+        for r in query_afp_index(spark, path, probe).collect()
+    }
+    assert after == before and (100, 1) in after and (100, 10) in after
+    # width preserved (the compaction is NOT a widening rebuild), meta
+    # rewritten (new build) — and a second compact is a no-op
+    assert _os.stat(f"{path}/_meta").st_mtime_ns != meta_mtime
+    assert compact_afp_index(spark, path)["compacted"] is False

@@ -231,3 +231,49 @@ def test_dedup_image_apply_keeper_rule(spark):
         .select(F.col("node").alias("img_id")),
         "img_id", "left_anti").collect()}
     assert kept == {1, 9}
+
+
+def test_bmp_roundtrip_and_hash_identity():
+    """24-bit BMP: bottom-up and top-down encodings round-trip to the exact
+    pixel grid (including a padded-stride width), and a BMP of the same
+    pixels hashes identically to the PPM/PNG forms — the third real
+    in-process image format."""
+    import numpy as np
+
+    from temporalvault_spark.operators.multimodal import (
+        bmp_decode_rgb,
+        bmp_encode_rgb,
+    )
+
+    # padded stride: w=10 -> 30 bytes/row, padded to 32
+    arr = np.array(
+        [[(x * 20 % 256, y * 30 % 256, (x + y) % 256) for x in range(10)]
+         for y in range(6)],
+        dtype=np.uint8,
+    )
+    for td in (False, True):
+        out = bmp_decode_rgb(bmp_encode_rgb(arr, top_down=td))
+        assert out is not None and np.array_equal(out, arr), td
+
+    px = _half_split()
+    bmp = bmp_encode_rgb(_pixels_array(px))
+    assert ahash64(bmp) == ahash64(_ppm(px)) == "00001111" * 8
+
+
+def test_bmp_unsupported_tiers_raise():
+    import struct
+
+    import pytest as _pytest
+
+    from temporalvault_spark.operators.multimodal import (
+        bmp_decode_rgb,
+        bmp_encode_rgb,
+    )
+    import numpy as np
+
+    good = bmp_encode_rgb(np.zeros((8, 8, 3), np.uint8))
+    # flip bpp to 8 (palette) in the info header
+    bad = good[:28] + struct.pack("<H", 8) + good[30:]
+    with _pytest.raises(NotImplementedError, match="stdlib tier"):
+        bmp_decode_rgb(bad)
+    assert bmp_decode_rgb(b"not a bmp at all") is None
