@@ -182,17 +182,33 @@ def afp_spectral64(payload: bytes) -> str:
     )
 
 
-def afp_frame(audio: DataFrame, spectral: bool = False) -> DataFrame:
+def afp_frame(
+    audio: DataFrame, spectral: bool = False, errors: str = "raise"
+) -> DataFrame:
     """(aud_id, hash64) via the real decode+fingerprint kernel — Arrow-
-    batched per-row map, no shuffle (the hot ingest path at 100 TB)."""
+    batched per-row map, no shuffle (the hot ingest path at 100 TB).
+
+    ``errors``: ``"raise"`` (default) or ``"quarantine"`` — corrupt
+    payloads yield hash64=NULL instead of killing the batch (the
+    ahash_frame contract: callers route NULL rows to a quarantine sink)."""
+    if errors not in ("raise", "quarantine"):
+        raise ValueError(f"afp_frame: errors={errors!r}")
     kernel = afp_spectral64 if spectral else afp64
+
+    def one(p: bytes) -> str | None:
+        if errors == "raise":
+            return kernel(p)
+        try:
+            return kernel(p)
+        except (ValueError, NotImplementedError):
+            return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             yield pd.DataFrame(
                 {
                     "aud_id": b["aud_id"],
-                    "hash64": [kernel(bytes(p)) for p in b["audio"]],
+                    "hash64": [one(bytes(p)) for p in b["audio"]],
                 }
             )
 

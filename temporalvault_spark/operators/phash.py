@@ -145,16 +145,34 @@ def ahash64(payload: bytes) -> str:
     return "".join("1" if b >= mean else "0" for b in blocks.reshape(-1))
 
 
-def ahash_frame(images: DataFrame) -> DataFrame:
+def ahash_frame(images: DataFrame, errors: str = "raise") -> DataFrame:
     """(img_id, hash64) via the real decode+hash kernel — Arrow-batched
-    per-row map, no shuffle (the hot ingest path at 100 TB)."""
+    per-row map, no shuffle (the hot ingest path at 100 TB).
+
+    ``errors``: ``"raise"`` (default — a corrupt payload fails the task,
+    the right behavior for a curated corpus) or ``"quarantine"`` — corrupt
+    payloads yield hash64=NULL instead of killing the batch, so one broken
+    image in a million-row ingest batch cannot wedge the stream; callers
+    route ``hash64 IS NULL`` rows to a quarantine sink and the dedup path
+    filters them (a real-web-crawl ingest ALWAYS carries some truncated
+    files). Raises other than decode errors still propagate."""
+    if errors not in ("raise", "quarantine"):
+        raise ValueError(f"ahash_frame: errors={errors!r}")
+
+    def one(p: bytes) -> str | None:
+        if errors == "raise":
+            return ahash64(p)
+        try:
+            return ahash64(p)
+        except (ValueError, NotImplementedError):
+            return None  # corrupt/unsupported payload -> quarantine row
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             yield pd.DataFrame(
                 {
                     "img_id": b["img_id"],
-                    "hash64": [ahash64(bytes(p)) for p in b["image"]],
+                    "hash64": [one(bytes(p)) for p in b["image"]],
                 }
             )
 

@@ -139,3 +139,18 @@ def test_envelope_matches_oracle_arithmetic():
     m = sum(fvals) // AFP_FRAMES
     expect = "".join("1" if fv >= m else "0" for fv in fvals)
     assert afp64(_synth_wav(aud_id)) == expect
+
+
+def test_afp_frame_quarantine_mode(spark):
+    """errors='quarantine': corrupt audio yields hash64=NULL; valid rows
+    fingerprint normally (both kernels)."""
+    df = spark.createDataFrame(
+        [(1, _synth_wav(5)), (2, b"OggS definitely not wav")],
+        "aud_id bigint, audio binary",
+    )
+    for spectral in (False, True):
+        rows = {
+            r["aud_id"]: r["hash64"]
+            for r in afp_frame(df, spectral=spectral, errors="quarantine").collect()
+        }
+        assert rows[2] is None and rows[1] is not None and len(rows[1]) == 64

@@ -277,3 +277,22 @@ def test_bmp_unsupported_tiers_raise():
     with _pytest.raises(NotImplementedError, match="stdlib tier"):
         bmp_decode_rgb(bad)
     assert bmp_decode_rgb(b"not a bmp at all") is None
+
+
+def test_ahash_frame_quarantine_mode(spark):
+    """errors='quarantine': one corrupt payload in a batch yields
+    hash64=NULL instead of killing the task; valid rows hash normally;
+    the default mode still raises."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    df = spark.createDataFrame(
+        [(1, _ppm(_half_split())), (2, b"truncated garbage"), (3, _synth_ppm(0))],
+        "img_id bigint, image binary",
+    )
+    rows = {r["img_id"]: r["hash64"] for r in ahash_frame(df, errors="quarantine").collect()}
+    assert rows[2] is None
+    assert rows[1] == "00001111" * 8 and rows[3] == ahash64(_synth_ppm(0))
+    with pytest.raises(PythonException, match="not a binary PPM"):
+        ahash_frame(df).collect()  # default: corrupt payload fails the task
+    with pytest.raises(ValueError, match="errors="):
+        ahash_frame(df, errors="ignore")
