@@ -163,3 +163,41 @@ def test_gate_refuses_cold_build_when_markers_exist(spark, tmp_path):
     build_minhash_index(_docs_df(spark, [BASE, FAR]), idx)
     _crash_mid_swap(idx)
     assert _gate_index_ready(spark, idx, acc) is True
+
+
+def test_atomic_swap_retries_past_racing_adoption(tmp_path, monkeypatch):
+    """A reader adopting path.old between the swap's two renames must not
+    kill the rebuild: atomic_swap_rebuild re-parks the adopted directory
+    and retries, converging with the NEW index at path and no leftovers."""
+    import os as real_os
+
+    from temporalvault_spark.operators import index_common
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    with open(f"{path}/marker", "w") as f:
+        f.write("old")
+
+    def build_to(tmp):
+        os.makedirs(tmp)
+        with open(f"{tmp}/marker", "w") as f:
+            f.write("new")
+
+    real_rename = real_os.rename
+    raced = {"n": 0}
+
+    def racing_rename(src, dst):
+        # simulate a racing reader: just before the writer's FIRST attempt
+        # at (tmp_new -> path), adopt path.old back into path
+        if src == f"{path}.rebuild" and raced["n"] == 0:
+            raced["n"] = 1
+            real_rename(f"{path}.old", path)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(index_common.os, "rename", racing_rename)
+    index_common.atomic_swap_rebuild(path, build_to)
+
+    assert open(f"{path}/marker").read() == "new"
+    assert not os.path.exists(f"{path}.old")
+    assert not os.path.exists(f"{path}.rebuild")
+    assert raced["n"] == 1  # the race actually fired
