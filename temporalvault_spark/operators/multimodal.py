@@ -14,14 +14,19 @@ import has to happen where the kernel runs, not on the driver):
    a. stdlib/numpy fast path, always available: container-header parsing
       for PNG/GIF/BMP/JPEG/PPM dimensions (no decompression — exactly how
       a production metadata pass over 100 TB of images works: read the
-      header bytes, never inflate pixels) and the ``wave`` module for PCM
-      WAV (frames + sample rate); PPM pixel resize runs fully in numpy;
-   b. library fallback for everything else (PIL for compressed-image
-      PIXEL work, soundfile for non-WAV audio) — auto-upgrades wherever
+      header bytes, never inflate pixels), the ``wave`` module for PCM
+      WAV (frames + sample rate), and FULL PIXEL decode for the four
+      in-process image codecs — binary PPM (numpy reshape), PNG (zlib
+      inflate + unfilter), 24-bit BMP, and baseline huffman JPEG
+      (marker walk + entropy decode + vectorized IDCT) — all public-spec,
+      dependency-free, shared via decode_pixels_rgb;
+   b. library fallback for everything else (PIL for the compressed-image
+      features outside 3a: progressive JPEG, palettes, 16-bit;
+      soundfile for non-WAV audio) — auto-upgrades wherever
       the cluster image has them, else NotImplementedError with the
       install hint. Video decode (ffmpeg) has no in-process tier and
       stays stub-only. This sandbox has neither PIL nor soundfile, so CI
-      covers tiers 1–2, the REAL header/WAV/PPM paths of 3a, and the
+      covers tiers 1–2, the REAL header/WAV/pixel paths of 3a, and the
       NotImplementedError of 3b.
 
 Everything Spark-side — schemas, mapInPandas Arrow batching, UDF signatures,
@@ -408,6 +413,624 @@ def bmp_encode_rgb(arr: np.ndarray, top_down: bool = False) -> bytes:
     return file_hdr + info + body
 
 
+# --- baseline JPEG codec (stdlib+numpy, public spec ITU T.81 / JFIF) --------
+#
+# The last real-format seam of the image tier: baseline sequential
+# huffman-coded JPEG (SOF0/SOF1, 8-bit) decoded fully in-process — marker
+# walk, DQT/DHT parse, entropy decode with byte-stuffing and RSTn restarts,
+# dequantize, vectorized 8x8 IDCT (one einsum per component over ALL blocks),
+# chroma upsample, YCbCr->RGB. Progressive (SOF2), arithmetic, 12-bit and
+# hierarchical JPEG stay behind the honest NotImplementedError seam (they
+# need Pillow in the worker image). The entropy pass is per-bit Python —
+# exact and dependency-free; for bulk compressed ingest at production
+# resolutions the Pillow tier remains the throughput kernel where installed,
+# same contract as png_decode_rgb.
+
+# zigzag position -> natural (row-major) index, T.81 Figure A.6
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# T.81 Annex K reference tables (the ones virtually every baseline encoder
+# writes): quantization in NATURAL order here (zigzagged at emit time),
+# huffman as (BITS counts, HUFFVAL symbols).
+_JPEG_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.int32)
+_JPEG_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.int32)
+_HUFF_DC_LUMA = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_HUFF_AC_LUMA = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+_HUFF_AC_CHROMA = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+
+
+def _dct8_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix T (T.81 A.3.3): T[u, x] =
+    c(u)/2 * cos((2x+1) u pi / 16), c(0)=1/sqrt(2) else 1. T @ T.T = I,
+    so FDCT = T @ block @ T.T and IDCT = T.T @ coef @ T exactly."""
+    x = np.arange(8)
+    t = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    t[0] /= np.sqrt(2.0)
+    return t
+
+
+def _huff_decode_lut(counts, symbols) -> dict:
+    """Canonical huffman table (T.81 C.2): (code_length, code) -> symbol."""
+    lut, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lut[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _huff_encode_lut(counts, symbols) -> dict:
+    """Canonical huffman table, encoder view: symbol -> (code, length)."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _huff_decode_lut(counts, symbols).items()
+    }
+
+
+class _JpegBits:
+    """MSB-first bit reader over an entropy-coded segment: 0xFF00 byte
+    stuffing unstuffed inline, RSTn markers consumed via restart()
+    (T.81 B.1.1.5 / E.2.4). Raises on truncation or a stray marker."""
+
+    __slots__ = ("d", "p", "buf", "n")
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.p, self.buf, self.n = data, pos, 0, 0
+
+    def _next_byte(self) -> int:
+        d, p = self.d, self.p
+        if p >= len(d):
+            raise ValueError("jpeg: truncated entropy stream")
+        b = d[p]
+        self.p = p + 1
+        if b == 0xFF:
+            if self.p >= len(d):
+                raise ValueError("jpeg: truncated entropy stream")
+            if d[self.p] != 0x00:
+                raise ValueError(
+                    f"jpeg: marker 0x{d[self.p]:02x} inside entropy data"
+                )
+            self.p += 1
+        return b
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self.buf = self._next_byte()
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self, idx: int) -> None:
+        self.n = 0  # byte-align (discard pad bits)
+        d = self.d
+        if (
+            self.p + 2 > len(d)
+            or d[self.p] != 0xFF
+            or d[self.p + 1] != 0xD0 + (idx & 7)
+        ):
+            raise ValueError("jpeg: expected restart marker")
+        self.p += 2
+
+
+def _huff_read(bits: _JpegBits, lut: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.bit()
+        v = lut.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an n-bit magnitude to its signed value."""
+    return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
+
+
+def jpeg_decode_rgb(payload: bytes) -> np.ndarray | None:
+    """Full stdlib baseline-JPEG pixel decode (public spec ITU T.81 +
+    JFIF): marker walk -> DQT/DHT/SOF0/DRI parse -> per-MCU huffman
+    entropy decode (byte stuffing, restart markers) -> dequantize ->
+    vectorized 8x8 IDCT -> chroma upsample -> YCbCr->RGB -> (h, w, 3)
+    uint8. Returns None for non-JPEG payloads (format dispatch); raises
+    NotImplementedError for JPEG features outside the baseline tier
+    (progressive SOF2, arithmetic coding, 12-bit, non-integer sampling
+    ratios, CMYK) — the honest-seam contract. Grayscale replicates to
+    RGB. Feeds phash.ahash64 like the PNG/BMP/PPM paths, so real-world
+    compressed images dedup through the SAME integer hash."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    ri = 0
+    pos, n = 2, len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: corrupt marker stream")
+        # spec-legal 0xFF fill bytes may pad before any marker
+        while pos + 2 <= n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
+            break
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise ValueError("jpeg: truncated segment header")
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    tab = np.frombuffer(seg, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                else:
+                    tab = np.frombuffer(seg, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                qt[tq] = tab  # zigzag order, per spec
+        elif marker in (0xC0, 0xC1):  # baseline / extended-sequential huffman
+            if seg[0] != 8:
+                raise NotImplementedError(
+                    "jpeg_decode_rgb: 12-bit precision is outside the "
+                    "stdlib tier — needs Pillow in the worker image"
+                )
+            fh = int.from_bytes(seg[1:3], "big")
+            fw = int.from_bytes(seg[3:5], "big")
+            comps = []
+            for c in range(seg[5]):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            if len(comps) not in (1, 3):
+                raise NotImplementedError(
+                    f"jpeg_decode_rgb: {len(comps)}-component JPEG (CMYK?) "
+                    "is outside the stdlib tier — needs Pillow"
+                )
+            frame = (fw, fh, comps)
+        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise NotImplementedError(
+                f"jpeg_decode_rgb: SOF{marker - 0xC0} (progressive/"
+                "arithmetic/lossless/hierarchical) is outside the stdlib "
+                "tier (baseline huffman only) — needs Pillow in the worker "
+                "image"
+            )
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = tuple(seg[i + 1 : i + 17])
+                nsym = sum(counts)
+                syms = tuple(seg[i + 17 : i + 17 + nsym])
+                huff[(tc, th)] = _huff_decode_lut(counts, syms)
+                i += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            ri = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            scan = {}
+            for c in range(seg[0]):
+                cid, tt = seg[1 + 2 * c : 3 + 2 * c]
+                scan[cid] = (tt >> 4, tt & 15)
+            return _jpeg_scan_decode(
+                payload, pos + 2 + seg_len, frame, qt, huff, ri, scan
+            )
+        pos += 2 + seg_len
+    raise ValueError("jpeg: no SOS marker")
+
+
+def _jpeg_scan_decode(payload, pos, frame, qt, huff, ri, scan) -> np.ndarray:
+    """Entropy pass + reconstruction for a single baseline scan. The
+    per-bit huffman walk is Python (exact, dependency-free); everything
+    after the entropy pass is one vectorized einsum-IDCT per component
+    over all its blocks at once."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                f"jpeg_decode_rgb: non-integer sampling ratio "
+                f"{c['h']}x{c['v']} vs {hmax}x{vmax} is outside the "
+                "stdlib tier"
+            )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    zig = _JPEG_ZIGZAG
+    for c in comps:
+        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+        qtab = qt.get(c["tq"])
+        if qtab is None:
+            raise ValueError(f"jpeg: missing quant table {c['tq']}")
+        c["q"] = [int(v) for v in qtab]  # zigzag order
+        td, ta = scan[c["id"]]
+        c["dc"] = huff.get((0, td))
+        c["ac"] = huff.get((1, ta))
+        if c["dc"] is None or c["ac"] is None:
+            raise ValueError("jpeg: missing huffman table for scan")
+        c["pred"] = 0
+    bits = _JpegBits(payload, pos)
+    rst = 0
+    for m in range(mcux * mcuy):
+        if ri and m and m % ri == 0:
+            bits.restart(rst)
+            rst = (rst + 1) & 7
+            for c in comps:
+                c["pred"] = 0
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            dc_lut, ac_lut, q = c["dc"], c["ac"], c["q"]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
+                    t = _huff_read(bits, dc_lut)
+                    c["pred"] += _extend(bits.bits(t), t) if t else 0
+                    blk[0] = c["pred"] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_read(bits, ac_lut)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC coefficient overflow")
+                        blk[zig[k]] = _extend(bits.bits(s), s) * q[k]
+                        k += 1
+    t8 = _dct8_matrix()
+    planes = []
+    for c in comps:
+        by, bx = c["coef"].shape[:2]
+        # blocks were scattered into NATURAL positions during the entropy
+        # pass (blk[zig[k]]), so no reorder here
+        coefs = c["coef"].reshape(-1, 8, 8).astype(np.float64)
+        px = np.einsum("uy,nuv,vx->nyx", t8, coefs, t8)
+        px = np.clip(np.round(px) + 128, 0, 255)
+        plane = (
+            px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+        plane = np.repeat(plane, vmax // c["v"], axis=0)
+        plane = np.repeat(plane, hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.repeat(planes[0].astype(np.uint8)[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with JPEG byte stuffing (0xFF -> 0xFF 0x00)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.buf >> (self.n - 8)) & 0xFF
+            self.n -= 8
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.buf &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3)."""
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+    def raw_marker(self, m: int) -> None:
+        self.align()
+        self.out += bytes((0xFF, m))
+
+
+def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling (public libjpeg formula): 1..100 -> scaled
+    Annex K tables, entries clamped to 1..255 (8-bit DQT)."""
+    q = min(100, max(1, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_JPEG_Q_LUMA, _JPEG_Q_CHROMA):
+        t = (base.astype(np.int64) * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+def _jpeg_encode_block(bw, blk_zig, pred, dc_lut, ac_lut) -> int:
+    """Huffman-encode one quantized block (zigzag order); returns the new
+    DC predictor."""
+    dc = int(blk_zig[0])
+    diff = dc - pred
+    s = abs(diff).bit_length()
+    code, ln = dc_lut[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    last = 63
+    while last > 0 and blk_zig[last] == 0:
+        last -= 1
+    run = 0
+    for k in range(1, last + 1):
+        v = int(blk_zig[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_lut[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_lut[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_lut[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _pad_to_block(plane: np.ndarray, block: int) -> np.ndarray:
+    """Edge-replicate a 2-D plane so both dims are multiples of ``block``."""
+    h, w = plane.shape
+    ph = (-h) % block
+    pw = (-w) % block
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _plane_to_zigzag_blocks(plane: np.ndarray, qnat: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (level-shifted) -> (by, bx, 64) quantized
+    coefficients in ZIGZAG order, via one einsum FDCT over all blocks."""
+    t8 = _dct8_matrix()
+    hh, ww = plane.shape
+    blocks = (
+        plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    coefs = np.einsum("uy,nyx,xv->nuv", t8, blocks, t8.T).reshape(-1, 64)
+    qz = np.round(coefs / qnat[None, :]).astype(np.int32)
+    return qz[:, list(_JPEG_ZIGZAG)].reshape(hh // 8, ww // 8, 64)
+
+
+def jpeg_encode_rgb(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal stdlib baseline-JPEG encoder: (h, w, 3) uint8 RGB ->
+    SOF0 JFIF bytes with the Annex K quant (IJG quality-scaled) and
+    huffman tables, 4:4:4 by default or 4:2:0 with ``subsample=True``,
+    optional DRI/RSTn restarts. Exists so tests round-trip
+    jpeg_decode_rgb through every decoder path (subsampling, restarts,
+    padding crop) and so synthetic corpora can carry real compressed
+    payloads — the png_encode_rgb precedent."""
+    import struct
+
+    h, w, nch = arr.shape
+    if nch != 3 or arr.dtype != np.uint8:
+        raise ValueError("jpeg_encode_rgb expects (h, w, 3) uint8 RGB")
+    qy, qc = _jpeg_quality_tables(quality)
+    f = arr.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128.0
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128.0
+    if subsample:
+        # 4:2:0 — chroma is the 2x2 mean; pad odd dims first so the mean
+        # window never crosses the image edge
+        cbp = _pad_to_block(cb, 2)
+        crp = _pad_to_block(cr, 2)
+        cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+        cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+        sampling = ((2, 2), (1, 1), (1, 1))
+        y = _pad_to_block(y, 16)
+    else:
+        sampling = ((1, 1), (1, 1), (1, 1))
+        y = _pad_to_block(y, 8)
+    cb = _pad_to_block(cb, 8)
+    cr = _pad_to_block(cr, 8)
+    qnat_y = qy.astype(np.float64)
+    qnat_c = qc.astype(np.float64)
+    planes = [
+        _plane_to_zigzag_blocks(y - 128.0, qnat_y),
+        _plane_to_zigzag_blocks(cb - 128.0, qnat_c),
+        _plane_to_zigzag_blocks(cr - 128.0, qnat_c),
+    ]
+    dc_y = _huff_encode_lut(*_HUFF_DC_LUMA)
+    ac_y = _huff_encode_lut(*_HUFF_AC_LUMA)
+    dc_c = _huff_encode_lut(*_HUFF_DC_CHROMA)
+    ac_c = _huff_encode_lut(*_HUFF_AC_CHROMA)
+    tables = ((dc_y, ac_y), (dc_c, ac_c), (dc_c, ac_c))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    zig = list(_JPEG_ZIGZAG)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += seg(0xDB, bytes([0x00]) + bytes(int(qy[i]) for i in zig))
+    out += seg(0xDB, bytes([0x01]) + bytes(int(qc[i]) for i in zig))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (sh, sv) in zip((1, 2, 3), sampling):
+        sof += bytes((cid, (sh << 4) | sv, 0 if cid == 1 else 1))
+    out += seg(0xC0, sof)
+    for (tc, th), (counts, syms) in (
+        ((0, 0), _HUFF_DC_LUMA),
+        ((1, 0), _HUFF_AC_LUMA),
+        ((0, 1), _HUFF_DC_CHROMA),
+        ((1, 1), _HUFF_AC_CHROMA),
+    ):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3])
+    for cid in (1, 2, 3):
+        sos += bytes((cid, 0x00 if cid == 1 else 0x11))
+    sos += bytes((0, 63, 0))
+    out += seg(0xDA, sos)
+    bw = _JpegBitWriter()
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = planes[0].shape[1] // sampling[0][0]
+    mcuy = planes[0].shape[0] // sampling[0][1]
+    preds = [0, 0, 0]
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.raw_marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+            preds = [0, 0, 0]
+        my, mx = divmod(m, mcux)
+        for ci, (plane, (sh, sv), (dct, act)) in enumerate(
+            zip(planes, sampling, tables)
+        ):
+            for by in range(sv):
+                for bx in range(sh):
+                    blk = plane[my * sv + by, mx * sh + bx]
+                    preds[ci] = _jpeg_encode_block(bw, blk, preds[ci], dct, act)
+    bw.align()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_pixels_rgb(payload: bytes) -> np.ndarray | None:
+    """Shared pixel dispatch for the four in-process image codecs:
+    binary PPM (P6), PNG (zlib inflate + unfilter), 24-bit BMP, and
+    baseline JPEG -> (h, w, 3) uint8 RGB. Returns None when the magic
+    bytes match no supported container; per-codec feature gaps raise
+    NotImplementedError (the honest seam). This is THE pixel entrypoint
+    the phash tier and the feature extractor both use — one dispatch
+    definition, no copy drift."""
+    hdr = _ppm_header(payload)
+    if hdr is not None:
+        w, h, maxval, off = hdr
+        if maxval > 255:
+            raise NotImplementedError(
+                "decode_pixels_rgb: 16-bit PPM is outside the stdlib tier"
+            )
+        return np.frombuffer(payload, np.uint8, w * h * 3, off).reshape(h, w, 3)
+    for decode in (png_decode_rgb, bmp_decode_rgb, jpeg_decode_rgb):
+        arr = decode(payload)
+        if arr is not None:
+            return arr
+    return None
+
+
 def _real_decode(payload: bytes, kind: str) -> dict:
     """Tier-3 kernel: real decode. Stdlib sub-tier first (header-native
     image dims, wave-module WAV — always available), then the library
@@ -510,15 +1133,17 @@ def decode_media(df: DataFrame, fake: bool = False, kernel=None) -> DataFrame:
 
 
 def _ppm_histogram_feature(payload: bytes, dim: int) -> np.ndarray | None:
-    """REAL image feature for binary PPM: L2-normalized ``dim``-bin
-    luminance histogram over the raw RGB plane (Rec.601 weights) — the
-    classic color-statistics descriptor, fully numpy. None for non-PPM."""
-    hdr = _ppm_header(payload)
-    if hdr is None or hdr[2] > 255:
+    """REAL image feature: L2-normalized ``dim``-bin luminance histogram
+    over the decoded RGB plane (Rec.601 weights) — the classic
+    color-statistics descriptor, fully numpy. Rides the shared
+    decode_pixels_rgb dispatch, so every in-process pixel codec (binary
+    PPM, PNG, 24-bit BMP, baseline JPEG) featurizes through the same
+    kernel. None for payloads no codec claims (WAV falls through to the
+    audio kernel); per-codec feature gaps raise (honest seam)."""
+    arr = decode_pixels_rgb(payload)
+    if arr is None:
         return None
-    w, h, _maxval, off = hdr
-    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
-    rgb = px.reshape(-1, 3).astype(np.float64)
+    rgb = arr.reshape(-1, 3).astype(np.float64)
     luma = rgb @ np.array([0.299, 0.587, 0.114])
     hist, _ = np.histogram(luma, bins=dim, range=(0.0, 256.0))
     v = hist.astype(np.float64)
@@ -579,11 +1204,11 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFr
                         v = _wav_band_feature(b, dim)
                     if v is None:
                         raise NotImplementedError(
-                            "real feature extraction covers binary PPM "
-                            "(luminance histogram) and PCM WAV (FFT band "
-                            "energies) in-process; other containers need a "
-                            "decode library — pass fake=True or decode/"
-                            "resize to PPM first"
+                            "real feature extraction covers binary PPM/PNG/"
+                            "BMP/baseline-JPEG (luminance histogram) and "
+                            "PCM WAV (FFT band energies) in-process; other "
+                            "containers need a decode library — pass "
+                            "fake=True or decode/resize to PPM first"
                         )
                     feats.append(v)
                 yield pd.DataFrame(

@@ -47,11 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog
-from temporalvault_spark.operators.multimodal import (
-    _ppm_header,
-    bmp_decode_rgb,
-    png_decode_rgb,
-)
+from temporalvault_spark.operators.multimodal import decode_pixels_rgb
 from temporalvault_spark.registry import query
 
 IMG_SIDE = 16  # synthesized image edge (pixels)
@@ -107,21 +103,20 @@ def synth_ppm_images(docs: DataFrame) -> DataFrame:
 
 
 def _decode_pixels(payload: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB from a binary PPM (P6, raw bytes), a PNG
-    (stdlib zlib inflate + unfilter), or a 24-bit BMP (row un-pad +
-    BGR/bottom-up normalize) — the three real in-process pixel codecs
-    (multimodal.png_decode_rgb / bmp_decode_rgb). Raises on anything else
-    (the multimodal real-codec seam: JPEG still needs Pillow in the worker
-    image)."""
-    hdr = _ppm_header(payload)
-    if hdr is not None:
-        w, h, _maxval, off = hdr
-        return np.frombuffer(payload, np.uint8, w * h * 3, off).reshape(h, w, 3)
-    for decode in (png_decode_rgb, bmp_decode_rgb):
-        arr = decode(payload)
-        if arr is not None:
-            return arr
-    raise ValueError("ahash64: payload is not a binary PPM (P6), PNG, or BMP")
+    """(h, w, 3) uint8 RGB via the shared multimodal pixel dispatch —
+    binary PPM (P6), PNG (stdlib zlib inflate + unfilter), 24-bit BMP,
+    or baseline JPEG (stdlib huffman+IDCT). One dispatch definition
+    (multimodal.decode_pixels_rgb), so the phash tier and the feature
+    extractor can never drift. Raises on anything else (the multimodal
+    real-codec seam: progressive JPEG etc. still need Pillow in the
+    worker image)."""
+    arr = decode_pixels_rgb(payload)
+    if arr is None:
+        raise ValueError(
+            "ahash64: payload is not a binary PPM (P6), PNG, BMP, or "
+            "baseline JPEG"
+        )
+    return arr
 
 
 def ahash64(payload: bytes) -> str:

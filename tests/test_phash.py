@@ -45,8 +45,12 @@ def test_ahash64_one_pixel_flip_is_tiny_hamming():
 
 
 def test_ahash64_rejects_non_ppm_and_bad_dims():
-    with pytest.raises(ValueError, match="not a binary PPM"):
+    # JPEG magic bytes now dispatch to the real baseline decoder, which
+    # rejects the garbage marker stream on its own terms
+    with pytest.raises(ValueError, match="no SOS marker"):
         ahash64(b"\xff\xd8\xff\xe0 jpeg-ish garbage")
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        ahash64(b"no known image magic at all")
     with pytest.raises(ValueError, match="IHDR"):
         ahash64(b"\x89PNG\r\n\x1a\nxxxx")  # PNG signature, truncated body
     bad = b"P6\n15 16\n255\n" + bytes(15 * 16 * 3)
