@@ -105,6 +105,7 @@ HEADLINE = [
     "token_entropy",
     "sim_topk_cosine",
     "sim_ivf_ann",
+    "cluster_kmeans_lloyd",
     "doc_unigram_logprob",
     "corpus_pipeline_stats",
     "dq_expectations",

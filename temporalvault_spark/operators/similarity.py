@@ -1055,3 +1055,141 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select(
         "doc_id", "simhash", F.shiftright(F.col("simhash"), 44).alias("band")
     ).orderBy("doc_id")
+
+
+# --- oracled Lloyd's k-means: the iterative-ML tier over embeddings ----------
+#
+# train_centroids (above) is the pyspark.ml k-means|| path — seeded but not
+# cross-engine replayable. This is the replayable sibling: deterministic
+# first-k init, a FIXED number of full Lloyd rounds (assign -> element-wise
+# mean update, empty clusters keep their centroid), spherical assignment via
+# THE shared assign_to_centroids argmax (centroid-norm-scaled cosine, ties
+# toward the lower id) — so the oracle replays the entire iteration chain,
+# exactly like pagerank_trade_network replays its recurrence through chained
+# CTEs. The 100 TB shape per round: one broadcast-assign projection (the
+# vector side never shuffles) + one map-side-combining aggregate producing
+# k x dim cells; the ONLY driver materialization is the k x dim centroid
+# matrix (bounded by construction, like pagerank's byte-capped rank frame).
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_DIM = 64  # oracle-side scenario constant; the Spark path derives dim
+
+
+def kmeans_lloyd(
+    e: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    init: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-iteration distributed Lloyd's k-means over a (vec_id, e
+    array<double>, ...) frame. Returns (assignment frame with centroid_id,
+    final centroid frame). ``init`` defaults to the vectors with
+    vec_id < k (deterministic, oracle-replayable — the centroid_frame
+    convention)."""
+    spark = e.sparkSession
+    first = e.select(F.size("e").alias("d")).first()  # bounded: one row
+    if first is None:
+        empty = spark.createDataFrame([], "centroid_id bigint, ce array<double>")
+        return e.withColumn("centroid_id", F.lit(None).cast("bigint")), empty
+    dim = int(first["d"])
+    cents = init if init is not None else e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+    # centroids live as a local k x dim matrix between rounds (bounded);
+    # re-materialized as a tiny frame each round for the broadcast argmax
+    cent_local = {
+        int(r["centroid_id"]): [float(x) for x in r["ce"]]
+        for r in cents.collect()  # bounded: k rows
+    }
+    schema = "centroid_id bigint, ce array<double>"
+    for _ in range(iters):
+        cents_df = spark.createDataFrame(sorted(cent_local.items()), schema)
+        assigned = assign_to_centroids(e, cents_df)
+        means = assigned.groupBy("centroid_id").agg(
+            *[F.avg(F.col("e")[i]).alias(f"m{i}") for i in range(dim)]
+        )
+        for r in means.collect():  # bounded: <= k rows of dim doubles
+            cent_local[int(r["centroid_id"])] = [
+                float(r[f"m{i}"]) for i in range(dim)
+            ]
+    cents_df = spark.createDataFrame(sorted(cent_local.items()), schema)
+    return assign_to_centroids(e, cents_df), cents_df
+
+
+def _duck_kmeans_assign(cent_cte: str, out: str) -> str:
+    """One assignment CTE: centroid-norm-scaled cosine argmax against
+    ``cent_cte``, ties toward the lower cid — the DuckDB twin of
+    assign_to_centroids, the same idiom sim_ivf_ann's oracle replays."""
+    return f"""{out} AS (
+        SELECT vec_id, label, e, cid FROM (
+            SELECT a.vec_id, a.label, a.e, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY list_dot_product(a.e, c.ce)
+                                               / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                                               c.cid) AS rn
+            FROM e a CROSS JOIN {cent_cte} c) x
+        WHERE rn = 1)"""
+
+
+def _duck_kmeans_update(assign_cte: str, prev: str, out: str) -> str:
+    """One Lloyd update as CTEs: element-wise mean per cluster (position
+    explode via range + 1-based list index), empty clusters keep the
+    previous centroid via the LEFT JOIN + COALESCE."""
+    return f"""m_{out} AS (
+        SELECT cid, t.i AS pos, AVG(e[t.i + 1]) AS v
+        FROM {assign_cte} CROSS JOIN range({KMEANS_DIM}) t(i)
+        GROUP BY cid, t.i),
+    u_{out} AS (SELECT cid, list(v ORDER BY pos) AS ce FROM m_{out} GROUP BY cid),
+    {out} AS (
+        SELECT p.cid, COALESCE(u.ce, p.ce) AS ce
+        FROM {prev} p LEFT JOIN u_{out} u USING (cid))"""
+
+
+@query(
+    "cluster_kmeans_lloyd",
+    f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
+    c0 AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < {KMEANS_K}),
+    {_duck_kmeans_assign('c0', 'a0')},
+    {_duck_kmeans_update('a0', 'c0', 'c1')},
+    {_duck_kmeans_assign('c1', 'a1')},
+    {_duck_kmeans_update('a1', 'c1', 'c2')},
+    {_duck_kmeans_assign('c2', 'a2')}
+    SELECT a.cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(a.label), 6) AS avg_label,
+           ROUND(MIN(sqrt(list_dot_product(c.ce, c.ce))), 6) AS centroid_norm
+    FROM a2 a JOIN c2 c USING (cid)
+    GROUP BY a.cid""",
+)
+def q_cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means, fully value-oracled: {KMEANS_ITERS}
+    complete rounds (assign -> mean update) from the deterministic first-k
+    init, then a final assignment summarized per cluster (size, mean label,
+    final centroid norm). The DuckDB twin replays EVERY round through
+    chained CTEs — both the argmax decisions and the float mean updates are
+    value-visible, making this the iterative-ML analog of the pagerank
+    oracle. Topic-style clustering is the data-mixing workhorse of a
+    training-data pipeline (cluster-balanced sampling, SemDeDup's first
+    stage, IVF training)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    assigned, cents = kmeans_lloyd(e)
+    norms = cents.select(
+        "centroid_id", F.round(_norm(F.col("ce")), 6).alias("centroid_norm")
+    )
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("label"), 6).alias("avg_label"),
+        )
+        .join(F.broadcast(norms), "centroid_id")
+        .select(
+            F.col("centroid_id").alias("cluster_id"),
+            "n_vecs",
+            "avg_label",
+            "centroid_norm",
+        )
+    )

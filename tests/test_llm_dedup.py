@@ -626,3 +626,57 @@ def test_assign_auto_switches_on_centroid_count(spark):
     got_big = {(r["vec_id"], r["centroid_id"]) for r in assign_to_centroids_auto(e, big).collect()}
     want_big = {(r["vec_id"], r["centroid_id"]) for r in assign_to_centroids_2level(e, big).collect()}
     assert got_big == want_big
+
+
+def test_kmeans_lloyd_separated_blobs_converge(spark):
+    """Two well-separated direction blobs, k=2, init = one vector from each
+    blob (vec_id 0 and 1): after two Lloyd rounds every vector is assigned
+    to its own blob and each centroid is the element-wise mean of its
+    blob's vectors."""
+    import numpy as np
+
+    from temporalvault_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.RandomState(3)
+    blob_a = [[10.0 + float(rng.uniform(-1, 1)), float(rng.uniform(-0.5, 0.5))] for _ in range(6)]
+    blob_b = [[float(rng.uniform(-0.5, 0.5)), 10.0 + float(rng.uniform(-1, 1))] for _ in range(5)]
+    # vec_id 0 lands in blob A, vec_id 1 in blob B (the first-k init picks
+    # one seed per blob); the rest alternate arbitrarily
+    vecs = [(0, blob_a[0]), (1, blob_b[0])] + [
+        (i + 2, v) for i, v in enumerate(blob_a[1:] + blob_b[1:])
+    ]
+    e = spark.createDataFrame(
+        [(vid, v, 0) for vid, v in vecs], "vec_id bigint, e array<double>, label int"
+    )
+    assigned, cents = kmeans_lloyd(e, k=2, iters=2)
+    got = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    a_ids = {0} | {i + 2 for i in range(len(blob_a) - 1)}
+    assert {vid for vid, c in got.items() if c == 0} == a_ids
+    assert {vid for vid, c in got.items() if c == 1} == set(got) - a_ids
+    want_a = np.mean(blob_a, axis=0)
+    want_b = np.mean(blob_b, axis=0)
+    cent = {r["centroid_id"]: np.array(r["ce"]) for r in cents.collect()}
+    assert np.allclose(cent[0], want_a, atol=1e-9)
+    assert np.allclose(cent[1], want_b, atol=1e-9)
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
+    """A centroid that wins no vectors survives the update unchanged (the
+    COALESCE branch of the oracle) — and the final assignment simply never
+    emits its id."""
+    import numpy as np
+
+    from temporalvault_spark.operators.similarity import kmeans_lloyd
+
+    e = spark.createDataFrame(
+        [(i, [1.0, 0.001 * i], 0) for i in range(5)],
+        "vec_id bigint, e array<double>, label int",
+    )
+    init = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id bigint, ce array<double>"
+    )
+    assigned, cents = kmeans_lloyd(e, k=2, iters=2, init=init)
+    assert {r["centroid_id"] for r in assigned.collect()} == {0}
+    cent = {r["centroid_id"]: r["ce"] for r in cents.collect()}
+    assert cent[1] == [0.0, 1.0]  # untouched across both rounds
+    assert np.allclose(cent[0], np.mean([[1.0, 0.001 * i] for i in range(5)], axis=0))
