@@ -106,6 +106,7 @@ HEADLINE = [
     "sim_topk_cosine",
     "sim_ivf_ann",
     "cluster_kmeans_lloyd",
+    "embed_pca_power",
     "doc_unigram_logprob",
     "corpus_pipeline_stats",
     "dq_expectations",

@@ -1193,3 +1193,110 @@ def q_cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_norm",
         )
     )
+
+
+# --- oracled power-iteration PCA (top principal direction) -------------------
+#
+# The second iterative-ML oracle (kmeans above, pagerank in graph.py):
+# matrix-free power iteration on the CENTERED covariance — never forms the
+# dim x dim matrix, never ships vectors to the driver. Each round is two
+# distributed passes: s_i = (x_i - m) . v (a codegen'd projection) and
+# w_j = sum_i s_i (x_ij - m_j) (one map-side-combining aggregate of dim
+# cells); the driver holds only dim-sized vectors (m, v, w — bounded by
+# construction). That is exactly how a 100 TB corpus computes its top
+# principal component. Output is sign-free (squared loadings) so the
+# eigenvector's arbitrary sign can never flip a float comparison.
+
+PCA_ITERS = 2
+
+
+def pca_power_top(e: DataFrame, iters: int = PCA_ITERS) -> tuple[list, float, int]:
+    """Top principal direction of a (vec_id, e array<double>) frame by
+    ``iters`` power-iteration rounds from the deterministic all-ones/sqrt(d)
+    init. Returns (unit eigenvector, eigenvalue estimate ||C v||, N).
+    Centered arithmetic mirrors the oracle term-for-term: s uses
+    (e_j - m_j) * v_j products, w uses s * (e_j - m_j)."""
+    import math
+
+    first = e.select(F.size("e").alias("d")).first()  # bounded: one row
+    if first is None:
+        return [], 0.0, 0
+    dim = int(first["d"])
+    mean_row = e.agg(
+        *[F.avg(F.col("e")[j]).alias(f"m{j}") for j in range(dim)],
+        F.count("*").alias("n"),
+    ).first()
+    m = [float(mean_row[f"m{j}"]) for j in range(dim)]
+    n = int(mean_row["n"])
+    v = [1.0 / math.sqrt(dim)] * dim
+    lam = 0.0
+    for _ in range(iters):
+        s = sum(
+            (F.col("e")[j] - F.lit(m[j])) * F.lit(v[j]) for j in range(dim)
+        )
+        agg = e.withColumn("s", s).agg(
+            *[
+                F.sum(F.col("s") * (F.col("e")[j] - F.lit(m[j]))).alias(f"w{j}")
+                for j in range(dim)
+            ]
+        ).first()  # bounded: one row of dim doubles
+        w = [float(agg[f"w{j}"]) for j in range(dim)]
+        lam = math.sqrt(sum(x * x for x in w))
+        v = [x / lam for x in w]
+    return v, lam, n
+
+
+def _duck_pca_round(v_cte: str, idx: int) -> str:
+    """One power-iteration round as CTEs: projection s per vector, then the
+    per-dim weighted sum w, its norm, and the normalized next vector."""
+    return f"""s{idx} AS (
+        SELECT vec_id, SUM(c * v) AS s
+        FROM xc JOIN {v_cte} USING (pos) GROUP BY vec_id),
+    w{idx} AS (
+        SELECT pos, SUM(c * s) AS w
+        FROM xc JOIN s{idx} USING (vec_id) GROUP BY pos),
+    n{idx} AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w{idx}),
+    v{idx + 1} AS (SELECT pos, w / nrm AS v FROM w{idx} CROSS JOIN n{idx})"""
+
+
+@query(
+    "embed_pca_power",
+    f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
+    m AS (SELECT t.i AS pos, AVG(e[t.i + 1]) AS mu
+          FROM e CROSS JOIN range({KMEANS_DIM}) t(i) GROUP BY t.i),
+    xc AS (SELECT vec_id, t.i AS pos, e[t.i + 1] - mu AS c
+           FROM e CROSS JOIN range({KMEANS_DIM}) t(i)
+           JOIN m ON m.pos = t.i),
+    v0 AS (SELECT i AS pos, 1.0 / sqrt({KMEANS_DIM}) AS v FROM range({KMEANS_DIM}) t(i)),
+    {_duck_pca_round('v0', 0)},
+    {_duck_pca_round('v1', 1)},
+    cnt AS (SELECT COUNT(*) AS n FROM e)
+    SELECT pos AS dim_id,
+           ROUND(v * v, 6) AS loading_sq,
+           ROUND((SELECT nrm FROM n1) / ((SELECT n FROM cnt) - 1), 6) AS var_explained
+    FROM v2""",
+)
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by {PCA_ITERS}
+    power-iteration rounds, value-oracled end-to-end: the DuckDB twin
+    replays the centering, every projection, every weighted sum, and both
+    normalizations through chained CTEs. Output: per-dimension SQUARED
+    loading (sign-free by design — an eigenvector's sign is arbitrary) and
+    the eigenvalue-over-(N-1) variance estimate. PCA whitening /
+    dominant-direction analysis is a standard embedding-pipeline pass
+    (outlier screens, dimension diagnostics, whitening before cosine)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    v, lam, n = pca_power_top(e)
+    rows = [
+        (j, v[j] * v[j], lam / (n - 1)) for j in range(len(v))
+    ]
+    out = spark.createDataFrame(
+        rows, "dim_id bigint, loading_sq double, var_explained double"
+    )
+    return out.select(
+        "dim_id",
+        F.round("loading_sq", 6).alias("loading_sq"),
+        F.round("var_explained", 6).alias("var_explained"),
+    )

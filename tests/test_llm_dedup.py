@@ -680,3 +680,34 @@ def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
     cent = {r["centroid_id"]: r["ce"] for r in cents.collect()}
     assert cent[1] == [0.0, 1.0]  # untouched across both rounds
     assert np.allclose(cent[0], np.mean([[1.0, 0.001 * i] for i in range(5)], axis=0))
+
+
+def test_pca_power_top_matches_numpy_replay(spark):
+    """pca_power_top == the same two power-iteration rounds done with plain
+    numpy matrix ops (an independent implementation), and on data with one
+    dominant direction the squared loadings concentrate on that axis."""
+    import numpy as np
+
+    from temporalvault_spark.operators.similarity import pca_power_top
+
+    rng = np.random.RandomState(11)
+    n, d = 40, 6
+    base = rng.normal(0, 0.05, (n, d))
+    base[:, 2] += np.linspace(-3, 3, n)  # dominant variance along axis 2
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id bigint, e array<double>",
+    )
+    v, lam, n_got = pca_power_top(e, iters=2)
+    assert n_got == n
+    # independent replay: centered X, v0 = ones/sqrt(d), two rounds of
+    # w = X^T (X v); lam = ||w||
+    xc = base - base.mean(axis=0)
+    v_np = np.ones(d) / np.sqrt(d)
+    for _ in range(2):
+        w = xc.T @ (xc @ v_np)
+        lam_np = float(np.linalg.norm(w))
+        v_np = w / lam_np
+    assert np.allclose(v, v_np, atol=1e-9)
+    assert abs(lam - lam_np) < 1e-9
+    assert v[2] ** 2 > 0.99  # the dominant axis carries ~all the loading
