@@ -107,6 +107,9 @@ HEADLINE = [
     "sim_ivf_ann",
     "cluster_kmeans_lloyd",
     "embed_pca_power",
+    "video_fp_stage",
+    "dedup_video_fp",
+    "dedup_video_apply",
     "doc_unigram_logprob",
     "corpus_pipeline_stats",
     "dq_expectations",

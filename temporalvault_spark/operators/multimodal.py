@@ -1008,6 +1008,284 @@ def jpeg_encode_rgb(
     return bytes(out)
 
 
+# --- GIF codec (stdlib, public spec GIF87a/89a) ------------------------------
+#
+# Full multi-frame pixel decode for the one ANIMATED container that is
+# decodable with zero dependencies: logical-screen/palette parse, per-frame
+# variable-width LZW decompression, sub-rectangle composition with disposal
+# methods 0/1 (leave) and 2 (restore background). Interlace, transparency,
+# and disposal 3 (restore previous) stay behind the honest
+# NotImplementedError seam toward Pillow — same contract as every codec
+# here. The encoder exists for round-trip tests and synthetic corpora
+# (the jpeg_encode_rgb precedent). This is the real-decode backbone of the
+# VIDEO near-dup tier (operators/videohash.py): a GIF is the
+# frame-sequence container, each composed frame feeds the shared integer
+# aHash.
+
+
+def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
+    """GIF variable-width LZW (T.81's cousin, public spec GIF89a App. F):
+    emits CLEAR, codes the index stream against a growing dictionary
+    (width grows when the just-assigned code value reaches 2^width, max
+    12 bits), resets with CLEAR near the 4096-entry ceiling, ends with
+    EOI. LSB-first bit packing. Returns the raw code stream (sub-block
+    framing is the container's job)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, bits = fresh()
+    emit(clear, bits)
+    w = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], bits)
+        table[wk] = next_code
+        next_code += 1
+        # grow AFTER assigning: the decoder's mirrored count hits 2^bits
+        # one step later (it learns each entry one code behind), so this
+        # +1 form keeps both sides reading/writing identical widths
+        if next_code == (1 << bits) + 1 and bits < 12:
+            bits += 1
+        if next_code >= 4096 - 2:  # spec-legal early reset, wide margin
+            emit(clear, bits)
+            table, next_code, bits = fresh()
+        w = (k,)
+    if w:
+        emit(table[w], bits)
+    emit(eoi, bits)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, npix: int) -> list[int]:
+    """GIF LZW decompression: variable width (grows when the dictionary's
+    next free slot reaches 2^width, max 12), CLEAR resets, EOI or pixel
+    count ends. Handles the KwKwK case (code == next free slot)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = min_code_size + 1
+    table = {i: (i,) for i in range(clear)}
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: tuple | None = None
+    acc = 0
+    nacc = 0
+    pos = 0
+    n = len(data)
+    while len(out) < npix:
+        while nacc < bits:
+            if pos >= n:
+                raise ValueError("gif: truncated LZW stream")
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << bits) - 1)
+        acc >>= bits
+        nacc -= bits
+        if code == clear:
+            bits = min_code_size + 1
+            table = {i: (i,) for i in range(clear)}
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("gif: first LZW code not a literal")
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError("gif: LZW code out of range")
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << bits) and bits < 12:
+                    bits += 1
+        out.extend(entry)
+        prev = entry
+    return out[:npix]
+
+
+def gif_encode_frames(
+    frames: list, delay_cs: int = 4, loop: bool = True
+) -> bytes:
+    """Minimal stdlib GIF89a encoder: a list of same-shape (h, w, 3) uint8
+    RGB frames -> animated GIF with one GLOBAL color table built from the
+    union of frame colors (<= 256 distinct, else ValueError — quantization
+    is a model problem, not a container problem), full-frame images,
+    disposal 'leave in place'. Exists so tests round-trip
+    gif_decode_frames and so the video tier can synthesize real compressed
+    payloads."""
+    import struct
+
+    if not frames:
+        raise ValueError("gif_encode_frames: no frames")
+    h, w, nch = frames[0].shape
+    for f in frames:
+        if f.shape != (h, w, 3) or f.dtype != np.uint8:
+            raise ValueError("gif_encode_frames: frames must share (h, w, 3) uint8")
+    colors = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames], axis=0), axis=0
+    )
+    if len(colors) > 256:
+        raise ValueError(
+            f"gif_encode_frames: {len(colors)} distinct colors > 256 — "
+            "quantize first"
+        )
+    # palette size = power of two >= n (GIF mandates 2^(k+1) entries)
+    pbits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    pal = np.zeros((1 << pbits, 3), np.uint8)
+    pal[: len(colors)] = colors
+    lut = {tuple(c): i for i, c in enumerate(colors.tolist())}
+    mcs = max(2, pbits)  # LZW minimum code size (spec floor of 2)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes((0x80 | ((pbits - 1) << 4) | (pbits - 1), 0, 0))  # GCT flag
+    out += pal.tobytes()
+    if loop and len(frames) > 1:  # Netscape looping extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in frames:
+        out += b"\x21\xf9\x04"  # GCE: disposal=1 (leave), no transparency
+        out += bytes((0x04,)) + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        idx = [lut[tuple(px)] for px in f.reshape(-1, 3).tolist()]
+        out.append(mcs)
+        stream = _lzw_encode_gif(idx, mcs)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def gif_decode_frames(payload: bytes) -> list | None:
+    """Full stdlib GIF pixel decode: every frame composed onto the logical
+    screen -> list of (h, w, 3) uint8 RGB canvases. Returns None for
+    non-GIF payloads; raises NotImplementedError for GIF features outside
+    this tier (interlace, transparency, disposal 'restore previous') —
+    the honest-seam contract. Sub-rectangle frames and local color tables
+    are handled; disposal 2 restores the background color."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), np.uint8)
+    if gct is not None and bg_index < len(gct):
+        canvas[:, :] = gct[bg_index]
+    frames: list = []
+    disposal = 0
+    try:
+        return _gif_walk_blocks(payload, pos, canvas, gct, bg_index, frames, disposal)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"gif: truncated block stream ({e})") from e
+
+
+def _gif_walk_blocks(payload, pos, canvas, gct, bg_index, frames, disposal):
+    """Block walk of gif_decode_frames, split out so truncation anywhere
+    inside surfaces as one clean ValueError (the codec-contract error
+    quarantine tiers catch) instead of a raw IndexError."""
+    import struct
+
+    h, w = canvas.shape[:2]
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                blk = payload[pos + 1 : pos + 1 + payload[pos]]
+                disposal = (blk[0] >> 2) & 0x07
+                if blk[0] & 0x01:
+                    raise NotImplementedError(
+                        "gif_decode_frames: transparency is outside the "
+                        "stdlib tier — needs Pillow in the worker image"
+                    )
+                if disposal == 3:
+                    raise NotImplementedError(
+                        "gif_decode_frames: disposal 'restore previous' is "
+                        "outside the stdlib tier"
+                    )
+            while payload[pos]:  # skip/consume sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b:02x}")
+        left, top, fw, fh = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+        iflags = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if iflags & 0x40:
+            raise NotImplementedError(
+                "gif_decode_frames: interlaced GIF is outside the stdlib "
+                "tier — needs Pillow in the worker image"
+            )
+        if pal is None:
+            raise ValueError("gif: image with neither global nor local palette")
+        mcs = payload[pos]
+        pos += 1
+        stream = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            stream += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.array(
+            _lzw_decode_gif(bytes(stream), mcs, fw * fh), np.int64
+        ).reshape(fh, fw)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("gif: pixel index beyond palette")
+        canvas[top : top + fh, left : left + fw] = pal[idx]
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore background color
+            bg = pal[bg_index] if bg_index < len(pal) else np.zeros(3, np.uint8)
+            canvas[top : top + fh, left : left + fw] = bg
+        disposal = 0
+    return frames
+
+
 def decode_pixels_rgb(payload: bytes) -> np.ndarray | None:
     """Shared pixel dispatch for the four in-process image codecs:
     binary PPM (P6), PNG (zlib inflate + unfilter), 24-bit BMP, and

@@ -129,7 +129,14 @@ def ahash64(payload: bytes) -> str:
     tests/test_phash.py), so mixed-format corpora dedup against each
     other. Raises on other formats or dims not divisible by the grid (the
     multimodal real-codec seam)."""
-    arr = _decode_pixels(payload)
+    return ahash64_from_array(_decode_pixels(payload))
+
+
+def ahash64_from_array(arr: np.ndarray) -> str:
+    """The aHash grid math on an already-decoded (h, w, 3) uint8 array —
+    THE one definition (ahash64 above and the video tier's per-frame
+    hashing both call it, so the integer arithmetic the oracles replay
+    can never drift between modalities)."""
     h, w = arr.shape[:2]
     if w % HASH_GRID or h % HASH_GRID:
         raise ValueError(f"ahash64: dims {w}x{h} not divisible by {HASH_GRID}")
@@ -174,15 +181,18 @@ def ahash_frame(images: DataFrame, errors: str = "raise") -> DataFrame:
     return images.mapInPandas(run, "img_id bigint, hash64 string")
 
 
-def band_explode(hashes: DataFrame, id_col: str = "img_id") -> DataFrame:
-    """(id, hash64, band, bv): the 4 x 16-bit Hamming band slices of
-    each hash — ONE definition shared by the in-memory pair join, the
-    persisted index (phash_index), and the audio fingerprint tier
-    (audio_fp — same 64-bit banding over a different kernel), whose
-    correctness depends on bit-identical banding (the gates mix both
-    paths on the same batch)."""
+def band_explode(
+    hashes: DataFrame, id_col: str = "img_id", extra: tuple = ()
+) -> DataFrame:
+    """(id, *extra, hash64, band, bv): the 4 x 16-bit Hamming band slices
+    of each hash — ONE definition shared by the in-memory pair join, the
+    persisted index (phash_index), the audio fingerprint tier (audio_fp),
+    and the video tier (videohash — ``extra`` carries frame_idx through),
+    whose correctness depends on bit-identical banding (the gates mix
+    both paths on the same batch)."""
     return hashes.select(
         id_col,
+        *extra,
         "hash64",
         F.explode(
             F.expr(
@@ -190,7 +200,13 @@ def band_explode(hashes: DataFrame, id_col: str = "img_id") -> DataFrame:
                 f"b AS band, substring(hash64, b * {BAND_BITS} + 1, {BAND_BITS}) AS bv))"
             )
         ).alias("s"),
-    ).select(id_col, "hash64", F.col("s.band").alias("band"), F.col("s.bv").alias("bv"))
+    ).select(
+        id_col,
+        *extra,
+        "hash64",
+        F.col("s.band").alias("band"),
+        F.col("s.bv").alias("bv"),
+    )
 
 
 def hamming_expr(a: str, b: str):

@@ -1,0 +1,229 @@
+"""GIF codec (stdlib, public GIF87a/89a spec) + the video near-dup tier.
+
+The same two evidence layers as the JPEG suite: SPEC PINS hand-assemble
+GIF bytes (and one hand-traced LZW stream derived independently from the
+spec's width rules) so an encoder bug can't certify a matching decoder
+bug, then ROUND TRIPS cover palettes, multi-frame, sub-rectangle
+composition, and disposal; the video tier gets crafted-corpus units for
+the per-frame kernel, the quarantine contract, and the position-matched
+voting rule.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from temporalvault_spark.operators.multimodal import (
+    _lzw_decode_gif,
+    _lzw_encode_gif,
+    gif_decode_frames,
+    gif_encode_frames,
+)
+from temporalvault_spark.operators.videohash import (
+    VID_FRAMES,
+    VID_MATCH_MIN,
+    VID_SIDE,
+    vfp64_frames,
+    vfp_frame,
+    video_fp_pairs,
+)
+
+# hand-traced from the GIF89a LZW width rules (mcs=2, indices = [0]*16):
+# codes CLEAR,0,6,7,8,9,0,EOI at widths 3,3,3,3,4,4,4,4, LSB-first packed
+_HAND_LZW = bytes.fromhex("848f0905")
+
+
+def test_lzw_hand_traced_spec_pin():
+    assert _lzw_encode_gif([0] * 16, 2) == _HAND_LZW
+    assert _lzw_decode_gif(_HAND_LZW, 2, 16) == [0] * 16
+
+
+def test_lzw_roundtrips_cross_width_growth_and_reset():
+    rng = np.random.RandomState(0)
+    for mcs, nsym, ln in (
+        (2, 4, 50),
+        (2, 4, 5000),  # crosses several width growths + the early clear
+        (8, 256, 300),
+        (8, 256, 20000),
+        (4, 16, 8000),
+    ):
+        idx = rng.randint(0, nsym, ln).tolist()
+        assert _lzw_decode_gif(_lzw_encode_gif(idx, mcs), mcs, ln) == idx
+
+
+def _gct(colors):
+    """Pad a color list to a power-of-two GIF color table blob."""
+    n = 2
+    while n < len(colors):
+        n <<= 1
+    pal = list(colors) + [(0, 0, 0)] * (n - len(colors))
+    return n, b"".join(bytes(c) for c in pal)
+
+
+def _hand_gif(frames_meta, w, h, colors, bg=0):
+    """Assemble a GIF89a byte-by-byte from the spec: frames_meta is a list
+    of (left, top, fw, fh, mcs, lzw_bytes, disposal)."""
+    n, gct = _gct(colors)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes((0x80 | (n.bit_length() - 2), bg, 0))
+    out += gct
+    for left, top, fw, fh, mcs, lzw, disp in frames_meta:
+        out += b"\x21\xf9\x04" + bytes(((disp << 2),)) + b"\x00\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh) + b"\x00"
+        out.append(mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_gif_hand_assembled_spec_pin():
+    """A 4x4 single-frame GIF built entirely by hand (container AND the
+    hand-traced LZW stream) decodes to a constant frame of palette[1]."""
+    # indices all 0 -> the hand-traced stream; palette[0] = (10, 20, 30)
+    gif = _hand_gif(
+        [(0, 0, 4, 4, 2, _HAND_LZW, 0)], 4, 4,
+        [(10, 20, 30), (1, 2, 3), (4, 5, 6), (7, 8, 9)],
+    )
+    frames = gif_decode_frames(gif)
+    assert len(frames) == 1
+    assert frames[0].shape == (4, 4, 3)
+    assert (frames[0] == np.array([10, 20, 30], np.uint8)).all()
+
+
+def test_gif_subrect_composition_and_disposal_background():
+    """Frame 2 is a 2x2 patch at (1,1) composed onto frame 1's canvas;
+    with disposal 2 on frame 2, a third frame sees the patch area restored
+    to the background color."""
+    full = _lzw_encode_gif([0] * 16, 2)
+    patch = _lzw_encode_gif([1] * 4, 2)
+    colors = [(100, 100, 100), (200, 0, 0), (0, 0, 0), (0, 0, 0)]
+    gif = _hand_gif(
+        [
+            (0, 0, 4, 4, 2, full, 0),
+            (1, 1, 2, 2, 2, patch, 2),  # disposal 2: restore background
+            (0, 0, 4, 4, 2, full, 0),
+        ],
+        4, 4, colors, bg=0,
+    )
+    f1, f2, f3 = gif_decode_frames(gif)
+    assert (f1 == 100).all()
+    want2 = np.full((4, 4, 3), 100, np.uint8)
+    want2[1:3, 1:3] = (200, 0, 0)
+    assert (f2 == want2).all()
+    assert (f3 == 100).all()  # full overwrite after background restore
+
+
+def test_gif_roundtrip_multiframe_random_palette():
+    rng = np.random.RandomState(3)
+    frames = [
+        (rng.randint(0, 7, (13, 9, 1)).repeat(3, axis=2) * 36).astype(np.uint8)
+        for _ in range(4)
+    ]
+    dec = gif_decode_frames(gif_encode_frames(frames))
+    assert len(dec) == 4
+    for a, b in zip(frames, dec):
+        assert (a == b).all()
+
+
+def test_gif_roundtrip_gray_256_palette():
+    rng = np.random.RandomState(5)
+    g = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    fr = np.stack([g, g, g], axis=2)
+    dec = gif_decode_frames(gif_encode_frames([fr]))
+    assert (dec[0] == fr).all()
+
+
+def test_gif_honest_seams_and_dispatch():
+    assert gif_decode_frames(b"not a gif") is None
+    base = gif_encode_frames(
+        [np.zeros((4, 4, 3), np.uint8)], loop=False
+    )
+    # flip the image descriptor's interlace flag
+    b = bytearray(base)
+    i = bytes(b).index(b"\x2c")
+    b[i + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        gif_decode_frames(bytes(b))
+    # flip the GCE transparency flag
+    b = bytearray(base)
+    i = bytes(b).index(b"\x21\xf9")
+    b[i + 3] |= 0x01
+    with pytest.raises(NotImplementedError, match="transparency"):
+        gif_decode_frames(bytes(b))
+    # disposal 3 (restore previous)
+    b = bytearray(base)
+    b[i + 3] = 3 << 2
+    with pytest.raises(NotImplementedError, match="restore previous"):
+        gif_decode_frames(bytes(b))
+    with pytest.raises(ValueError, match="256"):
+        rng = np.random.RandomState(0)
+        gif_encode_frames([rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)])
+
+
+def _gray_frames(grids):
+    return [np.stack([g, g, g], axis=2).astype(np.uint8) for g in grids]
+
+
+def _half_split_grid():
+    g = np.zeros((VID_SIDE, VID_SIDE), np.uint8)
+    g[:, VID_SIDE // 2 :] = 255
+    return g
+
+
+def test_vfp64_frames_known_pattern():
+    """Every half-split frame hashes to the image tier's known pattern —
+    the per-frame kernel IS phash's grid math."""
+    gif = gif_encode_frames(_gray_frames([_half_split_grid()] * 3))
+    assert vfp64_frames(gif) == ["00001111" * 8] * 3
+
+
+def test_vfp_frame_quarantine_contract(spark):
+    gif = gif_encode_frames(_gray_frames([_half_split_grid()] * 2))
+    df = spark.createDataFrame(
+        [(1, gif), (2, b"truncated garbage"), (3, gif[:-10])],
+        "vid_id bigint, video binary",
+    )
+    rows = vfp_frame(df, errors="quarantine").collect()
+    got = {(r["vid_id"], r["frame_idx"]): r["hash64"] for r in rows}
+    assert got[(1, 0)] == got[(1, 1)] == "00001111" * 8
+    assert got[(2, -1)] is None and got[(3, -1)] is None
+    with pytest.raises(Exception, match="not a GIF|truncated"):
+        vfp_frame(df).collect()
+    with pytest.raises(ValueError, match="errors="):
+        vfp_frame(df, errors="ignore")
+
+
+def test_video_fp_pairs_voting_and_position_matching(spark):
+    """A/B share all frames (pair), C shares too few positions (no pair),
+    D holds A's frames SHIFTED by one position (no pair — the
+    same-position rule is load-bearing)."""
+    rng = np.random.RandomState(9)
+    base = [
+        (rng.randint(0, 2, (VID_SIDE, VID_SIDE)) * 255).astype(np.uint8)
+        for _ in range(VID_FRAMES)
+    ]
+    distinct = [
+        (rng.randint(0, 2, (VID_SIDE, VID_SIDE)) * 255).astype(np.uint8)
+        for _ in range(VID_FRAMES)
+    ]
+    vids = [
+        (0, gif_encode_frames(_gray_frames(base))),
+        (1, gif_encode_frames(_gray_frames(base))),  # dup of 0
+        (2, gif_encode_frames(_gray_frames(
+            base[: VID_MATCH_MIN - 1] + distinct[VID_MATCH_MIN - 1 :]
+        ))),  # one position short of the vote
+        (3, gif_encode_frames(_gray_frames(base[1:] + base[:1]))),  # shifted
+    ]
+    df = spark.createDataFrame(vids, "vid_id bigint, video binary")
+    pairs = {
+        (r["vid_a"], r["vid_b"]): r["n_frames_matched"]
+        for r in video_fp_pairs(vfp_frame(df)).collect()
+    }
+    assert pairs.get((0, 1)) == VID_FRAMES
+    assert not any(2 in p or 3 in p for p in pairs)
