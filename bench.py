@@ -110,6 +110,10 @@ HEADLINE = [
     "video_fp_stage",
     "dedup_video_fp",
     "dedup_video_apply",
+    "dedup_multimodal_apply",
+    "vfp_index_build",
+    "vfp_index_occupancy",
+    "dedup_vfp_incremental_probe",
     "doc_unigram_logprob",
     "corpus_pipeline_stats",
     "dq_expectations",

