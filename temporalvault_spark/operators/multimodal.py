@@ -595,13 +595,14 @@ class _JpegBits:
     def restart(self, idx: int) -> None:
         self.n = 0  # byte-align (discard pad bits)
         d = self.d
-        if (
-            self.p + 2 > len(d)
-            or d[self.p] != 0xFF
-            or d[self.p + 1] != 0xD0 + (idx & 7)
-        ):
+        p = self.p
+        # spec-legal 0xFF fill bytes may pad before any marker (T.81
+        # B.1.1.2) — the RSTn path must skip them like the marker walk does
+        while p + 2 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1
+        if p + 2 > len(d) or d[p] != 0xFF or d[p + 1] != 0xD0 + (idx & 7):
             raise ValueError("jpeg: expected restart marker")
-        self.p += 2
+        self.p = p + 2
 
 
 def _huff_read(bits: _JpegBits, lut: dict) -> int:
@@ -629,9 +630,21 @@ def jpeg_decode_rgb(payload: bytes) -> np.ndarray | None:
     (progressive SOF2, arithmetic coding, 12-bit, non-integer sampling
     ratios, CMYK) — the honest-seam contract. Grayscale replicates to
     RGB. Feeds phash.ahash64 like the PNG/BMP/PPM paths, so real-world
-    compressed images dedup through the SAME integer hash."""
+    compressed images dedup through the SAME integer hash. Truncated or
+    corrupt streams raise a clean ValueError (never a raw
+    IndexError/KeyError/struct.error) — the codec-contract error the
+    quarantine tiers catch."""
+    import struct
+
     if payload[:2] != b"\xff\xd8":
         return None
+    try:
+        return _jpeg_decode_impl(payload)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"jpeg: truncated or corrupt stream ({e})") from e
+
+
+def _jpeg_decode_impl(payload: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
@@ -725,6 +738,16 @@ def _jpeg_scan_decode(payload, pos, frame, qt, huff, ri, scan) -> np.ndarray:
     after the entropy pass is one vectorized einsum-IDCT per component
     over all its blocks at once."""
     w, h, comps = frame
+    if set(scan) != {c["id"] for c in comps}:
+        raise NotImplementedError(
+            "jpeg_decode_rgb: multi-scan (non-interleaved) baseline JPEG "
+            "is outside the stdlib tier — needs Pillow in the worker image"
+        )
+    if len(comps) == 1:
+        # a single-component scan is non-interleaved by definition (T.81
+        # A.2.2): MCU = one block, the declared sampling factors do not
+        # shape the block grid
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     for c in comps:
@@ -1196,24 +1219,28 @@ def gif_decode_frames(payload: bytes) -> list | None:
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
-    w, h = struct.unpack("<HH", payload[6:10])
-    flags = payload[10]
-    bg_index = payload[11]
-    pos = 13
-    gct = None
-    if flags & 0x80:
-        n = 2 << (flags & 0x07)
-        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
-        pos += n * 3
-    canvas = np.zeros((h, w, 3), np.uint8)
-    if gct is not None and bg_index < len(gct):
-        canvas[:, :] = gct[bg_index]
-    frames: list = []
-    disposal = 0
+    # header parse AND block walk inside the wrapper: a GIF truncated
+    # anywhere — including before byte 13 — surfaces as the clean
+    # ValueError the quarantine tiers catch, never a raw
+    # IndexError/struct.error
     try:
+        w, h = struct.unpack("<HH", payload[6:10])
+        flags = payload[10]
+        bg_index = payload[11]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        canvas = np.zeros((h, w, 3), np.uint8)
+        if gct is not None and bg_index < len(gct):
+            canvas[:, :] = gct[bg_index]
+        frames: list = []
+        disposal = 0
         return _gif_walk_blocks(payload, pos, canvas, gct, bg_index, frames, disposal)
     except (IndexError, struct.error) as e:
-        raise ValueError(f"gif: truncated block stream ({e})") from e
+        raise ValueError(f"gif: truncated stream ({e})") from e
 
 
 def _gif_walk_blocks(payload, pos, canvas, gct, bg_index, frames, disposal):
@@ -1280,7 +1307,13 @@ def _gif_walk_blocks(payload, pos, canvas, gct, bg_index, frames, disposal):
         canvas[top : top + fh, left : left + fw] = pal[idx]
         frames.append(canvas.copy())
         if disposal == 2:  # restore background color
-            bg = pal[bg_index] if bg_index < len(pal) else np.zeros(3, np.uint8)
+            # the logical-screen background index refers to the GLOBAL
+            # color table (same rule as the canvas init) — a frame-local
+            # palette never supplies the background
+            if gct is not None and bg_index < len(gct):
+                bg = gct[bg_index]
+            else:
+                bg = np.zeros(3, np.uint8)
             canvas[top : top + fh, left : left + fw] = bg
         disposal = 0
     return frames

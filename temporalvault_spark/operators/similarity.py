@@ -1163,7 +1163,7 @@ def _duck_kmeans_update(assign_cte: str, prev: str, out: str) -> str:
     GROUP BY a.cid""",
 )
 def q_cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd's k-means, fully value-oracled: {KMEANS_ITERS}
+    """Distributed Lloyd's k-means, fully value-oracled: two
     complete rounds (assign -> mean update) from the deterministic first-k
     init, then a final assignment summarized per cluster (size, mean label,
     final centroid norm). The DuckDB twin replays EVERY round through
@@ -1242,6 +1242,11 @@ def pca_power_top(e: DataFrame, iters: int = PCA_ITERS) -> tuple[list, float, in
         ).first()  # bounded: one row of dim doubles
         w = [float(agg[f"w{j}"]) for j in range(dim)]
         lam = math.sqrt(sum(x * x for x in w))
+        if lam == 0.0:
+            raise ValueError(
+                "pca_power_top: zero centered variance (all surviving "
+                "vectors identical) — no principal direction exists"
+            )
         v = [x / lam for x in w]
     return v, lam, n
 
@@ -1277,7 +1282,7 @@ def _duck_pca_round(v_cte: str, idx: int) -> str:
     FROM v2""",
 )
 def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding corpus by {PCA_ITERS}
+    """Top principal component of the embedding corpus by two
     power-iteration rounds, value-oracled end-to-end: the DuckDB twin
     replays the centering, every projection, every weighted sum, and both
     normalizations through chained CTEs. Output: per-dimension SQUARED
@@ -1289,6 +1294,11 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     v, lam, n = pca_power_top(e)
+    if n <= 1:
+        raise ValueError(
+            "embed_pca_power: variance is undefined for a corpus of "
+            f"{n} surviving vector(s)"
+        )
     rows = [
         (j, v[j] * v[j], lam / (n - 1)) for j in range(len(v))
     ]

@@ -42,8 +42,13 @@ VFP_INDEX_SCHEMA = _FAMILY.schema
 
 def _as_fid(fps: DataFrame) -> DataFrame:
     """(vid_id, frame_idx, hash64) -> (fid, hash64): the family's packed
-    bigint id. One definition, used by builds and probes alike."""
-    return fps.select(
+    bigint id. One definition, used by builds and probes alike. Drops
+    vfp_frame's quarantine rows (frame_idx = -1, hash64 NULL) — their
+    packed fid would collide with the PREVIOUS video's last frame
+    (vid*6 - 1 == (vid-1)*6 + 5), corrupting occupancy counts and
+    planting NULL-hash rows; quarantine rows belong in a reject sink,
+    never in the index."""
+    return fps.filter(F.col("frame_idx") >= 0).select(
         (F.col("vid_id") * VID_FRAMES + F.col("frame_idx")).alias("fid"),
         "hash64",
     )

@@ -401,8 +401,6 @@ def q_dedup_video_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from temporalvault_spark.operators.audio_fp import (
     _AFP_PAIRS_CTES,
-    AUD_EVERY,
-    AUD_OFFSET,
     stage_afp,
 )
 from temporalvault_spark.operators.audio_fp import (

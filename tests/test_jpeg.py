@@ -271,3 +271,55 @@ def test_image_histogram_feature_format_parity(spark):
     }
     assert np.array_equal(feats[1], feats[2])
     assert np.abs(feats[1] - feats[3]).max() < 0.05  # q95 luma drift
+
+
+def test_corrupt_jpeg_raises_clean_valueerror_not_indexerror():
+    """The quarantine contract: corrupt JPEG streams surface as ValueError
+    (what ahash_frame/vfp_frame quarantine catches), never raw
+    IndexError/KeyError/struct.error — the review-pass finding."""
+    for payload in (
+        b"\xff\xd8\xff\xc0\x00\x02",  # empty SOF segment
+        b"\xff\xd8\xff\xc4\x00\x05\x00\x01",  # truncated DHT counts
+        b"\xff\xd8\xff\xdb\x00\x03\x00",  # truncated DQT
+    ):
+        with pytest.raises(ValueError):
+            jpeg_decode_rgb(payload)
+
+
+def test_scan_component_mismatch_is_honest_seam():
+    """A SOS naming components the SOF didn't declare (the multi-scan /
+    non-interleaved shape) raises NotImplementedError, not KeyError."""
+    enc = bytearray(jpeg_encode_rgb(_smooth_rgb(), quality=90))
+    i = bytes(enc).index(b"\xff\xda")
+    enc[i + 5] = 9  # first scan component id 1 -> 9 (absent from SOF)
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        jpeg_decode_rgb(bytes(enc))
+
+
+def test_grayscale_declared_subsampling_decodes_non_interleaved():
+    """A single-component frame is non-interleaved regardless of declared
+    sampling factors (T.81 A.2.2): hv=0x22 must decode identically to
+    hv=0x11, not with 4-blocks-per-MCU interleaved geometry."""
+    dc_counts = [1] + [0] * 15
+    ac_counts = [1] + [0] * 15
+    jpg = bytearray(
+        _tiny_gray_jpeg(dc_counts, [4], ac_counts, [0x00], bytes([0b01000011]))
+    )
+    i = bytes(jpg).index(b"\xff\xc0")
+    assert jpg[i + 11] == 0x11  # component sampling byte
+    jpg[i + 11] = 0x22
+    arr = jpeg_decode_rgb(bytes(jpg))
+    assert arr.shape == (8, 8, 3) and (arr == 144).all()
+
+
+def test_restart_marker_with_fill_bytes():
+    """Spec-legal 0xFF fill padding before an RSTn marker decodes (T.81
+    B.1.1.2) — the entropy-segment restart path skips fill bytes like the
+    marker walk does."""
+    arr = _smooth_rgb()
+    enc = jpeg_encode_rgb(arr, quality=95, restart_interval=1)
+    sos = enc.index(b"\xff\xda")
+    rst = enc.index(b"\xff\xd0", sos)
+    padded = enc[:rst] + b"\xff" + enc[rst:]  # FF D0 -> FF FF D0
+    dec = jpeg_decode_rgb(padded)
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 4

@@ -711,3 +711,18 @@ def test_pca_power_top_matches_numpy_replay(spark):
     assert np.allclose(v, v_np, atol=1e-9)
     assert abs(lam - lam_np) < 1e-9
     assert v[2] ** 2 > 0.99  # the dominant axis carries ~all the loading
+
+
+def test_pca_power_degenerate_corpus_raises(spark):
+    """All-identical (nonzero) vectors have zero centered variance: the
+    power iteration raises a clean ValueError instead of dividing by
+    zero (the review-pass finding)."""
+    import pytest as _pt
+
+    from temporalvault_spark.operators.similarity import pca_power_top
+
+    e = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(5)], "vec_id bigint, e array<double>"
+    )
+    with _pt.raises(ValueError, match="zero centered variance"):
+        pca_power_top(e)

@@ -222,3 +222,15 @@ def test_video_ingest_crash_replay_does_not_grow_index(spark, tmp_path_factory):
     probe = _fps(spark, [(500, _gif(BASE, {f: (44,) for f in range(VID_FRAMES)}))])
     hits = query_vfp_index(spark, idx, probe).collect()
     assert (500, 1) in {(r["query_vid"], r["index_vid"]) for r in hits}
+
+
+def test_as_fid_drops_quarantine_rows(spark):
+    """vfp_frame quarantine rows (frame_idx = -1) never reach the index:
+    their packed fid would collide with the previous video's last frame
+    (vid*6 - 1 == (vid-1)*6 + 5) — the review-pass finding."""
+    fps = spark.createDataFrame(
+        [(5, -1, None), (4, 5, "01" * 32)],
+        "vid_id bigint, frame_idx int, hash64 string",
+    )
+    rows = _as_fid(fps).collect()
+    assert [(r["fid"], r["hash64"]) for r in rows] == [(29, "01" * 32)]

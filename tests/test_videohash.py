@@ -227,3 +227,48 @@ def test_video_fp_pairs_voting_and_position_matching(spark):
     }
     assert pairs.get((0, 1)) == VID_FRAMES
     assert not any(2 in p or 3 in p for p in pairs)
+
+
+def test_gif_header_truncation_is_clean_valueerror():
+    """A GIF truncated before byte 13 (magic present, header incomplete)
+    raises ValueError, not struct.error/IndexError — so vfp_frame's
+    quarantine catches it (the review-pass finding)."""
+    for payload in (b"GIF89a", b"GIF89a\x10\x00\x10\x00\x80"):
+        with pytest.raises(ValueError, match="truncated"):
+            gif_decode_frames(payload)
+
+
+def test_gif_disposal2_background_uses_global_palette():
+    """Disposal-2 restore pulls the background color from the GLOBAL color
+    table even when the frame carries a LOCAL one (GIF89a: the
+    logical-screen background index refers to the global table)."""
+    full = _lzw_encode_gif([0] * 16, 2)
+    patch = _lzw_encode_gif([1] * 4, 2)
+    global_colors = [(100, 100, 100), (1, 1, 1), (0, 0, 0), (0, 0, 0)]
+    local_colors = [(9, 9, 9), (200, 0, 0), (0, 0, 0), (0, 0, 0)]
+    n, lct = _gct(local_colors)
+    gif = bytearray(
+        _hand_gif([(0, 0, 4, 4, 2, full, 0)], 4, 4, global_colors, bg=0)
+    )
+    gif.pop()  # drop the trailer; append frame 2 with a local table
+    gif += b"\x21\xf9\x04" + bytes(((2 << 2),)) + b"\x00\x00\x00\x00"
+    gif += b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 2)
+    gif += bytes((0x80 | (n.bit_length() - 2),)) + lct
+    gif.append(2)
+    for i in range(0, len(patch), 255):
+        chunk = patch[i : i + 255]
+        gif.append(len(chunk))
+        gif += chunk
+    gif.append(0)
+    gif += b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00"
+    gif.append(2)
+    for i in range(0, len(full), 255):
+        chunk = full[i : i + 255]
+        gif.append(len(chunk))
+        gif += chunk
+    gif.append(0)
+    gif.append(0x3B)
+    f1, f2, f3 = gif_decode_frames(bytes(gif))
+    assert (f1 == 100).all()
+    assert (f2[1:3, 1:3] == (200, 0, 0)).all()  # local palette paints the patch
+    assert (f3 == 100).all()  # but the GLOBAL bg restored underneath
