@@ -62,6 +62,13 @@ def _aud_df(spark, lo: int, hi: int):
     return synth_wav_audio(ids)
 
 
+def _vid_df(spark, lo: int, hi: int):
+    from temporalvault_spark.operators.videohash import synth_gif_videos
+
+    ids = spark.range(lo, hi).selectExpr("id * 40 + 2 AS doc_id")
+    return synth_gif_videos(ids)
+
+
 def _run_gate(spark, name, make_batch, gate, id_schema, index_rows, occupancy,
               rebuild, per_batch, k):
     root = tempfile.mkdtemp(prefix=f"tv_gate_{name}_")
@@ -101,11 +108,17 @@ def main() -> None:
     spark = get_spark("gate-growth-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    from temporalvault_spark.operators import afp_index, minhash_index, phash_index
+    from temporalvault_spark.operators import (
+        afp_index,
+        minhash_index,
+        phash_index,
+        vfp_index,
+    )
     from temporalvault_spark.streaming import (
         audio_dedup_ingest_stream,
         dedup_ingest_stream,
         image_dedup_ingest_stream,
+        video_dedup_ingest_stream,
     )
 
     out: dict = {"per_batch": per_batch, "k_batches": k}
@@ -135,9 +148,20 @@ def main() -> None:
         per_batch, k,
     )
 
+    out["video"] = _run_gate(
+        spark, "video", _vid_df, video_dedup_ingest_stream,
+        "vid_id bigint, video binary",
+        lambda s, p: s.read.parquet(p).count(),
+        vfp_index.vfp_index_occupancy,
+        # the indexed unit is the FRAME (6 per video), so the lowered
+        # widening dial scales accordingly inside _run_gate's formula
+        vfp_index.rebuild_vfp_index_if_grown,
+        per_batch, k,
+    )
+
     json.dump(out, open("/tmp/gate_growth_probe.json", "w"), indent=1)
 
-    for name in ("text", "image", "audio"):
+    for name in ("text", "image", "audio", "video"):
         r = out[name]
         print(f"\n### {name} gate — per-batch wall time ({per_batch} items/batch)\n")
         print("| batch | index rows before | sec |")
