@@ -88,6 +88,14 @@ AUDITED = [
     ("dedup_audio_apply", "audio pairs closed by the shared components solver (slim id edges); drop set anti-joined onto the fingerprint table; one map-side-combined per-source summary"),
     ("pii_scan_dense", "pii_scan with deterministically injected md5-derived spans so the hash gate runs on NONZERO rows: still a pure regexp projection at scan speed — the injection is one concat of constant-folded md5 slices"),
     ("win_ntile_ranks_scalable", "the 100 TB form of the global ranked report: range repartition on the total order, <= 16-row per-partition counts -> broadcast rank offsets, row_number partitioned by range-partition id — ZERO partition-less Window nodes, value-hash-identical to the single-window twin"),
+    ("video_fp_stage", "staged decode+hash pass for the VIDEO modality: Arrow-batched mapInPandas GIF-decodes (stdlib LZW) each clip ONCE and emits per-frame aHashes; id frame repartitioned to defaultParallelism first so the per-clip Python codec work spreads across cores (measured 4.6s -> 1.3s at sf0.1)"),
+    ("dedup_video_fp", "position-matched banded frame pairs off the staged table: (frame_idx, band, 16-bit value) equi-join — never all-pairs — exact Hamming verify on DISTINCT collisions, then a map-side-combined per-(vid_a, vid_b) vote count filtered at >= 4 positions"),
+    ("dedup_vfp_incremental_probe", "PartitionFilters on (band, bkt) from the batch's own frame bands (fid-packed Band64Index probe); broadcast batch; the video verdict (same-position filter + vote) runs on the already-slim frame-pair output"),
+    ("vfp_index_build", "one-time video-index build (force-re-run): frame-packed (band, bkt, ingest)-partitioned write via the shared Band64Index class; returned plan reads per-band counts back FROM the persisted index"),
+    ("vfp_index_occupancy", "same recurring probe for the video family: slim (fid, band, bv) aggregate vs persisted width — the indexed unit is the FRAME"),
+    ("dedup_multimodal_apply", "FOUR slim staged edge frames (text/image/audio/video pairs) unioned and closed by the shared components solver; the corpus-side exclusion is ONE anti-join on doc_id; per-source summary map-side combines — no pair pipeline re-runs inside the apply"),
+    ("cluster_kmeans_lloyd", "per Lloyd round: shuffle-free broadcast-struct argmax assignment (the sim_ivf_ann expression) + ONE map-side-combining k x dim aggregate; only the k x dim centroid matrix reaches the driver; final summary joins a broadcast k-row norm frame"),
+    ("embed_pca_power", "per power round: codegen'd centered-projection column + ONE map-side-combining dim-cell aggregate; vectors never shuffle, never reach the driver — only dim-sized aggregates do; returned frame is the dim-row loading table"),
 ]
 
 
