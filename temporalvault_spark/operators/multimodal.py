@@ -426,6 +426,13 @@ def bmp_encode_rgb(arr: np.ndarray, top_down: bool = False) -> bytes:
 # resolutions the Pillow tier remains the throughput kernel where installed,
 # same contract as png_decode_rgb.
 
+# Decoded-size sanity cap shared by the pixel codecs: header-declared
+# dimensions size the allocations, so a tiny corrupt payload must never be
+# able to demand tens of GB (an OOM-kill escapes the quarantine contract;
+# a ValueError doesn't). 64 Mpx = ~192 MB of RGB — far above any sane
+# in-process decode, far below harm.
+MAX_DECODE_PIXELS = 64_000_000
+
 # zigzag position -> natural (row-major) index, T.81 Figure A.6
 _JPEG_ZIGZAG = (
     0, 1, 8, 16, 9, 2, 3, 10,
@@ -688,12 +695,22 @@ def _jpeg_decode_impl(payload: bytes) -> np.ndarray:
                 )
             fh = int.from_bytes(seg[1:3], "big")
             fw = int.from_bytes(seg[3:5], "big")
+            if fw * fh > MAX_DECODE_PIXELS:
+                # header bytes alone must never size a giant allocation
+                # (a 200-byte corrupt payload can declare 65535x65535)
+                raise ValueError(
+                    f"jpeg: declared dimensions {fw}x{fh} exceed the "
+                    f"in-process tier cap ({MAX_DECODE_PIXELS} px)"
+                )
             comps = []
             for c in range(seg[5]):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
-                )
+                h_s, v_s = hv >> 4, hv & 15
+                if not (1 <= h_s <= 4 and 1 <= v_s <= 4):
+                    raise ValueError(
+                        f"jpeg: invalid sampling factor {h_s}x{v_s}"
+                    )
+                comps.append({"id": cid, "h": h_s, "v": v_s, "tq": tq})
             if len(comps) not in (1, 3):
                 raise NotImplementedError(
                     f"jpeg_decode_rgb: {len(comps)}-component JPEG (CMYK?) "
@@ -1104,6 +1121,10 @@ def _lzw_decode_gif(data: bytes, min_code_size: int, npix: int) -> list[int]:
     """GIF LZW decompression: variable width (grows when the dictionary's
     next free slot reaches 2^width, max 12), CLEAR resets, EOI or pixel
     count ends. Handles the KwKwK case (code == next free slot)."""
+    if not 2 <= min_code_size <= 11:
+        # unvalidated, this byte sizes a 2^mcs dictionary — a corrupt
+        # payload declaring mcs=221 would hang the worker building it
+        raise ValueError(f"gif: invalid LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     bits = min_code_size + 1
@@ -1225,6 +1246,11 @@ def gif_decode_frames(payload: bytes) -> list | None:
     # IndexError/struct.error
     try:
         w, h = struct.unpack("<HH", payload[6:10])
+        if w * h > MAX_DECODE_PIXELS:
+            raise ValueError(
+                f"gif: declared screen {w}x{h} exceeds the in-process "
+                f"tier cap ({MAX_DECODE_PIXELS} px)"
+            )
         flags = payload[10]
         bg_index = payload[11]
         pos = 13
@@ -1277,6 +1303,11 @@ def _gif_walk_blocks(payload, pos, canvas, gct, bg_index, frames, disposal):
         if b != 0x2C:
             raise ValueError(f"gif: unexpected block 0x{b:02x}")
         left, top, fw, fh = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+        if fw * fh > MAX_DECODE_PIXELS or left + fw > w or top + fh > h:
+            raise ValueError(
+                f"gif: frame rect {left},{top} {fw}x{fh} outside the "
+                f"{w}x{h} screen or over the decode cap"
+            )
         iflags = payload[pos + 9]
         pos += 10
         pal = gct

@@ -240,7 +240,7 @@ VFP_REBUILD_WT = 200
 _VFP_REBUILD_DIR: dict[tuple, str] = {}
 
 _VFP_REBUILD_ORACLE = f"""WITH {_VFP_CTES},
-    w AS (SELECT {Band64Index.bkt_chars_case_sql(f"COUNT(*) * {VID_FRAMES}", "VFP_REBUILD_WT_PLACEHOLDER")} AS c
+    w AS (SELECT {Band64Index.bkt_chars_case_sql(f"COUNT(*) * {VID_FRAMES}", VFP_REBUILD_WT)} AS c
           FROM vids),
     bands AS (
         SELECT {_VFID} AS fid, b.range AS band,
@@ -249,9 +249,7 @@ _VFP_REBUILD_ORACLE = f"""WITH {_VFP_CTES},
     SELECT CAST(band AS INTEGER) AS band,
            substr(bv, 1, w.c) AS bkt,
            CAST(COUNT(*) AS BIGINT) AS n_rows
-    FROM bands, w GROUP BY 1, 2, w.c""".replace(
-    "VFP_REBUILD_WT_PLACEHOLDER", str(VFP_REBUILD_WT)
-)
+    FROM bands, w GROUP BY 1, 2, w.c"""
 
 
 @query("vfp_index_rebuild", _VFP_REBUILD_ORACLE)

@@ -136,12 +136,24 @@ def synth_gif_videos(docs: DataFrame) -> DataFrame:
 def vfp64_frames(payload: bytes) -> list[str]:
     """Per-frame 64-bit aHashes of an animated GIF — the image tier's
     EXACT integer grid math (phash.ahash64_from_array) applied to every
-    composed frame. Raises on non-GIF payloads or frames whose dims the
-    8x8 grid doesn't divide (the multimodal real-codec seam: other video
-    containers need ffmpeg in the worker image)."""
+    composed frame, SAMPLED down to at most VID_FRAMES position slots
+    (evenly spaced — the frame sampler every production video pipeline
+    runs, so clips of any length land on comparable positions and the
+    packed fid arithmetic can never overflow into a neighboring video's
+    id space). Raises on non-GIF payloads, zero-frame GIFs (a spec-valid
+    header-only file is a degenerate payload, not a survivor), or frames
+    whose dims the 8x8 grid doesn't divide (the multimodal real-codec
+    seam: other video containers need ffmpeg in the worker image)."""
     frames = gif_decode_frames(payload)
     if frames is None:
         raise ValueError("vfp64: payload is not a GIF container")
+    if not frames:
+        raise ValueError("vfp64: GIF contains no frames")
+    n = len(frames)
+    if n > VID_FRAMES:
+        # evenly spaced sample, first and last always included
+        picks = [round(i * (n - 1) / (VID_FRAMES - 1)) for i in range(VID_FRAMES)]
+        frames = [frames[i] for i in picks]
     return [ahash64_from_array(fr) for fr in frames]
 
 
@@ -457,7 +469,6 @@ def q_dedup_multimodal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is collision-bounded, measured per-modality in SCALE.md); the
     union is a set-union of slim pairs; the corpus-side exclusion is one
     anti-join over doc_id."""
-    from temporalvault_spark.operators.dedup_cluster import connected_components
     from temporalvault_spark.operators.llm import staged_ngram_pairs
 
     tpairs = staged_ngram_pairs(spark, sf_dir).select(

@@ -323,3 +323,19 @@ def test_restart_marker_with_fill_bytes():
     padded = enc[:rst] + b"\xff" + enc[rst:]  # FF D0 -> FF FF D0
     dec = jpeg_decode_rgb(padded)
     assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 4
+
+
+def test_corrupt_sampling_and_dims_raise_cleanly():
+    """Second-review findings: a zero sampling factor must not escape as
+    ZeroDivisionError, and header-declared giant dims must raise before
+    any allocation — both as the clean ValueError quarantine catches."""
+    enc = bytearray(jpeg_encode_rgb(_smooth_rgb(), quality=90))
+    i = bytes(enc).index(b"\xff\xc0")
+    samp = bytearray(enc)
+    samp[i + 11] = 0x01  # component 1 sampling 1x1 -> 0x01 keeps v=1, h=0
+    with pytest.raises(ValueError, match="sampling factor"):
+        jpeg_decode_rgb(bytes(samp))
+    bomb = bytearray(enc)
+    bomb[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError, match="cap"):
+        jpeg_decode_rgb(bytes(bomb))

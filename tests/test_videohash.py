@@ -272,3 +272,66 @@ def test_gif_disposal2_background_uses_global_palette():
     assert (f1 == 100).all()
     assert (f2[1:3, 1:3] == (200, 0, 0)).all()  # local palette paints the patch
     assert (f3 == 100).all()  # but the GLOBAL bg restored underneath
+
+
+def test_gif_corrupt_mcs_and_alloc_bombs_raise_cleanly():
+    """Second-review findings: a corrupt LZW minimum-code-size byte must
+    raise (not hang building a 2^221-entry dictionary), header-declared
+    giant dims must raise before allocating, and a frame rect outside the
+    screen must raise — all as the clean ValueError quarantine catches."""
+    base = gif_encode_frames([np.zeros((4, 4, 3), np.uint8)], loop=False)
+    b = bytearray(base)
+    i = bytes(b).index(b"\x2c")
+    b[i + 10] = 221  # min code size byte
+    with pytest.raises(ValueError, match="minimum code size"):
+        gif_decode_frames(bytes(b))
+    with pytest.raises(ValueError, match="invalid LZW minimum code size"):
+        _lzw_decode_gif(b"\x00", 221, 4)
+    # 65535x65535 logical screen from a tiny payload
+    bomb = bytearray(base)
+    bomb[6:10] = struct.pack("<HH", 65535, 65535)
+    with pytest.raises(ValueError, match="cap"):
+        gif_decode_frames(bytes(bomb))
+    # frame rect beyond the 4x4 screen
+    rect = bytearray(base)
+    rect[i + 5 : i + 9] = struct.pack("<HH", 10, 10)  # fw=10, fh=10
+    with pytest.raises(ValueError, match="outside|cap"):
+        gif_decode_frames(bytes(rect))
+
+
+def test_zero_frame_gif_is_degenerate_payload(spark):
+    """A spec-valid header-only GIF (no image blocks) raises in the kernel
+    and quarantines in vfp_frame — it can no longer silently vanish from
+    the gate's accepted corpus."""
+    import struct as _s
+
+    empty = b"GIF89a" + _s.pack("<HH", 4, 4) + bytes((0x00, 0, 0)) + b"\x3b"
+    assert gif_decode_frames(empty) == []
+    with pytest.raises(ValueError, match="no frames"):
+        vfp64_frames(empty)
+    df = spark.createDataFrame([(9, empty)], "vid_id bigint, video binary")
+    rows = vfp_frame(df, errors="quarantine").collect()
+    assert [(r["vid_id"], r["frame_idx"], r["hash64"]) for r in rows] == [
+        (9, -1, None)
+    ]
+
+
+def test_long_gif_sampled_to_position_slots():
+    """A 13-frame GIF lands on exactly VID_FRAMES slots, first and last
+    frames always included — so the packed fid can never overflow into a
+    neighboring video's id space and clips of any length stay
+    position-comparable."""
+    grids = []
+    for k in range(13):
+        g = np.zeros((VID_SIDE, VID_SIDE), np.uint8)
+        g[:, : 2 * (1 + k % 7)] = 255  # distinct per-frame hash
+        grids.append(g)
+    gif = gif_encode_frames(_gray_frames(grids))
+    hs = vfp64_frames(gif)
+    assert len(hs) == VID_FRAMES
+    full = [
+        vfp64_frames(gif_encode_frames(_gray_frames([g])))[0] for g in grids
+    ]
+    assert hs[0] == full[0] and hs[-1] == full[-1]
+    picks = [round(i * 12 / (VID_FRAMES - 1)) for i in range(VID_FRAMES)]
+    assert hs == [full[p] for p in picks]
