@@ -24,9 +24,11 @@ import has to happen where the kernel runs, not on the driver):
       features outside 3a: progressive JPEG, palettes, 16-bit;
       soundfile for non-WAV audio) — auto-upgrades wherever
       the cluster image has them, else NotImplementedError with the
-      install hint. Video decode (ffmpeg) has no in-process tier and
-      stays stub-only. This sandbox has neither PIL nor soundfile, so CI
-      covers tiers 1–2, the REAL header/WAV/pixel paths of 3a, and the
+      install hint. Video frame extraction is REAL for animated GIF
+      (the in-process multi-frame codec below); every other video
+      container (mp4/webm/...) needs ffmpeg and stays behind the seam.
+      This sandbox has neither PIL nor soundfile, so CI covers tiers
+      1–2, the REAL header/WAV/pixel/GIF-frame paths of 3a, and the
       NotImplementedError of 3b.
 
 Everything Spark-side — schemas, mapInPandas Arrow batching, UDF signatures,
@@ -1629,18 +1631,35 @@ def _ppm_resize(payload: bytes, max_side: int) -> dict | None:
 
 
 def _real_resize(payload: bytes, max_side: int) -> dict:
-    """Tier-3 resize kernel: numpy-native for PPM (always available), PIL
-    thumbnail (aspect-preserving, re-encoded PNG) for compressed formats.
-    Imported in the worker, like _real_decode."""
+    """Tier-3 resize kernel: numpy-native for every in-process pixel codec
+    (PPM stays PPM via _ppm_resize; PNG/BMP/baseline-JPEG decode through
+    the shared decode_pixels_rgb dispatch, nearest-neighbor-resize with
+    the SAME index math as the PPM path, and re-encode as PNG — the
+    format every library tier also emits). PIL only for the formats
+    beyond the dispatch (progressive JPEG, palettes, 16-bit). Imported in
+    the worker, like _real_decode."""
     ppm = _ppm_resize(payload, max_side)
     if ppm is not None:
         return ppm
     try:
+        img = decode_pixels_rgb(payload)
+    except NotImplementedError:
+        img = None  # a per-codec feature gap: fall to the library tier
+    if img is not None:
+        h, w = img.shape[:2]
+        scale = min(1.0, max_side / max(w, h)) if max(w, h) else 1.0
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        ys = (np.arange(nh) * (h / nh)).astype(np.int64)
+        xs = (np.arange(nw) * (w / nw)).astype(np.int64)
+        out = np.ascontiguousarray(img[ys][:, xs])
+        return {"width": nw, "height": nh, "payload": png_encode_rgb(out)}
+    try:
         from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "resizing non-PPM formats needs Pillow in the worker image "
-            "(pip install Pillow), or pass fake=True / kernel=..."
+            "resizing formats outside the in-process codecs needs Pillow "
+            "in the worker image (pip install Pillow), or pass fake=True "
+            "/ kernel=..."
         ) from e
     import io
 
@@ -1677,23 +1696,45 @@ def sample_frames(df: DataFrame, every_n: int = 30, fake: bool = False) -> DataF
     opens each video once, reads its frame count, and emits every
     ``every_n``-th frame. (An earlier shape decoded once for metadata, joined
     the payload back, and decoded again to cut — with a real codec that runs
-    the dominant cost twice plus a shuffle; one kernel does neither.)"""
+    the dominant cost twice plus a shuffle; one kernel does neither.)
+
+    The REAL tier (fake=False) is real for animated GIF — the one video-ish
+    container with an in-process codec: gif_decode_frames composes every
+    frame once, the sampled frames re-encode as PNG payloads (the frame
+    format downstream image ops already accept). Other containers still
+    need ffmpeg in the worker image and raise toward that seam."""
+
+    def real_cut(payload: bytes) -> list[tuple[int, bytes]]:
+        frames = gif_decode_frames(payload)
+        if frames is None:
+            raise NotImplementedError(
+                "real frame extraction covers animated GIF in-process; "
+                "other containers need ffmpeg in the worker image — pass "
+                "fake=True or transcode upstream"
+            )
+        return [
+            (i, png_encode_rgb(frames[i]))
+            for i in range(0, len(frames), every_n)
+        ]
 
     def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real frame extraction unavailable; pass fake=True")
             rows = {"media_id": [], "frame_idx": [], "frame_payload": []}
             for m, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 payload = bytes(p)
-                n_frames = _fake_decode(payload, k)["n_frames"]  # decode ONCE
-                for i in range(0, n_frames, every_n):
+                if fake:
+                    n_frames = _fake_decode(payload, k)["n_frames"]  # ONCE
+                    cuts = [
+                        # fake frame: digest of (payload, idx) — deterministic
+                        (i, hashlib.md5(payload + i.to_bytes(4, "big")).digest())
+                        for i in range(0, n_frames, every_n)
+                    ]
+                else:
+                    cuts = real_cut(payload)
+                for i, fr in cuts:
                     rows["media_id"].append(m)
                     rows["frame_idx"].append(i)
-                    # fake frame: digest of (payload, idx) — deterministic
-                    rows["frame_payload"].append(
-                        hashlib.md5(payload + i.to_bytes(4, "big")).digest()
-                    )
+                    rows["frame_payload"].append(fr)
             yield pd.DataFrame(rows)
 
     return df.filter(F.col("kind") == "video").mapInPandas(cut, schema=FRAME_SCHEMA)

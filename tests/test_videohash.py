@@ -335,3 +335,72 @@ def test_long_gif_sampled_to_position_slots():
     assert hs[0] == full[0] and hs[-1] == full[-1]
     picks = [round(i * 12 / (VID_FRAMES - 1)) for i in range(VID_FRAMES)]
     assert hs == [full[p] for p in picks]
+
+
+def test_sample_frames_real_tier_gif(spark):
+    """sample_frames' REAL tier: a 5-frame GIF video row yields every-2nd
+    frame as a PNG payload whose pixels equal the composed GIF frames;
+    non-GIF video payloads raise toward the ffmpeg seam."""
+    from temporalvault_spark.operators.multimodal import (
+        png_decode_rgb,
+        sample_frames,
+    )
+
+    grids = []
+    for k in range(5):
+        g = np.zeros((8, 8), np.uint8)
+        g[:, : 2 * (k + 1)] = 255
+        grids.append(g)
+    gif = gif_encode_frames(_gray_frames(grids))
+    df = spark.createDataFrame(
+        [(1, "video", gif)], "media_id bigint, kind string, payload binary"
+    )
+    rows = sorted(
+        (r["frame_idx"], bytes(r["frame_payload"]))
+        for r in sample_frames(df, every_n=2).collect()
+    )
+    assert [i for i, _ in rows] == [0, 2, 4]
+    for i, png in rows:
+        want = np.stack([grids[i]] * 3, axis=2)
+        assert (png_decode_rgb(png) == want).all()
+    bad = spark.createDataFrame(
+        [(2, "video", b"\x00\x00\x00\x18ftypmp42 not a gif")],
+        "media_id bigint, kind string, payload binary",
+    )
+    with pytest.raises(Exception, match="ffmpeg"):
+        sample_frames(bad, every_n=2).collect()
+
+
+def test_resize_images_real_tier_all_codecs(spark):
+    """resize_images' REAL tier now covers every in-process codec: the
+    same pixels resized from PNG, BMP, and JPEG payloads land on the same
+    dims, PNG/BMP exactly equal (JPEG within quantization tolerance) —
+    re-encoded as PNG."""
+    from temporalvault_spark.operators.multimodal import (
+        bmp_encode_rgb,
+        jpeg_encode_rgb,
+        png_decode_rgb,
+        png_encode_rgb,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(2)
+    arr = (rng.randint(0, 8, (64, 48, 1)).repeat(3, axis=2) * 30).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, "image", png_encode_rgb(arr)),
+            (2, "image", bmp_encode_rgb(arr)),
+            (3, "image", jpeg_encode_rgb(arr, quality=95)),
+        ],
+        "media_id bigint, kind string, payload binary",
+    )
+    got = {
+        r["media_id"]: (r["width"], r["height"], bytes(r["payload"]))
+        for r in resize_images(df, max_side=16).collect()
+    }
+    assert all(v[:2] == (12, 16) for v in got.values())
+    p1 = png_decode_rgb(got[1][2])
+    p2 = png_decode_rgb(got[2][2])
+    p3 = png_decode_rgb(got[3][2])
+    assert (p1 == p2).all()
+    assert np.abs(p1.astype(int) - p3.astype(int)).max() <= 30  # jpeg loss
