@@ -106,6 +106,7 @@ HEADLINE = [
     "sim_topk_cosine",
     "sim_ivf_ann",
     "cluster_kmeans_lloyd",
+    "corpus_cluster_sample",
     "embed_pca_power",
     "video_fp_stage",
     "dedup_video_fp",

@@ -1146,15 +1146,21 @@ def _duck_kmeans_update(assign_cte: str, prev: str, out: str) -> str:
         FROM {prev} p LEFT JOIN u_{out} u USING (cid))"""
 
 
-@query(
-    "cluster_kmeans_lloyd",
-    f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
+# the full replayed Lloyd chain (init -> 2 rounds -> final assignment a2),
+# shared by the kmeans summary and the cluster-balanced sampler below —
+# ONE statement of the iteration, two value-hash gates over it
+_DUCK_KMEANS_CHAIN = f"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
     c0 AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < {KMEANS_K}),
     {_duck_kmeans_assign('c0', 'a0')},
     {_duck_kmeans_update('a0', 'c0', 'c1')},
     {_duck_kmeans_assign('c1', 'a1')},
     {_duck_kmeans_update('a1', 'c1', 'c2')},
-    {_duck_kmeans_assign('c2', 'a2')}
+    {_duck_kmeans_assign('c2', 'a2')}"""
+
+
+@query(
+    "cluster_kmeans_lloyd",
+    f"""WITH {_DUCK_KMEANS_CHAIN}
     SELECT a.cid AS cluster_id,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            ROUND(AVG(a.label), 6) AS avg_label,
@@ -1309,4 +1315,55 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim_id",
         F.round("loading_sq", 6).alias("loading_sq"),
         F.round("var_explained", 6).alias("var_explained"),
+    )
+
+
+CLUSTER_SAMPLE_K = 20
+
+
+@query(
+    "corpus_cluster_sample",
+    f"""WITH {_DUCK_KMEANS_CHAIN}
+    SELECT vec_id, label, cid AS cluster_id FROM (
+        SELECT vec_id, label, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cid
+                   ORDER BY md5('cbs:' || CAST(vec_id AS VARCHAR)), vec_id)
+                   AS rn
+        FROM a2) x
+    WHERE rn <= {CLUSTER_SAMPLE_K}""",
+)
+def q_corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-BALANCED sampling — the data-mixing move k-means exists
+    for: run the oracled Lloyd's clustering over the embedding corpus,
+    then draw exactly {CLUSTER_SAMPLE_K} deterministic uniform samples
+    per cluster (fewer if a cluster is smaller) via the salted-md5
+    ticket rule of sample_fixed_k_per_group. Topic-balanced eval sets
+    and SemDeDup-style diversity sampling are exactly this composition.
+    The oracle replays the ENTIRE chain — both Lloyd rounds, the final
+    assignment, and the per-cluster ranked draw — under one value-hash
+    (the shared _DUCK_KMEANS_CHAIN, so the clustering this samples from
+    is the same one cluster_kmeans_lloyd hash-checks).
+
+    Scale shape: the per-cluster rank is a WindowGroupLimit (each
+    partition keeps only its local top-k per cluster BEFORE the
+    exchange); the clustering itself never ships vectors to the driver
+    (kmeans_lloyd's contract)."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    assigned, _cents = kmeans_lloyd(e)
+    u = F.md5(F.concat(F.lit("cbs:"), F.col("vec_id").cast("string")))
+    return (
+        assigned.select("vec_id", "label", "centroid_id", u.alias("u"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("centroid_id").orderBy("u", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= CLUSTER_SAMPLE_K)
+        .select("vec_id", "label", F.col("centroid_id").alias("cluster_id"))
     )

@@ -612,3 +612,13 @@ def test_pii_scan_dense_matches_on_nonzero_rows(q):
     assert any(r["n_emails"] > 0 for r in rows)
     assert any(r["n_urls"] > 0 for r in rows)
     assert any(r["n_phoneish"] > 0 for r in rows)
+
+
+def test_cluster_sample_windowgrouplimit_and_no_vector_shuffle(q):
+    """corpus_cluster_sample: the per-cluster draw plans a WindowGroupLimit
+    (local top-k per cluster before the exchange), and the sampling stage
+    shuffles slim (vec_id, label, centroid_id, ticket) rows — the argmax
+    assignment itself never exchanges the vector column."""
+    c = plan_counts(q("corpus_cluster_sample"))
+    assert c["WindowGroupLimit"] >= 1
+    assert c["CartesianProduct"] == 0
