@@ -108,6 +108,7 @@ HEADLINE = [
     "cluster_kmeans_lloyd",
     "corpus_cluster_sample",
     "embed_pca_power",
+    "embed_abtt_topk",
     "video_fp_stage",
     "dedup_video_fp",
     "dedup_video_apply",

@@ -1216,17 +1216,19 @@ def q_cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_ITERS = 2
 
 
-def pca_power_top(e: DataFrame, iters: int = PCA_ITERS) -> tuple[list, float, int]:
+def pca_power_top(
+    e: DataFrame, iters: int = PCA_ITERS
+) -> tuple[list, float, int, list]:
     """Top principal direction of a (vec_id, e array<double>) frame by
     ``iters`` power-iteration rounds from the deterministic all-ones/sqrt(d)
-    init. Returns (unit eigenvector, eigenvalue estimate ||C v||, N).
-    Centered arithmetic mirrors the oracle term-for-term: s uses
-    (e_j - m_j) * v_j products, w uses s * (e_j - m_j)."""
+    init. Returns (unit eigenvector, eigenvalue estimate ||C v||, N,
+    mean vector). Centered arithmetic mirrors the oracle term-for-term:
+    s uses (e_j - m_j) * v_j products, w uses s * (e_j - m_j)."""
     import math
 
     first = e.select(F.size("e").alias("d")).first()  # bounded: one row
     if first is None:
-        return [], 0.0, 0
+        return [], 0.0, 0, []
     dim = int(first["d"])
     mean_row = e.agg(
         *[F.avg(F.col("e")[j]).alias(f"m{j}") for j in range(dim)],
@@ -1254,7 +1256,7 @@ def pca_power_top(e: DataFrame, iters: int = PCA_ITERS) -> tuple[list, float, in
                 "vectors identical) — no principal direction exists"
             )
         v = [x / lam for x in w]
-    return v, lam, n
+    return v, lam, n, m
 
 
 def _duck_pca_round(v_cte: str, idx: int) -> str:
@@ -1270,9 +1272,9 @@ def _duck_pca_round(v_cte: str, idx: int) -> str:
     v{idx + 1} AS (SELECT pos, w / nrm AS v FROM w{idx} CROSS JOIN n{idx})"""
 
 
-@query(
-    "embed_pca_power",
-    f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
+# the full replayed power-iteration chain (center -> 2 rounds -> unit v2),
+# shared by the PCA summary and the all-but-the-top retrieval below
+_DUCK_PCA_CHAIN = f"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
     m AS (SELECT t.i AS pos, AVG(e[t.i + 1]) AS mu
           FROM e CROSS JOIN range({KMEANS_DIM}) t(i) GROUP BY t.i),
     xc AS (SELECT vec_id, t.i AS pos, e[t.i + 1] - mu AS c
@@ -1280,7 +1282,12 @@ def _duck_pca_round(v_cte: str, idx: int) -> str:
            JOIN m ON m.pos = t.i),
     v0 AS (SELECT i AS pos, 1.0 / sqrt({KMEANS_DIM}) AS v FROM range({KMEANS_DIM}) t(i)),
     {_duck_pca_round('v0', 0)},
-    {_duck_pca_round('v1', 1)},
+    {_duck_pca_round('v1', 1)}"""
+
+
+@query(
+    "embed_pca_power",
+    f"""WITH {_DUCK_PCA_CHAIN},
     cnt AS (SELECT COUNT(*) AS n FROM e)
     SELECT pos AS dim_id,
            ROUND(v * v, 6) AS loading_sq,
@@ -1299,7 +1306,7 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    v, lam, n = pca_power_top(e)
+    v, lam, n, _m = pca_power_top(e)
     if n <= 1:
         raise ValueError(
             "embed_pca_power: variance is undefined for a corpus of "
@@ -1366,4 +1373,77 @@ def q_corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= CLUSTER_SAMPLE_K)
         .select("vec_id", "label", F.col("centroid_id").alias("cluster_id"))
+    )
+
+
+@query(
+    "embed_abtt_topk",
+    f"""WITH {_DUCK_PCA_CHAIN},
+    s AS (SELECT vec_id, SUM(c * v) AS s FROM xc JOIN v2 USING (pos) GROUP BY vec_id),
+    pc AS (SELECT pos, c FROM xc WHERE vec_id = {SIM_PROBE_VEC_ID}),
+    sp AS (SELECT s FROM s WHERE vec_id = {SIM_PROBE_VEC_ID}),
+    cpp AS (SELECT SUM(c * c) AS cpp FROM pc),
+    dots AS (SELECT a.vec_id, SUM(a.c * p.c) AS cab, SUM(a.c * a.c) AS caa
+             FROM xc a JOIN pc p USING (pos) GROUP BY a.vec_id),
+    scored AS (
+        SELECT d.vec_id,
+               (cab - s.s * sp.s)
+                   / sqrt((caa - s.s * s.s) * (cpp.cpp - sp.s * sp.s)) AS cos2
+        FROM dots d JOIN s ON d.vec_id = s.vec_id
+        CROSS JOIN sp CROSS JOIN cpp
+        WHERE d.vec_id <> {SIM_PROBE_VEC_ID})
+    SELECT vec_id, ROUND(cos2, 6) AS cosine FROM scored
+    ORDER BY cos2 DESC, vec_id LIMIT {SIM_TOP_K}""",
+)
+def q_embed_abtt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k AFTER All-but-the-Top post-processing (Mu & Viswanath
+    2018, public): center the corpus and project out the TOP principal
+    direction before scoring — the standard fix for anisotropic embedding
+    spaces where one dominant direction inflates every similarity. The
+    identity (x - v v^T x) . (y - v v^T y) = x.y - (v.x)(v.y) for unit v
+    means NO corrected vectors ever materialize: the corrected cosine is
+    three centered sums per vector (probe dot, self dot, v-projection),
+    all literal-folded JVM projections off the driver's dim-sized m and v
+    (pca_power_top's contract) — the corpus never shuffles, and the top-k
+    is a TakeOrderedAndProject. The oracle replays the power-iteration
+    chain (the SAME _DUCK_PCA_CHAIN embed_pca_power hash-checks) and the
+    correction identity end-to-end."""
+    from temporalvault_spark.constants import SIM_PROBE_VEC_ID as _PROBE
+    from temporalvault_spark.constants import SIM_TOP_K as _TOPK
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    v, _lam, _n, m = pca_power_top(e)
+    dim = len(v)
+    probe_row = e.filter(F.col("vec_id") == _PROBE).first()  # bounded: 1 row
+    if probe_row is None:
+        raise ValueError(f"embed_abtt_topk: probe vec_id {_PROBE} not found")
+    pc = [float(probe_row["e"][j]) - m[j] for j in range(dim)]
+    sp = sum(pc[j] * v[j] for j in range(dim))
+    cpp = sum(x * x for x in pc)
+    cab = sum((F.col("e")[j] - F.lit(m[j])) * F.lit(pc[j]) for j in range(dim))
+    caa = sum(
+        (F.col("e")[j] - F.lit(m[j])) * (F.col("e")[j] - F.lit(m[j]))
+        for j in range(dim)
+    )
+    sa = sum((F.col("e")[j] - F.lit(m[j])) * F.lit(v[j]) for j in range(dim))
+    scored = (
+        e.filter(F.col("vec_id") != _PROBE)
+        .withColumn("cab", cab)
+        .withColumn("caa", caa)
+        .withColumn("sa", sa)
+        .withColumn(
+            "cos2",
+            (F.col("cab") - F.col("sa") * F.lit(sp))
+            / F.sqrt(
+                (F.col("caa") - F.col("sa") * F.col("sa"))
+                * F.lit(cpp - sp * sp)
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cos2"), F.asc("vec_id"))
+        .limit(_TOPK)
+        .select("vec_id", F.round("cos2", 6).alias("cosine"))
     )

@@ -698,8 +698,9 @@ def test_pca_power_top_matches_numpy_replay(spark):
         [(i, [float(x) for x in base[i]]) for i in range(n)],
         "vec_id bigint, e array<double>",
     )
-    v, lam, n_got = pca_power_top(e, iters=2)
+    v, lam, n_got, m_got = pca_power_top(e, iters=2)
     assert n_got == n
+    assert np.allclose(m_got, base.mean(axis=0), atol=1e-12)
     # independent replay: centered X, v0 = ones/sqrt(d), two rounds of
     # w = X^T (X v); lam = ||w||
     xc = base - base.mean(axis=0)
@@ -726,3 +727,22 @@ def test_pca_power_degenerate_corpus_raises(spark):
     )
     with _pt.raises(ValueError, match="zero centered variance"):
         pca_power_top(e)
+
+
+def test_abtt_identity_matches_explicit_correction(spark):
+    """The no-materialization identity the ABTT query relies on —
+    (x - vv^T x).(y - vv^T y) = x.y - (v.x)(v.y) for unit v — checked
+    against the EXPLICIT corrected-vector computation in numpy on random
+    data (independent of both engines)."""
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    d = 16
+    v = rng.normal(size=d)
+    v /= np.linalg.norm(v)
+    for _ in range(20):
+        x = rng.normal(size=d)
+        y = rng.normal(size=d)
+        xc = x - v * (v @ x)
+        yc = y - v * (v @ y)
+        assert abs((xc @ yc) - (x @ y - (v @ x) * (v @ y))) < 1e-12
