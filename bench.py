@@ -109,6 +109,7 @@ HEADLINE = [
     "corpus_cluster_sample",
     "embed_pca_power",
     "embed_abtt_topk",
+    "dsir_select_topk",
     "video_fp_stage",
     "dedup_video_fp",
     "dedup_video_apply",

@@ -1224,3 +1224,136 @@ def contrastive_negatives(docs: DataFrame) -> DataFrame:
     return docs.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")).join(
         F.broadcast(negs), "neg_id"
     ).select("anchor_id", "j", "neg_id", "neg_source")
+
+
+# --- DSIR-style importance selection (Xie et al. 2023, public) ---------------
+#
+# Data Selection via Importance Resampling, the hashed-n-gram form: bucket
+# every token into B hash buckets, estimate the target-domain and raw-corpus
+# bucket distributions (add-1 smoothed), score each document by the sum of
+# per-token log importance ratios, keep the top K. The one transcendental
+# (ln) follows the BM25 idf contract exactly: the B ratios are computed
+# DRIVER-SIDE from one bounded aggregate as half-up micro-unit-quantized
+# literal doubles, with an asserted distance from every .5 rounding
+# boundary, so a conforming libm on either engine provably rounds to the
+# same micro-unit; the oracle computes the same quantization in-engine on
+# bit-identical double inputs (exact integer counts < 2^53). Document
+# scores are then integer-weighted sums of the same quantized values —
+# ROUND(·, 6)-stable because true scores sit on micro-unit multiples, 5e5
+# fp-ulps away from any rounding boundary.
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_SOURCE = "src0"  # registered-scenario target-domain proxy
+DSIR_TOP_K = 100
+DSIR_BOUNDARY_MARGIN = 1e-6
+
+# token -> bucket, stated once per engine (the simhash md5-slice idiom)
+_DSIR_BKT_SPARK = (
+    "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % " f"{DSIR_BUCKETS}"
+)
+_DSIR_BKT_DUCK = (
+    f"CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {DSIR_BUCKETS}"
+)
+
+_DSIR_RATIO_CACHE: dict[tuple, list] = {}
+
+
+def _dsir_ratio_literals(spark: SparkSession, sf_dir: str) -> list[float]:
+    """bucket -> quantized log importance ratio, computed driver-side from
+    ONE bounded aggregate (B raw counts + B target counts + two totals).
+    ratio_b = ln( ((tgt_b + 1) * (raw_tot + B)) / ((tgt_tot + B) * (raw_b + 1)) )
+    — exact integer numerator/denominator (< 2^53), so both engines feed
+    ln the SAME double; half-up micro-unit quantization with the BM25
+    boundary-margin assertion."""
+    import math
+
+    from temporalvault_spark.operators.llm import _corpus_key
+
+    key = _corpus_key(spark, sf_dir)
+    cached = _DSIR_RATIO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("t"),
+    ).select("source", F.expr(_DSIR_BKT_SPARK).alias("bkt"))
+    rows = (
+        toks.groupBy("bkt")
+        .agg(
+            F.count("*").alias("raw"),
+            F.count(F.when(F.col("source") == DSIR_TARGET_SOURCE, 1)).alias("tgt"),
+        )
+        .collect()  # bounded: <= DSIR_BUCKETS rows
+    )
+    raw = {int(r["bkt"]): int(r["raw"]) for r in rows}
+    tgt = {int(r["bkt"]): int(r["tgt"]) for r in rows}
+    raw_tot = sum(raw.values())
+    tgt_tot = sum(tgt.values())
+    out = []
+    for b in range(DSIR_BUCKETS):
+        num = (tgt.get(b, 0) + 1) * (raw_tot + DSIR_BUCKETS)
+        den = (tgt_tot + DSIR_BUCKETS) * (raw.get(b, 0) + 1)
+        y = math.log(num / den) * 1e6
+        frac = y - math.floor(y)
+        if abs(frac - 0.5) <= DSIR_BOUNDARY_MARGIN:
+            raise ValueError(
+                f"DSIR ratio for bucket {b} lands within "
+                f"{DSIR_BOUNDARY_MARGIN} of a .5 micro-unit boundary — "
+                "cross-libm parity cannot be guaranteed for this corpus"
+            )
+        out.append(math.floor(y + 0.5) / 1e6)
+    _DSIR_RATIO_CACHE[key] = out
+    return out
+
+
+@query(
+    "dsir_select_topk",
+    f"""WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+    b AS (SELECT doc_id, source, {_DSIR_BKT_DUCK} AS bkt FROM toks),
+    raw AS (SELECT bkt, COUNT(*) AS c FROM b GROUP BY bkt),
+    tgt AS (SELECT bkt, COUNT(*) AS c FROM b
+            WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bkt),
+    tots AS (SELECT (SELECT COUNT(*) FROM b) AS rawt,
+                    (SELECT COUNT(*) FROM b WHERE source = '{DSIR_TARGET_SOURCE}') AS tgtt),
+    ratios AS (
+        SELECT r.bkt,
+               FLOOR(ln(CAST((COALESCE(t.c, 0) + 1) * (tots.rawt + {DSIR_BUCKETS}) AS DOUBLE)
+                        / CAST((tots.tgtt + {DSIR_BUCKETS}) * (r.c + 1) AS DOUBLE)) * 1e6
+                     + 0.5) / 1e6 AS r
+        FROM raw r LEFT JOIN tgt t ON r.bkt = t.bkt CROSS JOIN tots),
+    scores AS (
+        SELECT b.doc_id, ROUND(SUM(ratios.r), 6) AS score
+        FROM b JOIN ratios ON b.bkt = ratios.bkt
+        GROUP BY b.doc_id)
+    SELECT s.doc_id, d.source, s.score
+    FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+    ORDER BY s.score DESC, s.doc_id LIMIT {DSIR_TOP_K}""",
+)
+def q_dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection: keep the {DSIR_TOP_K} documents whose
+    hashed-token distribution looks most like the target domain
+    ('{DSIR_TARGET_SOURCE}' — a registered-scenario proxy; a deployment
+    points the target estimator at its curated seed corpus). The whole
+    scoring pass is ONE codegen'd projection — a higher-order fold over
+    the token array against the {DSIR_BUCKETS} literal quantized ratios
+    (no explode, no shuffle until the slim per-doc score aggregate) —
+    and the top-K plans as TakeOrderedAndProject. The oracle recomputes
+    the bucket distributions, the quantized log ratios (in-engine ln on
+    bit-identical integer-derived doubles, half-up micro-units — the
+    BM25 idf contract), and the ranked cut end-to-end."""
+    ratios = _dsir_ratio_literals(spark, sf_dir)
+    arr_sql = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in ratios)
+    score = F.expr(
+        f"aggregate(split(lower(trim(text)), ' '), CAST(0.0 AS DOUBLE), "
+        f"(acc, t) -> acc + element_at(array({arr_sql}), "
+        f"CAST({_DSIR_BKT_SPARK} AS INT) + 1))"
+    )
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return (
+        docs.select("doc_id", "source", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(DSIR_TOP_K)
+    )

@@ -187,3 +187,41 @@ def test_pii_scan_crafted_and_engine_parity(spark, tmp_path):
         entrymod.queries()["pii_scan"](spark, dst), con, entrymod.oracle_sql()["pii_scan"]
     )
     assert ok, msg
+
+
+def test_dsir_selects_target_domain_lookalikes(spark, sf_dir, tmp_path):
+    """DSIR semantics on a crafted corpus: src0 (the target proxy) speaks
+    an 'alpha' vocabulary, other sources speak 'beta'; a beta-source doc
+    WRITTEN IN alpha vocabulary must outrank every pure-beta doc — the
+    selection scores text distribution, not source labels."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    dst = str(tmp_path / "sfdsir")
+    os.makedirs(dst)
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(dst, f))
+    alpha = " ".join(f"alpha{i}" for i in range(30))
+    beta = " ".join(f"beta{i}" for i in range(30))
+    rows = []
+    for i in range(20):  # the target domain: alpha speakers in src0
+        rows.append((i, "src0", alpha, "en", len(alpha)))
+    for i in range(20, 60):  # raw corpus bulk: beta speakers elsewhere
+        rows.append((i, f"src{1 + i % 3}", beta, "en", len(beta)))
+    rows.append((999, "src9", alpha, "en", len(alpha)))  # the lookalike
+    pd.DataFrame(
+        rows, columns=["doc_id", "source", "text", "lang", "n_chars"]
+    ).to_parquet(os.path.join(dst, "documents.parquet"), index=False)
+
+    got = entrymod.queries()["dsir_select_topk"](spark, dst).collect()
+    scores = {r["doc_id"]: r["score"] for r in got}
+    assert 999 in scores  # the alpha-speaking outsider is selected
+    beta_scores = [r["score"] for r in got if 20 <= r["doc_id"] < 60]
+    assert all(scores[999] > s for s in beta_scores) or not beta_scores
+    # and it scores exactly like the target docs (same token multiset)
+    assert scores[999] == scores[0]
