@@ -1275,8 +1275,7 @@ def _dsir_ratio_literals(spark: SparkSession, sf_dir: str) -> list[float]:
         return cached
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     toks = docs.select(
-        "source",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("t"),
+        "source", F.explode(_tokens()).alias("t")
     ).select("source", F.expr(_DSIR_BKT_SPARK).alias("bkt"))
     rows = (
         toks.groupBy("bkt")

@@ -1611,6 +1611,18 @@ def _fake_resize(payload: bytes, max_side: int) -> dict:
     }
 
 
+def _nn_resize_rgb(img: np.ndarray, max_side: int) -> np.ndarray:
+    """THE nearest-neighbor fit-to-max_side index math (aspect-preserving,
+    never upscales) — one definition shared by the PPM and compressed-codec
+    resize paths, so their pixel parity is structural, not coincidental."""
+    h, w = img.shape[:2]
+    scale = min(1.0, max_side / max(w, h)) if max(w, h) else 1.0
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    ys = (np.arange(nh) * (h / nh)).astype(np.int64)
+    xs = (np.arange(nw) * (w / nw)).astype(np.int64)
+    return np.ascontiguousarray(img[ys][:, xs])
+
+
 def _ppm_resize(payload: bytes, max_side: int) -> dict | None:
     """Real, dependency-free pixel resize for binary PPM (P6, maxval<=255):
     numpy nearest-neighbor on the raw RGB plane, re-encoded P6. Returns
@@ -1620,12 +1632,8 @@ def _ppm_resize(payload: bytes, max_side: int) -> dict | None:
         return None
     w, h, _maxval, off = hdr
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
-    img = px.reshape(h, w, 3)
-    scale = min(1.0, max_side / max(w, h)) if max(w, h) else 1.0
-    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-    ys = (np.arange(nh) * (h / nh)).astype(np.int64)
-    xs = (np.arange(nw) * (w / nw)).astype(np.int64)
-    out = img[ys][:, xs]
+    out = _nn_resize_rgb(px.reshape(h, w, 3), max_side)
+    nh, nw = out.shape[:2]
     new_payload = b"P6\n%d %d\n255\n" % (nw, nh) + out.tobytes()
     return {"width": nw, "height": nh, "payload": new_payload}
 
@@ -1646,12 +1654,8 @@ def _real_resize(payload: bytes, max_side: int) -> dict:
     except NotImplementedError:
         img = None  # a per-codec feature gap: fall to the library tier
     if img is not None:
-        h, w = img.shape[:2]
-        scale = min(1.0, max_side / max(w, h)) if max(w, h) else 1.0
-        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-        ys = (np.arange(nh) * (h / nh)).astype(np.int64)
-        xs = (np.arange(nw) * (w / nw)).astype(np.int64)
-        out = np.ascontiguousarray(img[ys][:, xs])
+        out = _nn_resize_rgb(img, max_side)
+        nh, nw = out.shape[:2]
         return {"width": nw, "height": nh, "payload": png_encode_rgb(out)}
     try:
         from PIL import Image

@@ -1376,6 +1376,14 @@ def q_corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# corrected self-norms below this floor are degenerate (the vector is
+# numerically parallel to the principal direction): the fp subtraction's
+# sign is then noise, DuckDB would abort on sqrt(negative) while Spark
+# yields NaN — so BOTH engines exclude those rows with the identical
+# predicate, and the probe-side case fails loudly on the driver
+ABTT_NORM_FLOOR = 1e-12
+
+
 @query(
     "embed_abtt_topk",
     f"""WITH {_DUCK_PCA_CHAIN},
@@ -1387,13 +1395,16 @@ def q_corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM xc a JOIN pc p USING (pos) GROUP BY a.vec_id),
     scored AS (
         SELECT d.vec_id,
-               (cab - s.s * sp.s)
-                   / sqrt((caa - s.s * s.s) * (cpp.cpp - sp.s * sp.s)) AS cos2
+               ROUND((cab - s.s * sp.s)
+                   / sqrt((caa - s.s * s.s) * (cpp.cpp - sp.s * sp.s)), 6)
+                   AS cosine
         FROM dots d JOIN s ON d.vec_id = s.vec_id
         CROSS JOIN sp CROSS JOIN cpp
-        WHERE d.vec_id <> {SIM_PROBE_VEC_ID})
-    SELECT vec_id, ROUND(cos2, 6) AS cosine FROM scored
-    ORDER BY cos2 DESC, vec_id LIMIT {SIM_TOP_K}""",
+        WHERE d.vec_id <> {SIM_PROBE_VEC_ID}
+          AND (caa - s.s * s.s) > {ABTT_NORM_FLOOR}
+          AND (cpp.cpp - sp.s * sp.s) > {ABTT_NORM_FLOOR})
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id LIMIT {SIM_TOP_K}""",
 )
 def q_embed_abtt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-k AFTER All-but-the-Top post-processing (Mu & Viswanath
@@ -1408,20 +1419,26 @@ def q_embed_abtt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a TakeOrderedAndProject. The oracle replays the power-iteration
     chain (the SAME _DUCK_PCA_CHAIN embed_pca_power hash-checks) and the
     correction identity end-to-end."""
-    from temporalvault_spark.constants import SIM_PROBE_VEC_ID as _PROBE
-    from temporalvault_spark.constants import SIM_TOP_K as _TOPK
-
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     v, _lam, _n, m = pca_power_top(e)
     dim = len(v)
-    probe_row = e.filter(F.col("vec_id") == _PROBE).first()  # bounded: 1 row
+    probe_row = e.filter(
+        F.col("vec_id") == SIM_PROBE_VEC_ID
+    ).first()  # bounded: 1 row
     if probe_row is None:
-        raise ValueError(f"embed_abtt_topk: probe vec_id {_PROBE} not found")
+        raise ValueError(
+            f"embed_abtt_topk: probe vec_id {SIM_PROBE_VEC_ID} not found"
+        )
     pc = [float(probe_row["e"][j]) - m[j] for j in range(dim)]
     sp = sum(pc[j] * v[j] for j in range(dim))
     cpp = sum(x * x for x in pc)
+    if cpp - sp * sp <= ABTT_NORM_FLOOR:
+        raise ValueError(
+            "embed_abtt_topk: the probe vector is numerically parallel to "
+            "the top principal direction — its corrected norm is degenerate"
+        )
     cab = sum((F.col("e")[j] - F.lit(m[j])) * F.lit(pc[j]) for j in range(dim))
     caa = sum(
         (F.col("e")[j] - F.lit(m[j])) * (F.col("e")[j] - F.lit(m[j]))
@@ -1429,21 +1446,30 @@ def q_embed_abtt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sum((F.col("e")[j] - F.lit(m[j])) * F.lit(v[j]) for j in range(dim))
     scored = (
-        e.filter(F.col("vec_id") != _PROBE)
+        e.filter(F.col("vec_id") != SIM_PROBE_VEC_ID)
         .withColumn("cab", cab)
         .withColumn("caa", caa)
         .withColumn("sa", sa)
+        .filter(
+            (F.col("caa") - F.col("sa") * F.col("sa")) > ABTT_NORM_FLOOR
+        )
         .withColumn(
-            "cos2",
-            (F.col("cab") - F.col("sa") * F.lit(sp))
-            / F.sqrt(
-                (F.col("caa") - F.col("sa") * F.col("sa"))
-                * F.lit(cpp - sp * sp)
+            "cosine",
+            F.round(
+                (F.col("cab") - F.col("sa") * F.lit(sp))
+                / F.sqrt(
+                    (F.col("caa") - F.col("sa") * F.col("sa"))
+                    * F.lit(cpp - sp * sp)
+                ),
+                6,
             ),
         )
     )
+    # order by the ROUNDED score (the dsir convention): the unrounded
+    # value differs between engines in the low bits (different summation
+    # orders), so an unrounded cut could straddle near-ties differently
     return (
-        scored.orderBy(F.desc("cos2"), F.asc("vec_id"))
-        .limit(_TOPK)
-        .select("vec_id", F.round("cos2", 6).alias("cosine"))
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(SIM_TOP_K)
+        .select("vec_id", "cosine")
     )
