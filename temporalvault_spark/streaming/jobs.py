@@ -952,6 +952,168 @@ def video_dedup_ingest_stream(
     )
 
 
+def multimodal_dedup_ingest_stream(
+    doc_stream: DataFrame,
+    index_paths: dict,
+    accepted_path: str,
+    checkpoint: str,
+    text_threshold: float = 0.6,
+    available_now: bool = True,
+):
+    """The CAPSTONE ingest gate: one stream of full multimodal documents
+    (doc_id, text, image, audio, video — binary payloads nullable per
+    row), one verdict — a document is REJECTED if ANY modality near-dups
+    an already-ingested or batch-local sibling. This is the streaming twin
+    of dedup_multimodal_apply: the four per-modality probes
+    (minhash text / phash image / envelope audio / voted video) run
+    against their own persisted indexes, rejects union, survivors land in
+    ONE accepted corpus and append to ALL FOUR indexes. ``index_paths``:
+    {"text": ..., "image": ..., "audio": ..., "video": ...}.
+
+    Rows with a NULL payload for some modality simply don't participate in
+    that modality's probe (a text-only document can't image-dup anything).
+
+    Exactly-once by the shared mechanism, jointly: the batch marker is ONE
+    file covering all four index appends + the accepted write, every build
+    passes ingest_id=batch_id (appends rewrite their own partitions on
+    replay), and survivor determinism holds per modality (survivors are
+    pairwise below EVERY modality's match rule, so a half-indexed batch
+    cannot reject its own survivors in any modality). A crash that leaves
+    SOME indexes built and others not replays coherently: ready indexes
+    re-append (dynamic overwrite of the same ingest partitions), missing
+    ones rebuild — the markers-without-index guard still fails loudly on
+    an established gate whose index vanished."""
+    from temporalvault_spark.operators.afp_index import (
+        build_afp_index,
+        query_afp_index,
+    )
+    from temporalvault_spark.operators.audio_fp import afp_frame, afp_hamming_pairs
+    from temporalvault_spark.operators.llm import ngram_jaccard_pairs
+    from temporalvault_spark.operators.minhash_index import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+    from temporalvault_spark.operators.phash import ahash_frame, phash_hamming_pairs
+    from temporalvault_spark.operators.phash_index import (
+        build_phash_index,
+        query_phash_index,
+    )
+    from temporalvault_spark.operators.vfp_index import (
+        _as_fid,
+        build_vfp_index,
+        query_vfp_index,
+    )
+    from temporalvault_spark.operators.videohash import vfp_frame, video_fp_pairs
+
+    for k in ("text", "image", "audio", "video"):
+        if k not in index_paths:
+            raise ValueError(f"multimodal gate: index_paths missing {k!r}")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        # one decode pass per modality, NULL payloads excluded up front
+        docs = batch.filter(F.col("text").isNotNull()).select("doc_id", "text")
+        imgs = batch.filter(F.col("image").isNotNull()).select(
+            F.col("doc_id").alias("img_id"), "image"
+        )
+        auds = batch.filter(F.col("audio").isNotNull()).select(
+            F.col("doc_id").alias("aud_id"), "audio"
+        )
+        vids = batch.filter(F.col("video").isNotNull()).select(
+            F.col("doc_id").alias("vid_id"), "video"
+        )
+        img_h = ahash_frame(imgs).localCheckpoint(eager=True)
+        aud_h = afp_frame(auds).localCheckpoint(eager=True)
+        vid_h = vfp_frame(vids).localCheckpoint(eager=True)
+
+        ready = {
+            k: _gate_index_ready(spark, index_paths[k], accepted_path)
+            for k in ("text", "image", "audio", "video")
+        }
+        rejects = []
+        if ready["text"]:
+            rejects.append(
+                query_minhash_index(
+                    spark, index_paths["text"], docs, text_threshold
+                ).select(F.col("query_doc").alias("doc_id"))
+            )
+        if ready["image"]:
+            rejects.append(
+                query_phash_index(spark, index_paths["image"], img_h).select(
+                    F.col("query_img").alias("doc_id")
+                )
+            )
+        if ready["audio"]:
+            rejects.append(
+                query_afp_index(spark, index_paths["audio"], aud_h).select(
+                    F.col("query_aud").alias("doc_id")
+                )
+            )
+        if ready["video"]:
+            rejects.append(
+                query_vfp_index(spark, index_paths["video"], vid_h).select(
+                    F.col("query_vid").alias("doc_id")
+                )
+            )
+        # within-batch rejects, per modality (keep the lower doc_id)
+        rejects.append(
+            ngram_jaccard_pairs(docs, text_threshold).select(
+                F.col("doc_b").alias("doc_id")
+            )
+        )
+        rejects.append(
+            phash_hamming_pairs(img_h).select(F.col("img_b").alias("doc_id"))
+        )
+        rejects.append(
+            afp_hamming_pairs(aud_h).select(F.col("aud_b").alias("doc_id"))
+        )
+        rejects.append(
+            video_fp_pairs(vid_h).select(F.col("vid_b").alias("doc_id"))
+        )
+        rej = rejects[0]
+        for r in rejects[1:]:
+            rej = rej.unionByName(r)
+        rej = rej.distinct()
+        surv_ids = (
+            batch.select("doc_id").join(rej, "doc_id", "left_anti")
+        ).localCheckpoint(eager=True)
+        _accepted_overwrite(
+            batch.join(surv_ids, "doc_id", "semi"), batch_id, accepted_path
+        )
+        build_minhash_index(
+            docs.join(surv_ids, "doc_id", "semi"),
+            index_paths["text"],
+            append=ready["text"],
+            ingest_id=batch_id,
+        )
+        build_phash_index(
+            img_h.join(surv_ids, img_h["img_id"] == surv_ids["doc_id"], "semi"),
+            index_paths["image"],
+            append=ready["image"],
+            ingest_id=batch_id,
+        )
+        build_afp_index(
+            aud_h.join(surv_ids, aud_h["aud_id"] == surv_ids["doc_id"], "semi"),
+            index_paths["audio"],
+            append=ready["audio"],
+            ingest_id=batch_id,
+        )
+        build_vfp_index(
+            _as_fid(
+                vid_h.join(
+                    surv_ids, vid_h["vid_id"] == surv_ids["doc_id"], "semi"
+                )
+            ),
+            index_paths["video"],
+            append=ready["video"],
+            ingest_id=batch_id,
+        )
+
+    return _dedup_gate_run(
+        doc_stream, accepted_path, checkpoint, available_now, process
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     name: str,
