@@ -958,6 +958,10 @@ def multimodal_dedup_ingest_stream(
     accepted_path: str,
     checkpoint: str,
     text_threshold: float = 0.6,
+    image_threshold: int | None = None,
+    audio_threshold: int | None = None,
+    video_threshold: int | None = None,
+    video_min_frames: int | None = None,
     available_now: bool = True,
 ):
     """The CAPSTONE ingest gate: one stream of full multimodal documents
@@ -988,12 +992,24 @@ def multimodal_dedup_ingest_stream(
         query_afp_index,
     )
     from temporalvault_spark.operators.audio_fp import afp_frame, afp_hamming_pairs
-    from temporalvault_spark.operators.llm import ngram_jaccard_pairs
+    from temporalvault_spark.operators.audio_fp import AFP_THRESHOLD
+    from temporalvault_spark.operators.llm import (
+        ngram_jaccard_pairs,
+        shingle_signatures,
+    )
     from temporalvault_spark.operators.minhash_index import (
         build_minhash_index,
         query_minhash_index,
     )
-    from temporalvault_spark.operators.phash import ahash_frame, phash_hamming_pairs
+    from temporalvault_spark.operators.phash import (
+        PHASH_THRESHOLD,
+        ahash_frame,
+        phash_hamming_pairs,
+    )
+    from temporalvault_spark.operators.videohash import (
+        VFP_THRESHOLD,
+        VID_MATCH_MIN,
+    )
     from temporalvault_spark.operators.phash_index import (
         build_phash_index,
         query_phash_index,
@@ -1008,11 +1024,18 @@ def multimodal_dedup_ingest_stream(
     for k in ("text", "image", "audio", "video"):
         if k not in index_paths:
             raise ValueError(f"multimodal gate: index_paths missing {k!r}")
+    thr_img = PHASH_THRESHOLD if image_threshold is None else image_threshold
+    thr_aud = AFP_THRESHOLD if audio_threshold is None else audio_threshold
+    thr_vid = VFP_THRESHOLD if video_threshold is None else video_threshold
+    mf_vid = VID_MATCH_MIN if video_min_frames is None else video_min_frames
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         # one decode pass per modality, NULL payloads excluded up front
         docs = batch.filter(F.col("text").isNotNull()).select("doc_id", "text")
+        # ONE shingle+md5 pass shared by probe, local pairs, and build
+        # (the md5 pass is the text path's dominant CPU cost)
+        sigs = shingle_signatures(docs).localCheckpoint(eager=True)
         imgs = batch.filter(F.col("image").isNotNull()).select(
             F.col("doc_id").alias("img_id"), "image"
         )
@@ -1034,41 +1057,48 @@ def multimodal_dedup_ingest_stream(
         if ready["text"]:
             rejects.append(
                 query_minhash_index(
-                    spark, index_paths["text"], docs, text_threshold
+                    spark, index_paths["text"], docs, text_threshold,
+                    signatures=sigs,
                 ).select(F.col("query_doc").alias("doc_id"))
             )
         if ready["image"]:
             rejects.append(
-                query_phash_index(spark, index_paths["image"], img_h).select(
-                    F.col("query_img").alias("doc_id")
-                )
+                query_phash_index(
+                    spark, index_paths["image"], img_h, thr_img
+                ).select(F.col("query_img").alias("doc_id"))
             )
         if ready["audio"]:
             rejects.append(
-                query_afp_index(spark, index_paths["audio"], aud_h).select(
-                    F.col("query_aud").alias("doc_id")
-                )
+                query_afp_index(
+                    spark, index_paths["audio"], aud_h, thr_aud
+                ).select(F.col("query_aud").alias("doc_id"))
             )
         if ready["video"]:
             rejects.append(
-                query_vfp_index(spark, index_paths["video"], vid_h).select(
-                    F.col("query_vid").alias("doc_id")
-                )
+                query_vfp_index(
+                    spark, index_paths["video"], vid_h, thr_vid, mf_vid
+                ).select(F.col("query_vid").alias("doc_id"))
             )
         # within-batch rejects, per modality (keep the lower doc_id)
         rejects.append(
-            ngram_jaccard_pairs(docs, text_threshold).select(
+            ngram_jaccard_pairs(docs, text_threshold, signatures=sigs).select(
                 F.col("doc_b").alias("doc_id")
             )
         )
         rejects.append(
-            phash_hamming_pairs(img_h).select(F.col("img_b").alias("doc_id"))
+            phash_hamming_pairs(img_h, thr_img).select(
+                F.col("img_b").alias("doc_id")
+            )
         )
         rejects.append(
-            afp_hamming_pairs(aud_h).select(F.col("aud_b").alias("doc_id"))
+            afp_hamming_pairs(aud_h, thr_aud).select(
+                F.col("aud_b").alias("doc_id")
+            )
         )
         rejects.append(
-            video_fp_pairs(vid_h).select(F.col("vid_b").alias("doc_id"))
+            video_fp_pairs(vid_h, thr_vid, mf_vid).select(
+                F.col("vid_b").alias("doc_id")
+            )
         )
         rej = rejects[0]
         for r in rejects[1:]:
@@ -1084,6 +1114,7 @@ def multimodal_dedup_ingest_stream(
             docs.join(surv_ids, "doc_id", "semi"),
             index_paths["text"],
             append=ready["text"],
+            signatures=sigs.join(surv_ids, "doc_id", "semi"),
             ingest_id=batch_id,
         )
         build_phash_index(
