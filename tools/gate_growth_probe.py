@@ -69,6 +69,40 @@ def _vid_df(spark, lo: int, hi: int):
     return synth_gif_videos(ids)
 
 
+def _mm_df(spark, lo: int, hi: int):
+    """Full multimodal rows: novel word-soup text plus one synthetic
+    image/audio/video payload each, all keyed off the id so cross-batch
+    hashes never collide — feeds the joint gate."""
+    from pyspark.sql import functions as F
+
+    from temporalvault_spark.operators.audio_fp import _synth_wav
+    from temporalvault_spark.operators.phash import _synth_ppm
+    from temporalvault_spark.operators.videohash import _synth_gif
+
+    base = _doc_df(spark, lo, hi).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "text": b["text"],
+                    "image": [_synth_ppm(int(i) * 40) for i in b["doc_id"]],
+                    "audio": [_synth_wav(int(i) * 40 + 5) for i in b["doc_id"]],
+                    "video": [_synth_gif(int(i) * 40 + 2) for i in b["doc_id"]],
+                }
+            )
+
+    return base.mapInPandas(
+        gen,
+        "doc_id bigint, text string, image binary, audio binary, video binary",
+    )
+
+
 def _run_gate(spark, name, make_batch, gate, id_schema, index_rows, occupancy,
               rebuild, per_batch, k):
     root = tempfile.mkdtemp(prefix=f"tv_gate_{name}_")
@@ -159,9 +193,37 @@ def main() -> None:
         per_batch, k,
     )
 
+    # the JOINT multimodal gate: all four probes + four index appends per
+    # batch through one marker; contract checks run on the text index
+    mm_root = tempfile.mkdtemp(prefix="tv_gate_multimodal_")
+    mm_paths = {k: f"{mm_root}/idx_{k}" for k in ("text", "image", "audio", "video")}
+    from temporalvault_spark.streaming import multimodal_dedup_ingest_stream
+
+    def _mm_gate(stream, _idx, acc, ck):
+        os.makedirs(_idx, exist_ok=True)  # sentinel for _run_gate's isdir
+        return multimodal_dedup_ingest_stream(stream, mm_paths, acc, ck)
+
+    out["multimodal"] = _run_gate(
+        spark, "multimodal", _mm_df, _mm_gate,
+        "doc_id bigint, text string, image binary, audio binary, video binary",
+        lambda s, p: sum(
+            s.read.parquet(q).count()
+            for q in mm_paths.values()
+            if os.path.isdir(q)
+        ),
+        lambda s, p, wt: minhash_index.minhash_index_occupancy(
+            s, mm_paths["text"], wt
+        ),
+        lambda s, p, wt: minhash_index.rebuild_minhash_index_if_grown(
+            s, mm_paths["text"], wt
+        ),
+        per_batch, k,
+    )
+    shutil.rmtree(mm_root, ignore_errors=True)
+
     json.dump(out, open("/tmp/gate_growth_probe.json", "w"), indent=1)
 
-    for name in ("text", "image", "audio", "video"):
+    for name in ("text", "image", "audio", "video", "multimodal"):
         r = out[name]
         print(f"\n### {name} gate — per-batch wall time ({per_batch} items/batch)\n")
         print("| batch | index rows before | sec |")
