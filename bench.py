@@ -110,6 +110,7 @@ HEADLINE = [
     "embed_pca_power",
     "embed_abtt_topk",
     "dsir_select_topk",
+    "dsir_source_affinity",
     "video_fp_stage",
     "dedup_video_fp",
     "dedup_video_apply",

@@ -1306,9 +1306,10 @@ def _dsir_ratio_literals(spark: SparkSession, sf_dir: str) -> list[float]:
     return out
 
 
-@query(
-    "dsir_select_topk",
-    f"""WITH toks AS (
+# the shared DSIR scoring pipeline (tokenize -> bucket -> smoothed
+# distributions -> quantized log ratios -> per-doc scores), used by the
+# top-K selection and the per-source affinity summary — one statement
+_DSIR_CTES = f"""toks AS (
         SELECT doc_id, source, unnest(string_split(lower(trim(text)), ' ')) AS tok
         FROM documents WHERE text IS NOT NULL),
     b AS (SELECT doc_id, source, {_DSIR_BKT_DUCK} AS bkt FROM toks),
@@ -1326,7 +1327,12 @@ def _dsir_ratio_literals(spark: SparkSession, sf_dir: str) -> list[float]:
     scores AS (
         SELECT b.doc_id, ROUND(SUM(ratios.r), 6) AS score
         FROM b JOIN ratios ON b.bkt = ratios.bkt
-        GROUP BY b.doc_id)
+        GROUP BY b.doc_id)"""
+
+
+@query(
+    "dsir_select_topk",
+    f"""WITH {_DSIR_CTES}
     SELECT s.doc_id, d.source, s.score
     FROM scores s JOIN documents d ON s.doc_id = d.doc_id
     ORDER BY s.score DESC, s.doc_id LIMIT {DSIR_TOP_K}""",
@@ -1355,4 +1361,41 @@ def q_dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(DSIR_TOP_K)
+    )
+
+
+@query(
+    "dsir_source_affinity",
+    f"""WITH {_DSIR_CTES}
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(s.score), 6) AS total_score
+    FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+    GROUP BY d.source""",
+)
+def q_dsir_source_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DSIR affinity — the MIXTURE-WEIGHTING view of the same
+    importance scores dsir_select_topk cuts on: summed (not averaged —
+    sums of micro-unit-quantized values stay on exact 1e-6 multiples, so
+    the ROUND is boundary-safe; an average could land exactly between
+    micro-units) log importance ratio per source, plus the doc count. A
+    deployment normalizes these into sampling weights per domain (the
+    DoReMi-shaped use). Same one-pass fold, same literal ratios, one
+    extra map-side-combined aggregate; the oracle replays the shared
+    _DSIR_CTES chain plus the per-source rollup."""
+    ratios = _dsir_ratio_literals(spark, sf_dir)
+    arr_sql = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in ratios)
+    score = F.expr(
+        f"aggregate(split(lower(trim(text)), ' '), CAST(0.0 AS DOUBLE), "
+        f"(acc, t) -> acc + element_at(array({arr_sql}), "
+        f"CAST({_DSIR_BKT_SPARK} AS INT) + 1))"
+    )
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return (
+        docs.select("source", F.round(score, 6).alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("score"), 6).alias("total_score"),
+        )
     )
