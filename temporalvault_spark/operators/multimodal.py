@@ -634,7 +634,15 @@ def jpeg_decode_rgb(payload: bytes) -> np.ndarray | None:
     JFIF): marker walk -> DQT/DHT/SOF0/DRI parse -> per-MCU huffman
     entropy decode (byte stuffing, restart markers) -> dequantize ->
     vectorized 8x8 IDCT -> chroma upsample -> YCbCr->RGB -> (h, w, 3)
-    uint8. Returns None for non-JPEG payloads (format dispatch); raises
+    uint8. Chroma upsampling is NEAREST-NEIGHBOR (np.repeat), not the
+    "fancy" bilinear upsample of the libjpeg family — subsampled (4:2:0 /
+    4:2:2) images therefore differ from mainstream decoders by a few LSBs
+    near chroma edges; pixel-exactness vs libjpeg holds only for 4:4:4 and
+    grayscale. Every in-repo consumer (aHash dedup, feature extraction,
+    resize) is Hamming-/LSB-tolerant by design, so the difference is
+    cosmetic — but decode_pixels_rgb is also the general pixel kernel, so
+    the boundary is documented here. Returns None for non-JPEG payloads
+    (format dispatch); raises
     NotImplementedError for JPEG features outside the baseline tier
     (progressive SOF2, arithmetic coding, 12-bit, non-integer sampling
     ratios, CMYK) — the honest-seam contract. Grayscale replicates to

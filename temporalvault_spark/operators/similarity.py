@@ -1109,9 +1109,17 @@ def kmeans_lloyd(
         means = assigned.groupBy("centroid_id").agg(
             *[F.avg(F.col("e")[i]).alias(f"m{i}") for i in range(dim)]
         )
+        import math
+
+        # micro-unit quantization between rounds (the DSIR/BM25 transcendental
+        # contract): Spark's partition-order AVG and DuckDB's AVG can differ
+        # in the last ULP, and the raw means feed the NEXT round's cosine
+        # argmax — floor(x*1e6 + 0.5)/1e6 on both sides makes every argmax
+        # decision compare engine-independent values, so hash parity never
+        # rides on the corpus having no near-tie assignments
         for r in means.collect():  # bounded: <= k rows of dim doubles
             cent_local[int(r["centroid_id"])] = [
-                float(r[f"m{i}"]) for i in range(dim)
+                math.floor(float(r[f"m{i}"]) * 1e6 + 0.5) / 1e6 for i in range(dim)
             ]
     cents_df = spark.createDataFrame(sorted(cent_local.items()), schema)
     return assign_to_centroids(e, cents_df), cents_df
@@ -1135,9 +1143,13 @@ def _duck_kmeans_assign(cent_cte: str, out: str) -> str:
 def _duck_kmeans_update(assign_cte: str, prev: str, out: str) -> str:
     """One Lloyd update as CTEs: element-wise mean per cluster (position
     explode via range + 1-based list index), empty clusters keep the
-    previous centroid via the LEFT JOIN + COALESCE."""
+    previous centroid via the LEFT JOIN + COALESCE. Means are quantized to
+    the micro-unit (floor(x*1e6 + 0.5)/1e6) exactly as the Spark path
+    quantizes after each round, so the next round's argmax decisions are
+    provably engine-independent."""
     return f"""m_{out} AS (
-        SELECT cid, t.i AS pos, AVG(e[t.i + 1]) AS v
+        SELECT cid, t.i AS pos,
+               floor(AVG(e[t.i + 1]) * 1000000 + 0.5) / 1000000 AS v
         FROM {assign_cte} CROSS JOIN range({KMEANS_DIM}) t(i)
         GROUP BY cid, t.i),
     u_{out} AS (SELECT cid, list(v ORDER BY pos) AS ce FROM m_{out} GROUP BY cid),

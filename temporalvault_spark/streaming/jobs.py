@@ -559,6 +559,19 @@ def _gate_survivors(batch: DataFrame, id_col: str, local_rej, cross_rej) -> Data
     return surv
 
 
+def _quarantine_overwrite(frame: DataFrame, batch_id: int, accepted_path: str) -> None:
+    """Idempotent quarantine sink for corrupt-payload rows: the binary-decode
+    gates decode with errors='quarantine' (one truncated file in a
+    million-row ingest batch must not wedge the stream in an infinite
+    replay loop — with errors='raise' the batch fails, Structured Streaming
+    replays the SAME batch, and the same payload fails again forever).
+    Quarantined source rows land under ``{accepted_path}/_quarantine``
+    (underscore-prefixed, so accepted-corpus scans ignore it) partitioned by
+    ingest batch with dynamic overwrite — the same replay contract as the
+    accepted corpus. Quarantined ids are neither survivors nor index rows."""
+    _accepted_overwrite(frame, batch_id, f"{accepted_path}/_quarantine")
+
+
 def _gate_index_ready(spark, index_path: str, accepted_path: str) -> bool:
     """The gates' build-vs-append decision, with a loud failure mode for a
     vanished index: ``index_ready`` alone reads 'no readable _meta' as
@@ -769,7 +782,14 @@ def image_dedup_ingest_stream(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        hashes = ahash_frame(batch).localCheckpoint(eager=True)  # ONE decode pass
+        # ONE decode pass; errors='quarantine' so a corrupt payload cannot
+        # wedge the stream in an infinite batch-replay loop
+        all_h = ahash_frame(batch, errors="quarantine").localCheckpoint(eager=True)
+        quarantined = all_h.filter(F.col("hash64").isNull()).select("img_id")
+        _quarantine_overwrite(
+            batch.join(quarantined, "img_id", "semi"), batch_id, accepted_path
+        )
+        hashes = all_h.filter(F.col("hash64").isNotNull())
         # READABLE _meta, not bare exists(): a crash during the first
         # batch's _meta write must replay as a full rebuild (see the text
         # gate's note)
@@ -844,7 +864,13 @@ def audio_dedup_ingest_stream(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        hashes = afp_frame(batch).localCheckpoint(eager=True)  # ONE decode pass
+        # ONE decode pass; errors='quarantine' (the image gate's contract)
+        all_h = afp_frame(batch, errors="quarantine").localCheckpoint(eager=True)
+        quarantined = all_h.filter(F.col("hash64").isNull()).select("aud_id")
+        _quarantine_overwrite(
+            batch.join(quarantined, "aud_id", "semi"), batch_id, accepted_path
+        )
+        hashes = all_h.filter(F.col("hash64").isNotNull())
         idx_exists = _gate_index_ready(spark, index_path, accepted_path)
         if idx_exists:
             hits = query_afp_index(spark, index_path, hashes, thr)
@@ -922,7 +948,16 @@ def video_dedup_ingest_stream(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        fps = vfp_frame(batch).localCheckpoint(eager=True)  # ONE decode pass
+        # ONE decode pass; errors='quarantine' — a corrupt container yields
+        # one (vid_id, frame_idx=-1, NULL) row instead of wedging the stream
+        all_fps = vfp_frame(batch, errors="quarantine").localCheckpoint(eager=True)
+        quarantined = (
+            all_fps.filter(F.col("frame_idx") < 0).select("vid_id").distinct()
+        )
+        _quarantine_overwrite(
+            batch.join(quarantined, "vid_id", "semi"), batch_id, accepted_path
+        )
+        fps = all_fps.filter(F.col("frame_idx") >= 0)
         idx_exists = _gate_index_ready(spark, index_path, accepted_path)
         if idx_exists:
             hits = query_vfp_index(spark, index_path, fps, thr, mf)
@@ -1045,9 +1080,35 @@ def multimodal_dedup_ingest_stream(
         vids = batch.filter(F.col("video").isNotNull()).select(
             F.col("doc_id").alias("vid_id"), "video"
         )
-        img_h = ahash_frame(imgs).localCheckpoint(eager=True)
-        aud_h = afp_frame(auds).localCheckpoint(eager=True)
-        vid_h = vfp_frame(vids).localCheckpoint(eager=True)
+        # errors='quarantine' on every binary decode (the single-modality
+        # gates' contract): a document with ANY corrupt payload is routed to
+        # the quarantine sink — neither survivor nor index row — instead of
+        # wedging the stream in an infinite batch-replay loop
+        img_all = ahash_frame(imgs, errors="quarantine").localCheckpoint(eager=True)
+        aud_all = afp_frame(auds, errors="quarantine").localCheckpoint(eager=True)
+        vid_all = vfp_frame(vids, errors="quarantine").localCheckpoint(eager=True)
+        quarantined = (
+            img_all.filter(F.col("hash64").isNull())
+            .select(F.col("img_id").alias("doc_id"))
+            .unionByName(
+                aud_all.filter(F.col("hash64").isNull()).select(
+                    F.col("aud_id").alias("doc_id")
+                )
+            )
+            .unionByName(
+                vid_all.filter(F.col("frame_idx") < 0).select(
+                    F.col("vid_id").alias("doc_id")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        _quarantine_overwrite(
+            batch.join(quarantined, "doc_id", "semi"), batch_id, accepted_path
+        )
+        img_h = img_all.filter(F.col("hash64").isNotNull())
+        aud_h = aud_all.filter(F.col("hash64").isNotNull())
+        vid_h = vid_all.filter(F.col("frame_idx") >= 0)
 
         ready = {
             k: _gate_index_ready(spark, index_paths[k], accepted_path)
@@ -1105,7 +1166,9 @@ def multimodal_dedup_ingest_stream(
             rej = rej.unionByName(r)
         rej = rej.distinct()
         surv_ids = (
-            batch.select("doc_id").join(rej, "doc_id", "left_anti")
+            batch.select("doc_id")
+            .join(rej, "doc_id", "left_anti")
+            .join(quarantined, "doc_id", "left_anti")
         ).localCheckpoint(eager=True)
         _accepted_overwrite(
             batch.join(surv_ids, "doc_id", "semi"), batch_id, accepted_path

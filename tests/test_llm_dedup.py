@@ -632,7 +632,8 @@ def test_kmeans_lloyd_separated_blobs_converge(spark):
     """Two well-separated direction blobs, k=2, init = one vector from each
     blob (vec_id 0 and 1): after two Lloyd rounds every vector is assigned
     to its own blob and each centroid is the element-wise mean of its
-    blob's vectors."""
+    blob's vectors — to within the micro-unit (updates are quantized to
+    floor(x*1e6 + 0.5)/1e6 for cross-engine argmax parity)."""
     import numpy as np
 
     from temporalvault_spark.operators.similarity import kmeans_lloyd
@@ -656,8 +657,8 @@ def test_kmeans_lloyd_separated_blobs_converge(spark):
     want_a = np.mean(blob_a, axis=0)
     want_b = np.mean(blob_b, axis=0)
     cent = {r["centroid_id"]: np.array(r["ce"]) for r in cents.collect()}
-    assert np.allclose(cent[0], want_a, atol=1e-9)
-    assert np.allclose(cent[1], want_b, atol=1e-9)
+    assert np.allclose(cent[0], want_a, atol=5.1e-7)  # half a micro-unit
+    assert np.allclose(cent[1], want_b, atol=5.1e-7)
 
 
 def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):

@@ -170,3 +170,53 @@ def test_multimodal_gate_requires_all_index_paths(spark):
 
     with pytest.raises(ValueError, match="index_paths missing"):
         multimodal_dedup_ingest_stream(None, {"text": "x"}, "a", "c")
+
+
+def test_multimodal_gate_quarantines_corrupt_payloads(spark, tmp_path_factory):
+    """One corrupt payload in ANY modality routes the whole document to the
+    joint quarantine sink (neither survivor nor index row in any modality)
+    instead of wedging the stream: corrupt image, corrupt audio, and
+    corrupt video rows all quarantine; clean rows are unaffected; the
+    quarantined ids appear in NO index and a marker replay is idempotent."""
+    from temporalvault_spark.streaming import multimodal_dedup_ingest_stream
+
+    root = tmp_path_factory.mktemp("mm_quar")
+    src, acc = str(root / "src"), str(root / "acc")
+    paths = {k: str(root / f"idx_{k}") for k in ("text", "image", "audio", "video")}
+    garbage = bytearray(b"\x00corrupt-payload-bytes" * 4)
+
+    b1 = spark.createDataFrame(
+        [
+            _row(0, 0, _pat(10), _pat(20), _pat(30)),
+            _row(1, 1, _pat(11), _pat(21), _pat(31), image=garbage),
+            _row(2, 2, _pat(12), _pat(22), _pat(32), audio=garbage),
+            _row(3, 3, _pat(13), _pat(23), _pat(33), video=garbage),
+        ],
+        _SCHEMA,
+    )
+    b1.write.mode("overwrite").parquet(f"{src}/b1.parquet")
+    stream = spark.readStream.schema(b1.schema).parquet(f"{src}/*.parquet")
+    multimodal_dedup_ingest_stream(stream, paths, acc, str(root / "ck1"))
+
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {0}
+    quar = spark.read.parquet(f"{acc}/_quarantine")
+    assert {r["doc_id"] for r in quar.collect()} == {1, 2, 3}
+    # quarantined ids reached NO index (text index included: doc 1's text
+    # was decodable, but its corrupt image quarantines the whole document)
+    for k, id_col in (
+        ("text", "doc_id"),
+        ("image", "img_id"),
+        ("audio", "aud_id"),
+    ):
+        got = {
+            r[id_col] for r in spark.read.parquet(paths[k]).select(id_col).collect()
+        }
+        assert got == {0}, f"{k} index holds {got}"
+    # video index ids are frame-packed fids: only doc 0's frames landed
+    vid_fids = {
+        r["fid"] for r in spark.read.parquet(paths["video"]).select("fid").collect()
+    }
+    assert vid_fids == set(range(VID_FRAMES))  # doc 0 packs fids 0..5
+
+    multimodal_dedup_ingest_stream(stream, paths, acc, str(root / "ck2"))
+    assert spark.read.parquet(f"{acc}/_quarantine").count() == 3

@@ -234,3 +234,43 @@ def test_as_fid_drops_quarantine_rows(spark):
     )
     rows = _as_fid(fps).collect()
     assert [(r["fid"], r["hash64"]) for r in rows] == [(29, "01" * 32)]
+
+
+def test_video_gate_quarantines_corrupt_payload(spark, tmp_path_factory):
+    """A corrupt container in a micro-batch must not wedge the stream in an
+    infinite batch-replay loop (errors='raise' would fail the batch, the
+    replay hits the same payload, forever): the gate decodes with
+    errors='quarantine', routes the corrupt row to {acc}/_quarantine, and
+    the corrupt id is neither a survivor nor an index row. A replay with a
+    fresh checkpoint is idempotent for the quarantine sink too."""
+    from temporalvault_spark.streaming import video_dedup_ingest_stream
+
+    root = tmp_path_factory.mktemp("vid_quar")
+    src, idx, acc = str(root / "src"), str(root / "idx"), str(root / "acc")
+
+    b1 = _vids(
+        spark,
+        [
+            (0, _gif(BASE)),
+            (1, bytearray(b"\x00not-a-gif-container" * 4)),  # corrupt
+            (2, _gif(FAR)),
+        ],
+    )
+    b1.write.mode("overwrite").parquet(f"{src}/b1.parquet")
+    stream = spark.readStream.schema(b1.schema).parquet(f"{src}/*.parquet")
+    video_dedup_ingest_stream(stream, idx, acc, str(root / "ck1"))
+
+    assert {r["vid_id"] for r in spark.read.parquet(acc).collect()} == {0, 2}
+    quar = spark.read.parquet(f"{acc}/_quarantine")
+    assert {r["vid_id"] for r in quar.collect()} == {1}
+    # the corrupt id never reached the index (fid packs vid_id * VID_FRAMES)
+    assert (
+        spark.read.parquet(idx)
+        .filter(f"CAST(floor(fid / {VID_FRAMES}) AS BIGINT) = 1")
+        .count()
+        == 0
+    )
+
+    # marker replay: nothing grows, including the quarantine sink
+    video_dedup_ingest_stream(stream, idx, acc, str(root / "ck2"))
+    assert spark.read.parquet(f"{acc}/_quarantine").count() == 1

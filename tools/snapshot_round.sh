@@ -3,20 +3,36 @@
 # artifact so `git status` is clean when the driver takes over (r5 verdict
 # #1 — artifact tracking is mechanical now, not willpower).
 #
-# Usage: bash tools/snapshot_round.sh [--skip-bench] [--skip-oracle] [--skip-sf01]
+# Usage: bash tools/snapshot_round.sh [--skip-bench] [--skip-oracle]
+#            [--skip-sf01] [--skip-windows] [--commit]
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SKIP_BENCH=0
 SKIP_ORACLE=0
 SKIP_SF01=0
+SKIP_WINDOWS=0
+DO_COMMIT=0
 for a in "$@"; do
     case "$a" in
         --skip-bench) SKIP_BENCH=1 ;;
         --skip-oracle) SKIP_ORACLE=1 ;;
         --skip-sf01) SKIP_SF01=1 ;;
+        --skip-windows) SKIP_WINDOWS=1 ;;
+        --commit) DO_COMMIT=1 ;;
     esac
 done
+
+if [ "$SKIP_WINDOWS" -eq 0 ]; then
+    # The global-window audit regenerates WINDOWS.md with EVERY snapshot
+    # (r11 verdict #2: the committed audit sat one query behind the
+    # registry) and FAILS the snapshot on an undocumented partition-less
+    # Window node — a new single-partition sort cannot slide through.
+    echo "== window audit (regenerates WINDOWS.md; fails on undocumented) =="
+    python tools/window_audit.py /root/testdata/sf0.01 > /tmp/window_audit.log \
+        || { tail -5 /tmp/window_audit.log; echo "WINDOW AUDIT FAILED"; exit 1; }
+    grep -E "^Queries audited|^wrote" WINDOWS.md /tmp/window_audit.log 2>/dev/null | tail -2 || true
+fi
 
 if [ "$SKIP_ORACLE" -eq 0 ]; then
     echo "== driver_sim (full registry oracle check, sf0.01) =="
@@ -91,3 +107,19 @@ git add -- BENCH_r*.json CORRECTNESS_r*.json BENCH_LOCAL.json \
 git add -- SURVEY.md COVERAGE.md SCALE.md PLANS.md FIXTURES.md \
     WINDOWS.md 2>/dev/null || true
 git status --short
+
+# Staged-but-uncommitted ledgers were the r11 verdict's #1 finding: the
+# round's claims cited evidence newer than HEAD. Close the loop HERE —
+# either commit now (--commit) or fail loudly so the caller cannot forget.
+if ! git diff --cached --quiet; then
+    if [ "$DO_COMMIT" -eq 1 ]; then
+        git commit -m "Refresh round ledgers (oracle sweeps, bench, window audit)"
+        echo "== ledgers committed =="
+    else
+        echo ""
+        echo "!!! LEDGERS ARE STAGED BUT NOT COMMITTED — the round's evidence"
+        echo "!!! chain is open. Commit them (or re-run with --commit):"
+        echo "!!!     git commit -m 'round N: refresh ledgers'"
+        exit 2
+    fi
+fi
