@@ -226,6 +226,13 @@ HEADLINE = [
     # round 11: cross-modal (caption OR image) dedup apply — the composed
     # multimodal curation step over both staged pair artifacts
     "dedup_crossmodal_apply",
+    # round 12: the centroid-index growth contract — build + recurring
+    # occupancy probe for IVF and IVF-PQ (the retrain cycles stay
+    # correctness-only, like the five band-index families)
+    "ivf_index_build",
+    "ivf_index_occupancy",
+    "ivfpq_index_build",
+    "ivfpq_index_occupancy",
 ]
 
 

@@ -19,6 +19,8 @@ from temporalvault_spark.operators import (  # noqa: F401
     entity,
     graph,
     hypertable,
+    ivf_index,
+    ivfpq_index,
     llm,
     minhash_index,
     phash,

@@ -72,8 +72,9 @@ def build_ivf_index(emb: DataFrame, path: str, centroids: DataFrame | None = Non
     e = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
+    n_built = e.count()
     if centroids is None:
-        k = adaptive_n_centroids(e.count())
+        k = adaptive_n_centroids(n_built)
         centroids = e.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
         )
@@ -86,6 +87,15 @@ def build_ivf_index(emb: DataFrame, path: str, centroids: DataFrame | None = Non
         .parquet(path)
     )
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    # growth-contract sidecar (k = ACTUAL sidecar rows — a first-k rule over
+    # a corpus missing low vec_ids yields fewer than k centroids, and the
+    # occupancy math must divide by what probes actually rank against);
+    # JVM-native 1-row frame, the minhash_index._meta note
+    k_meta = cents.count()  # bounded: the centroid frame is broadcast-sized
+    e.sparkSession.range(0, 1, 1, 1).select(
+        F.lit(k_meta).cast("int").alias("k"),
+        F.lit(n_built).cast("bigint").alias("n_built"),
+    ).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
 def ivf_search(
@@ -128,3 +138,344 @@ def ivf_search(
         .limit(k)
         .select("vec_id", "label", "centroid_id", "cosine")
     )
+
+
+# --- growth contract: occupancy probe + oracled retrain cycle ----------------
+#
+# The five band-index families (minhash / rp-lsh / phash / afp / vfp) all
+# carry an occupancy probe + atomic-swap rebuild; the centroid indexes were
+# the one persisted family WITHOUT a maintenance contract (round-11 verdict
+# #2): append growth skews cluster occupancy against the build-time
+# centroid set and silently degrades recall — the per-probe read grows
+# n_now/k while the centroids stay frozen at the build-time corpus.
+# Detector: one slim aggregate over the index (cluster sizes + distinct
+# vectors) against the persisted build-time size; ``grown`` when the corpus
+# calls for more centroids than the sidecar holds (adaptive_n_centroids)
+# OR has outgrown the build by IVF_GROWTH_FACTOR. Remedy: retrain — a
+# fresh build over the deduplicated indexed vectors at the CURRENT
+# adaptive k, atomically swapped in (the rp_lsh_index precedent), proven
+# value-identical to never having grown at all by the rebuild oracle.
+
+IVF_GROWTH_FACTOR = 2.0  # corpus-size drift (n_now / n_built) that triggers retrain
+
+
+def _read_ivf_meta(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(k, n_built) from the index's ``_meta`` sidecar (meta_row: adopt-on-
+    read swap recovery + mtime cache + torn-write detection). Validates the
+    field invariants on read — a hand-edited or future-format sidecar would
+    silently skew every growth decision."""
+    from temporalvault_spark.operators.index_common import meta_row
+
+    d = meta_row(spark, path)
+    k, n_built = int(d.get("k", 0) or 0), int(d.get("n_built", 0) or 0)
+    if k < 1 or n_built < 0:
+        raise ValueError(
+            f"ivf index at {path} has invalid _meta (k={k}, "
+            f"n_built={n_built}) — corrupted or future-format index"
+        )
+    return k, n_built
+
+
+def ivf_index_occupancy(
+    spark: SparkSession, path: str, growth_factor: float = IVF_GROWTH_FACTOR
+) -> dict:
+    """Measure the growth contract: ONE aggregate over the index's slim
+    columns (vec_id, centroid_id — the vectors are never folded) against
+    the persisted build-time targets. Returns k / n_built (persisted),
+    n_vecs / rows / max_cluster / n_clusters_used (measured), occupancy
+    (rows per centroid) and skew (max cluster vs even split), the fresh
+    adaptive target_k for the CURRENT size, and ``grown`` — True when the
+    corpus now calls for more centroids than the sidecar holds or has
+    outgrown the build-time size by ``growth_factor``."""
+    from temporalvault_spark.operators.similarity import adaptive_n_centroids
+
+    k, n_built = _read_ivf_meta(spark, path)
+    per = (
+        spark.read.parquet(path)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"), F.count_distinct("vec_id").alias("nv"))
+    )
+    row = per.agg(
+        F.sum("n").alias("rows"),
+        # assignment puts each vec_id in exactly one cluster, so the sum of
+        # per-cluster distincts IS the global distinct — one shuffle total
+        F.sum("nv").alias("n_vecs"),
+        F.max("n").alias("max_cluster"),
+        F.count("*").alias("n_clusters_used"),
+    ).first()
+    n_vecs = int(row["n_vecs"])
+    target_k = adaptive_n_centroids(n_vecs)
+    return {
+        "k": k,
+        "n_built": n_built,
+        "n_vecs": n_vecs,
+        "rows": int(row["rows"]),
+        "max_cluster": int(row["max_cluster"]),
+        "n_clusters_used": int(row["n_clusters_used"]),
+        "occupancy": round(row["rows"] / max(k, 1), 6),
+        "skew": round(row["max_cluster"] * max(k, 1) / max(row["rows"], 1), 6),
+        "target_k": target_k,
+        "grown": target_k > k or n_vecs > growth_factor * n_built,
+    }
+
+
+def rebuild_ivf_index_if_grown(
+    spark: SparkSession, path: str, growth_factor: float = IVF_GROWTH_FACTOR
+) -> dict:
+    """OPTIMIZE-style maintenance (the rebuild_rp_index_if_grown cadence):
+    when ``ivf_index_occupancy`` says the corpus has outgrown the persisted
+    centroid set, RETRAIN — re-read the indexed vectors (deduplicated by
+    vec_id: a crash-replayed plain append may have duplicated rows; the
+    rebuild compacts them), fresh-build at the CURRENT adaptive k into a
+    sibling directory, and atomically swap it in, so probes never see a
+    half-rebuilt index. The rebuild oracle (q_ivf_index_rebuild) proves
+    retrain-after-growth lands value-identical to a from-scratch build
+    over the union. Returns the occupancy report plus ``rebuilt``."""
+    from temporalvault_spark.operators.index_common import atomic_swap_rebuild
+
+    rep = ivf_index_occupancy(spark, path, growth_factor)
+    if not rep["grown"]:
+        return {**rep, "rebuilt": False}
+    emb = (
+        spark.read.parquet(path)
+        .dropDuplicates(["vec_id"])
+        .select("vec_id", "label", F.col("e").alias("embedding"))
+        .localCheckpoint(eager=True)  # 3 actions follow; never re-read the old index
+    )
+    atomic_swap_rebuild(path, lambda tmp: build_ivf_index(emb, tmp))
+    return {**rep, "rebuilt": True}
+
+
+# --- registered incremental scenario (benchable + oracled) --------------------
+# The production shape: a base corpus indexed ONCE, batches appended, the
+# growth contract probed per maintenance tick, the retrain cycle proven
+# value-identical to a from-scratch build. Base/batch split keeps vec_id
+# 0..N_CENTROIDS-1 in the BASE (the first-k centroid rule — and the sibling
+# ivfpq scenario's first-K codebook — both read those exact rows; a plain
+# %10 split would drop vec_id 0 and 10 and leave the centroid set short).
+
+import os
+
+from temporalvault_spark.operators.similarity import (
+    EMB_STRICT_WHERE,
+    EMB_TARGET_CLUSTER,
+    N_CENTROIDS,
+    _emb,
+)
+from temporalvault_spark.registry import query
+
+IVF_BASE_DUCK = f"(vec_id < {N_CENTROIDS} OR vec_id % 10 <> 0)"
+IVF_BATCH_DUCK = f"(vec_id >= {N_CENTROIDS} AND vec_id % 10 = 0)"
+
+
+def _ivf_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).filter(
+        (F.col("vec_id") < N_CENTROIDS) | (F.col("vec_id") % 10 != 0)
+    )
+
+
+def _ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).filter(
+        (F.col("vec_id") >= N_CENTROIDS) & (F.col("vec_id") % 10 == 0)
+    )
+
+
+def _ivf_assign_duck(src: str) -> str:
+    """DuckDB: adaptive-k first-k centroid selection + the argmax assignment
+    over CTE ``src(vec_id, label, e)`` — the replay of adaptive_n_centroids
+    + assign_to_centroids (the sim_ivf_ann oracle idiom), shared by the
+    build / occupancy / rebuild oracles so the replayed rule cannot drift."""
+    return f"""kk AS (SELECT GREATEST({N_CENTROIDS},
+                     CAST(CEIL(COUNT(*) / {EMB_TARGET_CLUSTER}.0) AS BIGINT)) AS k
+           FROM {src}),
+    c AS (SELECT vec_id AS centroid_id, e AS ce FROM {src}, kk WHERE vec_id < kk.k),
+    assign AS (
+        SELECT vec_id, label, centroid_id FROM (
+            SELECT a.vec_id, a.label, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY list_dot_product(a.e, c.ce)
+                                               / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                                      c.centroid_id) AS rn
+            FROM {src} a CROSS JOIN c) x
+        WHERE rn = 1)"""
+
+
+def _per_centroid_readback(spark: SparkSession, path: str) -> DataFrame:
+    """Per-centroid summary read FROM the persisted index — the oracles
+    value-check what actually landed on disk, never an in-memory twin.
+    sum_vec covers cluster MEMBERSHIP (which vectors), avg_label the
+    payload columns riding along."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("centroid_id").cast("long").alias("centroid_id"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("vec_id").alias("sum_vec"),
+            F.round(F.avg("label"), 6).alias("avg_label"),
+        )
+    )
+
+
+_PER_CENTROID_SELECT = """SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec,
+           ROUND(AVG(label), 6) AS avg_label
+    FROM assign GROUP BY 1"""
+
+_STAGED_IVF_INDEX: dict[tuple, str] = {}
+
+
+def stage_ivf_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Build (once per application + embeddings fingerprint — the
+    stage_rp_index contract) the persisted IVF index over the base corpus.
+    Returns the index path."""
+    from temporalvault_spark.operators.llm import _corpus_key
+    from temporalvault_spark.staging import stage_dir
+
+    key = _corpus_key(spark, sf_dir, table="embeddings")
+    path = _STAGED_IVF_INDEX.get(key)
+    if path is None or force or not os.path.isdir(path):
+        if path is None or not os.path.isdir(path):
+            path = os.path.join(stage_dir(spark, "ivf_idx"), "index")
+        build_ivf_index(_ivf_base(spark, sf_dir), path)
+        _STAGED_IVF_INDEX[key] = path
+    return path
+
+
+_BUILD_ORACLE = f"""WITH eall AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
+    e AS (SELECT * FROM eall WHERE {IVF_BASE_DUCK}),
+    {_ivf_assign_duck("e")}
+    {_PER_CENTROID_SELECT}"""
+
+
+@query("ivf_index_build", _BUILD_ORACLE)
+def q_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-time IVF index build benched in isolation: force-rebuilds the
+    staged index (centroid-partitioned write + _centroids/_meta sidecars)
+    and returns the per-centroid membership summary read back FROM disk —
+    the oracle replays adaptive-k first-k selection + the cosine argmax."""
+    path = stage_ivf_index(spark, sf_dir, force=True)
+    return _per_centroid_readback(spark, path)
+
+
+# The RECURRING maintenance cost benched alone (the rp_index_occupancy
+# note). The oracle replays the assignment, recomputes the slim aggregate,
+# and replays BOTH growth rules — value-checking that the persisted _meta
+# equals the build rule and that `grown` compares the two.
+_OCC_ORACLE = f"""WITH eall AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
+    e AS (SELECT * FROM eall WHERE {IVF_BASE_DUCK}),
+    {_ivf_assign_duck("e")},
+    per AS (SELECT centroid_id, COUNT(*) AS n FROM assign GROUP BY 1),
+    m AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                 CAST(MAX(n) AS BIGINT) AS max_cluster,
+                 CAST(COUNT(*) AS BIGINT) AS n_clusters_used
+          FROM per),
+    nv AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+                  CAST(COUNT(*) AS BIGINT) AS n_built
+           FROM e)
+    SELECT m.n_rows, nv.n_vecs, m.max_cluster, m.n_clusters_used,
+           (SELECT CAST(k AS INTEGER) FROM kk) AS k,
+           nv.n_built,
+           GREATEST({N_CENTROIDS},
+                    CAST(CEIL(nv.n_vecs / {EMB_TARGET_CLUSTER}.0) AS BIGINT))
+               AS target_k,
+           ROUND(m.n_rows / (SELECT k FROM kk), 6) AS occupancy,
+           ROUND(m.max_cluster * (SELECT k FROM kk) / m.n_rows, 6) AS skew,
+           (GREATEST({N_CENTROIDS},
+                     CAST(CEIL(nv.n_vecs / {EMB_TARGET_CLUSTER}.0) AS BIGINT))
+                > (SELECT k FROM kk))
+           OR (nv.n_vecs > {IVF_GROWTH_FACTOR} * nv.n_built) AS grown
+    FROM m, nv"""
+
+
+@query("ivf_index_occupancy", _OCC_ORACLE)
+def q_ivf_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-contract occupancy PROBE over the staged IVF index — the
+    per-maintenance-tick cost at 100 TB (the retrain fires rarely; its
+    correctness is value-checked separately by ivf_index_rebuild). One slim
+    aggregate (vec_id/centroid_id, never the vectors) joined with the
+    persisted _meta and the recomputed adaptive targets; at the production
+    dial the staged base corpus sits inside the k floor and its own build
+    size, so grown=false — the value-hash proves the persisted _meta equals
+    the replayed build rule cross-engine."""
+    path = stage_ivf_index(spark, sf_dir)
+    k, n_built = _read_ivf_meta(spark, path)
+    per = (
+        spark.read.parquet(path)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"), F.count_distinct("vec_id").alias("nv"))
+    )
+    target_k = F.greatest(
+        F.lit(N_CENTROIDS).cast("long"),
+        F.ceil(F.col("n_vecs") / F.lit(float(EMB_TARGET_CLUSTER))).cast("long"),
+    )
+    return (
+        per.agg(
+            F.sum("n").alias("n_rows"),
+            F.sum("nv").alias("n_vecs"),
+            F.max("n").alias("max_cluster"),
+            F.count("*").alias("n_clusters_used"),
+        )
+        .select(
+            "n_rows",
+            "n_vecs",
+            "max_cluster",
+            "n_clusters_used",
+            F.lit(k).cast("int").alias("k"),
+            F.lit(n_built).cast("bigint").alias("n_built"),
+            target_k.alias("target_k"),
+        )
+        .withColumn("occupancy", F.round(F.col("n_rows") / F.lit(k), 6))
+        .withColumn(
+            "skew", F.round(F.col("max_cluster") * F.lit(k) / F.col("n_rows"), 6)
+        )
+        .withColumn(
+            "grown",
+            (F.col("target_k") > F.lit(k))
+            | (F.col("n_vecs") > F.lit(IVF_GROWTH_FACTOR) * F.lit(n_built)),
+        )
+    )
+
+
+# The rebuild scenario tightens the growth dial so the contract actually
+# FIRES at test scale (at the default 2.0 the appended tenth never trips
+# it): build on the base corpus, append the held-out batch (~11% growth),
+# then rebuild-if-grown at growth_factor=1.05. The oracle replays a FRESH
+# build over the UNION — the value-hash match proves retrain-after-growth
+# lands value-identical to never having grown at all.
+IVF_REBUILD_GROWTH_FACTOR = 1.05
+
+_IVF_REBUILD_DIR: dict[tuple, str] = {}
+
+_REBUILD_ORACLE = f"""WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
+    {_ivf_assign_duck("e")}
+    {_PER_CENTROID_SELECT}"""
+
+
+@query("ivf_index_rebuild", _REBUILD_ORACLE)
+def q_ivf_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain cycle end-to-end, benched as one query: build a private
+    index on the base corpus, append the held-out batch (corpus growth
+    against frozen centroids), then rebuild_ivf_index_if_grown at the
+    tightened dial — the retrain re-reads the indexed vectors, re-selects
+    first-k at the union's adaptive k, re-assigns, and atomically swaps.
+    Returned per-centroid membership comes from the REBUILT on-disk index;
+    the oracle's fresh-build replay over the union value-checks that
+    retrain-after-growth is value-identical to a from-scratch build."""
+    from temporalvault_spark.operators.llm import _corpus_key
+    from temporalvault_spark.staging import stage_dir
+
+    key = _corpus_key(spark, sf_dir, table="embeddings")
+    path = _IVF_REBUILD_DIR.get(key)
+    if path is None or not os.path.isdir(os.path.dirname(path)):
+        path = os.path.join(stage_dir(spark, "ivf_rebuild"), "index")
+        _IVF_REBUILD_DIR[key] = path
+    build_ivf_index(_ivf_base(spark, sf_dir), path)
+    append_to_ivf_index(_ivf_batch(spark, sf_dir), path)
+    rebuild_ivf_index_if_grown(
+        spark, path, growth_factor=IVF_REBUILD_GROWTH_FACTOR
+    )
+    return _per_centroid_readback(spark, path)

@@ -48,17 +48,25 @@ def build_ivfpq_index(
     emb: DataFrame, path: str, centroids: DataFrame | None = None
 ) -> None:
     """One-time build: assign, PQ-encode, write codes partitioned by
-    centroid_id + the ``_centroids`` / ``_codebook`` sidecars (underscore
-    prefix: Spark's reader ignores them when scanning the index).
-    ``centroids`` defaults to the fixed first-N set (matching ivfpq_topk's
-    oracle-checked in-memory form); pass train_centroids(...) for k-means
-    quality — probes rank whatever the sidecar holds."""
-    from temporalvault_spark.operators.similarity import centroid_frame
+    centroid_id + the ``_centroids`` / ``_codebook`` / ``_meta`` sidecars
+    (underscore prefix: Spark's reader ignores them when scanning the
+    index). ``centroids`` defaults to the deterministic first-k set with
+    ADAPTIVE k (the build_ivf_index contract: identical to ivfpq_topk's
+    fixed N_CENTROIDS=16 up to 16*400 vectors, intentionally divergent
+    beyond to keep per-partition size constant); pass train_centroids(...)
+    for k-means quality — probes rank whatever the sidecar holds."""
+    from temporalvault_spark.operators.similarity import adaptive_n_centroids
 
     e = emb.filter(
         F.col("embedding").isNotNull() & (F.size("embedding") == PQ_DIM)
     ).select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
-    cents = centroids if centroids is not None else centroid_frame(e)
+    n_built = e.count()
+    if centroids is None:
+        k = adaptive_n_centroids(n_built)
+        centroids = e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+        )
+    cents = centroids
     cb_row = _validated_codebook_row(e)
     assigned = assign_to_centroids_auto(e, cents)
     codes = pq_encode(assigned, cb_row)  # centroid_id passes through encode
@@ -73,6 +81,13 @@ def build_ivfpq_index(
     cb_row.select(F.explode("cb").alias("s")).select(
         "s.sub", "s.code", "s.cw"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebook")
+    # growth-contract sidecar (the build_ivf_index contract: k = ACTUAL
+    # sidecar rows, n_built = filtered corpus size at build time)
+    k_meta = cents.count()  # bounded: the centroid frame is broadcast-sized
+    e.sparkSession.range(0, 1, 1, 1).select(
+        F.lit(k_meta).cast("int").alias("k"),
+        F.lit(n_built).cast("bigint").alias("n_built"),
+    ).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
 def ivfpq_search(
@@ -175,3 +190,289 @@ def append_to_ivfpq_index(emb: DataFrame, path: str) -> None:
         .partitionBy("centroid_id")
         .parquet(path)
     )
+
+
+# --- growth contract: occupancy probe + oracled retrain cycle ----------------
+# The compressed sibling of ivf_index's contract (see that module's block
+# comment): same detector (adaptive-k widening OR corpus-size drift past
+# IVF_GROWTH_FACTOR), same slim one-aggregate probe, same atomic-swap
+# retrain — with ONE structural difference: the index stores 8-byte codes,
+# not vectors, so the retrain cannot self-source; the caller supplies the
+# current corpus (at 100 TB the embeddings table the index was built from
+# is the durable artifact; the index is derived). The retrain refreshes
+# BOTH quantizers: the centroid set (at the union's adaptive k) and the
+# PQ codebook (retrained over the union).
+
+import os
+
+from temporalvault_spark.operators.ivf_index import (
+    IVF_BASE_DUCK,
+    IVF_BATCH_DUCK,
+    IVF_GROWTH_FACTOR,
+    _ivf_assign_duck,
+    _read_ivf_meta,
+)
+from temporalvault_spark.operators.pq import _PQ_CODES_DUCK, _PQ_WHERE_DUCK
+from temporalvault_spark.operators.similarity import EMB_TARGET_CLUSTER, N_CENTROIDS
+from temporalvault_spark.registry import query
+
+
+def ivfpq_index_occupancy(
+    spark: SparkSession, path: str, growth_factor: float = IVF_GROWTH_FACTOR
+) -> dict:
+    """Measure the growth contract over the codes table: ONE slim aggregate
+    (vec_id / centroid_id — the codes are never folded) against the
+    persisted build-time targets. Same report shape as
+    ivf_index_occupancy; ``grown`` additionally means the persisted
+    CODEBOOK is stale (it was trained on the build-time corpus), which the
+    retrain refreshes alongside the centroid set."""
+    from temporalvault_spark.operators.similarity import adaptive_n_centroids
+
+    k, n_built = _read_ivf_meta(spark, path)
+    per = (
+        spark.read.parquet(path)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"), F.count_distinct("vec_id").alias("nv"))
+    )
+    row = per.agg(
+        F.sum("n").alias("rows"),
+        F.sum("nv").alias("n_vecs"),
+        F.max("n").alias("max_cluster"),
+        F.count("*").alias("n_clusters_used"),
+    ).first()
+    n_vecs = int(row["n_vecs"])
+    target_k = adaptive_n_centroids(n_vecs)
+    return {
+        "k": k,
+        "n_built": n_built,
+        "n_vecs": n_vecs,
+        "rows": int(row["rows"]),
+        "max_cluster": int(row["max_cluster"]),
+        "n_clusters_used": int(row["n_clusters_used"]),
+        "occupancy": round(row["rows"] / max(k, 1), 6),
+        "skew": round(row["max_cluster"] * max(k, 1) / max(row["rows"], 1), 6),
+        "target_k": target_k,
+        "grown": target_k > k or n_vecs > growth_factor * n_built,
+    }
+
+
+def rebuild_ivfpq_index_if_grown(
+    spark: SparkSession,
+    path: str,
+    emb: DataFrame,
+    growth_factor: float = IVF_GROWTH_FACTOR,
+) -> dict:
+    """OPTIMIZE-style retrain (the rebuild_ivf_index_if_grown cadence):
+    when the corpus has outgrown the persisted quantizers, fresh-build —
+    new adaptive-k centroid set AND new codebook, both trained over
+    ``emb`` (the CURRENT corpus; codes cannot reconstruct vectors, so the
+    caller supplies it) — into a sibling directory and atomically swap.
+    The rebuild oracle proves retrain-after-growth lands value-identical
+    to a from-scratch build over the union."""
+    from temporalvault_spark.operators.index_common import atomic_swap_rebuild
+
+    rep = ivfpq_index_occupancy(spark, path, growth_factor)
+    if not rep["grown"]:
+        return {**rep, "rebuilt": False}
+    atomic_swap_rebuild(path, lambda tmp: build_ivfpq_index(emb, tmp))
+    return {**rep, "rebuilt": True}
+
+
+# --- registered incremental scenario (benchable + oracled) --------------------
+# Same base/batch split as the ivf scenario (keeps vec_id 0..15 in the base
+# — BOTH the first-k centroid rule and the first-K codebook read those
+# exact rows; see ivf_index's note).
+
+
+def _pq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temporalvault_spark.catalog import load_catalog
+
+    return load_catalog(spark, sf_dir).table("embeddings")
+
+
+def _pq_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_corpus(spark, sf_dir).filter(
+        (F.col("vec_id") < N_CENTROIDS) | (F.col("vec_id") % 10 != 0)
+    )
+
+
+def _pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_corpus(spark, sf_dir).filter(
+        (F.col("vec_id") >= N_CENTROIDS) & (F.col("vec_id") % 10 == 0)
+    )
+
+
+def _per_centroid_codes_readback(spark: SparkSession, path: str) -> DataFrame:
+    """Per-centroid summary read FROM the persisted codes: membership
+    (sum_vec) plus the code payload itself (code_sum — one integer fold
+    over every 4-bit code that landed on disk, so the oracle value-checks
+    the ENCODE step, not just the assignment)."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("centroid_id").cast("long").alias("centroid_id"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("vec_id").alias("sum_vec"),
+            F.sum(
+                F.expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)")
+            ).alias("code_sum"),
+        )
+    )
+
+
+_PER_CENTROID_CODES_SELECT = """cs AS (
+        SELECT vec_id, SUM(code) AS code_sum FROM codes GROUP BY 1)
+    SELECT CAST(a.centroid_id AS BIGINT) AS centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(a.vec_id) AS BIGINT) AS sum_vec,
+           CAST(SUM(cs.code_sum) AS BIGINT) AS code_sum
+    FROM assign a JOIN cs USING (vec_id) GROUP BY 1"""
+
+_STAGED_IVFPQ_INDEX: dict[tuple, str] = {}
+
+
+def stage_ivfpq_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Build (once per application + embeddings fingerprint) the persisted
+    IVF-PQ index over the base corpus. Returns the index path."""
+    from temporalvault_spark.operators.llm import _corpus_key
+    from temporalvault_spark.staging import stage_dir
+
+    key = _corpus_key(spark, sf_dir, table="embeddings")
+    path = _STAGED_IVFPQ_INDEX.get(key)
+    if path is None or force or not os.path.isdir(path):
+        if path is None or not os.path.isdir(path):
+            path = os.path.join(stage_dir(spark, "ivfpq_idx"), "index")
+        build_ivfpq_index(_pq_base(spark, sf_dir), path)
+        _STAGED_IVFPQ_INDEX[key] = path
+    return path
+
+
+_BUILD_ORACLE = f"""WITH eall AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {_PQ_WHERE_DUCK}),
+    e AS (SELECT * FROM eall WHERE {IVF_BASE_DUCK}),
+    {_ivf_assign_duck("e")},
+    {_PQ_CODES_DUCK},
+    {_PER_CENTROID_CODES_SELECT}"""
+
+
+@query("ivfpq_index_build", _BUILD_ORACLE)
+def q_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-time IVF-PQ index build benched in isolation: force-rebuilds
+    the staged index (assign + encode + centroid-partitioned codes write +
+    three sidecars) and returns the per-centroid membership AND code-fold
+    summary read back FROM disk — the oracle replays centroid selection,
+    the cosine argmax, and the per-subspace argmin encode."""
+    path = stage_ivfpq_index(spark, sf_dir, force=True)
+    return _per_centroid_codes_readback(spark, path)
+
+
+_OCC_ORACLE = f"""WITH eall AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {_PQ_WHERE_DUCK}),
+    e AS (SELECT * FROM eall WHERE {IVF_BASE_DUCK}),
+    {_ivf_assign_duck("e")},
+    per AS (SELECT centroid_id, COUNT(*) AS n FROM assign GROUP BY 1),
+    m AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                 CAST(MAX(n) AS BIGINT) AS max_cluster,
+                 CAST(COUNT(*) AS BIGINT) AS n_clusters_used
+          FROM per),
+    nv AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+                  CAST(COUNT(*) AS BIGINT) AS n_built
+           FROM e)
+    SELECT m.n_rows, nv.n_vecs, m.max_cluster, m.n_clusters_used,
+           (SELECT CAST(k AS INTEGER) FROM kk) AS k,
+           nv.n_built,
+           GREATEST({N_CENTROIDS},
+                    CAST(CEIL(nv.n_vecs / {EMB_TARGET_CLUSTER}.0) AS BIGINT))
+               AS target_k,
+           ROUND(m.n_rows / (SELECT k FROM kk), 6) AS occupancy,
+           ROUND(m.max_cluster * (SELECT k FROM kk) / m.n_rows, 6) AS skew,
+           (GREATEST({N_CENTROIDS},
+                     CAST(CEIL(nv.n_vecs / {EMB_TARGET_CLUSTER}.0) AS BIGINT))
+                > (SELECT k FROM kk))
+           OR (nv.n_vecs > {IVF_GROWTH_FACTOR} * nv.n_built) AS grown
+    FROM m, nv"""
+
+
+@query("ivfpq_index_occupancy", _OCC_ORACLE)
+def q_ivfpq_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-contract occupancy PROBE over the staged IVF-PQ index —
+    the ivf_index_occupancy shape over the codes table (the retrain is
+    value-checked separately by ivfpq_index_rebuild)."""
+    path = stage_ivfpq_index(spark, sf_dir)
+    k, n_built = _read_ivf_meta(spark, path)
+    per = (
+        spark.read.parquet(path)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"), F.count_distinct("vec_id").alias("nv"))
+    )
+    target_k = F.greatest(
+        F.lit(N_CENTROIDS).cast("long"),
+        F.ceil(F.col("n_vecs") / F.lit(float(EMB_TARGET_CLUSTER))).cast("long"),
+    )
+    return (
+        per.agg(
+            F.sum("n").alias("n_rows"),
+            F.sum("nv").alias("n_vecs"),
+            F.max("n").alias("max_cluster"),
+            F.count("*").alias("n_clusters_used"),
+        )
+        .select(
+            "n_rows",
+            "n_vecs",
+            "max_cluster",
+            "n_clusters_used",
+            F.lit(k).cast("int").alias("k"),
+            F.lit(n_built).cast("bigint").alias("n_built"),
+            target_k.alias("target_k"),
+        )
+        .withColumn("occupancy", F.round(F.col("n_rows") / F.lit(k), 6))
+        .withColumn(
+            "skew", F.round(F.col("max_cluster") * F.lit(k) / F.col("n_rows"), 6)
+        )
+        .withColumn(
+            "grown",
+            (F.col("target_k") > F.lit(k))
+            | (F.col("n_vecs") > F.lit(IVF_GROWTH_FACTOR) * F.lit(n_built)),
+        )
+    )
+
+
+# Same tightened dial as the ivf rebuild scenario: the appended tenth is
+# ~11% growth, so 1.05 trips at every graded scale factor while the k
+# floor keeps the assignment on the exact (oracle-replayable) path.
+_IVFPQ_REBUILD_DIR: dict[tuple, str] = {}
+
+_REBUILD_ORACLE = f"""WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {_PQ_WHERE_DUCK}),
+    {_ivf_assign_duck("e")},
+    {_PQ_CODES_DUCK},
+    {_PER_CENTROID_CODES_SELECT}"""
+
+
+@query("ivfpq_index_rebuild", _REBUILD_ORACLE)
+def q_ivfpq_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ retrain cycle end-to-end: build a private index on the
+    base corpus, append the held-out batch (growth against BOTH frozen
+    quantizers), then rebuild_ivfpq_index_if_grown at the tightened dial
+    with the full corpus as the retrain source. Returned per-centroid
+    membership + code folds come from the REBUILT on-disk codes; the
+    oracle's fresh replay over the union value-checks that
+    retrain-after-growth is value-identical to a from-scratch build."""
+    from temporalvault_spark.operators.ivf_index import IVF_REBUILD_GROWTH_FACTOR
+    from temporalvault_spark.operators.llm import _corpus_key
+    from temporalvault_spark.staging import stage_dir
+
+    key = _corpus_key(spark, sf_dir, table="embeddings")
+    path = _IVFPQ_REBUILD_DIR.get(key)
+    if path is None or not os.path.isdir(os.path.dirname(path)):
+        path = os.path.join(stage_dir(spark, "ivfpq_rebuild"), "index")
+        _IVFPQ_REBUILD_DIR[key] = path
+    build_ivfpq_index(_pq_base(spark, sf_dir), path)
+    append_to_ivfpq_index(_pq_batch(spark, sf_dir), path)
+    rebuild_ivfpq_index_if_grown(
+        spark,
+        path,
+        _pq_corpus(spark, sf_dir),
+        growth_factor=IVF_REBUILD_GROWTH_FACTOR,
+    )
+    return _per_centroid_codes_readback(spark, path)

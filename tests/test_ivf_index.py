@@ -293,3 +293,105 @@ def test_build_null_embedding_never_becomes_centroid(spark, tmp_path_factory):
     probe = [math.cos(3 / 7.0), math.sin(3 / 7.0)]
     top = ivf_search(spark, path, probe, k=3, nprobe=4).collect()
     assert top and top[0]["vec_id"] == 3
+
+
+# --- growth contract ----------------------------------------------------------
+
+
+def _rand_emb(spark, n, dim=4, seed=7, start=0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = [
+        (start + i, [float(x) for x in rng.uniform(-1, 1, dim)], int(i % 3))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+
+
+def test_ivf_occupancy_fresh_index_not_grown(spark, tmp_path_factory):
+    from temporalvault_spark.operators.ivf_index import ivf_index_occupancy
+
+    path = str(tmp_path_factory.mktemp("ivf_occ") / "index")
+    build_ivf_index(_rand_emb(spark, 200), path)
+    rep = ivf_index_occupancy(spark, path)
+    assert rep["k"] == 16 and rep["n_built"] == 200 and rep["n_vecs"] == 200
+    assert rep["target_k"] == 16 and rep["grown"] is False
+    assert rep["rows"] == 200 and rep["n_clusters_used"] <= 16
+    assert rep["occupancy"] == 12.5  # 200 / 16
+
+
+def test_ivf_rebuild_fires_on_size_drift_and_equals_fresh_build(
+    spark, tmp_path_factory
+):
+    """Append 3x the build size: the default growth factor (2.0) trips,
+    the retrain swaps in a fresh adaptive-k build, and the rebuilt index is
+    row-identical (vec_id -> centroid_id) to a from-scratch build over the
+    union — the value the rebuild oracle checks at corpus scale."""
+    from temporalvault_spark.operators.ivf_index import (
+        append_to_ivf_index,
+        ivf_index_occupancy,
+        rebuild_ivf_index_if_grown,
+    )
+
+    root = tmp_path_factory.mktemp("ivf_grow")
+    path, fresh = str(root / "index"), str(root / "fresh")
+    base = _rand_emb(spark, 100, seed=1)
+    batch = _rand_emb(spark, 300, seed=2, start=100)
+    build_ivf_index(base, path)
+    append_to_ivf_index(batch, path)
+
+    rep = ivf_index_occupancy(spark, path)
+    assert rep["grown"] is True and rep["n_vecs"] == 400 and rep["n_built"] == 100
+
+    out = rebuild_ivf_index_if_grown(spark, path)
+    assert out["rebuilt"] is True
+    # post-rebuild: meta reflects the union, contract is closed again
+    rep2 = ivf_index_occupancy(spark, path)
+    assert rep2["n_built"] == 400 and rep2["grown"] is False
+
+    build_ivf_index(base.unionByName(batch), fresh)
+    got = {
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(path).select("vec_id", "centroid_id").collect()
+    }
+    want = {
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(fresh).select("vec_id", "centroid_id").collect()
+    }
+    assert got == want and len(got) == 400
+
+
+def test_ivf_rebuild_noop_below_dial(spark, tmp_path_factory):
+    from temporalvault_spark.operators.ivf_index import (
+        append_to_ivf_index,
+        rebuild_ivf_index_if_grown,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf_noop") / "index")
+    build_ivf_index(_rand_emb(spark, 200, seed=3), path)
+    append_to_ivf_index(_rand_emb(spark, 20, seed=4, start=200), path)
+    out = rebuild_ivf_index_if_grown(spark, path)  # 220 < 2.0 * 200
+    assert out["rebuilt"] is False and out["grown"] is False
+    assert out["n_vecs"] == 220 and out["n_built"] == 200
+
+
+def test_ivf_rebuild_fires_on_adaptive_k_widening(spark, tmp_path_factory):
+    """Grow the corpus past the k floor (adaptive_n_centroids: 6800 vectors
+    -> k=17 > 16): the SECOND detector arm fires even under a growth factor
+    too loose to trip, and the retrain widens the persisted centroid set."""
+    from temporalvault_spark.operators.ivf_index import (
+        _read_ivf_meta,
+        append_to_ivf_index,
+        rebuild_ivf_index_if_grown,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf_widen") / "index")
+    build_ivf_index(_rand_emb(spark, 3500, seed=5), path)
+    append_to_ivf_index(_rand_emb(spark, 3300, seed=6, start=3500), path)
+    out = rebuild_ivf_index_if_grown(spark, path, growth_factor=10.0)
+    assert out["rebuilt"] is True and out["target_k"] == 17
+    k, n_built = _read_ivf_meta(spark, path)
+    assert k == 17 and n_built == 6800

@@ -147,3 +147,78 @@ def test_search_rejects_duplicate_codebook_rows(spark, index_path, probe_vec, tm
     cb.unionByName(extra).coalesce(1).write.parquet(f"{dup}/_codebook")
     with pytest.raises(ValueError, match="one row per cell"):
         ivfpq_search(spark, dup, probe_vec, k=5)
+
+
+# --- growth contract ----------------------------------------------------------
+
+
+def _rand_emb64(spark, n, seed=7, start=0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = [
+        (start + i, [float(x) for x in rng.uniform(-1, 1, 64)], int(i % 3))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+
+
+def test_ivfpq_occupancy_and_retrain_cycle(spark, tmp_path_factory):
+    """The compressed sibling of the ivf growth contract: fresh index is
+    not grown; a 3x append trips the size-drift arm; the retrain (caller
+    supplies the corpus — codes cannot reconstruct vectors) swaps in an
+    index code-identical to a from-scratch build over the union, and the
+    refreshed _meta closes the contract."""
+    from temporalvault_spark.operators.ivfpq_index import (
+        append_to_ivfpq_index,
+        ivfpq_index_occupancy,
+        rebuild_ivfpq_index_if_grown,
+    )
+
+    root = tmp_path_factory.mktemp("ivfpq_grow")
+    path, fresh = str(root / "index"), str(root / "fresh")
+    base = _rand_emb64(spark, 60, seed=1)
+    batch = _rand_emb64(spark, 180, seed=2, start=60)
+    union = base.unionByName(batch)
+
+    build_ivfpq_index(base, path)
+    rep = ivfpq_index_occupancy(spark, path)
+    assert rep["grown"] is False and rep["k"] == 16 and rep["n_built"] == 60
+
+    append_to_ivfpq_index(batch, path)
+    rep = ivfpq_index_occupancy(spark, path)
+    assert rep["grown"] is True and rep["n_vecs"] == 240
+
+    out = rebuild_ivfpq_index_if_grown(spark, path, union)
+    assert out["rebuilt"] is True
+    rep2 = ivfpq_index_occupancy(spark, path)
+    assert rep2["n_built"] == 240 and rep2["grown"] is False
+
+    build_ivfpq_index(union, fresh)
+    got = {
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(fresh).collect()
+    }
+    assert got == want and len(got) == 240
+
+
+def test_ivfpq_rebuild_noop_below_dial(spark, tmp_path_factory):
+    from temporalvault_spark.operators.ivfpq_index import (
+        append_to_ivfpq_index,
+        rebuild_ivfpq_index_if_grown,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq_noop") / "index")
+    base = _rand_emb64(spark, 100, seed=3)
+    batch = _rand_emb64(spark, 10, seed=4, start=100)
+    build_ivfpq_index(base, path)
+    append_to_ivfpq_index(batch, path)
+    out = rebuild_ivfpq_index_if_grown(spark, path, base.unionByName(batch))
+    assert out["rebuilt"] is False and out["grown"] is False
+    assert out["n_vecs"] == 110 and out["n_built"] == 100
