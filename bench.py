@@ -233,6 +233,11 @@ HEADLINE = [
     "ivf_index_occupancy",
     "ivfpq_index_build",
     "ivfpq_index_occupancy",
+    # round 12: the DSIR mixing loop (affinity -> quotas -> weighted draw)
+    # and the end-to-end curation capstone (quality -> 4-modality dedup ->
+    # decontaminate -> token budget, one value-hash)
+    "corpus_mix_resample_dsir",
+    "corpus_curate_end_to_end",
 ]
 
 

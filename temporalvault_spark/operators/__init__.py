@@ -14,6 +14,7 @@ from temporalvault_spark.operators import (  # noqa: F401
     analytics_tpch2,
     audio_fp,
     corpus,
+    curation,
     dedup_cluster,
     dq,
     entity,

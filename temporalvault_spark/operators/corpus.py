@@ -599,39 +599,49 @@ def q_source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "gopher_quality_rules",
-    f"""WITH toks AS (
+# The gopher metric chain as namespaced (gq_*) CTEs — ONE rendering shared
+# by the registered query below and the corpus_curate_end_to_end capstone
+# (operators/curation.py), so the replayed keep rule cannot drift.
+GOPHER_CTES = f"""gq_toks AS (
         SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
-    base AS (
+    gq_base AS (
         SELECT doc_id, t, len(t) AS n_tokens,
                len(list_distinct(t)) AS n_distinct,
                CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
                    / len(t) AS mean_tok_len
-        FROM toks),
-    tf AS (
+        FROM gq_toks),
+    gq_tf AS (
         SELECT doc_id, tok, COUNT(*) AS c
-        FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
-    top_tok AS (SELECT doc_id, MAX(c) AS top_tok_cnt FROM tf GROUP BY 1),
-    bf AS (
+        FROM (SELECT doc_id, unnest(t) AS tok FROM gq_toks) GROUP BY 1, 2),
+    gq_top_tok AS (SELECT doc_id, MAX(c) AS top_tok_cnt FROM gq_tf GROUP BY 1),
+    gq_bf AS (
         SELECT doc_id, bg, COUNT(*) AS c
         FROM (SELECT doc_id,
                      unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
-              FROM toks) GROUP BY 1, 2),
-    top_bg AS (SELECT doc_id, MAX(c) AS top_bg_cnt FROM bf GROUP BY 1)
-    SELECT b.doc_id, b.n_tokens,
-           ROUND(b.mean_tok_len, 6) AS mean_tok_len,
-           ROUND(1 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS dup_tok_frac,
-           ROUND(CAST(tt.top_tok_cnt AS DOUBLE) / b.n_tokens, 6) AS top_tok_frac,
-           ROUND(CAST(tb.top_bg_cnt AS DOUBLE) / (b.n_tokens - 1), 6) AS top_bg_frac,
-           (b.n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
-            AND ROUND(b.mean_tok_len, 6) BETWEEN {MEAN_LEN_LO} AND {MEAN_LEN_HI}
-            AND ROUND(CAST(tt.top_tok_cnt AS DOUBLE) / b.n_tokens, 6) < {TOP_TOKEN_FRAC_MAX}
-            AND ROUND(CAST(tb.top_bg_cnt AS DOUBLE) / (b.n_tokens - 1), 6) < {TOP_BIGRAM_FRAC_MAX}
-           ) AS keep
-    FROM base b
-    JOIN top_tok tt ON tt.doc_id = b.doc_id
-    JOIN top_bg tb ON tb.doc_id = b.doc_id""",
+              FROM gq_toks) GROUP BY 1, 2),
+    gq_top_bg AS (SELECT doc_id, MAX(c) AS top_bg_cnt FROM gq_bf GROUP BY 1),
+    gq_metrics AS (
+        SELECT b.doc_id, b.n_tokens,
+               ROUND(b.mean_tok_len, 6) AS mean_tok_len,
+               ROUND(1 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS dup_tok_frac,
+               ROUND(CAST(tt.top_tok_cnt AS DOUBLE) / b.n_tokens, 6) AS top_tok_frac,
+               ROUND(CAST(tb.top_bg_cnt AS DOUBLE) / (b.n_tokens - 1), 6) AS top_bg_frac,
+               (b.n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+                AND ROUND(b.mean_tok_len, 6) BETWEEN {MEAN_LEN_LO} AND {MEAN_LEN_HI}
+                AND ROUND(CAST(tt.top_tok_cnt AS DOUBLE) / b.n_tokens, 6) < {TOP_TOKEN_FRAC_MAX}
+                AND ROUND(CAST(tb.top_bg_cnt AS DOUBLE) / (b.n_tokens - 1), 6) < {TOP_BIGRAM_FRAC_MAX}
+               ) AS keep
+        FROM gq_base b
+        JOIN gq_top_tok tt ON tt.doc_id = b.doc_id
+        JOIN gq_top_bg tb ON tb.doc_id = b.doc_id)"""
+
+
+@query(
+    "gopher_quality_rules",
+    f"""WITH {GOPHER_CTES}
+    SELECT doc_id, n_tokens, mean_tok_len, dup_tok_frac, top_tok_frac,
+           top_bg_frac, keep
+    FROM gq_metrics""",
 )
 def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(_docs(spark, sf_dir))
@@ -1398,4 +1408,131 @@ def q_dsir_source_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.round(F.sum("score"), 6).alias("total_score"),
         )
+    )
+
+
+# --- DSIR mixture resampling (DoReMi-shaped: affinity -> weights -> draw) ----
+#
+# Closes the DSIR tier into the actual data-mixing loop a training pipeline
+# runs (round-11 verdict #4): dsir_source_affinity computed the mixture-
+# weighting view but nothing consumed it. This composition turns the
+# per-source affinities into integer per-source sampling quotas (largest-
+# remainder apportionment — EXACT integer arithmetic end-to-end, no libm,
+# no float division, so the allocation replays bit-for-bit cross-engine)
+# and draws each source's quota with the shared Efraimidis–Spirakis
+# min-of-w-tickets key (_weighted_ticket_key — the same draw
+# sample_weighted_k_per_group hash-checks). The full chain — token fold ->
+# quantized ratios -> per-source affinity -> shift-positive weights ->
+# quota apportionment -> stratified weighted draw — sits under ONE value
+# hash.
+
+DSIR_MIX_K = 120  # total resampled docs across all sources
+
+
+def _dsir_mix_takes(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """source -> sampling quota. Affinity totals collapse to EXACT integers
+    (micro-unit scores sum to integer micro-units; ROUND(x*1e6) recovers
+    them loss-free), shift-positive (+1.0 floor so every source keeps a
+    nonzero chance — DoReMi never zeroes a domain), then largest-remainder
+    apportionment of DSIR_MIX_K seats proportional to the shifted weights.
+    All arithmetic is arbitrary-precision Python int; the oracle replays it
+    in BIGINT/HUGEINT. One bounded collect (n_sources rows)."""
+    ratios = _dsir_ratio_literals(spark, sf_dir)
+    arr_sql = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in ratios)
+    score = F.expr(
+        f"aggregate(split(lower(trim(text)), ' '), CAST(0.0 AS DOUBLE), "
+        f"(acc, t) -> acc + element_at(array({arr_sql}), "
+        f"CAST({_DSIR_BKT_SPARK} AS INT) + 1))"
+    )
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    rows = (
+        docs.select("source", F.round(score, 6).alias("score"))
+        .groupBy("source")
+        .agg(F.round(F.sum("score"), 6).alias("total_score"))
+        .collect()  # bounded: one row per source
+    )
+    a = {r["source"]: int(round(float(r["total_score"]) * 1e6)) for r in rows}
+    shift = min(a.values())
+    w = {s: v - shift + 1_000_000 for s, v in a.items()}  # >= 1.0 in micro-units
+    tw = sum(w.values())
+    base = {s: DSIR_MIX_K * w[s] // tw for s in w}
+    rem = {s: DSIR_MIX_K * w[s] % tw for s in w}
+    leftover = DSIR_MIX_K - sum(base.values())
+    for s in sorted(w, key=lambda s: (-rem[s], s))[:leftover]:
+        base[s] += 1
+    return base
+
+
+@query(
+    "corpus_mix_resample_dsir",
+    f"""WITH {_DSIR_CTES},
+    agg AS (SELECT d.source,
+                   CAST(ROUND(ROUND(SUM(s.score), 6) * 1e6, 0) AS BIGINT) AS a
+            FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+            GROUP BY d.source),
+    shiftw AS (SELECT source, a - (SELECT MIN(a) FROM agg) + 1000000 AS w
+               FROM agg),
+    tot AS (SELECT SUM(w) AS tw FROM shiftw),
+    alloc AS (SELECT source, {DSIR_MIX_K} * w // tw AS base,
+                     {DSIR_MIX_K} * w % tw AS rem
+              FROM shiftw, tot),
+    extra AS (SELECT source, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+              FROM alloc),
+    takes AS (SELECT a.source,
+                     CAST(a.base + CASE WHEN e.rk <= {DSIR_MIX_K} -
+                              (SELECT SUM(base) FROM alloc)
+                          THEN 1 ELSE 0 END AS BIGINT) AS take
+              FROM alloc a JOIN extra e ON a.source = e.source),
+    ww AS (SELECT doc_id, source,
+                  1 + LEAST(COALESCE(n_chars, 0) // {WEIGHT_CHARS_PER_UNIT},
+                            {WEIGHT_MAX - 1}) AS w
+           FROM documents),
+    ranked AS (
+        SELECT doc_id, source, w,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY list_min(list_transform(range(1, w + 1),
+                       t -> md5('wk:' || CAST(doc_id AS VARCHAR)
+                                || ':' || CAST(t AS VARCHAR)))), doc_id) AS rn
+        FROM ww)
+    SELECT r.doc_id, r.source, CAST(r.w AS BIGINT) AS w
+    FROM ranked r JOIN takes t ON r.source = t.source
+    WHERE r.rn <= t.take""",
+)
+def q_corpus_mix_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR mixing loop end-to-end: per-source importance affinities
+    become integer sampling quotas (largest-remainder apportionment over
+    shift-positive micro-unit weights — exact integer arithmetic, zero
+    libm in the allocation), each source's quota drawn by the shared E-S
+    weighted ticket (quality-weighted WITHIN the domain, DoReMi-weighted
+    ACROSS domains). Sources richer in target-domain n-grams get more
+    seats; no domain is zeroed. Quotas above a stratum's size return the
+    whole stratum (both engines see the same rows).
+
+    Scale shape: the affinity aggregate is one token-fold pass + a
+    20-row collect; the draw's ticket key is ROW-LOCAL and the per-source
+    rank filters to a LITERAL max-quota bound first (WindowGroupLimit —
+    partitions forward at most max_take rows per source before the
+    exchange), then the exact per-source quota."""
+    takes = _dsir_mix_takes(spark, sf_dir)
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    take_expr = F.when(F.lit(False), F.lit(0))
+    for s, t in sorted(takes.items()):
+        take_expr = take_expr.when(F.col("source") == s, F.lit(t))
+    take_expr = take_expr.otherwise(F.lit(0))
+    max_take = max(takes.values()) if takes else 0
+    ukey = _weighted_ticket_key()
+    return (
+        docs.select("doc_id", "source", _weight_col().alias("w"))
+        .select("doc_id", "source", "w", ukey.alias("ukey"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("ukey", "doc_id")
+            ),
+        )
+        .filter((F.col("rn") <= F.lit(max_take)) & (F.col("rn") <= take_expr))
+        .select("doc_id", "source", F.col("w").cast("long").alias("w"))
     )

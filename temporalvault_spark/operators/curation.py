@@ -1,0 +1,155 @@
+"""The end-to-end curation capstone: quality gates -> five-modality dedup ->
+decontamination -> token-budget selection, composed as ONE oracled query.
+
+Every stage is individually oracled elsewhere (gopher_quality_rules,
+dedup_multimodal_apply, decontaminate_ngram_overlap,
+corpus_select_token_budget); the composition is where cross-operator drift
+hides — keeper rules vs selection order vs budget cut interacting across
+stage boundaries (round-11 verdict #5). The DuckDB twin replays every
+stage from the SAME shared fragments the per-stage oracles use
+(corpus.GOPHER_CTES, the four pair CTE sets, llm.DECONTAM_CTES, the naive
+budget window), chained:
+
+  1. corpus = documents minus the benchmark block (doc_id <
+     DECONTAM_BENCH_DOCS stands in for the eval suite — those rows are
+     never training data);
+  2. QUALITY: keep docs passing the Gopher repetition rules;
+  3. DEDUP: the four-modality near-dup edge union restricted to quality
+     survivors (a dropped doc cannot reject a survivor), closed into
+     connected components by the shared solver, min-id keepers;
+  4. DECONTAMINATE: drop survivors sharing any 13-gram with the benchmark
+     block;
+  5. BUDGET: fill TOKEN_BUDGET training tokens with the surviving docs in
+     quality order (the distributed prefix-cut; the oracle replays the
+     naive global window it is hash-proven equal to).
+
+Scale shape: stages 2-4 exchange only slim id frames (keep sets, edge
+pairs, contaminated ids); the token folds and decodes all ride the staged
+artifacts built once per corpus; the budget cut is the bounded
+prefix-sum machinery of select_to_token_budget. Nothing in the
+composition adds a pass over the raw corpus beyond what the stages
+already paid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.operators.audio_fp import _AFP_PAIRS_CTES
+from temporalvault_spark.operators.corpus import (
+    GOPHER_CTES,
+    TOKEN_BUDGET,
+    WEIGHT_CHARS_PER_UNIT,
+    WEIGHT_MAX,
+    gopher_quality,
+    select_to_token_budget,
+)
+from temporalvault_spark.operators.dedup_cluster import connected_components
+from temporalvault_spark.operators.llm import (
+    DECONTAM_BENCH_DOCS,
+    DECONTAM_CTES,
+    NGRAM_PAIRS_SQL,
+    decontaminate_hits,
+)
+from temporalvault_spark.operators.phash import _PH_PAIRS_CTES
+from temporalvault_spark.operators.videohash import (
+    _VFP_PAIRS_CTES,
+    multimodal_edges,
+)
+from temporalvault_spark.registry import query
+
+_CURATE_ORACLE = f"""WITH RECURSIVE {GOPHER_CTES},
+    keepq AS (
+        SELECT doc_id FROM gq_metrics
+        WHERE keep AND doc_id >= {DECONTAM_BENCH_DOCS}),
+    tpairs AS ({NGRAM_PAIRS_SQL}),
+    {_PH_PAIRS_CTES},
+    {_AFP_PAIRS_CTES},
+    {_VFP_PAIRS_CTES},
+    medges AS (
+        SELECT a, b FROM (
+            SELECT doc_a AS a, doc_b AS b FROM tpairs
+            UNION SELECT img_a, img_b FROM ppairs
+            UNION SELECT aud_a, aud_b FROM apairs
+            UNION SELECT vid_a, vid_b FROM vpairs) u
+        WHERE a IN (SELECT doc_id FROM keepq)
+          AND b IN (SELECT doc_id FROM keepq)),
+    msym AS (SELECT a AS src, b AS dst FROM medges
+             UNION ALL SELECT b, a FROM medges),
+    mwalk(node, lbl) AS (
+        SELECT src, src FROM msym
+        UNION
+        SELECT s.dst, MIN(w.lbl) FROM mwalk w JOIN msym s ON s.src = w.node
+        GROUP BY s.dst
+    ),
+    mcomp AS (SELECT node, MIN(lbl) AS keep FROM mwalk GROUP BY node),
+    mdrop AS (SELECT node FROM mcomp WHERE node <> keep),
+    {DECONTAM_CTES},
+    surv AS (
+        SELECT doc_id FROM keepq
+        WHERE doc_id NOT IN (SELECT node FROM mdrop)
+          AND doc_id NOT IN (SELECT doc_id FROM dc_hits)),
+    bbase AS (
+        SELECT d.doc_id,
+               1 + LEAST(COALESCE(d.n_chars, 0) // {WEIGHT_CHARS_PER_UNIT},
+                         {WEIGHT_MAX - 1}) AS w,
+               len(string_split(lower(trim(d.text)), ' ')) AS n_tok
+        FROM documents d JOIN surv USING (doc_id)
+        WHERE d.text IS NOT NULL),
+    bsel AS (
+        SELECT doc_id, w, n_tok,
+               SUM(n_tok) OVER (ORDER BY w DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM bbase)
+    SELECT s.doc_id, d.source, CAST(s.w AS BIGINT) AS w,
+           CAST(s.n_tok AS BIGINT) AS n_tok
+    FROM bsel s JOIN documents d ON s.doc_id = d.doc_id
+    WHERE s.cum <= {TOKEN_BUDGET}"""
+
+
+@query("corpus_curate_end_to_end", _CURATE_ORACLE)
+def q_corpus_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline under ONE value-hash (module docstring
+    for the stage list). Returns the budget-selected training set
+    (doc_id, source, w, n_tok)."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    corpus = docs.filter(F.col("doc_id") >= DECONTAM_BENCH_DOCS)
+
+    # stage 1: quality keepers (NULL-metric rows drop with keep != true)
+    keepq = (
+        gopher_quality(corpus)
+        .filter(F.col("keep") == True)  # noqa: E712 — NULL-safe three-valued filter
+        .select("doc_id")
+        .localCheckpoint(eager=True)  # reused by two joins + the anti chain
+    )
+
+    # stage 2: four-modality dedup restricted to quality survivors
+    edges = multimodal_edges(spark, sf_dir)
+    kq_a = keepq.select(F.col("doc_id").alias("src"))
+    kq_b = keepq.select(F.col("doc_id").alias("dst"))
+    edges = edges.join(F.broadcast(kq_a), "src", "semi").join(
+        F.broadcast(kq_b), "dst", "semi"
+    )
+    comps = connected_components(edges)
+    drop = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+
+    # stage 3: decontamination (shared hits frame; already >= the bench cut)
+    contaminated = decontaminate_hits(spark, sf_dir).select("doc_id")
+
+    surv = (
+        keepq.join(drop, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+    # stage 4: token-budget selection over the survivors, in quality order
+    sel = select_to_token_budget(docs.join(surv, "doc_id", "semi"))
+    return sel.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        F.col("w").cast("long").alias("w"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )

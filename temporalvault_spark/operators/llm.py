@@ -1793,24 +1793,30 @@ DECONTAM_NGRAM = 13
 DECONTAM_BENCH_DOCS = 50
 
 
-@query(
-    "decontaminate_ngram_overlap",
-    f"""WITH toks AS (
+# The decontamination chain as namespaced (dc_*) CTEs — ONE rendering
+# shared by the registered query below and the corpus_curate_end_to_end
+# capstone (operators/curation.py), so the replayed leak scan cannot drift.
+DECONTAM_CTES = f"""dc_toks AS (
         SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
-    grams AS (
+    dc_grams AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
                    range(1, len(t) - {DECONTAM_NGRAM - 2}),
                    i -> md5(list_aggregate(t[i:i+{DECONTAM_NGRAM - 1}], 'string_agg', ' '))
                ))) AS g
-        FROM toks WHERE len(t) >= {DECONTAM_NGRAM}),
-    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {DECONTAM_BENCH_DOCS}),
-    hits AS (
+        FROM dc_toks WHERE len(t) >= {DECONTAM_NGRAM}),
+    dc_bench AS (SELECT DISTINCT g FROM dc_grams WHERE doc_id < {DECONTAM_BENCH_DOCS}),
+    dc_hits AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
-        FROM grams JOIN bench USING (g)
+        FROM dc_grams JOIN dc_bench USING (g)
         WHERE doc_id >= {DECONTAM_BENCH_DOCS}
-        GROUP BY doc_id)
-    SELECT doc_id, n_shared_ngrams FROM hits""",
+        GROUP BY doc_id)"""
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    f"""WITH {DECONTAM_CTES}
+    SELECT doc_id, n_shared_ngrams FROM dc_hits""",
 )
 def q_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing any 13-gram with
@@ -1824,6 +1830,14 @@ def q_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     gram stream joins map-side and aggregates per doc with combine. A
     production run points ``bench`` at the real benchmark table; everything
     else is unchanged."""
+    return decontaminate_hits(spark, sf_dir)
+
+
+def decontaminate_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shared_ngrams) for corpus docs (doc_id >= the benchmark
+    cut) sharing any {DECONTAM_NGRAM}-gram with the benchmark set — the
+    one implementation behind the registered query AND the
+    corpus_curate_end_to_end capstone (curation.py)."""
     toks = (
         _docs(spark, sf_dir)
         .select("doc_id", _tokens().alias("t"))

@@ -450,6 +450,34 @@ _MM_ORACLE = f"""WITH RECURSIVE tpairs AS ({_NGRAM_PAIRS_SQL}),
     GROUP BY d.source"""
 
 
+def multimodal_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four-modality near-dup edge union as slim (src, dst) id pairs —
+    text shingle-jaccard, image phash, audio envelope, video voted pairs,
+    each read from its staged artifact (no re-shingle, no re-decode). ONE
+    implementation behind dedup_multimodal_apply AND the
+    corpus_curate_end_to_end capstone (curation.py)."""
+    from temporalvault_spark.operators.llm import staged_ngram_pairs
+
+    tpairs = staged_ngram_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    ipairs = _ph_pairs(spark.read.parquet(stage_phash(spark, sf_dir))).select(
+        F.col("img_a").alias("src"), F.col("img_b").alias("dst")
+    )
+    apairs = _afp_pairs(spark.read.parquet(stage_afp(spark, sf_dir))).select(
+        F.col("aud_a").alias("src"), F.col("aud_b").alias("dst")
+    )
+    vpairs = video_fp_pairs(spark.read.parquet(stage_vfp(spark, sf_dir))).select(
+        F.col("vid_a").alias("src"), F.col("vid_b").alias("dst")
+    )
+    return (
+        tpairs.unionByName(ipairs)
+        .unionByName(apairs)
+        .unionByName(vpairs)
+        .distinct()
+    )
+
+
 @query("dedup_multimodal_apply", _MM_ORACLE)
 def q_dedup_multimodal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY dedup across ALL FIVE modalities at once: a document falls if
@@ -469,27 +497,7 @@ def q_dedup_multimodal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is collision-bounded, measured per-modality in SCALE.md); the
     union is a set-union of slim pairs; the corpus-side exclusion is one
     anti-join over doc_id."""
-    from temporalvault_spark.operators.llm import staged_ngram_pairs
-
-    tpairs = staged_ngram_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    ipairs = _ph_pairs(spark.read.parquet(stage_phash(spark, sf_dir))).select(
-        F.col("img_a").alias("src"), F.col("img_b").alias("dst")
-    )
-    apairs = _afp_pairs(spark.read.parquet(stage_afp(spark, sf_dir))).select(
-        F.col("aud_a").alias("src"), F.col("aud_b").alias("dst")
-    )
-    vpairs = video_fp_pairs(spark.read.parquet(stage_vfp(spark, sf_dir))).select(
-        F.col("vid_a").alias("src"), F.col("vid_b").alias("dst")
-    )
-    edges = (
-        tpairs.unionByName(ipairs)
-        .unionByName(apairs)
-        .unionByName(vpairs)
-        .distinct()
-    )
-    comps = connected_components(edges)
+    comps = connected_components(multimodal_edges(spark, sf_dir))
     drop = (
         comps.filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"))
