@@ -231,8 +231,10 @@ HEADLINE = [
     # correctness-only, like the five band-index families)
     "ivf_index_build",
     "ivf_index_occupancy",
+    "ivf_index_probe",
     "ivfpq_index_build",
     "ivfpq_index_occupancy",
+    "ivfpq_index_probe",
     # round 12: the DSIR mixing loop (affinity -> quotas -> weighted draw)
     # and the end-to-end curation capstone (quality -> 4-modality dedup ->
     # decontaminate -> token budget, one value-hash)

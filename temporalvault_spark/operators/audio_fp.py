@@ -125,20 +125,56 @@ def synth_wav_audio(docs: DataFrame) -> DataFrame:
     return ids.mapInPandas(gen, "aud_id bigint, audio binary")
 
 
+def _soundfile_samples(payload: bytes) -> np.ndarray | None:
+    """OPTIONAL-DEPENDENCY adapter tier (the multimodal pillow_decode_rgb
+    contract): decode any soundfile-readable container to the SAME mono
+    int64 sample stream _decode_pcm yields — dtype='int16' read (exact for
+    16-bit PCM sources, so the same-samples contract test can pin the two
+    tiers equal on shared WAVs; lossy codecs land on their decoder's
+    nearest int16 grid), channels mixed by the same integer-mean DIV.
+    Returns None when soundfile is ABSENT (caller falls back to the honest
+    seam); a soundfile decode FAILURE raises the codec-contract ValueError
+    the quarantine tiers catch."""
+    try:
+        import soundfile
+    except ImportError:
+        return None
+
+    try:
+        data = soundfile.read(io.BytesIO(payload), dtype="int16", always_2d=True)[0]
+    except Exception as e:  # soundfile raises libsndfile-specific types
+        raise ValueError(f"soundfile: unreadable payload ({e})") from e
+    sig = data.astype(np.int64)
+    if sig.shape[1] > 1:
+        return sig.sum(axis=1) // sig.shape[1]
+    return sig[:, 0]
+
+
 def _decode_pcm(payload: bytes) -> np.ndarray:
     """Mono int64 sample stream from a 16-bit PCM WAV via the stdlib
     ``wave`` codec; multi-channel mixes by integer mean (order-stable DIV).
-    Raises on non-WAV / non-16-bit payloads (the multimodal real-codec
-    seam: compressed audio needs soundfile in the worker image)."""
+    Non-WAV / non-16-bit payloads go to the optional soundfile adapter
+    tier when it is importable in the worker (mp3/flac/ogg/float-WAV
+    auto-upgrade), else raise — the multimodal real-codec seam."""
     if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+        sig = _soundfile_samples(payload)
+        if sig is not None:
+            return sig
         raise ValueError("afp64: payload is not a RIFF/WAVE container")
     try:
         with wave.open(io.BytesIO(payload)) as wf:
             if wf.getsampwidth() != 2:
+                sig = _soundfile_samples(payload)
+                if sig is not None:
+                    return sig
                 raise ValueError("afp64: only 16-bit PCM WAV in-process")
             nch = wf.getnchannels()
             raw = wf.readframes(wf.getnframes())
     except wave.Error as e:
+        # RIFF/WAVE the stdlib can't read (IEEE-float, ADPCM, ...)
+        sig = _soundfile_samples(payload)
+        if sig is not None:
+            return sig
         raise ValueError(f"afp64: unreadable WAV ({e})") from e
     sig = np.frombuffer(raw, np.int16).astype(np.int64)
     if nch > 1:

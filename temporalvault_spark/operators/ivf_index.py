@@ -479,3 +479,63 @@ def q_ivf_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, growth_factor=IVF_REBUILD_GROWTH_FACTOR
     )
     return _per_centroid_readback(spark, path)
+
+
+# --- registered probe: the RECURRING search cost over the staged index --------
+# Completes the family symmetry with the band indexes (each has its
+# dedup_*_incremental_probe): the one-time build and the maintenance tick
+# are benched above; this is the per-query cost a deployment pays forever.
+
+from temporalvault_spark.constants import SIM_PROBE_VEC_ID, SIM_TOP_K
+
+IVF_PROBE_NPROBE = 4
+
+_PROBE_ORACLE = f"""WITH eall AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
+    e AS (SELECT * FROM eall WHERE {IVF_BASE_DUCK}),
+    {_ivf_assign_duck("e")},
+    p AS (SELECT e AS pe FROM eall WHERE vec_id = {SIM_PROBE_VEC_ID}),
+    pc AS (
+        SELECT centroid_id FROM (
+            SELECT c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY list_dot_product(c.ce, p.pe)
+                                / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                                c.centroid_id) AS crank
+            FROM c CROSS JOIN p) x
+        WHERE crank <= {IVF_PROBE_NPROBE})
+    SELECT vec_id, label, centroid_id, cosine FROM (
+        SELECT a.vec_id, a.label, CAST(a.centroid_id AS BIGINT) AS centroid_id,
+               ROUND(list_dot_product(ev.e, p.pe)
+                     / (sqrt(list_dot_product(ev.e, ev.e))
+                        * sqrt(list_dot_product(p.pe, p.pe))), 6) AS cosine
+        FROM assign a JOIN e ev ON ev.vec_id = a.vec_id CROSS JOIN p
+        WHERE a.centroid_id IN (SELECT centroid_id FROM pc)) t
+    ORDER BY cosine DESC, vec_id LIMIT {SIM_TOP_K}"""
+
+
+@query("ivf_index_probe", _PROBE_ORACLE)
+def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{SIM_TOP_K} ANN probe of the staged persisted IVF index at
+    nprobe={IVF_PROBE_NPROBE} — the recurring per-query cost, with the
+    build amortized away (benched separately as ivf_index_build). The
+    probe vector is the fixed SIM_PROBE_VEC_ID embedding (the
+    sim_topk_cosine convention). The oracle replays centroid ranking,
+    the directory prune (centroid IN), and the brute-force rounded-cosine
+    top-k inside the probed clusters — value-checking the rows the
+    PARTITION-PRUNED scan actually returns (PartitionFilters is asserted
+    in tests/test_ivf_index.py)."""
+    path = stage_ivf_index(spark, sf_dir)
+    probe = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == SIM_PROBE_VEC_ID)
+        .select(F.col("embedding").cast("array<double>"))
+        .first()[0]  # bounded: one dim-sized row
+    )
+    res = ivf_search(
+        spark, path, list(probe), k=SIM_TOP_K, nprobe=IVF_PROBE_NPROBE
+    )
+    return res.select(
+        "vec_id", "label", F.col("centroid_id").cast("long").alias("centroid_id"),
+        "cosine",
+    )

@@ -476,3 +476,65 @@ def q_ivfpq_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         growth_factor=IVF_REBUILD_GROWTH_FACTOR,
     )
     return _per_centroid_codes_readback(spark, path)
+
+
+# --- registered probe: the RECURRING compressed-domain search cost -------------
+
+from temporalvault_spark.constants import SIM_PROBE_VEC_ID, SIM_TOP_K
+from temporalvault_spark.operators.ivf_index import IVF_PROBE_NPROBE
+from temporalvault_spark.operators.pq import _PQ_PROBE_DT_DUCK
+
+_PQ_PROBE_ORACLE = f"""WITH eall AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {_PQ_WHERE_DUCK}),
+    e AS (SELECT * FROM eall WHERE {IVF_BASE_DUCK}),
+    {_ivf_assign_duck("e")},
+    p AS (SELECT e FROM eall WHERE vec_id = {SIM_PROBE_VEC_ID}),
+    pc AS (
+        SELECT centroid_id FROM (
+            SELECT c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY list_dot_product(c.ce, p.e)
+                                / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                                c.centroid_id) AS crank
+            FROM c CROSS JOIN p) x
+        WHERE crank <= {IVF_PROBE_NPROBE}),
+    {_PQ_CODES_DUCK},
+    {_PQ_PROBE_DT_DUCK},
+    av AS (SELECT vec_id,
+                  list_reduce(list(dist ORDER BY sub), (a, b) -> a + b) AS adc_dist
+           FROM (SELECT cd.vec_id, cd.sub, pd.dist
+                 FROM codes cd
+                 JOIN assign a ON cd.vec_id = a.vec_id
+                 JOIN pc ON a.centroid_id = pc.centroid_id
+                 JOIN pd ON cd.sub = pd.sub AND cd.code = pd.code) t
+           GROUP BY vec_id)
+    SELECT av.vec_id, e.label, CAST(a.centroid_id AS BIGINT) AS centroid_id,
+           ROUND(av.adc_dist, 6) AS adc_dist
+    FROM av JOIN e ON av.vec_id = e.vec_id
+            JOIN assign a ON av.vec_id = a.vec_id
+    ORDER BY av.adc_dist, av.vec_id LIMIT {SIM_TOP_K}"""
+
+
+@query("ivfpq_index_probe", _PQ_PROBE_ORACLE)
+def q_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{SIM_TOP_K} ADC probe of the staged persisted IVF-PQ index at
+    nprobe={IVF_PROBE_NPROBE} — the recurring per-query cost (the
+    ivf_index_probe twin in the compressed domain): centroid ranking and
+    the 128-double distance table come from the tiny sidecars on the
+    driver, then ONE partition-pruned scan of 8-byte codes with a literal
+    table fold. The oracle replays assignment, the probe's ADC table, and
+    the table-lookup ranking inside the probed clusters."""
+    path = stage_ivfpq_index(spark, sf_dir)
+    probe = (
+        _pq_corpus(spark, sf_dir)
+        .filter(F.col("vec_id") == SIM_PROBE_VEC_ID)
+        .select(F.col("embedding").cast("array<double>"))
+        .first()[0]  # bounded: one dim-sized row
+    )
+    res = ivfpq_search(
+        spark, path, list(probe), k=SIM_TOP_K, nprobe=IVF_PROBE_NPROBE
+    )
+    return res.select(
+        "vec_id", "label", F.col("centroid_id").cast("long").alias("centroid_id"),
+        "adc_dist",
+    )

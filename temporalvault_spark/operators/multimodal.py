@@ -24,11 +24,17 @@ import has to happen where the kernel runs, not on the driver):
       features outside 3a: progressive JPEG, palettes, 16-bit;
       soundfile for non-WAV audio) — auto-upgrades wherever
       the cluster image has them, else NotImplementedError with the
-      install hint. Video frame extraction is REAL for animated GIF
-      (the in-process multi-frame codec below); every other video
-      container (mp4/webm/...) needs ffmpeg and stays behind the seam.
-      This sandbox has neither PIL nor soundfile, so CI covers tiers
-      1–2, the REAL header/WAV/pixel/GIF-frame paths of 3a, and the
+      install hint. BOTH the metadata pass (_real_decode) and the PIXEL
+      pass (decode_pixels_rgb -> pillow_decode_rgb) adapter-dispatch, and
+      the audio SAMPLE pass does the same (audio_fp._soundfile_samples);
+      same-output contract tests (tests/test_multimodal_adapters.py) pin
+      the adapter grid equal to the in-process codecs on shared formats
+      and skip cleanly when the libraries are absent. Video frame
+      extraction is REAL for animated GIF (the in-process multi-frame
+      codec below); every other video container (mp4/webm/...) needs
+      ffmpeg and stays behind the seam. This sandbox has neither PIL nor
+      soundfile, so CI covers tiers 1–2, the REAL header/WAV/pixel/
+      GIF-frame paths of 3a, the seam-preservation tests, and the
       NotImplementedError of 3b.
 
 Everything Spark-side — schemas, mapInPandas Arrow batching, UDF signatures,
@@ -237,7 +243,14 @@ def png_decode_rgb(payload: bytes) -> np.ndarray | None:
         )
     nch = {0: 1, 2: 3, 6: 4}[ctype]
     stride = w * nch
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # truncated/corrupt IDAT must raise the codec-contract ValueError —
+        # a raw zlib.error escapes the quarantine tiers' (ValueError,
+        # NotImplementedError) catch and would wedge an ingest gate in an
+        # infinite batch-replay loop (round-12 adapter-test finding)
+        raise ValueError(f"png_decode_rgb: corrupt IDAT stream ({e})") from e
     if len(raw) != h * (stride + 1):
         raise ValueError("png_decode_rgb: IDAT stream length mismatch")
     # Unfilter throughput: None/Sub/Up are fully vectorized (Sub is a
@@ -1360,27 +1373,95 @@ def _gif_walk_blocks(payload, pos, canvas, gct, bg_index, frames, disposal):
     return frames
 
 
+def pillow_decode_rgb(payload: bytes, strict: bool = True) -> np.ndarray | None:
+    """OPTIONAL-DEPENDENCY adapter tier (round-11 verdict #6): decode via
+    Pillow when — and only when — it is importable in the worker process.
+    Returns None when Pillow is ABSENT (the caller falls back to the honest
+    NotImplementedError seam, so the stdlib-only default never weakens).
+    ``strict=True`` (the feature-seam path: the container was recognized
+    but the feature is outside the stdlib tier) converts a Pillow decode
+    failure into the codec-contract ValueError the quarantine tiers catch;
+    ``strict=False`` (unknown container: webp/tiff/... upgrade) returns
+    None on any failure, preserving decode_pixels_rgb's format-dispatch
+    contract. The same-pixels contract test
+    (tests/test_multimodal_adapters.py) pins Pillow's grid equal to the
+    in-process codecs' on shared formats, so the two tiers cannot drift
+    where they overlap; on subsampled JPEG the consumers' Hamming/LSB
+    tolerance is the contract (see jpeg_decode_rgb's upsampling note)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            return np.asarray(img.convert("RGB"), dtype=np.uint8).copy()
+    except Exception as e:  # Pillow raises many per-plugin exception types
+        if strict:
+            raise ValueError(f"pillow: unreadable payload ({e})") from e
+        return None
+
+
+def pillow_decode_frames(payload: bytes, strict: bool = True) -> list | None:
+    """OPTIONAL-DEPENDENCY adapter for the FRAME path (the
+    pillow_decode_rgb contract, lifted to sequences): composed RGB frame
+    canvases via Pillow's sequence iterator — covers the gif_decode_frames
+    features outside the stdlib tier (interlace, transparency,
+    restore-previous disposal; Pillow composes them) and any animated
+    container its plugins read (webp, apng). Returns None when Pillow is
+    ABSENT; ``strict`` as in pillow_decode_rgb."""
+    try:
+        from PIL import Image, ImageSequence
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            return [
+                np.asarray(f.convert("RGB"), dtype=np.uint8).copy()
+                for f in ImageSequence.Iterator(img)
+            ]
+    except Exception as e:
+        if strict:
+            raise ValueError(f"pillow: unreadable payload ({e})") from e
+        return None
+
+
 def decode_pixels_rgb(payload: bytes) -> np.ndarray | None:
     """Shared pixel dispatch for the four in-process image codecs:
     binary PPM (P6), PNG (zlib inflate + unfilter), 24-bit BMP, and
     baseline JPEG -> (h, w, 3) uint8 RGB. Returns None when the magic
-    bytes match no supported container; per-codec feature gaps raise
-    NotImplementedError (the honest seam). This is THE pixel entrypoint
-    the phash tier and the feature extractor both use — one dispatch
-    definition, no copy drift."""
+    bytes match no supported container (after offering it to the optional
+    Pillow adapter — a webp/tiff corpus auto-upgrades wherever the worker
+    image has Pillow); per-codec feature gaps raise NotImplementedError
+    UNLESS Pillow is importable, in which case the adapter tier decodes
+    them (progressive JPEG, palette/16-bit PNG, ...). This is THE pixel
+    entrypoint the phash tier and the feature extractor both use — one
+    dispatch definition, no copy drift."""
     hdr = _ppm_header(payload)
     if hdr is not None:
         w, h, maxval, off = hdr
         if maxval > 255:
+            arr = pillow_decode_rgb(payload)
+            if arr is not None:
+                return arr
             raise NotImplementedError(
                 "decode_pixels_rgb: 16-bit PPM is outside the stdlib tier"
             )
         return np.frombuffer(payload, np.uint8, w * h * 3, off).reshape(h, w, 3)
     for decode in (png_decode_rgb, bmp_decode_rgb, jpeg_decode_rgb):
-        arr = decode(payload)
+        try:
+            arr = decode(payload)
+        except NotImplementedError:
+            arr = pillow_decode_rgb(payload)
+            if arr is not None:
+                return arr
+            raise
         if arr is not None:
             return arr
-    return None
+    return pillow_decode_rgb(payload, strict=False)
 
 
 def _real_decode(payload: bytes, kind: str) -> dict:

@@ -143,8 +143,20 @@ def vfp64_frames(payload: bytes) -> list[str]:
     id space). Raises on non-GIF payloads, zero-frame GIFs (a spec-valid
     header-only file is a degenerate payload, not a survivor), or frames
     whose dims the 8x8 grid doesn't divide (the multimodal real-codec
-    seam: other video containers need ffmpeg in the worker image)."""
-    frames = gif_decode_frames(payload)
+    seam: other video containers need ffmpeg in the worker image). GIF
+    features outside the stdlib tier — and animated containers Pillow's
+    plugins read (webp/apng) — go to the optional adapter
+    (multimodal.pillow_decode_frames) when it is importable."""
+    from temporalvault_spark.operators.multimodal import pillow_decode_frames
+
+    try:
+        frames = gif_decode_frames(payload)
+    except NotImplementedError:
+        frames = pillow_decode_frames(payload)
+        if frames is None:
+            raise
+    if frames is None:
+        frames = pillow_decode_frames(payload, strict=False)
     if frames is None:
         raise ValueError("vfp64: payload is not a GIF container")
     if not frames:

@@ -96,3 +96,46 @@ def test_jpeg_blockwise_constant_property(bw, bh, seed, subsample, restart):
     err = np.abs(dec.astype(int) - arr.astype(int))
     assert np.median(err) <= 1
     assert err.max() <= 40
+
+
+@given(
+    frac=st.sampled_from([0.1, 0.3, 0.5, 0.7, 0.9]),
+    seed=st.integers(0, 5),
+)
+@settings(max_examples=30, deadline=None)
+def test_truncated_payloads_keep_the_quarantine_error_contract(frac, seed):
+    """EVERY decode kernel must fail truncated payloads with ValueError /
+    NotImplementedError (what the gates' errors='quarantine' tier catches)
+    or dispatch to None — never a raw zlib.error / struct.error /
+    IndexError, which would escape the quarantine catch and wedge an
+    ingest gate in an infinite batch-replay loop. Round-12 finding: a
+    truncated PNG used to raise raw zlib.error from the IDAT inflate."""
+    import numpy as np
+
+    from temporalvault_spark.operators.audio_fp import _synth_wav, afp64
+    from temporalvault_spark.operators.multimodal import (
+        bmp_encode_rgb,
+        decode_pixels_rgb,
+        gif_encode_frames,
+        jpeg_encode_rgb,
+        png_encode_rgb,
+    )
+    from temporalvault_spark.operators.videohash import vfp64_frames
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (16, 16, 3), np.uint8)
+    frames = [rng.randint(0, 2, (16, 16), np.uint8) * 255 for _ in range(3)]
+    frames = [np.stack([f, f, f], axis=2) for f in frames]
+    payloads = [
+        (decode_pixels_rgb, png_encode_rgb(arr)),
+        (decode_pixels_rgb, bmp_encode_rgb(arr)),
+        (decode_pixels_rgb, jpeg_encode_rgb(arr)),
+        (vfp64_frames, gif_encode_frames(frames)),
+        (afp64, _synth_wav(seed)),
+    ]
+    for fn, payload in payloads:
+        cut = payload[: max(2, int(len(payload) * frac))]
+        try:
+            fn(cut)  # a successful parse of a prefix is acceptable
+        except (ValueError, NotImplementedError):
+            pass  # the quarantine contract
