@@ -1436,7 +1436,12 @@ def _dsir_mix_takes(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     nonzero chance — DoReMi never zeroes a domain), then largest-remainder
     apportionment of DSIR_MIX_K seats proportional to the shifted weights.
     All arithmetic is arbitrary-precision Python int; the oracle replays it
-    in BIGINT/HUGEINT. One bounded collect (n_sources rows)."""
+    in BIGINT/HUGEINT. One bounded collect (n_sources rows). NULL-source
+    docs are excluded from the whole pipeline on BOTH engines (a document
+    with no domain attribution has no mixture bucket — and SQL's equi-join
+    on source would silently drop it from the draw while still counting it
+    in the quota arithmetic, a cross-engine hazard the null-robustness
+    sweep caught)."""
     ratios = _dsir_ratio_literals(spark, sf_dir)
     arr_sql = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in ratios)
     score = F.expr(
@@ -1444,7 +1449,9 @@ def _dsir_mix_takes(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         f"(acc, t) -> acc + element_at(array({arr_sql}), "
         f"CAST({_DSIR_BKT_SPARK} AS INT) + 1))"
     )
-    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
     rows = (
         docs.select("source", F.round(score, 6).alias("score"))
         .groupBy("source")
@@ -1469,6 +1476,7 @@ def _dsir_mix_takes(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     agg AS (SELECT d.source,
                    CAST(ROUND(ROUND(SUM(s.score), 6) * 1e6, 0) AS BIGINT) AS a
             FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+            WHERE d.source IS NOT NULL
             GROUP BY d.source),
     shiftw AS (SELECT source, a - (SELECT MIN(a) FROM agg) + 1000000 AS w
                FROM agg),
@@ -1486,7 +1494,7 @@ def _dsir_mix_takes(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     ww AS (SELECT doc_id, source,
                   1 + LEAST(COALESCE(n_chars, 0) // {WEIGHT_CHARS_PER_UNIT},
                             {WEIGHT_MAX - 1}) AS w
-           FROM documents),
+           FROM documents WHERE source IS NOT NULL),
     ranked AS (
         SELECT doc_id, source, w,
                ROW_NUMBER() OVER (
@@ -1517,7 +1525,8 @@ def q_corpus_mix_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes = _dsir_mix_takes(spark, sf_dir)
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
+    # NULL-source docs are outside the mixture (see _dsir_mix_takes)
+    docs = _docs(spark, sf_dir).filter(F.col("source").isNotNull())
     take_expr = F.when(F.lit(False), F.lit(0))
     for s, t in sorted(takes.items()):
         take_expr = take_expr.when(F.col("source") == s, F.lit(t))

@@ -79,19 +79,27 @@ def build_ivf_index(emb: DataFrame, path: str, centroids: DataFrame | None = Non
             F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
         )
     cents = centroids
+    # growth-contract sidecar values (k = ACTUAL sidecar rows — a first-k
+    # rule over a corpus missing low vec_ids yields fewer than k centroids,
+    # and the occupancy math must divide by what probes actually rank
+    # against). Counted BEFORE any write: an empty/fully-filtered corpus
+    # fails FAST here instead of persisting a k=0 sidecar every later read
+    # would misdiagnose as corrupted/future-format.
+    k_meta = cents.count()  # bounded: the centroid frame is broadcast-sized
+    if k_meta < 1:
+        raise ValueError(
+            f"build_ivf_index: no centroids selected for {path} — the "
+            "corpus is empty after the NULL filter; nothing to index"
+        )
     (
-        assign_to_centroids_auto(e, cents)
+        assign_to_centroids_auto(e, cents, k=k_meta)
         .repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path)
     )
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
-    # growth-contract sidecar (k = ACTUAL sidecar rows — a first-k rule over
-    # a corpus missing low vec_ids yields fewer than k centroids, and the
-    # occupancy math must divide by what probes actually rank against);
     # JVM-native 1-row frame, the minhash_index._meta note
-    k_meta = cents.count()  # bounded: the centroid frame is broadcast-sized
     e.sparkSession.range(0, 1, 1, 1).select(
         F.lit(k_meta).cast("int").alias("k"),
         F.lit(n_built).cast("bigint").alias("n_built"),
@@ -176,17 +184,19 @@ def _read_ivf_meta(spark: SparkSession, path: str) -> tuple[int, int]:
     return k, n_built
 
 
-def ivf_index_occupancy(
+def centroid_index_occupancy(
     spark: SparkSession, path: str, growth_factor: float = IVF_GROWTH_FACTOR
 ) -> dict:
-    """Measure the growth contract: ONE aggregate over the index's slim
-    columns (vec_id, centroid_id — the vectors are never folded) against
-    the persisted build-time targets. Returns k / n_built (persisted),
-    n_vecs / rows / max_cluster / n_clusters_used (measured), occupancy
-    (rows per centroid) and skew (max cluster vs even split), the fresh
-    adaptive target_k for the CURRENT size, and ``grown`` — True when the
-    corpus now calls for more centroids than the sidecar holds or has
-    outgrown the build-time size by ``growth_factor``."""
+    """THE one growth-contract probe for BOTH centroid-partitioned index
+    families (ivf_index_occupancy and ivfpq_index_occupancy are thin
+    aliases — one implementation, no drift): ONE aggregate over the
+    index's slim columns (vec_id, centroid_id — vectors/codes are never
+    folded) against the persisted build-time targets. Returns k / n_built
+    (persisted), n_vecs / rows / max_cluster / n_clusters_used (measured),
+    occupancy (rows per centroid) and skew (max cluster vs even split),
+    the fresh adaptive target_k for the CURRENT size, and ``grown`` —
+    True when the corpus now calls for more centroids than the sidecar
+    holds or has outgrown the build-time size by ``growth_factor``."""
     from temporalvault_spark.operators.similarity import adaptive_n_centroids
 
     k, n_built = _read_ivf_meta(spark, path)
@@ -217,6 +227,10 @@ def ivf_index_occupancy(
         "target_k": target_k,
         "grown": target_k > k or n_vecs > growth_factor * n_built,
     }
+
+
+# family-facing name (the rebuilds and tests call it per family)
+ivf_index_occupancy = centroid_index_occupancy
 
 
 def rebuild_ivf_index_if_grown(
@@ -362,9 +376,16 @@ def q_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The RECURRING maintenance cost benched alone (the rp_index_occupancy
 # note). The oracle replays the assignment, recomputes the slim aggregate,
 # and replays BOTH growth rules — value-checking that the persisted _meta
-# equals the build rule and that `grown` compares the two.
-_OCC_ORACLE = f"""WITH eall AS (
-        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
+# equals the build rule and that `grown` compares the two. ONE rendering
+# parameterized by the row filter (the ivfpq twin interpolates
+# _PQ_WHERE_DUCK — no drift between the families' oracles). k replays as
+# the ACTUAL selected-centroid count (COUNT(*) FROM c), matching
+# build_ivf_index's persisted k_meta = cents.count() — the adaptive
+# formula's kk.k would diverge whenever a vec_id < k is missing from the
+# corpus (the review-pass finding).
+def _occ_oracle(where_duck: str) -> str:
+    return f"""WITH eall AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {where_duck}),
     e AS (SELECT * FROM eall WHERE {IVF_BASE_DUCK}),
     {_ivf_assign_duck("e")},
     per AS (SELECT centroid_id, COUNT(*) AS n FROM assign GROUP BY 1),
@@ -374,33 +395,31 @@ _OCC_ORACLE = f"""WITH eall AS (
           FROM per),
     nv AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
                   CAST(COUNT(*) AS BIGINT) AS n_built
-           FROM e)
+           FROM e),
+    km AS (SELECT CAST(COUNT(*) AS INTEGER) AS k FROM c)
     SELECT m.n_rows, nv.n_vecs, m.max_cluster, m.n_clusters_used,
-           (SELECT CAST(k AS INTEGER) FROM kk) AS k,
+           km.k,
            nv.n_built,
            GREATEST({N_CENTROIDS},
                     CAST(CEIL(nv.n_vecs / {EMB_TARGET_CLUSTER}.0) AS BIGINT))
                AS target_k,
-           ROUND(m.n_rows / (SELECT k FROM kk), 6) AS occupancy,
-           ROUND(m.max_cluster * (SELECT k FROM kk) / m.n_rows, 6) AS skew,
+           ROUND(m.n_rows / km.k, 6) AS occupancy,
+           ROUND(m.max_cluster * km.k / m.n_rows, 6) AS skew,
            (GREATEST({N_CENTROIDS},
                      CAST(CEIL(nv.n_vecs / {EMB_TARGET_CLUSTER}.0) AS BIGINT))
-                > (SELECT k FROM kk))
+                > km.k)
            OR (nv.n_vecs > {IVF_GROWTH_FACTOR} * nv.n_built) AS grown
-    FROM m, nv"""
+    FROM m, nv, km"""
 
 
-@query("ivf_index_occupancy", _OCC_ORACLE)
-def q_ivf_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The growth-contract occupancy PROBE over the staged IVF index — the
-    per-maintenance-tick cost at 100 TB (the retrain fires rarely; its
-    correctness is value-checked separately by ivf_index_rebuild). One slim
-    aggregate (vec_id/centroid_id, never the vectors) joined with the
-    persisted _meta and the recomputed adaptive targets; at the production
-    dial the staged base corpus sits inside the k floor and its own build
-    size, so grown=false — the value-hash proves the persisted _meta equals
-    the replayed build rule cross-engine."""
-    path = stage_ivf_index(spark, sf_dir)
+_OCC_ORACLE = _occ_oracle(EMB_STRICT_WHERE)
+
+
+def occupancy_report_frame(spark: SparkSession, path: str) -> DataFrame:
+    """The registered occupancy probe as a 1-row DataFrame (the aggregate
+    runs in Spark; the persisted _meta rides as literals) — ONE rendering
+    shared by q_ivf_index_occupancy and q_ivfpq_index_occupancy, mirroring
+    the shared _occ_oracle."""
     k, n_built = _read_ivf_meta(spark, path)
     per = (
         spark.read.parquet(path)
@@ -437,6 +456,19 @@ def q_ivf_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n_vecs") > F.lit(IVF_GROWTH_FACTOR) * F.lit(n_built)),
         )
     )
+
+
+@query("ivf_index_occupancy", _OCC_ORACLE)
+def q_ivf_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-contract occupancy PROBE over the staged IVF index — the
+    per-maintenance-tick cost at 100 TB (the retrain fires rarely; its
+    correctness is value-checked separately by ivf_index_rebuild). One slim
+    aggregate (vec_id/centroid_id, never the vectors) joined with the
+    persisted _meta and the recomputed adaptive targets; at the production
+    dial the staged base corpus sits inside the k floor and its own build
+    size, so grown=false — the value-hash proves the persisted _meta equals
+    the replayed build rule cross-engine."""
+    return occupancy_report_frame(spark, stage_ivf_index(spark, sf_dir))
 
 
 # The rebuild scenario tightens the growth dial so the contract actually

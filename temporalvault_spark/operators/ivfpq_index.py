@@ -67,8 +67,15 @@ def build_ivfpq_index(
             F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
         )
     cents = centroids
+    # the build_ivf_index fail-fast contract: count before any write
+    k_meta = cents.count()  # bounded: the centroid frame is broadcast-sized
+    if k_meta < 1:
+        raise ValueError(
+            f"build_ivfpq_index: no centroids selected for {path} — the "
+            "corpus is empty after the NULL/dim filter; nothing to index"
+        )
     cb_row = _validated_codebook_row(e)
-    assigned = assign_to_centroids_auto(e, cents)
+    assigned = assign_to_centroids_auto(e, cents, k=k_meta)
     codes = pq_encode(assigned, cb_row)  # centroid_id passes through encode
     (
         codes.repartition("centroid_id")
@@ -83,7 +90,6 @@ def build_ivfpq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebook")
     # growth-contract sidecar (the build_ivf_index contract: k = ACTUAL
     # sidecar rows, n_built = filtered corpus size at build time)
-    k_meta = cents.count()  # bounded: the centroid frame is broadcast-sized
     e.sparkSession.range(0, 1, 1, 1).select(
         F.lit(k_meta).cast("int").alias("k"),
         F.lit(n_built).cast("bigint").alias("n_built"),
@@ -207,53 +213,24 @@ import os
 
 from temporalvault_spark.operators.ivf_index import (
     IVF_BASE_DUCK,
-    IVF_BATCH_DUCK,
     IVF_GROWTH_FACTOR,
     _ivf_assign_duck,
-    _read_ivf_meta,
+    _occ_oracle as _ivf_occ_oracle,
 )
 from temporalvault_spark.operators.pq import _PQ_CODES_DUCK, _PQ_WHERE_DUCK
-from temporalvault_spark.operators.similarity import EMB_TARGET_CLUSTER, N_CENTROIDS
+from temporalvault_spark.operators.similarity import N_CENTROIDS
 from temporalvault_spark.registry import query
 
 
-def ivfpq_index_occupancy(
-    spark: SparkSession, path: str, growth_factor: float = IVF_GROWTH_FACTOR
-) -> dict:
-    """Measure the growth contract over the codes table: ONE slim aggregate
-    (vec_id / centroid_id — the codes are never folded) against the
-    persisted build-time targets. Same report shape as
-    ivf_index_occupancy; ``grown`` additionally means the persisted
-    CODEBOOK is stale (it was trained on the build-time corpus), which the
-    retrain refreshes alongside the centroid set."""
-    from temporalvault_spark.operators.similarity import adaptive_n_centroids
+# THE one probe implementation lives in ivf_index.centroid_index_occupancy
+# (both families' indexes are centroid-partitioned slim tables; vectors vs
+# codes never enter the aggregate, so one body serves both — the review-pass
+# dedup). ``grown`` here additionally means the persisted CODEBOOK is stale
+# (trained on the build-time corpus), which the retrain refreshes alongside
+# the centroid set.
+from temporalvault_spark.operators.ivf_index import centroid_index_occupancy
 
-    k, n_built = _read_ivf_meta(spark, path)
-    per = (
-        spark.read.parquet(path)
-        .groupBy("centroid_id")
-        .agg(F.count("*").alias("n"), F.count_distinct("vec_id").alias("nv"))
-    )
-    row = per.agg(
-        F.sum("n").alias("rows"),
-        F.sum("nv").alias("n_vecs"),
-        F.max("n").alias("max_cluster"),
-        F.count("*").alias("n_clusters_used"),
-    ).first()
-    n_vecs = int(row["n_vecs"])
-    target_k = adaptive_n_centroids(n_vecs)
-    return {
-        "k": k,
-        "n_built": n_built,
-        "n_vecs": n_vecs,
-        "rows": int(row["rows"]),
-        "max_cluster": int(row["max_cluster"]),
-        "n_clusters_used": int(row["n_clusters_used"]),
-        "occupancy": round(row["rows"] / max(k, 1), 6),
-        "skew": round(row["max_cluster"] * max(k, 1) / max(row["rows"], 1), 6),
-        "target_k": target_k,
-        "grown": target_k > k or n_vecs > growth_factor * n_built,
-    }
+ivfpq_index_occupancy = centroid_index_occupancy
 
 
 def rebuild_ivfpq_index_if_grown(
@@ -366,75 +343,17 @@ def q_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _per_centroid_codes_readback(spark, path)
 
 
-_OCC_ORACLE = f"""WITH eall AS (
-        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {_PQ_WHERE_DUCK}),
-    e AS (SELECT * FROM eall WHERE {IVF_BASE_DUCK}),
-    {_ivf_assign_duck("e")},
-    per AS (SELECT centroid_id, COUNT(*) AS n FROM assign GROUP BY 1),
-    m AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
-                 CAST(MAX(n) AS BIGINT) AS max_cluster,
-                 CAST(COUNT(*) AS BIGINT) AS n_clusters_used
-          FROM per),
-    nv AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
-                  CAST(COUNT(*) AS BIGINT) AS n_built
-           FROM e)
-    SELECT m.n_rows, nv.n_vecs, m.max_cluster, m.n_clusters_used,
-           (SELECT CAST(k AS INTEGER) FROM kk) AS k,
-           nv.n_built,
-           GREATEST({N_CENTROIDS},
-                    CAST(CEIL(nv.n_vecs / {EMB_TARGET_CLUSTER}.0) AS BIGINT))
-               AS target_k,
-           ROUND(m.n_rows / (SELECT k FROM kk), 6) AS occupancy,
-           ROUND(m.max_cluster * (SELECT k FROM kk) / m.n_rows, 6) AS skew,
-           (GREATEST({N_CENTROIDS},
-                     CAST(CEIL(nv.n_vecs / {EMB_TARGET_CLUSTER}.0) AS BIGINT))
-                > (SELECT k FROM kk))
-           OR (nv.n_vecs > {IVF_GROWTH_FACTOR} * nv.n_built) AS grown
-    FROM m, nv"""
-
-
-@query("ivfpq_index_occupancy", _OCC_ORACLE)
+@query("ivfpq_index_occupancy", _ivf_occ_oracle(_PQ_WHERE_DUCK))
 def q_ivfpq_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The growth-contract occupancy PROBE over the staged IVF-PQ index —
     the ivf_index_occupancy shape over the codes table (the retrain is
-    value-checked separately by ivfpq_index_rebuild)."""
-    path = stage_ivfpq_index(spark, sf_dir)
-    k, n_built = _read_ivf_meta(spark, path)
-    per = (
-        spark.read.parquet(path)
-        .groupBy("centroid_id")
-        .agg(F.count("*").alias("n"), F.count_distinct("vec_id").alias("nv"))
-    )
-    target_k = F.greatest(
-        F.lit(N_CENTROIDS).cast("long"),
-        F.ceil(F.col("n_vecs") / F.lit(float(EMB_TARGET_CLUSTER))).cast("long"),
-    )
-    return (
-        per.agg(
-            F.sum("n").alias("n_rows"),
-            F.sum("nv").alias("n_vecs"),
-            F.max("n").alias("max_cluster"),
-            F.count("*").alias("n_clusters_used"),
-        )
-        .select(
-            "n_rows",
-            "n_vecs",
-            "max_cluster",
-            "n_clusters_used",
-            F.lit(k).cast("int").alias("k"),
-            F.lit(n_built).cast("bigint").alias("n_built"),
-            target_k.alias("target_k"),
-        )
-        .withColumn("occupancy", F.round(F.col("n_rows") / F.lit(k), 6))
-        .withColumn(
-            "skew", F.round(F.col("max_cluster") * F.lit(k) / F.col("n_rows"), 6)
-        )
-        .withColumn(
-            "grown",
-            (F.col("target_k") > F.lit(k))
-            | (F.col("n_vecs") > F.lit(IVF_GROWTH_FACTOR) * F.lit(n_built)),
-        )
-    )
+    value-checked separately by ivfpq_index_rebuild). Both the Spark frame
+    and the oracle are the SHARED renderings from ivf_index
+    (occupancy_report_frame / _occ_oracle) parameterized only by the row
+    filter — the two families' probes cannot drift."""
+    from temporalvault_spark.operators.ivf_index import occupancy_report_frame
+
+    return occupancy_report_frame(spark, stage_ivfpq_index(spark, sf_dir))
 
 
 # Same tightened dial as the ivf rebuild scenario: the appended tenth is

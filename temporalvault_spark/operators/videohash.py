@@ -156,7 +156,15 @@ def vfp64_frames(payload: bytes) -> list[str]:
         if frames is None:
             raise
     if frames is None:
+        # unknown container: accept the adapter's result only when it is
+        # actually a SEQUENCE — a Pillow-readable still image (PNG/JPEG in
+        # the video column) yields one frame, which can never reach the
+        # VID_MATCH_MIN voting floor, so treating it as a 1-frame video
+        # would silently disable dedup for every copy of that payload
+        # where the stdlib tier quarantined it (the review-pass finding)
         frames = pillow_decode_frames(payload, strict=False)
+        if frames is not None and len(frames) < 2:
+            frames = None
     if frames is None:
         raise ValueError("vfp64: payload is not a GIF container")
     if not frames:

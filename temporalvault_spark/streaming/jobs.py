@@ -786,9 +786,12 @@ def image_dedup_ingest_stream(
         # wedge the stream in an infinite batch-replay loop
         all_h = ahash_frame(batch, errors="quarantine").localCheckpoint(eager=True)
         quarantined = all_h.filter(F.col("hash64").isNull()).select("img_id")
-        _quarantine_overwrite(
-            batch.join(quarantined, "img_id", "semi"), batch_id, accepted_path
-        )
+        # clean batches (the common case) skip the sink job entirely;
+        # deterministic, so a marker-lost replay decides the same
+        if quarantined.limit(1).count() > 0:
+            _quarantine_overwrite(
+                batch.join(quarantined, "img_id", "semi"), batch_id, accepted_path
+            )
         hashes = all_h.filter(F.col("hash64").isNotNull())
         # READABLE _meta, not bare exists(): a crash during the first
         # batch's _meta write must replay as a full rebuild (see the text
@@ -867,9 +870,10 @@ def audio_dedup_ingest_stream(
         # ONE decode pass; errors='quarantine' (the image gate's contract)
         all_h = afp_frame(batch, errors="quarantine").localCheckpoint(eager=True)
         quarantined = all_h.filter(F.col("hash64").isNull()).select("aud_id")
-        _quarantine_overwrite(
-            batch.join(quarantined, "aud_id", "semi"), batch_id, accepted_path
-        )
+        if quarantined.limit(1).count() > 0:  # the image gate's clean-batch skip
+            _quarantine_overwrite(
+                batch.join(quarantined, "aud_id", "semi"), batch_id, accepted_path
+            )
         hashes = all_h.filter(F.col("hash64").isNotNull())
         idx_exists = _gate_index_ready(spark, index_path, accepted_path)
         if idx_exists:
@@ -954,9 +958,10 @@ def video_dedup_ingest_stream(
         quarantined = (
             all_fps.filter(F.col("frame_idx") < 0).select("vid_id").distinct()
         )
-        _quarantine_overwrite(
-            batch.join(quarantined, "vid_id", "semi"), batch_id, accepted_path
-        )
+        if quarantined.limit(1).count() > 0:  # the image gate's clean-batch skip
+            _quarantine_overwrite(
+                batch.join(quarantined, "vid_id", "semi"), batch_id, accepted_path
+            )
         fps = all_fps.filter(F.col("frame_idx") >= 0)
         idx_exists = _gate_index_ready(spark, index_path, accepted_path)
         if idx_exists:
@@ -1103,12 +1108,41 @@ def multimodal_dedup_ingest_stream(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        _quarantine_overwrite(
-            batch.join(quarantined, "doc_id", "semi"), batch_id, accepted_path
-        )
+        # skip the sink job entirely on clean batches (the common case on
+        # the hot path — the write would commit zero rows but still pay a
+        # full job); deterministic, so a marker-lost replay decides the same
+        has_quar = quarantined.limit(1).count() > 0
+        if has_quar:
+            _quarantine_overwrite(
+                batch.join(quarantined, "doc_id", "semi"), batch_id, accepted_path
+            )
         img_h = img_all.filter(F.col("hash64").isNotNull())
         aud_h = aud_all.filter(F.col("hash64").isNotNull())
         vid_h = vid_all.filter(F.col("frame_idx") >= 0)
+        if has_quar:
+            # a quarantined document is FULLY withdrawn from the batch: its
+            # HEALTHY modalities must not participate in the pair joins or
+            # index appends either (review finding: a corrupt-audio doc's
+            # valid image would otherwise vote out the kept sibling copy —
+            # the sibling lands in neither the corpus nor any index, and no
+            # future copy ever dedups against it)
+            docs = docs.join(quarantined, "doc_id", "left_anti")
+            sigs = sigs.join(quarantined, "doc_id", "left_anti")
+            img_h = img_h.join(
+                quarantined.select(F.col("doc_id").alias("img_id")),
+                "img_id",
+                "left_anti",
+            )
+            aud_h = aud_h.join(
+                quarantined.select(F.col("doc_id").alias("aud_id")),
+                "aud_id",
+                "left_anti",
+            )
+            vid_h = vid_h.join(
+                quarantined.select(F.col("doc_id").alias("vid_id")),
+                "vid_id",
+                "left_anti",
+            )
 
         ready = {
             k: _gate_index_ready(spark, index_paths[k], accepted_path)

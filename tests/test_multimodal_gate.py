@@ -191,6 +191,11 @@ def test_multimodal_gate_quarantines_corrupt_payloads(spark, tmp_path_factory):
             _row(1, 1, _pat(11), _pat(21), _pat(31), image=garbage),
             _row(2, 2, _pat(12), _pat(22), _pat(32), audio=garbage),
             _row(3, 3, _pat(13), _pat(23), _pat(33), video=garbage),
+            # clean doc whose IMAGE near-dups quarantined doc 2's healthy
+            # image: a withdrawn document's healthy modalities must not
+            # reject siblings (else the content survives NOWHERE — the
+            # review-pass finding), so 4 must SURVIVE
+            _row(4, 4, _pat(14), _pat(24), _pat(34), image=_img(_flip(_pat(12), 3))),
         ],
         _SCHEMA,
     )
@@ -198,7 +203,7 @@ def test_multimodal_gate_quarantines_corrupt_payloads(spark, tmp_path_factory):
     stream = spark.readStream.schema(b1.schema).parquet(f"{src}/*.parquet")
     multimodal_dedup_ingest_stream(stream, paths, acc, str(root / "ck1"))
 
-    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {0}
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {0, 4}
     quar = spark.read.parquet(f"{acc}/_quarantine")
     assert {r["doc_id"] for r in quar.collect()} == {1, 2, 3}
     # quarantined ids reached NO index (text index included: doc 1's text
@@ -211,12 +216,14 @@ def test_multimodal_gate_quarantines_corrupt_payloads(spark, tmp_path_factory):
         got = {
             r[id_col] for r in spark.read.parquet(paths[k]).select(id_col).collect()
         }
-        assert got == {0}, f"{k} index holds {got}"
-    # video index ids are frame-packed fids: only doc 0's frames landed
+        assert got == {0, 4}, f"{k} index holds {got}"
+    # video index ids are frame-packed fids: survivors 0 and 4 only
     vid_fids = {
         r["fid"] for r in spark.read.parquet(paths["video"]).select("fid").collect()
     }
-    assert vid_fids == set(range(VID_FRAMES))  # doc 0 packs fids 0..5
+    assert vid_fids == set(range(VID_FRAMES)) | set(
+        range(4 * VID_FRAMES, 5 * VID_FRAMES)
+    )
 
     multimodal_dedup_ingest_stream(stream, paths, acc, str(root / "ck2"))
     assert spark.read.parquet(f"{acc}/_quarantine").count() == 3

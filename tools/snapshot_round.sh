@@ -113,7 +113,13 @@ git status --short
 # either commit now (--commit) or fail loudly so the caller cannot forget.
 if ! git diff --cached --quiet; then
     if [ "$DO_COMMIT" -eq 1 ]; then
-        git commit -m "Refresh round ledgers (oracle sweeps, bench, window audit)"
+        # pathspec-constrained: commit ONLY the artifacts this script
+        # staged — a bare `git commit` would sweep any unrelated changes
+        # the user had staged into the ledger-refresh commit
+        git commit -m "Refresh round ledgers (oracle sweeps, bench, window audit)" \
+            -- BENCH_r*.json CORRECTNESS_r*.json BENCH_LOCAL.json \
+            CORRECTNESS_LOCAL.json CORRECTNESS_LOCAL_SF01.json \
+            SURVEY.md COVERAGE.md SCALE.md PLANS.md FIXTURES.md WINDOWS.md
         echo "== ledgers committed =="
     else
         echo ""
