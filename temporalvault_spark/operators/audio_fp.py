@@ -125,6 +125,9 @@ def synth_wav_audio(docs: DataFrame) -> DataFrame:
     return ids.mapInPandas(gen, "aud_id bigint, audio binary")
 
 
+_SF_OK: bool | None = None
+
+
 def _soundfile_samples(payload: bytes) -> np.ndarray | None:
     """OPTIONAL-DEPENDENCY adapter tier (the multimodal pillow_decode_rgb
     contract): decode any soundfile-readable container to the SAME mono
@@ -134,11 +137,20 @@ def _soundfile_samples(payload: bytes) -> np.ndarray | None:
     nearest int16 grid), channels mixed by the same integer-mean DIV.
     Returns None when soundfile is ABSENT (caller falls back to the honest
     seam); a soundfile decode FAILURE raises the codec-contract ValueError
-    the quarantine tiers catch."""
-    try:
-        import soundfile
-    except ImportError:
+    the quarantine tiers catch. Availability is probed ONCE per interpreter
+    (the multimodal._pillow_available note: failed imports are not cached,
+    and this sits on the per-payload hot path)."""
+    global _SF_OK
+    if _SF_OK is None:
+        try:
+            import soundfile  # noqa: F401
+
+            _SF_OK = True
+        except ImportError:
+            _SF_OK = False
+    if not _SF_OK:
         return None
+    import soundfile
 
     try:
         data = soundfile.read(io.BytesIO(payload), dtype="int16", always_2d=True)[0]

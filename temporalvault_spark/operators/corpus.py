@@ -714,6 +714,18 @@ WEIGHT_CHARS_PER_UNIT = 500  # +1 weight unit per 500 chars, capped at 8
 WEIGHT_MAX = 8
 
 
+def weight_duck(col: str = "n_chars") -> str:
+    """THE DuckDB rendering of _weight_col — one fragment interpolated by
+    every oracle that weights documents (the two weighted samplers, the
+    budget selection, the DSIR mix draw, the curation capstone), so the
+    replayed weight rule cannot drift between them (the GOPHER_CTES
+    contract; a review pass found four hand-copies)."""
+    return (
+        f"1 + LEAST(COALESCE({col}, 0) // {WEIGHT_CHARS_PER_UNIT}, "
+        f"{WEIGHT_MAX - 1})"
+    )
+
+
 def _weight_col():
     """Integer document weight 1..WEIGHT_MAX derived from length — the
     quality-weight stand-in for the registered query (a deployment plugs in
@@ -787,8 +799,7 @@ def sample_weighted_k(docs: DataFrame, k: int = WEIGHTED_K) -> DataFrame:
                    t -> md5('wk:' || CAST(doc_id AS VARCHAR)
                             || ':' || CAST(t AS VARCHAR)))) AS ukey
         FROM (SELECT doc_id, source, lang,
-                     1 + LEAST(COALESCE(n_chars, 0) // {WEIGHT_CHARS_PER_UNIT},
-                               {WEIGHT_MAX - 1}) AS w
+                     {weight_duck()} AS w
               FROM documents) ww) x
     ORDER BY ukey, doc_id LIMIT {WEIGHTED_K}""",
 )
@@ -809,8 +820,7 @@ WEIGHTED_STRATA_K = 10
                        t -> md5('wk:' || CAST(doc_id AS VARCHAR)
                                 || ':' || CAST(t AS VARCHAR)))), doc_id) AS rn
         FROM (SELECT doc_id, source, lang,
-                     1 + LEAST(COALESCE(n_chars, 0) // {WEIGHT_CHARS_PER_UNIT},
-                               {WEIGHT_MAX - 1}) AS w
+                     {weight_duck()} AS w
               FROM documents) ww) x
     WHERE rn <= {WEIGHTED_STRATA_K}""",
 )
@@ -973,8 +983,7 @@ def select_to_token_budget(
     "corpus_select_token_budget",
     f"""WITH base AS (
         SELECT doc_id,
-               1 + LEAST(COALESCE(n_chars, 0) // {WEIGHT_CHARS_PER_UNIT},
-                         {WEIGHT_MAX - 1}) AS w,
+               {weight_duck()} AS w,
                len(string_split(lower(trim(text)), ' ')) AS n_tok
         FROM documents WHERE text IS NOT NULL),
     sel AS (
@@ -1459,6 +1468,11 @@ def _dsir_mix_takes(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         .collect()  # bounded: one row per source
     )
     a = {r["source"]: int(round(float(r["total_score"]) * 1e6)) for r in rows}
+    if not a:
+        # a corpus with no non-NULL (text, source) rows has no mixture to
+        # allocate: empty quotas -> empty draw, matching the oracle's empty
+        # result (min() over {} would otherwise crash — review finding)
+        return {}
     shift = min(a.values())
     w = {s: v - shift + 1_000_000 for s, v in a.items()}  # >= 1.0 in micro-units
     tw = sum(w.values())
@@ -1492,8 +1506,7 @@ def _dsir_mix_takes(spark: SparkSession, sf_dir: str) -> dict[str, int]:
                           THEN 1 ELSE 0 END AS BIGINT) AS take
               FROM alloc a JOIN extra e ON a.source = e.source),
     ww AS (SELECT doc_id, source,
-                  1 + LEAST(COALESCE(n_chars, 0) // {WEIGHT_CHARS_PER_UNIT},
-                            {WEIGHT_MAX - 1}) AS w
+                  {weight_duck()} AS w
            FROM documents WHERE source IS NOT NULL),
     ranked AS (
         SELECT doc_id, source, w,

@@ -41,10 +41,9 @@ from temporalvault_spark.operators.audio_fp import _AFP_PAIRS_CTES
 from temporalvault_spark.operators.corpus import (
     GOPHER_CTES,
     TOKEN_BUDGET,
-    WEIGHT_CHARS_PER_UNIT,
-    WEIGHT_MAX,
     gopher_quality,
     select_to_token_budget,
+    weight_duck,
 )
 from temporalvault_spark.operators.dedup_cluster import connected_components
 from temporalvault_spark.operators.llm import (
@@ -93,8 +92,7 @@ _CURATE_ORACLE = f"""WITH RECURSIVE {GOPHER_CTES},
           AND doc_id NOT IN (SELECT doc_id FROM dc_hits)),
     bbase AS (
         SELECT d.doc_id,
-               1 + LEAST(COALESCE(d.n_chars, 0) // {WEIGHT_CHARS_PER_UNIT},
-                         {WEIGHT_MAX - 1}) AS w,
+               {weight_duck('d.n_chars')} AS w,
                len(string_split(lower(trim(d.text)), ' ')) AS n_tok
         FROM documents d JOIN surv USING (doc_id)
         WHERE d.text IS NOT NULL),

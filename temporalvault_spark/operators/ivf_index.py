@@ -38,7 +38,13 @@ def append_to_ivf_index(emb: DataFrame, path: str) -> None:
     across appends is the caller's contract."""
     spark = emb.sparkSession
     cents = spark.read.parquet(f"{path}/_centroids")
-    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    # NULL-filter exactly as build_ivf_index does (and append_to_ivfpq_index
+    # already did): an unfiltered NULL embedding argmax-assigns to the lowest
+    # centroid, inflates the occupancy report, and silently VANISHES on the
+    # next retrain (the rebuild re-filters) — review-pass finding
+    e = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
     (
         assign_to_centroids_auto(e, cents)
         .repartition("centroid_id")
@@ -118,6 +124,14 @@ def ivf_search(
     cluster partitions (`centroid_id IN (...)` prunes at the directory
     level; the plan's PartitionFilters is the proof) and brute-force top-k
     inside them."""
+    from temporalvault_spark.operators.index_common import adopt_swapped
+
+    # adopt-on-read swap recovery on the PROBE path too: a crash between
+    # atomic_swap_rebuild's two renames leaves the complete old index at
+    # path.old — without this, every probe fails until a maintenance call
+    # happens to repair it (review-pass finding; the band families get this
+    # through meta_row)
+    adopt_swapped(index_path)
     idx = spark.read.parquet(index_path)
     # centroid ranking reads the sidecar, not the index — a filter on vec_id
     # over the main index would scan EVERY cluster partition just to find 16
@@ -279,7 +293,6 @@ from temporalvault_spark.operators.similarity import (
 from temporalvault_spark.registry import query
 
 IVF_BASE_DUCK = f"(vec_id < {N_CENTROIDS} OR vec_id % 10 <> 0)"
-IVF_BATCH_DUCK = f"(vec_id >= {N_CENTROIDS} AND vec_id % 10 = 0)"
 
 
 def _ivf_base(spark: SparkSession, sf_dir: str) -> DataFrame:

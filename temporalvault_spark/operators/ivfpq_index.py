@@ -108,6 +108,9 @@ def ivfpq_search(
     codes scan carries `centroid_id IN (...)` so only nprobe partitions
     are touched, and the ADC fold runs against a driver-computed literal
     distance table in fixed subspace order (deterministic, join-free)."""
+    from temporalvault_spark.operators.index_common import adopt_swapped
+
+    adopt_swapped(index_path)  # probe-path swap recovery (the ivf_search note)
     cents = spark.read.parquet(f"{index_path}/_centroids").collect()
 
     def dot(a, b):

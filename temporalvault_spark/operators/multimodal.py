@@ -1373,6 +1373,27 @@ def _gif_walk_blocks(payload, pos, canvas, gct, bg_index, frames, disposal):
     return frames
 
 
+_PIL_OK: bool | None = None
+
+
+def _pillow_available() -> bool:
+    """Once-per-interpreter Pillow availability probe: Python does NOT
+    cache FAILED imports, so checking inside the decode would re-walk
+    sys.path for every unknown/feature-gap payload on a Pillow-less worker
+    — measurable filesystem-stat overhead at million-row ingest scale
+    (review-pass finding). The sentinel resolves in the worker process on
+    first use, preserving the decide-where-the-kernel-runs contract."""
+    global _PIL_OK
+    if _PIL_OK is None:
+        try:
+            import PIL  # noqa: F401
+
+            _PIL_OK = True
+        except ImportError:
+            _PIL_OK = False
+    return _PIL_OK
+
+
 def pillow_decode_rgb(payload: bytes, strict: bool = True) -> np.ndarray | None:
     """OPTIONAL-DEPENDENCY adapter tier (round-11 verdict #6): decode via
     Pillow when — and only when — it is importable in the worker process.
@@ -1388,11 +1409,11 @@ def pillow_decode_rgb(payload: bytes, strict: bool = True) -> np.ndarray | None:
     in-process codecs' on shared formats, so the two tiers cannot drift
     where they overlap; on subsampled JPEG the consumers' Hamming/LSB
     tolerance is the contract (see jpeg_decode_rgb's upsampling note)."""
-    try:
-        from PIL import Image
-    except ImportError:
+    if not _pillow_available():
         return None
     import io
+
+    from PIL import Image
 
     try:
         with Image.open(io.BytesIO(payload)) as img:
@@ -1411,11 +1432,11 @@ def pillow_decode_frames(payload: bytes, strict: bool = True) -> list | None:
     restore-previous disposal; Pillow composes them) and any animated
     container its plugins read (webp, apng). Returns None when Pillow is
     ABSENT; ``strict`` as in pillow_decode_rgb."""
-    try:
-        from PIL import Image, ImageSequence
-    except ImportError:
+    if not _pillow_available():
         return None
     import io
+
+    from PIL import Image, ImageSequence
 
     try:
         with Image.open(io.BytesIO(payload)) as img:

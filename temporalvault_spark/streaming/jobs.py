@@ -572,6 +572,28 @@ def _quarantine_overwrite(frame: DataFrame, batch_id: int, accepted_path: str) -
     _accepted_overwrite(frame, batch_id, f"{accepted_path}/_quarantine")
 
 
+def _quarantine_sync(
+    frame: DataFrame, has_quar: bool, batch_id: int, accepted_path: str
+) -> None:
+    """Keep the quarantine sink consistent under replay in BOTH directions:
+    a quarantining batch overwrites its own ingest partition; a CLEAN batch
+    removes any stale partition a previous replay of the same batch id left
+    behind. Quarantine decisions are environment-dependent (the optional
+    Pillow/soundfile adapters change decode outcomes), so a marker-lost
+    replay on an upgraded worker image can accept a payload an earlier run
+    quarantined — without the clear, the row would sit in BOTH the accepted
+    corpus and the quarantine sink (review-pass finding). The clear is one
+    local directory remove, never a Spark job, so clean batches still skip
+    the sink write entirely."""
+    if has_quar:
+        _quarantine_overwrite(frame, batch_id, accepted_path)
+        return
+    import shutil
+
+    stale = f"{accepted_path}/_quarantine/ingest_batch={batch_id}"
+    shutil.rmtree(stale, ignore_errors=True)
+
+
 def _gate_index_ready(spark, index_path: str, accepted_path: str) -> bool:
     """The gates' build-vs-append decision, with a loud failure mode for a
     vanished index: ``index_ready`` alone reads 'no readable _meta' as
@@ -786,12 +808,14 @@ def image_dedup_ingest_stream(
         # wedge the stream in an infinite batch-replay loop
         all_h = ahash_frame(batch, errors="quarantine").localCheckpoint(eager=True)
         quarantined = all_h.filter(F.col("hash64").isNull()).select("img_id")
-        # clean batches (the common case) skip the sink job entirely;
-        # deterministic, so a marker-lost replay decides the same
-        if quarantined.limit(1).count() > 0:
-            _quarantine_overwrite(
-                batch.join(quarantined, "img_id", "semi"), batch_id, accepted_path
-            )
+        # clean batches (the common case) skip the sink job; a clean REPLAY
+        # clears any stale partition (see _quarantine_sync)
+        _quarantine_sync(
+            batch.join(quarantined, "img_id", "semi"),
+            quarantined.limit(1).count() > 0,
+            batch_id,
+            accepted_path,
+        )
         hashes = all_h.filter(F.col("hash64").isNotNull())
         # READABLE _meta, not bare exists(): a crash during the first
         # batch's _meta write must replay as a full rebuild (see the text
@@ -870,10 +894,12 @@ def audio_dedup_ingest_stream(
         # ONE decode pass; errors='quarantine' (the image gate's contract)
         all_h = afp_frame(batch, errors="quarantine").localCheckpoint(eager=True)
         quarantined = all_h.filter(F.col("hash64").isNull()).select("aud_id")
-        if quarantined.limit(1).count() > 0:  # the image gate's clean-batch skip
-            _quarantine_overwrite(
-                batch.join(quarantined, "aud_id", "semi"), batch_id, accepted_path
-            )
+        _quarantine_sync(  # the image gate's clean-batch skip + stale clear
+            batch.join(quarantined, "aud_id", "semi"),
+            quarantined.limit(1).count() > 0,
+            batch_id,
+            accepted_path,
+        )
         hashes = all_h.filter(F.col("hash64").isNotNull())
         idx_exists = _gate_index_ready(spark, index_path, accepted_path)
         if idx_exists:
@@ -958,10 +984,12 @@ def video_dedup_ingest_stream(
         quarantined = (
             all_fps.filter(F.col("frame_idx") < 0).select("vid_id").distinct()
         )
-        if quarantined.limit(1).count() > 0:  # the image gate's clean-batch skip
-            _quarantine_overwrite(
-                batch.join(quarantined, "vid_id", "semi"), batch_id, accepted_path
-            )
+        _quarantine_sync(  # the image gate's clean-batch skip + stale clear
+            batch.join(quarantined, "vid_id", "semi"),
+            quarantined.limit(1).count() > 0,
+            batch_id,
+            accepted_path,
+        )
         fps = all_fps.filter(F.col("frame_idx") >= 0)
         idx_exists = _gate_index_ready(spark, index_path, accepted_path)
         if idx_exists:
@@ -1109,13 +1137,15 @@ def multimodal_dedup_ingest_stream(
             .localCheckpoint(eager=True)
         )
         # skip the sink job entirely on clean batches (the common case on
-        # the hot path — the write would commit zero rows but still pay a
-        # full job); deterministic, so a marker-lost replay decides the same
+        # the hot path); a clean replay clears any stale partition a prior
+        # environment's run left (see _quarantine_sync)
         has_quar = quarantined.limit(1).count() > 0
-        if has_quar:
-            _quarantine_overwrite(
-                batch.join(quarantined, "doc_id", "semi"), batch_id, accepted_path
-            )
+        _quarantine_sync(
+            batch.join(quarantined, "doc_id", "semi"),
+            has_quar,
+            batch_id,
+            accepted_path,
+        )
         img_h = img_all.filter(F.col("hash64").isNotNull())
         aud_h = aud_all.filter(F.col("hash64").isNotNull())
         vid_h = vid_all.filter(F.col("frame_idx") >= 0)

@@ -111,15 +111,18 @@ git status --short
 # Staged-but-uncommitted ledgers were the r11 verdict's #1 finding: the
 # round's claims cited evidence newer than HEAD. Close the loop HERE —
 # either commit now (--commit) or fail loudly so the caller cannot forget.
-if ! git diff --cached --quiet; then
+# The check diffs ONLY the artifact pathspecs: a user's unrelated staged
+# files must neither trigger the failure nor break the constrained commit.
+ARTIFACTS=(BENCH_r*.json CORRECTNESS_r*.json BENCH_LOCAL.json \
+    CORRECTNESS_LOCAL.json CORRECTNESS_LOCAL_SF01.json \
+    SURVEY.md COVERAGE.md SCALE.md PLANS.md FIXTURES.md WINDOWS.md)
+if ! git diff --cached --quiet -- "${ARTIFACTS[@]}"; then
     if [ "$DO_COMMIT" -eq 1 ]; then
         # pathspec-constrained: commit ONLY the artifacts this script
         # staged — a bare `git commit` would sweep any unrelated changes
         # the user had staged into the ledger-refresh commit
         git commit -m "Refresh round ledgers (oracle sweeps, bench, window audit)" \
-            -- BENCH_r*.json CORRECTNESS_r*.json BENCH_LOCAL.json \
-            CORRECTNESS_LOCAL.json CORRECTNESS_LOCAL_SF01.json \
-            SURVEY.md COVERAGE.md SCALE.md PLANS.md FIXTURES.md WINDOWS.md
+            -- "${ARTIFACTS[@]}"
         echo "== ledgers committed =="
     else
         echo ""
