@@ -146,7 +146,11 @@ def _soundfile_samples(payload: bytes) -> np.ndarray | None:
             import soundfile  # noqa: F401
 
             _SF_OK = True
-        except ImportError:
+        except Exception:  # noqa: BLE001 — soundfile raises OSError (not
+            # ImportError) when the libsndfile shared library is missing, a
+            # common slim-image state; anything non-importable means "tier
+            # absent", and it MUST cache False or the failing import would
+            # re-run per payload AND escape the quarantine catch (review)
             _SF_OK = False
     if not _SF_OK:
         return None

@@ -1386,10 +1386,16 @@ def _pillow_available() -> bool:
     global _PIL_OK
     if _PIL_OK is None:
         try:
-            import PIL  # noqa: F401
+            # probe the SUBMODULE the decoders use, not the bare package: a
+            # broken install (PIL importable, _imaging C extension missing)
+            # would otherwise cache True and raise per payload later,
+            # escaping the quarantine catch (review finding). Any failure
+            # mode — ImportError, OSError, a corrupt extension — means the
+            # tier is absent.
+            from PIL import Image  # noqa: F401
 
             _PIL_OK = True
-        except ImportError:
+        except Exception:  # noqa: BLE001
             _PIL_OK = False
     return _PIL_OK
 

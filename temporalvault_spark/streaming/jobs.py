@@ -582,16 +582,20 @@ def _quarantine_sync(
     Pillow/soundfile adapters change decode outcomes), so a marker-lost
     replay on an upgraded worker image can accept a payload an earlier run
     quarantined — without the clear, the row would sit in BOTH the accepted
-    corpus and the quarantine sink (review-pass finding). The clear is one
-    local directory remove, never a Spark job, so clean batches still skip
-    the sink write entirely."""
+    corpus and the quarantine sink (review-pass finding). The clear goes
+    through the Hadoop FileSystem API (one metadata call, never a Spark
+    job), so it works for ANY scheme the sink itself supports — a
+    driver-local rmtree would silently no-op on hdfs://…/s3a://… paths and
+    leave exactly the inconsistency this function exists to prevent."""
     if has_quar:
         _quarantine_overwrite(frame, batch_id, accepted_path)
         return
-    import shutil
-
+    spark = frame.sparkSession
     stale = f"{accepted_path}/_quarantine/ingest_batch={batch_id}"
-    shutil.rmtree(stale, ignore_errors=True)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(stale)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)  # recursive; False (absent) is the common case
 
 
 def _gate_index_ready(spark, index_path: str, accepted_path: str) -> bool:

@@ -274,3 +274,31 @@ def test_video_gate_quarantines_corrupt_payload(spark, tmp_path_factory):
     # marker replay: nothing grows, including the quarantine sink
     video_dedup_ingest_stream(stream, idx, acc, str(root / "ck2"))
     assert spark.read.parquet(f"{acc}/_quarantine").count() == 1
+
+
+def test_video_gate_clean_replay_clears_stale_quarantine(spark, tmp_path_factory):
+    """Quarantine decisions are environment-dependent (optional decode
+    adapters): a marker-lost replay that now decodes a payload cleanly must
+    CLEAR the stale quarantine partition its previous run left — else the
+    row sits in both the accepted corpus and the quarantine sink. Simulated
+    by planting a stale partition for a clean batch and replaying."""
+    from temporalvault_spark.streaming import video_dedup_ingest_stream
+
+    root = tmp_path_factory.mktemp("vid_stale_quar")
+    src, idx, acc = str(root / "src"), str(root / "idx"), str(root / "acc")
+    b1 = _vids(spark, [(0, _gif(BASE))])
+    b1.write.mode("overwrite").parquet(f"{src}/b1.parquet")
+    stream = spark.readStream.schema(b1.schema).parquet(f"{src}/*.parquet")
+    video_dedup_ingest_stream(stream, idx, acc, str(root / "ck1"))
+    assert {r["vid_id"] for r in spark.read.parquet(acc).collect()} == {0}
+
+    # as if a previous (adapter-less) environment had quarantined vid 0
+    stale = f"{acc}/_quarantine/ingest_batch=0"
+    os.makedirs(stale, exist_ok=True)
+    with open(f"{stale}/part-stale.txt", "w") as f:
+        f.write("stale")
+    os.remove(f"{acc}/_ingest_batches/0")  # marker lost -> batch replays
+
+    video_dedup_ingest_stream(stream, idx, acc, str(root / "ck2"))
+    assert not os.path.exists(stale)
+    assert {r["vid_id"] for r in spark.read.parquet(acc).collect()} == {0}
