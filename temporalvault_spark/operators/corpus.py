@@ -1468,17 +1468,27 @@ def _dsir_mix_takes(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         .collect()  # bounded: one row per source
     )
     a = {r["source"]: int(round(float(r["total_score"]) * 1e6)) for r in rows}
+    return largest_remainder_quotas(a, DSIR_MIX_K)
+
+
+def largest_remainder_quotas(a: dict, k: int) -> dict:
+    """Pure-integer largest-remainder apportionment of ``k`` seats over
+    shift-positive weights derived from (possibly negative) integer
+    affinities ``a`` — the allocation arm of corpus_mix_resample_dsir,
+    separated so its invariants are property-testable without Spark:
+    quotas sum to exactly k, each quota is floor(exact share) or
+    floor + 1 (the classic quota property), no source is zeroed by the
+    +1.0 shift floor, and an empty ``a`` yields empty quotas (matching
+    the oracle's empty result — min() over {} crashed before the
+    null-robustness sweep caught it)."""
     if not a:
-        # a corpus with no non-NULL (text, source) rows has no mixture to
-        # allocate: empty quotas -> empty draw, matching the oracle's empty
-        # result (min() over {} would otherwise crash — review finding)
         return {}
     shift = min(a.values())
     w = {s: v - shift + 1_000_000 for s, v in a.items()}  # >= 1.0 in micro-units
     tw = sum(w.values())
-    base = {s: DSIR_MIX_K * w[s] // tw for s in w}
-    rem = {s: DSIR_MIX_K * w[s] % tw for s in w}
-    leftover = DSIR_MIX_K - sum(base.values())
+    base = {s: k * w[s] // tw for s in w}
+    rem = {s: k * w[s] % tw for s in w}
+    leftover = k - sum(base.values())
     for s in sorted(w, key=lambda s: (-rem[s], s))[:leftover]:
         base[s] += 1
     return base

@@ -716,3 +716,43 @@ def test_edge_select_recurses_and_window_only_at_leaf(spark):
     finally:
         c._edge_select = orig
     assert calls["n"] >= 2  # the boundary bucket recursed at least once
+
+
+# --- DSIR mixture quotas: pure-integer apportionment invariants ---------------
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        st.integers(min_value=-10**12, max_value=10**12),
+        min_size=0,
+        max_size=24,
+    ),
+    st.integers(min_value=0, max_value=5000),
+)
+@settings(max_examples=200, deadline=None)
+def test_largest_remainder_quotas_invariants(a, k):
+    """The allocation arm of corpus_mix_resample_dsir, property-tested
+    without Spark: quotas sum to exactly k; each quota satisfies the
+    classic QUOTA PROPERTY (floor of the exact proportional share, or
+    floor + 1); the shift floor guarantees positive weights so no source
+    is structurally zeroed; empty affinities yield empty quotas; and the
+    allocation is deterministic (a second call is identical)."""
+    from temporalvault_spark.operators.corpus import largest_remainder_quotas
+
+    q = largest_remainder_quotas(a, k)
+    assert q == largest_remainder_quotas(a, k)  # deterministic
+    if not a:
+        assert q == {}
+        return
+    assert set(q) == set(a)
+    assert sum(q.values()) == k
+    shift = min(a.values())
+    w = {s: v - shift + 1_000_000 for s, v in a.items()}
+    tw = sum(w.values())
+    for s in a:
+        exact = k * w[s] / tw
+        assert q[s] in (int(k * w[s] // tw), int(k * w[s] // tw) + 1)
+        assert q[s] >= 0
+        # quota property: never more than 1 above the floor of the share
+        assert abs(q[s] - exact) < 1

@@ -96,6 +96,12 @@ AUDITED = [
     ("dedup_multimodal_apply", "FOUR slim staged edge frames (text/image/audio/video pairs) unioned and closed by the shared components solver; the corpus-side exclusion is ONE anti-join on doc_id; per-source summary map-side combines — no pair pipeline re-runs inside the apply"),
     ("cluster_kmeans_lloyd", "per Lloyd round: shuffle-free broadcast-struct argmax assignment (the sim_ivf_ann expression) + ONE map-side-combining k x dim aggregate; only the k x dim centroid matrix reaches the driver; final summary joins a broadcast k-row norm frame"),
     ("embed_pca_power", "per power round: codegen'd centered-projection column + ONE map-side-combining dim-cell aggregate; vectors never shuffle, never reach the driver — only dim-sized aggregates do; returned frame is the dim-row loading table"),
+    ("ivf_index_build", "one-time centroid-index build (force-re-run): shuffle-free broadcast argmax assignment + ONE centroid_id-partitioned write with _centroids/_meta sidecars; returned plan reads the per-centroid membership summary back FROM the persisted index"),
+    ("ivf_index_occupancy", "the centroid family's recurring maintenance tick: ONE slim (vec_id, centroid_id) two-level aggregate (vectors never folded) + persisted _meta as literals + the replayed adaptive-k target — grown compares the two"),
+    ("ivf_index_probe", "recurring ANN probe: centroid ranking + literal probe array on the driver from the tiny sidecars; PartitionFilters prunes to nprobe centroid directories; TakeOrderedAndProject top-k inside them"),
+    ("ivfpq_index_probe", "compressed-domain probe: ADC distance table computed on the driver from the sidecars and embedded as a LITERAL array; partition-pruned scan of 8-byte codes + fixed-order table fold — zero joins"),
+    ("corpus_mix_resample_dsir", "DoReMi mixing loop: one token-fold affinity pass + a 20-row collect; exact-integer quota apportionment driver-side; the draw's E-S ticket key is ROW-LOCAL and the per-source rank filters against a LITERAL max-quota bound first (WindowGroupLimit) then the exact per-source quota"),
+    ("corpus_curate_end_to_end", "four chained stages exchanging only slim id frames: gopher keep set (two map-side-combined token aggregates), the staged 4-modality edge union semi-joined to quality survivors + the shared components closure, the broadcast decontamination gram join, and select_to_token_budget's bounded prefix-cut — no raw-corpus pass beyond what the stages already paid"),
 ]
 
 
