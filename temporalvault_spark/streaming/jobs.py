@@ -1034,6 +1034,7 @@ def multimodal_dedup_ingest_stream(
     audio_threshold: int | None = None,
     video_threshold: int | None = None,
     video_min_frames: int | None = None,
+    quality_gate: bool = False,
     available_now: bool = True,
 ):
     """The CAPSTONE ingest gate: one stream of full multimodal documents
@@ -1048,6 +1049,19 @@ def multimodal_dedup_ingest_stream(
 
     Rows with a NULL payload for some modality simply don't participate in
     that modality's probe (a text-only document can't image-dup anything).
+
+    ``quality_gate=True`` prepends the curation policy's FIRST stage (the
+    corpus_curate_end_to_end order: quality, then dedup): documents whose
+    text fails the Gopher repetition rules (corpus.gopher_quality keep)
+    are rejected BEFORE the dedup probes — not accepted, not indexed in
+    ANY modality (unlike quarantine, quality rejection is deterministic
+    across environments, so replays decide identically with no sink to
+    reconcile). Low-quality docs do not suppress future copies of
+    themselves: each copy is re-rejected by the same deterministic rule,
+    which is cheaper than carrying their signatures in every index.
+    NULL-text documents fail the gate (no tokens to judge — a multimodal
+    pipeline that wants media-only rows keeps the gate off or scores them
+    upstream).
 
     Exactly-once by the shared mechanism, jointly: the batch marker is ONE
     file covering all four index appends + the accepted write, every build
@@ -1178,6 +1192,42 @@ def multimodal_dedup_ingest_stream(
                 "left_anti",
             )
 
+        quality_ok = None
+        if quality_gate:
+            from temporalvault_spark.operators.corpus import gopher_quality
+
+            # the curation order: quality BEFORE dedup — rejected docs are
+            # withdrawn from every probe, pair join, and index append (the
+            # capstone's quality-survivor edge restriction, streamed); the
+            # rule is deterministic, so replays decide identically
+            quality_ok = (
+                gopher_quality(
+                    batch.filter(F.col("text").isNotNull()).select(
+                        "doc_id", "text"
+                    )
+                )
+                .filter(F.col("keep") == True)  # noqa: E712 — NULL-safe
+                .select("doc_id")
+                .localCheckpoint(eager=True)  # reused by 6 joins below
+            )
+            docs = docs.join(quality_ok, "doc_id", "semi")
+            sigs = sigs.join(quality_ok, "doc_id", "semi")
+            img_h = img_h.join(
+                quality_ok.select(F.col("doc_id").alias("img_id")),
+                "img_id",
+                "semi",
+            )
+            aud_h = aud_h.join(
+                quality_ok.select(F.col("doc_id").alias("aud_id")),
+                "aud_id",
+                "semi",
+            )
+            vid_h = vid_h.join(
+                quality_ok.select(F.col("doc_id").alias("vid_id")),
+                "vid_id",
+                "semi",
+            )
+
         ready = {
             k: _gate_index_ready(spark, index_paths[k], accepted_path)
             for k in ("text", "image", "audio", "video")
@@ -1233,9 +1283,11 @@ def multimodal_dedup_ingest_stream(
         for r in rejects[1:]:
             rej = rej.unionByName(r)
         rej = rej.distinct()
+        surv_base = batch.select("doc_id")
+        if quality_ok is not None:
+            surv_base = surv_base.join(quality_ok, "doc_id", "semi")
         surv_ids = (
-            batch.select("doc_id")
-            .join(rej, "doc_id", "left_anti")
+            surv_base.join(rej, "doc_id", "left_anti")
             .join(quarantined, "doc_id", "left_anti")
         ).localCheckpoint(eager=True)
         _accepted_overwrite(

@@ -227,3 +227,47 @@ def test_multimodal_gate_quarantines_corrupt_payloads(spark, tmp_path_factory):
 
     multimodal_dedup_ingest_stream(stream, paths, acc, str(root / "ck2"))
     assert spark.read.parquet(f"{acc}/_quarantine").count() == 3
+
+
+def test_multimodal_gate_quality_tier(spark, tmp_path_factory):
+    """quality_gate=True prepends the curation policy's first stage: a doc
+    whose text fails the Gopher rules is rejected BEFORE dedup — not
+    accepted, not indexed in any modality — and (the capstone's
+    quality-survivor edge restriction) its healthy modalities cannot
+    reject a later near-dup sibling; replays decide identically."""
+    from temporalvault_spark.streaming import multimodal_dedup_ingest_stream
+
+    root = tmp_path_factory.mktemp("mm_quality")
+    src, acc = str(root / "src"), str(root / "acc")
+    paths = {k: str(root / f"idx_{k}") for k in ("text", "image", "audio", "video")}
+
+    b1 = spark.createDataFrame(
+        [
+            _row(0, 0, _pat(10), _pat(20), _pat(30)),
+            # fails MIN_TOKENS (2 words << 30): quality-rejected
+            _row(1, 1, _pat(11), _pat(21), _pat(31), text="too short"),
+            # near-dups ONLY the quality-rejected doc's image: must survive
+            _row(2, 2, _pat(12), _pat(22), _pat(32), image=_img(_flip(_pat(11), 5))),
+        ],
+        _SCHEMA,
+    )
+    b1.write.mode("overwrite").parquet(f"{src}/b1.parquet")
+    stream = spark.readStream.schema(b1.schema).parquet(f"{src}/*.parquet")
+    multimodal_dedup_ingest_stream(
+        stream, paths, acc, str(root / "ck1"), quality_gate=True
+    )
+
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {0, 2}
+    # the rejected doc reached NO index; quality rejection is not quarantine
+    for k, id_col in (("text", "doc_id"), ("image", "img_id"), ("audio", "aud_id")):
+        got = {
+            r[id_col] for r in spark.read.parquet(paths[k]).select(id_col).collect()
+        }
+        assert got == {0, 2}, f"{k} index holds {got}"
+    assert not os.path.isdir(f"{acc}/_quarantine")
+
+    # a replayed clean run (fresh checkpoint, markers skip) changes nothing
+    multimodal_dedup_ingest_stream(
+        stream, paths, acc, str(root / "ck2"), quality_gate=True
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {0, 2}
