@@ -1053,9 +1053,12 @@ def multimodal_dedup_ingest_stream(
     ``quality_gate=True`` prepends the curation policy's FIRST stage (the
     corpus_curate_end_to_end order: quality, then dedup): documents whose
     text fails the Gopher repetition rules (corpus.gopher_quality keep)
-    are rejected BEFORE the dedup probes — not accepted, not indexed in
-    ANY modality (unlike quarantine, quality rejection is deterministic
-    across environments, so replays decide identically with no sink to
+    are rejected BEFORE the decode/shingle passes AND the dedup probes —
+    not decoded, not accepted, not indexed in ANY modality (rejects never
+    pay the dominant per-payload cost, and a quality-rejected doc with a
+    corrupt payload never reaches the environment-dependent quarantine
+    sink — unlike quarantine, quality rejection is deterministic across
+    environments, so replays decide identically with no sink to
     reconcile). Low-quality docs do not suppress future copies of
     themselves: each copy is re-rejected by the same deterministic rule,
     which is cheaper than carrying their signatures in every index.
@@ -1117,6 +1120,29 @@ def multimodal_dedup_ingest_stream(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if quality_gate:
+            from temporalvault_spark.operators.corpus import gopher_quality
+
+            # quality FIRST (the curation order) and BEFORE any decode:
+            # Gopher rejects a large fraction of raw web text, so rejected
+            # docs must not pay the dominant shingle-md5/decode cost — and a
+            # quality-rejected doc with a corrupt payload never reaches the
+            # environment-dependent quarantine sink, keeping its rejection
+            # fully deterministic (review-pass ordering fix). The semi-join
+            # withdraws rejects from EVERYTHING downstream at once: decodes,
+            # probes, pair joins, index appends, and the accepted write.
+            quality_ok = (
+                gopher_quality(
+                    batch.filter(F.col("text").isNotNull()).select(
+                        "doc_id", "text"
+                    )
+                )
+                .filter(F.col("keep") == True)  # noqa: E712 — NULL-safe
+                .select("doc_id")
+            )
+            batch = batch.join(quality_ok, "doc_id", "semi").localCheckpoint(
+                eager=True
+            )
         # one decode pass per modality, NULL payloads excluded up front
         docs = batch.filter(F.col("text").isNotNull()).select("doc_id", "text")
         # ONE shingle+md5 pass shared by probe, local pairs, and build
@@ -1192,42 +1218,6 @@ def multimodal_dedup_ingest_stream(
                 "left_anti",
             )
 
-        quality_ok = None
-        if quality_gate:
-            from temporalvault_spark.operators.corpus import gopher_quality
-
-            # the curation order: quality BEFORE dedup — rejected docs are
-            # withdrawn from every probe, pair join, and index append (the
-            # capstone's quality-survivor edge restriction, streamed); the
-            # rule is deterministic, so replays decide identically
-            quality_ok = (
-                gopher_quality(
-                    batch.filter(F.col("text").isNotNull()).select(
-                        "doc_id", "text"
-                    )
-                )
-                .filter(F.col("keep") == True)  # noqa: E712 — NULL-safe
-                .select("doc_id")
-                .localCheckpoint(eager=True)  # reused by 6 joins below
-            )
-            docs = docs.join(quality_ok, "doc_id", "semi")
-            sigs = sigs.join(quality_ok, "doc_id", "semi")
-            img_h = img_h.join(
-                quality_ok.select(F.col("doc_id").alias("img_id")),
-                "img_id",
-                "semi",
-            )
-            aud_h = aud_h.join(
-                quality_ok.select(F.col("doc_id").alias("aud_id")),
-                "aud_id",
-                "semi",
-            )
-            vid_h = vid_h.join(
-                quality_ok.select(F.col("doc_id").alias("vid_id")),
-                "vid_id",
-                "semi",
-            )
-
         ready = {
             k: _gate_index_ready(spark, index_paths[k], accepted_path)
             for k in ("text", "image", "audio", "video")
@@ -1283,11 +1273,9 @@ def multimodal_dedup_ingest_stream(
         for r in rejects[1:]:
             rej = rej.unionByName(r)
         rej = rej.distinct()
-        surv_base = batch.select("doc_id")
-        if quality_ok is not None:
-            surv_base = surv_base.join(quality_ok, "doc_id", "semi")
         surv_ids = (
-            surv_base.join(rej, "doc_id", "left_anti")
+            batch.select("doc_id")
+            .join(rej, "doc_id", "left_anti")
             .join(quarantined, "doc_id", "left_anti")
         ).localCheckpoint(eager=True)
         _accepted_overwrite(
