@@ -21,6 +21,8 @@ Scale notes (the design constraint, per BASELINE.json's 100 TB north star):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1467,8 +1469,17 @@ def _dsir_mix_takes(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         .agg(F.round(F.sum("score"), 6).alias("total_score"))
         .collect()  # bounded: one row per source
     )
-    a = {r["source"]: int(round(float(r["total_score"]) * 1e6)) for r in rows}
+    a = {r["source"]: micro_units(float(r["total_score"])) for r in rows}
     return largest_remainder_quotas(a, DSIR_MIX_K)
+
+
+def micro_units(x: float) -> int:
+    """Half-UP micro-unit quantization — floor(x*1e6 + 0.5) — matching the
+    oracle's ROUND(x*1e6, 0) and the repo's cross-engine idiom (the Lloyd
+    quantization, the weight columns). Python's round() is banker's
+    rounding, a contract inconsistency even though the micro-unit design
+    makes an exact .5 essentially unreachable (round-12 ADVICE)."""
+    return int(math.floor(x * 1e6 + 0.5))
 
 
 def largest_remainder_quotas(a: dict, k: int) -> dict:

@@ -36,7 +36,13 @@ def append_to_ivf_index(emb: DataFrame, path: str) -> None:
     append-only job touching only the batch; probes see the new vectors
     immediately through the unchanged partition layout. vec_id uniqueness
     across appends is the caller's contract."""
+    from temporalvault_spark.operators.index_common import adopt_swapped
+
     spark = emb.sparkSession
+    # adopt-on-read BEFORE the sidecar read, like every other reader of this
+    # index (ivf_search/meta_row): an append issued inside the rebuild's
+    # two-rename crash window must self-repair, not fail path-not-found
+    adopt_swapped(path)
     cents = spark.read.parquet(f"{path}/_centroids")
     # NULL-filter exactly as build_ivf_index does (and append_to_ivfpq_index
     # already did): an unfiltered NULL embedding argmax-assigns to the lowest
@@ -211,13 +217,24 @@ def centroid_index_occupancy(
     the fresh adaptive target_k for the CURRENT size, and ``grown`` —
     True when the corpus now calls for more centroids than the sidecar
     holds or has outgrown the build-time size by ``growth_factor``."""
+    from pyspark.errors import AnalysisException
+
     from temporalvault_spark.operators.similarity import adaptive_n_centroids
 
     k, n_built = _read_ivf_meta(spark, path)
-    per = (
-        spark.read.parquet(path)
-        .groupBy("centroid_id")
-        .agg(F.count("*").alias("n"), F.count_distinct("vec_id").alias("nv"))
+    try:
+        idx = spark.read.parquet(path)
+    except AnalysisException as exc:
+        # a zero-row index is buildable (explicit centroids over a fully
+        # filtered corpus pass the k_meta fail-fast) and leaves NO data
+        # files, so the scan fails schema inference — diagnose it instead
+        # of surfacing UNABLE_TO_INFER_SCHEMA (round-12 ADVICE)
+        raise ValueError(
+            f"centroid index at {path} has no data rows — built over an "
+            f"empty corpus; rebuild it with data before probing occupancy"
+        ) from exc
+    per = idx.groupBy("centroid_id").agg(
+        F.count("*").alias("n"), F.count_distinct("vec_id").alias("nv")
     )
     row = per.agg(
         F.sum("n").alias("rows"),
@@ -227,6 +244,14 @@ def centroid_index_occupancy(
         F.max("n").alias("max_cluster"),
         F.count("*").alias("n_clusters_used"),
     ).first()
+    if row is None or row["n_vecs"] is None:
+        # a zero-row index is buildable (explicit centroids over a fully
+        # filtered corpus pass the k_meta fail-fast); the aggregate then
+        # returns NULLs — diagnose it instead of a TypeError on int(None)
+        raise ValueError(
+            f"centroid index at {path} has no data rows — built over an "
+            f"empty corpus; rebuild it with data before probing occupancy"
+        )
     n_vecs = int(row["n_vecs"])
     target_k = adaptive_n_centroids(n_vecs)
     return {

@@ -184,9 +184,14 @@ def append_to_ivfpq_index(emb: DataFrame, path: str) -> None:
     centroid_id directories. An append-only job touching only the batch;
     probes see the new codes immediately through the unchanged layout.
     vec_id uniqueness across appends is the caller's contract."""
+    from temporalvault_spark.operators.index_common import adopt_swapped
     from temporalvault_spark.operators.pq import fold_codebook_row
 
     spark = emb.sparkSession
+    # adopt-on-read BEFORE the sidecar reads, like ivfpq_search/meta_row: an
+    # append issued inside the rebuild's two-rename crash window must
+    # self-repair, not fail path-not-found
+    adopt_swapped(path)
     cents = spark.read.parquet(f"{path}/_centroids")
     cb_row = fold_codebook_row(spark.read.parquet(f"{path}/_codebook"))
     e = emb.filter(
