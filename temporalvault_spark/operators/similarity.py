@@ -68,6 +68,54 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+# Per-dimension sums (PCA mean/update, Lloyd mean update, ABTT's centered
+# dots) run UNROLLED — dim separate column expressions — at or below this
+# dim, and as array folds / posexplode partial aggregates above it. The
+# unrolled form generates O(dim) expression nodes: at production embedding
+# dims (768–1536) that crosses Janino's 64KB generated-method limit, falls
+# back to interpreted execution, and bloats the plan into a
+# multi-thousand-node tree — and MEASUREMENT (SCALE.md round 13) shows the
+# fold forms are faster at EVERY dim, 64 included (pca 3.2s→1.45s, abtt
+# 9.2s→2.6s, lloyd 5.9s→4.3s at N=200k dim=64; the dim-wide aggregate
+# needs dim aggregation buffers and a dim-wide plan, while
+# posexplode→groupBy(pos) partially aggregates map-side and collects dim
+# rows). So the default is 0: fold always. The unrolled twin is KEPT as an
+# independently-written implementation of the same sums — the module's
+# differential-twin pattern — and tests/test_dim_gate.py pins both paths
+# to identical quantized results at dim 64 (oracled) and dim 512. The two
+# may differ in the last ULP (summation/partial-merge order, exactly like
+# Spark-vs-DuckDB), which the module's micro-unit / ROUND(6) quantization
+# absorbs; the fold path is hash-green against DuckDB at sf0.01 AND sf0.1
+# for all four riding queries (embed_pca_power, embed_abtt_topk,
+# cluster_kmeans_lloyd, corpus_cluster_sample).
+DIM_UNROLL_MAX = 0
+
+
+def _mean_vector(e: DataFrame, dim: int) -> tuple[list, int]:
+    """(per-dimension mean, row count) of an (e array<double>) frame —
+    dim-gated. Unrolled: one aggregate of dim AVG columns. Fold: posexplode
+    → groupBy(pos) with map-side partial aggregation (shuffle volume =
+    partitions × dim partial rows; collect = dim rows, bounded)."""
+    if dim <= DIM_UNROLL_MAX:
+        row = e.agg(
+            *[F.avg(F.col("e")[j]).alias(f"m{j}") for j in range(dim)],
+            F.count("*").alias("n"),
+        ).first()
+        return [float(row[f"m{j}"]) for j in range(dim)], int(row["n"])
+    rows = (
+        e.select(F.posexplode("e").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: dim rows
+    )
+    m = [0.0] * dim
+    n = 0
+    for r in rows:
+        m[int(r["pos"])] = float(r["m"])
+        n = int(r["n"])  # every row contributes one element per pos
+    return m, n
+
+
 def cosine_scores(emb: DataFrame, probe: DataFrame) -> DataFrame:
     """score(vec, probe) for every vector: one broadcast of the 1-row probe,
     one codegen'd projection — the fact side never shuffles.
@@ -1103,24 +1151,48 @@ def kmeans_lloyd(
         for r in cents.collect()  # bounded: k rows
     }
     schema = "centroid_id bigint, ce array<double>"
+    import math
+
     for _ in range(iters):
         cents_df = spark.createDataFrame(sorted(cent_local.items()), schema)
         assigned = assign_to_centroids(e, cents_df)
-        means = assigned.groupBy("centroid_id").agg(
-            *[F.avg(F.col("e")[i]).alias(f"m{i}") for i in range(dim)]
-        )
-        import math
-
         # micro-unit quantization between rounds (the DSIR/BM25 transcendental
         # contract): Spark's partition-order AVG and DuckDB's AVG can differ
         # in the last ULP, and the raw means feed the NEXT round's cosine
         # argmax — floor(x*1e6 + 0.5)/1e6 on both sides makes every argmax
         # decision compare engine-independent values, so hash parity never
-        # rides on the corpus having no near-tie assignments
-        for r in means.collect():  # bounded: <= k rows of dim doubles
-            cent_local[int(r["centroid_id"])] = [
-                math.floor(float(r[f"m{i}"]) * 1e6 + 0.5) / 1e6 for i in range(dim)
-            ]
+        # rides on the corpus having no near-tie assignments. (The same
+        # quantization is what makes the two dim-gated paths below
+        # interchangeable: their AVGs agree to well past the micro-unit.)
+        if dim <= DIM_UNROLL_MAX:
+            means = assigned.groupBy("centroid_id").agg(
+                *[F.avg(F.col("e")[i]).alias(f"m{i}") for i in range(dim)]
+            )
+            for r in means.collect():  # bounded: <= k rows of dim doubles
+                cent_local[int(r["centroid_id"])] = [
+                    math.floor(float(r[f"m{i}"]) * 1e6 + 0.5) / 1e6
+                    for i in range(dim)
+                ]
+        else:
+            # fold form (the dim gate): posexplode -> groupBy(cid, pos)
+            # partial aggregate — k x dim cells, no O(dim) expression tree
+            rows = (
+                assigned.select(
+                    "centroid_id", F.posexplode("e").alias("pos", "x")
+                )
+                .groupBy("centroid_id", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()  # bounded: <= k*dim cells (the driver state)
+            )
+            fresh: dict[int, list] = {}
+            for r in rows:
+                fresh.setdefault(int(r["centroid_id"]), [0.0] * dim)[
+                    int(r["pos"])
+                ] = math.floor(float(r["m"]) * 1e6 + 0.5) / 1e6
+            # clusters that received no vectors keep their previous
+            # centroid — the groupBy only emits observed clusters, exactly
+            # like the unrolled path's collect
+            cent_local.update(fresh)
     cents_df = spark.createDataFrame(sorted(cent_local.items()), schema)
     return assign_to_centroids(e, cents_df), cents_df
 
@@ -1235,32 +1307,49 @@ def pca_power_top(
     ``iters`` power-iteration rounds from the deterministic all-ones/sqrt(d)
     init. Returns (unit eigenvector, eigenvalue estimate ||C v||, N,
     mean vector). Centered arithmetic mirrors the oracle term-for-term:
-    s uses (e_j - m_j) * v_j products, w uses s * (e_j - m_j)."""
+    s uses (e_j - m_j) * v_j products, w uses s * (e_j - m_j). Every
+    per-dimension sum is dim-gated (DIM_UNROLL_MAX): unrolled columns at
+    testdata dims, array folds + posexplode partial aggregates at
+    production dims (768–1536) where the unrolled tree breaks codegen."""
     import math
 
     first = e.select(F.size("e").alias("d")).first()  # bounded: one row
     if first is None:
         return [], 0.0, 0, []
     dim = int(first["d"])
-    mean_row = e.agg(
-        *[F.avg(F.col("e")[j]).alias(f"m{j}") for j in range(dim)],
-        F.count("*").alias("n"),
-    ).first()
-    m = [float(mean_row[f"m{j}"]) for j in range(dim)]
-    n = int(mean_row["n"])
+    m, n = _mean_vector(e, dim)
     v = [1.0 / math.sqrt(dim)] * dim
     lam = 0.0
     for _ in range(iters):
-        s = sum(
-            (F.col("e")[j] - F.lit(m[j])) * F.lit(v[j]) for j in range(dim)
-        )
-        agg = e.withColumn("s", s).agg(
-            *[
-                F.sum(F.col("s") * (F.col("e")[j] - F.lit(m[j]))).alias(f"w{j}")
-                for j in range(dim)
-            ]
-        ).first()  # bounded: one row of dim doubles
-        w = [float(agg[f"w{j}"]) for j in range(dim)]
+        if dim <= DIM_UNROLL_MAX:
+            s = sum(
+                (F.col("e")[j] - F.lit(m[j])) * F.lit(v[j]) for j in range(dim)
+            )
+            agg = e.withColumn("s", s).agg(
+                *[
+                    F.sum(F.col("s") * (F.col("e")[j] - F.lit(m[j]))).alias(f"w{j}")
+                    for j in range(dim)
+                ]
+            ).first()  # bounded: one row of dim doubles
+            w = [float(agg[f"w{j}"]) for j in range(dim)]
+        else:
+            # fold form (the dim gate): the centered array c is ONE zip_with
+            # against the constant-folded array literal, s is a fold over
+            # it, and the w vector is a posexplode -> groupBy(pos) partial
+            # aggregate — dim rows collected, no O(dim) expression tree
+            rows = (
+                e.withColumn(
+                    "c", F.zip_with(F.col("e"), F.lit(m), lambda x, y: x - y)
+                )
+                .withColumn("s", _dot(F.col("c"), F.lit(v)))
+                .select("s", F.posexplode("c").alias("pos", "cx"))
+                .groupBy("pos")
+                .agg(F.sum(F.col("s") * F.col("cx")).alias("w"))
+                .collect()  # bounded: dim rows
+            )
+            w = [0.0] * dim
+            for r in rows:
+                w[int(r["pos"])] = float(r["w"])
         lam = math.sqrt(sum(x * x for x in w))
         if lam == 0.0:
             raise ValueError(
@@ -1434,34 +1523,62 @@ def q_embed_abtt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    return abtt_topk(e)
+
+
+def abtt_topk(
+    e: DataFrame, probe_vec_id: int = SIM_PROBE_VEC_ID, k: int = SIM_TOP_K
+) -> DataFrame:
+    """ABTT-corrected cosine top-k over a (vec_id, e array<double>) frame —
+    the frame-level core of q_embed_abtt_topk (the query wrapper binds the
+    catalog; tests bind synthetic frames at production dims). The three
+    centered sums are dim-gated (DIM_UNROLL_MAX): unrolled column
+    expressions at testdata dims, zip_with/aggregate folds over a
+    centered-once array above it."""
     v, _lam, _n, m = pca_power_top(e)
     dim = len(v)
     probe_row = e.filter(
-        F.col("vec_id") == SIM_PROBE_VEC_ID
+        F.col("vec_id") == probe_vec_id
     ).first()  # bounded: 1 row
     if probe_row is None:
         raise ValueError(
-            f"embed_abtt_topk: probe vec_id {SIM_PROBE_VEC_ID} not found"
+            f"abtt_topk: probe vec_id {probe_vec_id} not found"
         )
     pc = [float(probe_row["e"][j]) - m[j] for j in range(dim)]
     sp = sum(pc[j] * v[j] for j in range(dim))
     cpp = sum(x * x for x in pc)
     if cpp - sp * sp <= ABTT_NORM_FLOOR:
         raise ValueError(
-            "embed_abtt_topk: the probe vector is numerically parallel to "
+            "abtt_topk: the probe vector is numerically parallel to "
             "the top principal direction — its corrected norm is degenerate"
         )
-    cab = sum((F.col("e")[j] - F.lit(m[j])) * F.lit(pc[j]) for j in range(dim))
-    caa = sum(
-        (F.col("e")[j] - F.lit(m[j])) * (F.col("e")[j] - F.lit(m[j]))
-        for j in range(dim)
-    )
-    sa = sum((F.col("e")[j] - F.lit(m[j])) * F.lit(v[j]) for j in range(dim))
+    corpus = e.filter(F.col("vec_id") != probe_vec_id)
+    if dim <= DIM_UNROLL_MAX:
+        cab = sum(
+            (F.col("e")[j] - F.lit(m[j])) * F.lit(pc[j]) for j in range(dim)
+        )
+        caa = sum(
+            (F.col("e")[j] - F.lit(m[j])) * (F.col("e")[j] - F.lit(m[j]))
+            for j in range(dim)
+        )
+        sa = sum((F.col("e")[j] - F.lit(m[j])) * F.lit(v[j]) for j in range(dim))
+        proj = corpus.withColumn("cab", cab).withColumn("caa", caa).withColumn("sa", sa)
+    else:
+        # fold form (the dim gate): center ONCE per row against the
+        # constant-folded mean literal, then three folds over the centered
+        # array — same ascending-j accumulation order as the unrolled sums,
+        # no O(dim) expression tree
+        proj = (
+            corpus.withColumn(
+                "c", F.zip_with(F.col("e"), F.lit(m), lambda x, y: x - y)
+            )
+            .withColumn("cab", _dot(F.col("c"), F.lit(pc)))
+            .withColumn("caa", _dot(F.col("c"), F.col("c")))
+            .withColumn("sa", _dot(F.col("c"), F.lit(v)))
+            .drop("c")
+        )
     scored = (
-        e.filter(F.col("vec_id") != SIM_PROBE_VEC_ID)
-        .withColumn("cab", cab)
-        .withColumn("caa", caa)
-        .withColumn("sa", sa)
+        proj
         .filter(
             (F.col("caa") - F.col("sa") * F.col("sa")) > ABTT_NORM_FLOOR
         )
@@ -1482,6 +1599,6 @@ def q_embed_abtt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders), so an unrounded cut could straddle near-ties differently
     return (
         scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(SIM_TOP_K)
+        .limit(k)
         .select("vec_id", "cosine")
     )

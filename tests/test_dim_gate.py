@@ -1,0 +1,102 @@
+"""Round-13 dimension gate (round-12 verdict task 1): the embedding tier's
+per-dimension sums — PCA mean + power rounds (pca_power_top), the Lloyd
+mean update (kmeans_lloyd), ABTT's three centered dots (abtt_topk) — exist
+in two independently-written forms: UNROLLED (dim column expressions) and
+FOLD (zip_with/aggregate folds + posexplode partial aggregates).
+
+The fold form is the default (DIM_UNROLL_MAX = 0) because it is both
+scale-safe — O(dim) expression nodes cross Janino's 64KB method limit at
+production dims (768–1536) — AND measured faster at every dim including
+the testdata's 64 (SCALE.md round 13). The unrolled form is kept as the
+differential twin; these tests prove the two paths are interchangeable at
+the module's quantization contract: identical REGISTERED-QUERY output at
+the oracled dim (64) and identical results at dim 512 — the differential
+unit the round-12 verdict asked for.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from temporalvault_spark.operators import similarity as sim
+
+FORCE_UNROLL = 1 << 20  # gate above any test dim -> unrolled path
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "qname", ["embed_pca_power", "embed_abtt_topk", "cluster_kmeans_lloyd"]
+)
+def test_dim64_unrolled_twin_matches_default_fold_output(
+    spark, sf_dir, qname, monkeypatch
+):
+    """At the oracled dim (64) the fold path is the default and is
+    hash-checked against DuckDB every round; forcing the unrolled twin must
+    reproduce the exact same registered-query rows (rounded/quantized
+    values — the same tolerance contract that makes DuckDB parity hold)."""
+    q = entrymod.queries()[qname]
+    fold = _rows(q(spark, sf_dir))
+    monkeypatch.setattr(sim, "DIM_UNROLL_MAX", FORCE_UNROLL)
+    unrolled = _rows(q(spark, sf_dir))
+    assert fold == unrolled
+
+
+def _emb_frame(spark, n=80, dim=512, seed=13):
+    rng = np.random.RandomState(seed)
+    rows = [
+        (i, [float(x) for x in rng.uniform(-1, 1, dim)], int(i % 3))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    ).select("vec_id", "label", F.col("embedding").alias("e"))
+
+
+def test_dim512_pca_paths_agree(spark, monkeypatch):
+    """dim 512: the default fold path vs the forced unrolled twin must land
+    the same eigenvector/eigenvalue/mean to well past the micro-unit (the
+    last-ULP summation-order difference the module's quantization is built
+    to absorb)."""
+    e = _emb_frame(spark).select("vec_id", "e")
+    v_fold, lam_fold, n_fold, m_fold = sim.pca_power_top(e)
+    monkeypatch.setattr(sim, "DIM_UNROLL_MAX", FORCE_UNROLL)
+    v_unr, lam_unr, n_unr, m_unr = sim.pca_power_top(e)
+    assert n_fold == n_unr == 80
+    assert abs(lam_fold - lam_unr) <= 1e-9 * max(1.0, abs(lam_unr))
+    assert max(abs(a - b) for a, b in zip(m_fold, m_unr)) < 1e-9
+    assert max(abs(a - b) for a, b in zip(v_fold, v_unr)) < 1e-8
+
+
+def test_dim512_kmeans_paths_agree(spark, monkeypatch):
+    """The Lloyd update quantizes means to the micro-unit between rounds on
+    BOTH paths, so the exploded-aggregate path and the unrolled path feed
+    the next argmax identical centroids — assignments and final centroids
+    must match exactly."""
+    e = _emb_frame(spark)
+    a_fold, c_fold = sim.kmeans_lloyd(e, k=4, iters=2)
+    asg_fold = _rows(a_fold.select("vec_id", "centroid_id"))
+    cents_fold = {
+        int(r["centroid_id"]): list(r["ce"]) for r in c_fold.collect()
+    }
+    monkeypatch.setattr(sim, "DIM_UNROLL_MAX", FORCE_UNROLL)
+    a_unr, c_unr = sim.kmeans_lloyd(e, k=4, iters=2)
+    assert _rows(a_unr.select("vec_id", "centroid_id")) == asg_fold
+    cents_unr = {int(r["centroid_id"]): list(r["ce"]) for r in c_unr.collect()}
+    assert cents_unr.keys() == cents_fold.keys()
+    for cid in cents_fold:
+        assert cents_unr[cid] == cents_fold[cid], f"centroid {cid} drifted"
+
+
+def test_dim512_abtt_paths_agree(spark, monkeypatch):
+    """ABTT's fold path accumulates the three centered dots in the same
+    ascending-j order as the unrolled sums; at dim 512 the top-k rows
+    (rounded cosines — the query's own output contract) must be identical."""
+    e = _emb_frame(spark).select("vec_id", "e")
+    fold = _rows(sim.abtt_topk(e, probe_vec_id=0, k=10))
+    monkeypatch.setattr(sim, "DIM_UNROLL_MAX", FORCE_UNROLL)
+    unrolled = _rows(sim.abtt_topk(e, probe_vec_id=0, k=10))
+    assert fold == unrolled and len(fold) == 10
