@@ -1668,9 +1668,14 @@ def heavy_hitters_sketch(docs: DataFrame, support: float = 0.01) -> list[str]:
     return terms.stat.freqItems(["term"], support).first()[0]
 
 
-@query(
-    "pii_scan",
-    r"""SELECT doc_id,
+# pii_scan is deliberately NOT registered (round-12 verdict #2): the clean
+# synthetic corpus matches zero rows at every SF, so its driver-ledger row
+# was a vacuous 0 = 0 hash match. The registered, value-checked form is
+# pii_scan_dense below (same scan, injected spans — fires at 300 rows);
+# this plain form and its oracle stay pytest-pinned on a crafted corpus
+# where matches fire AND on the clean corpus's zero-row sweep
+# (tests/test_llm_text.py).
+PII_SCAN_ORACLE = r"""SELECT doc_id,
            CAST(len(regexp_extract_all(text,
                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
@@ -1680,8 +1685,9 @@ def heavy_hitters_sketch(docs: DataFrame, support: float = 0.01) -> list[str]:
     WHERE len(regexp_extract_all(text,
                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) > 0
        OR len(regexp_extract_all(text, 'https?://[^ ]+')) > 0
-       OR len(regexp_extract_all(text, '\b\d{3}[- .]\d{3}[- .]\d{4}\b')) > 0""",
-)
+       OR len(regexp_extract_all(text, '\b\d{3}[- .]\d{3}[- .]\d{4}\b')) > 0"""
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII surface scan (the redaction-triage stage of a data pipeline):
     per-doc counts of email-, URL- and phone-shaped spans, docs with any hit

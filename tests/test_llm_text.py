@@ -146,15 +146,17 @@ def test_bigram_logprob_crafted(spark):
 
 
 def test_pii_scan_crafted_and_engine_parity(spark, tmp_path):
-    """pii_scan's oracle row matches trivially on the PII-free testdata
-    (0 = 0 rows) — so prove it on a crafted corpus where matches FIRE:
-    per-category counts and a direct Spark-vs-DuckDB value comparison."""
+    """The plain pii_scan is pytest-pinned, not driver-registered (its
+    ledger row was a vacuous 0 = 0 on the PII-free corpus — round-12
+    verdict #2; pii_scan_dense is the registered value-checked form). So
+    prove it HERE on a crafted corpus where matches FIRE: per-category
+    counts and a direct Spark-vs-DuckDB value comparison."""
     import os
     import shutil
 
     import pandas as pd
 
-    import __spark_entry__ as entrymod
+    from temporalvault_spark.operators.llm import PII_SCAN_ORACLE, q_pii_scan
     from tests.conftest import SF_SMALL
     from tests.oracle_check import compare, duckdb_conn
 
@@ -176,17 +178,31 @@ def test_pii_scan_crafted_and_engine_parity(spark, tmp_path):
             shutil.copy(os.path.join(SF_SMALL, f), os.path.join(dst, f))
     pdf.to_parquet(os.path.join(dst, "documents.parquet"), index=False)
 
-    got = {r["doc_id"]: r for r in entrymod.queries()["pii_scan"](spark, dst).collect()}
+    got = {r["doc_id"]: r for r in q_pii_scan(spark, dst).collect()}
     assert set(got) == {0, 1, 2}  # clean + NULL docs pruned
     assert got[0]["n_emails"] == 2
     assert got[1]["n_urls"] == 2
     assert got[2]["n_phoneish"] >= 1
 
     con = duckdb_conn(dst)
-    ok, msg = compare(
-        entrymod.queries()["pii_scan"](spark, dst), con, entrymod.oracle_sql()["pii_scan"]
-    )
+    ok, msg = compare(q_pii_scan(spark, dst), con, PII_SCAN_ORACLE)
     assert ok, msg
+
+
+def test_pii_scan_not_registered_and_zero_row_sweep(spark, sf_dir):
+    """The retirement contract: (a) pii_scan is OUT of the driver registry
+    (no oracled ledger row may be a 0 = 0 comparison) while pii_scan_dense
+    remains registered; (b) the clean-corpus zero-row behavior both engines
+    agreed on for five rounds stays pinned here as a regression."""
+    import __spark_entry__ as entrymod
+    from temporalvault_spark.operators.llm import PII_SCAN_ORACLE, q_pii_scan
+    from tests.oracle_check import duckdb_conn
+
+    assert "pii_scan" not in entrymod.queries()
+    assert "pii_scan" not in entrymod.oracle_sql()
+    assert "pii_scan_dense" in entrymod.oracle_sql()
+    assert q_pii_scan(spark, sf_dir).count() == 0
+    assert len(duckdb_conn(sf_dir).execute(PII_SCAN_ORACLE).fetchall()) == 0
 
 
 def test_dsir_selects_target_domain_lookalikes(spark, sf_dir, tmp_path):
