@@ -31,6 +31,10 @@ from temporalvault_spark.operators.audio_fp import (
     stage_afp,
 )
 from temporalvault_spark.operators.band64_index import Band64Index
+from temporalvault_spark.operators.index_common import (
+    skew_oracle_sql,
+    with_bucket_skew,
+)
 from temporalvault_spark.registry import query
 
 _FAMILY = Band64Index("afp", "aud_id", "aud")
@@ -163,14 +167,16 @@ _AFP_OCC_ORACLE = f"""WITH {_AFP_CTES},
     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                  CAST(COUNT(DISTINCT aud_id) AS BIGINT) AS n_auds,
                  CAST(COUNT(DISTINCT (band, bv)) AS BIGINT) AS n_bkts
-          FROM bands)
+          FROM bands),
+    {skew_oracle_sql("bands", "band, bv")[0]}
     SELECT n_rows, n_auds, n_bkts,
+           {skew_oracle_sql("bands", "band, bv")[1]},
            CAST({Band64Index.bkt_chars_case_sql("n_auds")} AS INTEGER)
                AS bkt_chars,
            CAST({Band64Index.bkt_chars_case_sql("n_auds")} AS INTEGER)
                AS target_bkt_chars,
            FALSE AS grown
-    FROM m"""
+    FROM m CROSS JOIN mb"""
 
 
 @query("afp_index_occupancy", _AFP_OCC_ORACLE)
@@ -182,20 +188,16 @@ def q_afp_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     build rule cross-engine."""
     path = stage_afp_index(spark, sf_dir)
     bkt_chars, _n_built = _FAMILY.read_meta_full(spark, path)
+    idx = _index_frame(spark, path)
+    stats = idx.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("aud_id").alias("n_auds"),
+        F.count_distinct("band", "bv").alias("n_bkts"),
+    )
     return (
-        _index_frame(spark, path)
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.count_distinct("aud_id").alias("n_auds"),
-            F.count_distinct("band", "bv").alias("n_bkts"),
-        )
-        .select(
-            "n_rows",
-            "n_auds",
-            "n_bkts",
-            F.lit(bkt_chars).cast("int").alias("bkt_chars"),
-            Band64Index.bkt_chars_col("n_auds").alias("target_bkt_chars"),
-        )
+        with_bucket_skew(stats, idx, ("band", "bv"))
+        .withColumn("bkt_chars", F.lit(bkt_chars).cast("int"))
+        .withColumn("target_bkt_chars", Band64Index.bkt_chars_col("n_auds"))
         .withColumn("grown", F.col("target_bkt_chars") > F.col("bkt_chars"))
     )
 

@@ -214,19 +214,23 @@ class Band64Index:
     def occupancy(
         self, spark: SparkSession, path: str, wide_threshold: int = 1_000_000
     ) -> dict:
-        """ONE aggregate over the index vs the persisted build-time key
-        width; ``grown`` when the current corpus size calls for a wider
-        bkt."""
+        """Two slim aggregates over the index vs the persisted build-time
+        key width; ``grown`` when the current corpus size calls for a wider
+        bkt. ``max_bucket``/``skew`` (max bucket rows vs the even-split
+        mean, the centroid family's skew semantic — round-12 verdict #5)
+        expose the LSH hot-bucket failure mode: a boilerplate-heavy corpus
+        concentrates one (band, bkt) directory, and probe fan-out then
+        rides max_bucket, not the mean the occupancy column reports."""
+        from temporalvault_spark.operators.index_common import bucket_skew
+
         bkt_chars, n_built = self.read_meta_full(spark, path)
-        row = (
-            self.frame(spark, path)
-            .agg(
-                F.count("*").alias("rows"),
-                F.count_distinct(self.id_col).alias("n"),
-                F.count_distinct("band", "bv").alias("n_bkts"),
-            )
-            .first()
-        )
+        idx = self.frame(spark, path)
+        row = idx.agg(
+            F.count("*").alias("rows"),
+            F.count_distinct(self.id_col).alias("n"),
+            F.count_distinct("band", "bv").alias("n_bkts"),
+        ).first()
+        mx, skew = bucket_skew(idx, ("band", "bv"), row["n_bkts"], row["rows"])
         target = self.bkt_chars_for(row["n"], wide_threshold)
         return {
             "bkt_chars": bkt_chars,
@@ -234,6 +238,8 @@ class Band64Index:
             self.n_key: row["n"],
             "rows": row["rows"],
             "occupancy": round(row["rows"] / max(row["n_bkts"], 1), 3),
+            "max_bucket": mx,
+            "skew": skew,
             "target_bkt_chars": target,
             "grown": target > bkt_chars,
         }

@@ -247,3 +247,58 @@ def atomic_swap_rebuild(path: str, build_to: Callable[[str], None]) -> None:
             "rebuilds against probes (external lock) and retry"
         )
     shutil.rmtree(tmp_old)
+
+
+# --- hot-bucket skew (round-12 verdict #5) ------------------------------------
+# ONE definition of the band-family hot-bucket rendering, shared by all five
+# occupancy probes (minhash / rp / phash / afp / vfp) on both sides:
+# max_bucket = rows in the fullest (band, bucket) directory, skew =
+# max_bucket / (rows / n_bkts) — the centroid family's skew semantic
+# (ivf_index.centroid_index_occupancy). A boilerplate-heavy corpus
+# concentrates one LSH bucket, and probe fan-out rides max_bucket, not the
+# mean the occupancy column reports. Quantized at 6 decimals, the repo's
+# oracle-float parity rule (3 decimals was reviewed OUT in round 13:
+# Spark's F.round half-ups the shortest decimal repr while DuckDB rounds
+# the scaled binary, and a 4th-decimal tie like 201/400 = .5025 lands on
+# different sides; 6 decimals shrinks the tie surface 1000x and matches
+# the centroid family's rendering).
+
+
+def bucket_skew(idx: DataFrame, bucket_cols: tuple, n_bkts, rows) -> tuple[int, float]:
+    """Dict-probe side: (max_bucket, skew) of an index frame."""
+    mx = (
+        idx.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("nb"))
+        .agg(F.max("nb"))
+        .first()[0]
+    )
+    mx = int(mx or 0)
+    return mx, round(mx * n_bkts / max(rows, 1), 6)
+
+
+def with_bucket_skew(stats: DataFrame, idx: DataFrame, bucket_cols: tuple) -> DataFrame:
+    """Oracled-query side: append max_bucket/skew columns to a 1-row
+    occupancy stats frame carrying ``n_rows``/``n_bkts`` (1-row x 1-row
+    crossJoin — the aggregate needs its own groupBy pass, so it cannot fold
+    into the stats aggregate)."""
+    mx = (
+        idx.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("nb"))
+        .agg(F.max("nb").cast("bigint").alias("max_bucket"))
+    )
+    return stats.crossJoin(mx).withColumn(
+        "skew",
+        F.round(F.col("max_bucket") * F.col("n_bkts") / F.col("n_rows"), 6),
+    )
+
+
+def skew_oracle_sql(base: str, bucket_cols: str) -> tuple[str, str]:
+    """(extra CTEs, select fragment) for the DuckDB twin — rendered from the
+    SAME constants as the Spark side so the five oracles cannot drift."""
+    ctes = (
+        f"bkt AS (SELECT {bucket_cols}, COUNT(*) AS nb FROM {base} "
+        f"GROUP BY {bucket_cols}),\n"
+        "    mb AS (SELECT CAST(MAX(nb) AS BIGINT) AS max_bucket FROM bkt)"
+    )
+    sel = "max_bucket,\n           ROUND(max_bucket * n_bkts / CAST(n_rows AS DOUBLE), 6) AS skew"
+    return ctes, sel

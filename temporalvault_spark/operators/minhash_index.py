@@ -40,10 +40,13 @@ from temporalvault_spark.catalog import load_catalog
 from temporalvault_spark.operators.index_common import (
     assert_ingest_layout,
     atomic_swap_rebuild,
+    bucket_skew,
     collect_prune,
     meta_row,
     meta_sidecar_exists,
     resolve_write_mode,
+    skew_oracle_sql,
+    with_bucket_skew,
 )
 from temporalvault_spark.operators.llm import (
     NGRAM_BANDS,
@@ -347,15 +350,16 @@ def minhash_index_occupancy(
     design point. ``wide_threshold`` is _bkt_chars_for's widening dial
     (tests drop it to exercise the contract at unit scale)."""
     bkt_chars, n_built = _read_meta_full(spark, path)
-    row = (
-        _index_frame(spark, path)
-        .agg(
-            F.count("*").alias("rows"),
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count_distinct("band", "min_h").alias("n_bkts"),
-        )
-        .first()
-    )
+    idx = _index_frame(spark, path)
+    row = idx.agg(
+        F.count("*").alias("rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count_distinct("band", "min_h").alias("n_bkts"),
+    ).first()
+    # hot-bucket skew (the index_common.bucket_skew note): max bucket rows
+    # vs the even-split mean — the LSH failure mode a boilerplate-heavy
+    # corpus triggers, invisible in the mean occupancy column
+    mx, skew = bucket_skew(idx, ("band", "min_h"), row["n_bkts"], row["rows"])
     n_docs = row["n_docs"]
     target = _bkt_chars_for(n_docs, wide_threshold)
     return {
@@ -364,6 +368,8 @@ def minhash_index_occupancy(
         "n_docs": n_docs,
         "rows": row["rows"],
         "occupancy": round(row["rows"] / max(row["n_bkts"], 1), 3),
+        "max_bucket": mx,
+        "skew": skew,
         "target_bkt_chars": target,
         "grown": target > bkt_chars,
     }
@@ -576,19 +582,22 @@ def q_minhash_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CTEs and replays _bkt_chars_for on BOTH the persisted build size and the
 # current size, value-checking that what _meta recorded is what the build
 # rule dictates and that `grown` is the comparison of the two.
+_MH_SKEW_CTES, _MH_SKEW_SEL = skew_oracle_sql("base", "band, min_h")
 _MH_OCC_ORACLE = f"""WITH {NGRAM_SKETCH_CTES},
     base AS (SELECT * FROM banded WHERE doc_id % 10 <> 0),
     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
                  CAST(COUNT(DISTINCT (band, min_h)) AS BIGINT) AS n_bkts
-          FROM base)
+          FROM base),
+    {_MH_SKEW_CTES}
     SELECT n_rows, n_docs, n_bkts,
+           {_MH_SKEW_SEL},
            CAST({_bkt_chars_case_sql("n_docs")} AS INTEGER)
                AS bkt_chars,
            CAST({_bkt_chars_case_sql("n_docs")} AS INTEGER)
                AS target_bkt_chars,
            FALSE AS grown
-    FROM m"""
+    FROM m CROSS JOIN mb"""
 
 
 @query("minhash_index_occupancy", _MH_OCC_ORACLE)
@@ -604,20 +613,16 @@ def q_minhash_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine."""
     path = stage_incremental_index(spark, sf_dir)
     bkt_chars, _n_built = _read_meta_full(spark, path)
+    idx = _index_frame(spark, path)
+    stats = idx.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count_distinct("band", "min_h").alias("n_bkts"),
+    )
     return (
-        _index_frame(spark, path)
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count_distinct("band", "min_h").alias("n_bkts"),
-        )
-        .select(
-            "n_rows",
-            "n_docs",
-            "n_bkts",
-            F.lit(bkt_chars).cast("int").alias("bkt_chars"),
-            _bkt_chars_col("n_docs").alias("target_bkt_chars"),
-        )
+        with_bucket_skew(stats, idx, ("band", "min_h"))
+        .withColumn("bkt_chars", F.lit(bkt_chars).cast("int"))
+        .withColumn("target_bkt_chars", _bkt_chars_col("n_docs"))
         .withColumn("grown", F.col("target_bkt_chars") > F.col("bkt_chars"))
     )
 

@@ -38,6 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.operators.band64_index import Band64Index
+from temporalvault_spark.operators.index_common import (
+    skew_oracle_sql,
+    with_bucket_skew,
+)
 from temporalvault_spark.operators.phash import (
     BAND_BITS,
     IMG_EVERY,
@@ -194,14 +198,16 @@ _PH_OCC_ORACLE = f"""WITH {_PHASH_CTES},
     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                  CAST(COUNT(DISTINCT img_id) AS BIGINT) AS n_imgs,
                  CAST(COUNT(DISTINCT (band, bv)) AS BIGINT) AS n_bkts
-          FROM bands)
+          FROM bands),
+    {skew_oracle_sql("bands", "band, bv")[0]}
     SELECT n_rows, n_imgs, n_bkts,
+           {skew_oracle_sql("bands", "band, bv")[1]},
            CAST({Band64Index.bkt_chars_case_sql("n_imgs")} AS INTEGER)
                AS bkt_chars,
            CAST({Band64Index.bkt_chars_case_sql("n_imgs")} AS INTEGER)
                AS target_bkt_chars,
            FALSE AS grown
-    FROM m"""
+    FROM m CROSS JOIN mb"""
 
 
 @query("phash_index_occupancy", _PH_OCC_ORACLE)
@@ -214,20 +220,16 @@ def q_phash_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     build rule cross-engine."""
     path = stage_phash_index(spark, sf_dir)
     bkt_chars, _n_built = _read_meta_full(spark, path)
+    idx = _index_frame(spark, path)
+    stats = idx.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("img_id").alias("n_imgs"),
+        F.count_distinct("band", "bv").alias("n_bkts"),
+    )
     return (
-        _index_frame(spark, path)
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.count_distinct("img_id").alias("n_imgs"),
-            F.count_distinct("band", "bv").alias("n_bkts"),
-        )
-        .select(
-            "n_rows",
-            "n_imgs",
-            "n_bkts",
-            F.lit(bkt_chars).cast("int").alias("bkt_chars"),
-            Band64Index.bkt_chars_col("n_imgs").alias("target_bkt_chars"),
-        )
+        with_bucket_skew(stats, idx, ("band", "bv"))
+        .withColumn("bkt_chars", F.lit(bkt_chars).cast("int"))
+        .withColumn("target_bkt_chars", Band64Index.bkt_chars_col("n_imgs"))
         .withColumn("grown", F.col("target_bkt_chars") > F.col("bkt_chars"))
     )
 

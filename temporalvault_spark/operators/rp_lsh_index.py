@@ -66,9 +66,12 @@ from temporalvault_spark.operators.rp_lsh import (
 from temporalvault_spark.operators.index_common import (
     assert_ingest_layout,
     atomic_swap_rebuild,
+    bucket_skew,
     collect_prune,
     meta_row,
     resolve_write_mode,
+    skew_oracle_sql,
+    with_bucket_skew,
 )
 from temporalvault_spark.operators.similarity import (
     EMB_DUP_THRESHOLD,
@@ -306,15 +309,16 @@ def rp_index_occupancy(
     bits, bkt_chars, n_built, occ = _read_meta_full(spark, path)
     if occ_target is None:
         occ_target = occ
-    row = (
-        _index_frame(spark, path)
-        .agg(
-            F.count("*").alias("rows"),
-            F.count_distinct("vec_id").alias("n_vecs"),
-            F.count_distinct("band", "bucket").alias("n_bkts"),
-        )
-        .first()
-    )
+    idx = _index_frame(spark, path)
+    row = idx.agg(
+        F.count("*").alias("rows"),
+        F.count_distinct("vec_id").alias("n_vecs"),
+        F.count_distinct("band", "bucket").alias("n_bkts"),
+    ).first()
+    # hot-bucket skew (the index_common.bucket_skew note): max bucket rows
+    # vs the even-split mean — the LSH failure mode a near-duplicate-heavy
+    # corpus triggers, invisible in the mean occupancy column
+    mx, skew = bucket_skew(idx, ("band", "bucket"), row["n_bkts"], row["rows"])
     n_vecs = row["n_vecs"]
     target_bits = adaptive_rp_bits(n_vecs, occ_target)
     target_bkt_chars = _bkt_chars_for(n_vecs)
@@ -325,6 +329,8 @@ def rp_index_occupancy(
         "n_vecs": n_vecs,
         "rows": row["rows"],
         "occupancy": round(row["rows"] / max(row["n_bkts"], 1), 3),
+        "max_bucket": mx,
+        "skew": skew,
         "target_bits": target_bits,
         "target_bkt_chars": target_bkt_chars,
         "grown": target_bits > bits or target_bkt_chars > bkt_chars,
@@ -447,8 +453,10 @@ _OCC_ORACLE = f"""WITH e AS (
     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                  CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
                  CAST(COUNT(DISTINCT (band, bucket)) AS BIGINT) AS n_bkts
-          FROM sigs)
+          FROM sigs),
+    {skew_oracle_sql("sigs", "band, bucket")[0]}
     SELECT m.n_rows, m.n_vecs, m.n_bkts,
+           {skew_oracle_sql("sigs", "band, bucket")[1]},
            CAST(nb.bits AS INTEGER) AS bits,
            CAST(CASE WHEN nb.n > 1000000 THEN 8
                      WHEN nb.n > 100000 THEN 4 ELSE 2 END AS INTEGER)
@@ -458,7 +466,7 @@ _OCC_ORACLE = f"""WITH e AS (
                      WHEN m.n_vecs > 100000 THEN 4 ELSE 2 END AS INTEGER)
                AS target_bkt_chars,
            FALSE AS grown
-    FROM m, nb"""
+    FROM m, nb, mb"""
 
 
 @query("rp_index_occupancy", _OCC_ORACLE)
@@ -477,17 +485,20 @@ def q_rp_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHEN n_vecs <= {occ << b} THEN {b}"
         for b in range(RP_BITS, RP_BITS_MAX)
     ) + f" ELSE {RP_BITS_MAX} END"
+    idx = _index_frame(spark, path)
+    stats = idx.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("vec_id").alias("n_vecs"),
+        F.count_distinct("band", "bucket").alias("n_bkts"),
+    )
     return (
-        _index_frame(spark, path)
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.count_distinct("vec_id").alias("n_vecs"),
-            F.count_distinct("band", "bucket").alias("n_bkts"),
-        )
+        with_bucket_skew(stats, idx, ("band", "bucket"))
         .select(
             "n_rows",
             "n_vecs",
             "n_bkts",
+            "max_bucket",
+            "skew",
             F.lit(bits).cast("int").alias("bits"),
             F.lit(bkt_chars).cast("int").alias("bkt_chars"),
             F.expr(target_bits_sql).cast("int").alias("target_bits"),

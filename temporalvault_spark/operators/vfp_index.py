@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.operators.band64_index import Band64Index
+from temporalvault_spark.operators.index_common import (
+    skew_oracle_sql,
+    with_bucket_skew,
+)
 from temporalvault_spark.operators.videohash import (
     VARIANT_GROUP,
     VFP_THRESHOLD,
@@ -198,14 +202,16 @@ _VFP_OCC_ORACLE = f"""WITH {_VFP_CTES},
     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                  CAST(COUNT(DISTINCT fid) AS BIGINT) AS n_frames,
                  CAST(COUNT(DISTINCT (band, bv)) AS BIGINT) AS n_bkts
-          FROM bands)
+          FROM bands),
+    {skew_oracle_sql("bands", "band, bv")[0]}
     SELECT n_rows, n_frames, n_bkts,
+           {skew_oracle_sql("bands", "band, bv")[1]},
            CAST({Band64Index.bkt_chars_case_sql("n_frames")} AS INTEGER)
                AS bkt_chars,
            CAST({Band64Index.bkt_chars_case_sql("n_frames")} AS INTEGER)
                AS target_bkt_chars,
            FALSE AS grown
-    FROM m"""
+    FROM m CROSS JOIN mb"""
 
 
 @query("vfp_index_occupancy", _VFP_OCC_ORACLE)
@@ -215,20 +221,16 @@ def q_vfp_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted _meta equals the replayed build rule cross-engine."""
     path = stage_vfp_index(spark, sf_dir)
     bkt_chars, _n_built = _FAMILY.read_meta_full(spark, path)
+    idx = _index_frame(spark, path)
+    stats = idx.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("fid").alias("n_frames"),
+        F.count_distinct("band", "bv").alias("n_bkts"),
+    )
     return (
-        _index_frame(spark, path)
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.count_distinct("fid").alias("n_frames"),
-            F.count_distinct("band", "bv").alias("n_bkts"),
-        )
-        .select(
-            "n_rows",
-            "n_frames",
-            "n_bkts",
-            F.lit(bkt_chars).cast("int").alias("bkt_chars"),
-            Band64Index.bkt_chars_col("n_frames").alias("target_bkt_chars"),
-        )
+        with_bucket_skew(stats, idx, ("band", "bv"))
+        .withColumn("bkt_chars", F.lit(bkt_chars).cast("int"))
+        .withColumn("target_bkt_chars", Band64Index.bkt_chars_col("n_frames"))
         .withColumn("grown", F.col("target_bkt_chars") > F.col("bkt_chars"))
     )
 
