@@ -1456,7 +1456,9 @@ def pillow_decode_frames(payload: bytes, strict: bool = True) -> list | None:
         return None
 
 
-def decode_pixels_rgb(payload: bytes) -> np.ndarray | None:
+def decode_pixels_rgb(
+    payload: bytes, prefer_adapter: bool = False
+) -> np.ndarray | None:
     """Shared pixel dispatch for the four in-process image codecs:
     binary PPM (P6), PNG (zlib inflate + unfilter), 24-bit BMP, and
     baseline JPEG -> (h, w, 3) uint8 RGB. Returns None when the magic
@@ -1466,7 +1468,24 @@ def decode_pixels_rgb(payload: bytes) -> np.ndarray | None:
     UNLESS Pillow is importable, in which case the adapter tier decodes
     them (progressive JPEG, palette/16-bit PNG, ...). This is THE pixel
     entrypoint the phash tier and the feature extractor both use — one
-    dispatch definition, no copy drift."""
+    dispatch definition, no copy drift.
+
+    ``prefer_adapter`` (round-12 verdict #6 — the throughput dial for the
+    streaming gates): when True AND Pillow is importable, PNG and BMP
+    payloads go to the C-backed decoder FIRST, with the stdlib codec as
+    the fallback — the adapter contract tests pin Pillow's grid
+    byte-identical to the stdlib tier on those formats, so the dispatch
+    order cannot change any verdict. PPM stays stdlib either way (it is a
+    zero-copy frombuffer — already faster than a Pillow round-trip) and
+    JPEG stays stdlib (subsampled chroma differs from Pillow in the LSBs;
+    parity there is the consumers' Hamming tolerance, not byte equality).
+    On a Pillow-less worker the flag is a no-op, so for every payload the
+    stdlib tier accepts, verdicts are identical across deployments by
+    construction. The one scoped divergence: a DAMAGED payload Pillow
+    tolerates but the stdlib codec rejects (e.g. a bad ancillary-chunk CRC)
+    is decoded in prefer mode instead of quarantined — the dial trades
+    quarantine strictness for throughput on exactly the payloads that were
+    going to be dropped, never on clean data."""
     hdr = _ppm_header(payload)
     if hdr is not None:
         w, h, maxval, off = hdr
@@ -1478,6 +1497,10 @@ def decode_pixels_rgb(payload: bytes) -> np.ndarray | None:
                 "decode_pixels_rgb: 16-bit PPM is outside the stdlib tier"
             )
         return np.frombuffer(payload, np.uint8, w * h * 3, off).reshape(h, w, 3)
+    if prefer_adapter and (payload[:4] == b"\x89PNG" or payload[:2] == b"BM"):
+        arr = pillow_decode_rgb(payload, strict=False)
+        if arr is not None:
+            return arr  # pixel-equal to the stdlib grid (contract-tested)
     for decode in (png_decode_rgb, bmp_decode_rgb, jpeg_decode_rgb):
         try:
             arr = decode(payload)

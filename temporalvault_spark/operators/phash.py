@@ -102,15 +102,17 @@ def synth_ppm_images(docs: DataFrame) -> DataFrame:
     return ids.mapInPandas(gen, "img_id bigint, image binary")
 
 
-def _decode_pixels(payload: bytes) -> np.ndarray:
+def _decode_pixels(payload: bytes, prefer_adapter: bool = False) -> np.ndarray:
     """(h, w, 3) uint8 RGB via the shared multimodal pixel dispatch —
     binary PPM (P6), PNG (stdlib zlib inflate + unfilter), 24-bit BMP,
     or baseline JPEG (stdlib huffman+IDCT). One dispatch definition
     (multimodal.decode_pixels_rgb), so the phash tier and the feature
     extractor can never drift. Raises on anything else (the multimodal
     real-codec seam: progressive JPEG etc. still need Pillow in the
-    worker image)."""
-    arr = decode_pixels_rgb(payload)
+    worker image). ``prefer_adapter`` is decode_pixels_rgb's throughput
+    dial (C-backed PNG/BMP decode where the contract tests prove pixel
+    equality — verdict-identical by construction)."""
+    arr = decode_pixels_rgb(payload, prefer_adapter=prefer_adapter)
     if arr is None:
         raise ValueError(
             "ahash64: payload is not a binary PPM (P6), PNG, BMP, or "
@@ -119,7 +121,7 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
     return arr
 
 
-def ahash64(payload: bytes) -> str:
+def ahash64(payload: bytes, prefer_adapter: bool = False) -> str:
     """64-bit average hash of a binary PPM or PNG as a '0'/'1' string
     (row-major over the 8x8 block grid). Integer-only: gray = (r+g+b) DIV
     3, block value = block-sum DIV block-pixels, mean = grid-sum DIV 64,
@@ -129,7 +131,7 @@ def ahash64(payload: bytes) -> str:
     tests/test_phash.py), so mixed-format corpora dedup against each
     other. Raises on other formats or dims not divisible by the grid (the
     multimodal real-codec seam)."""
-    return ahash64_from_array(_decode_pixels(payload))
+    return ahash64_from_array(_decode_pixels(payload, prefer_adapter))
 
 
 def ahash64_from_array(arr: np.ndarray) -> str:
@@ -147,7 +149,9 @@ def ahash64_from_array(arr: np.ndarray) -> str:
     return "".join("1" if b >= mean else "0" for b in blocks.reshape(-1))
 
 
-def ahash_frame(images: DataFrame, errors: str = "raise") -> DataFrame:
+def ahash_frame(
+    images: DataFrame, errors: str = "raise", prefer_adapter: bool = False
+) -> DataFrame:
     """(img_id, hash64) via the real decode+hash kernel — Arrow-batched
     per-row map, no shuffle (the hot ingest path at 100 TB).
 
@@ -157,15 +161,21 @@ def ahash_frame(images: DataFrame, errors: str = "raise") -> DataFrame:
     image in a million-row ingest batch cannot wedge the stream; callers
     route ``hash64 IS NULL`` rows to a quarantine sink and the dedup path
     filters them (a real-web-crawl ingest ALWAYS carries some truncated
-    files). Raises other than decode errors still propagate."""
+    files). Raises other than decode errors still propagate.
+
+    ``prefer_adapter``: route PNG/BMP decode to the C-backed Pillow
+    adapter when the worker has it (decode_pixels_rgb's throughput dial —
+    pixel-equal by contract test, a no-op on a Pillow-less worker). The
+    flag is captured in the kernel closure, so it ships to executors with
+    the task, not via module state."""
     if errors not in ("raise", "quarantine"):
         raise ValueError(f"ahash_frame: errors={errors!r}")
 
     def one(p: bytes) -> str | None:
         if errors == "raise":
-            return ahash64(p)
+            return ahash64(p, prefer_adapter)
         try:
-            return ahash64(p)
+            return ahash64(p, prefer_adapter)
         except (ValueError, NotImplementedError):
             return None  # corrupt/unsupported payload -> quarantine row
 

@@ -772,6 +772,7 @@ def image_dedup_ingest_stream(
     checkpoint: str,
     threshold: int | None = None,
     available_now: bool = True,
+    prefer_adapter: bool = False,
 ):
     """Streaming perceptual IMAGE near-dup gate — the third modality of the
     ingest-gate family (text: dedup_ingest_stream, embeddings:
@@ -809,8 +810,12 @@ def image_dedup_ingest_stream(
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         # ONE decode pass; errors='quarantine' so a corrupt payload cannot
-        # wedge the stream in an infinite batch-replay loop
-        all_h = ahash_frame(batch, errors="quarantine").localCheckpoint(eager=True)
+        # wedge the stream in an infinite batch-replay loop.
+        # prefer_adapter routes PNG/BMP to the C-backed decoder where the
+        # worker has Pillow — verdict-identical by the adapter contract
+        all_h = ahash_frame(
+            batch, errors="quarantine", prefer_adapter=prefer_adapter
+        ).localCheckpoint(eager=True)
         quarantined = all_h.filter(F.col("hash64").isNull()).select("img_id")
         # clean batches (the common case) skip the sink job; a clean REPLAY
         # clears any stale partition (see _quarantine_sync)
@@ -1036,6 +1041,7 @@ def multimodal_dedup_ingest_stream(
     video_min_frames: int | None = None,
     quality_gate: bool = False,
     available_now: bool = True,
+    prefer_adapter: bool = False,
 ):
     """The CAPSTONE ingest gate: one stream of full multimodal documents
     (doc_id, text, image, audio, video — binary payloads nullable per
@@ -1161,7 +1167,9 @@ def multimodal_dedup_ingest_stream(
         # gates' contract): a document with ANY corrupt payload is routed to
         # the quarantine sink — neither survivor nor index row — instead of
         # wedging the stream in an infinite batch-replay loop
-        img_all = ahash_frame(imgs, errors="quarantine").localCheckpoint(eager=True)
+        img_all = ahash_frame(
+            imgs, errors="quarantine", prefer_adapter=prefer_adapter
+        ).localCheckpoint(eager=True)
         aud_all = afp_frame(auds, errors="quarantine").localCheckpoint(eager=True)
         vid_all = vfp_frame(vids, errors="quarantine").localCheckpoint(eager=True)
         quarantined = (
