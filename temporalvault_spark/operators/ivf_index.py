@@ -227,8 +227,13 @@ def centroid_index_occupancy(
     except AnalysisException as exc:
         # a zero-row index is buildable (explicit centroids over a fully
         # filtered corpus pass the k_meta fail-fast) and leaves NO data
-        # files, so the scan fails schema inference — diagnose it instead
-        # of surfacing UNABLE_TO_INFER_SCHEMA (round-12 ADVICE)
+        # files, so the scan fails schema inference — diagnose THAT error
+        # class only (round-12 ADVICE); any other AnalysisException (torn
+        # part files, conflicting schemas) is corruption, not emptiness,
+        # and must surface as itself (round-13 review)
+        cond = exc.getCondition() if hasattr(exc, "getCondition") else None
+        if cond != "UNABLE_TO_INFER_SCHEMA":
+            raise
         raise ValueError(
             f"centroid index at {path} has no data rows — built over an "
             f"empty corpus; rebuild it with data before probing occupancy"

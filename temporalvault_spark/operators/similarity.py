@@ -105,15 +105,18 @@ def _mean_vector(e: DataFrame, dim: int) -> tuple[list, int]:
     rows = (
         e.select(F.posexplode("e").alias("pos", "x"))
         .groupBy("pos")
-        .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
+        .agg(F.avg("x").alias("m"))
         .collect()  # bounded: dim rows
     )
     m = [0.0] * dim
-    n = 0
     for r in rows:
         m[int(r["pos"])] = float(r["m"])
-        n = int(r["n"])  # every row contributes one element per pos
-    return m, n
+    # n from the FRAME, not the exploded per-pos counts: posexplode drops
+    # rows whose array is NULL, so a per-pos count would silently diverge
+    # from the unrolled twin's COUNT(*) on frames with NULL vectors
+    # (round-13 review) — one extra bounded action keeps the two gated
+    # paths value-identical on every input, not just strict-filtered ones
+    return m, e.count()
 
 
 def cosine_scores(emb: DataFrame, probe: DataFrame) -> DataFrame:

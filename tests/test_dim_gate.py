@@ -100,3 +100,20 @@ def test_dim512_abtt_paths_agree(spark, monkeypatch):
     monkeypatch.setattr(sim, "DIM_UNROLL_MAX", FORCE_UNROLL)
     unrolled = _rows(sim.abtt_topk(e, probe_vec_id=0, k=10))
     assert fold == unrolled and len(fold) == 10
+
+
+def test_dim512_mean_vector_null_rows_twin_equal(spark, monkeypatch):
+    """Round-13 review closure: a frame with NULL vectors must yield the
+    SAME (m, n) from both gated paths — the fold path counts the FRAME
+    (posexplode drops NULL arrays), matching the unrolled COUNT(*)."""
+    e = _emb_frame(spark, n=20).select("vec_id", "e")
+    with_null = e.unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id bigint, e array<double>"
+        )
+    )
+    m_fold, n_fold = sim._mean_vector(with_null, 512)
+    monkeypatch.setattr(sim, "DIM_UNROLL_MAX", FORCE_UNROLL)
+    m_unr, n_unr = sim._mean_vector(with_null, 512)
+    assert n_fold == n_unr == 21  # the NULL row counts in both
+    assert max(abs(a - b) for a, b in zip(m_fold, m_unr)) < 1e-12
