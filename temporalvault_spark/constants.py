@@ -17,3 +17,28 @@ PROBE_KEY = "7"
 # Similarity search
 SIM_PROBE_VEC_ID = 0
 SIM_TOP_K = 10
+
+
+def micro_units(x: float) -> int:
+    """THE half-UP micro-unit quantization — floor(x*1e6 + 0.5) — the
+    repo's one cross-engine rounding idiom (round-12 ADVICE; round-13
+    review pass 2 found it re-inlined three times). Matches the oracles'
+    ROUND(x*1e6, 0) on the non-negative domain where every caller's ties
+    can actually land (scores are pre-rounded to 6 decimals, so x*1e6 is
+    near-integral and an exact .5 is unreachable); on a hypothetical
+    negative exact tie floor(+0.5) rounds toward +inf where SQL ROUND
+    rounds away from zero — documented asymmetry, not a live divergence.
+
+    Lives in this leaf module so corpus (DSIR mixing) and similarity
+    (Lloyd's inter-round centroid quantization) share one definition
+    without an operator-module import cycle."""
+    import math
+
+    return int(math.floor(x * 1e6 + 0.5))
+
+
+def quant6(x: float) -> float:
+    """micro_units as a 6-decimal float — the Lloyd form
+    (floor(x*1e6 + 0.5) / 1e6); exact because the int -> float division
+    is exact at these magnitudes."""
+    return micro_units(x) / 1e6

@@ -1473,13 +1473,10 @@ def _dsir_mix_takes(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     return largest_remainder_quotas(a, DSIR_MIX_K)
 
 
-def micro_units(x: float) -> int:
-    """Half-UP micro-unit quantization — floor(x*1e6 + 0.5) — matching the
-    oracle's ROUND(x*1e6, 0) and the repo's cross-engine idiom (the Lloyd
-    quantization, the weight columns). Python's round() is banker's
-    rounding, a contract inconsistency even though the micro-unit design
-    makes an exact .5 essentially unreachable (round-12 ADVICE)."""
-    return int(math.floor(x * 1e6 + 0.5))
+# THE shared half-up quantizer (constants.micro_units — one definition for
+# corpus and similarity; see its docstring for the parity scope). Re-exported
+# here because the DSIR callers and tests reach it as corpus.micro_units.
+from temporalvault_spark.constants import micro_units  # noqa: E402, F401
 
 
 def largest_remainder_quotas(a: dict, k: int) -> dict:

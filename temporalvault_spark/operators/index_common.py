@@ -265,15 +265,27 @@ def atomic_swap_rebuild(path: str, build_to: Callable[[str], None]) -> None:
 
 
 def bucket_skew(idx: DataFrame, bucket_cols: tuple, n_bkts, rows) -> tuple[int, float]:
-    """Dict-probe side: (max_bucket, skew) of an index frame."""
-    mx = (
+    """Dict-probe side: (max_bucket, skew) of an index frame. The skew
+    division and rounding run as the SAME Spark expression the oracled
+    probes use (F.round, half-up) — Python round() is banker's and was
+    reviewed out (pass 2: round(1.0078125, 6) half-to-evens to 1.007812
+    while F.round/DuckDB land 1.007813), so the dict probe and the
+    registered query can never report different skew for one index."""
+    row = (
         idx.groupBy(*bucket_cols)
         .agg(F.count("*").alias("nb"))
-        .agg(F.max("nb"))
-        .first()[0]
+        .agg(F.max("nb").alias("mx"))
+        .select(
+            "mx",
+            F.round(
+                F.col("mx") * F.lit(int(n_bkts)) / F.lit(max(int(rows), 1)), 6
+            ).alias("skew"),
+        )
+        .first()
     )
-    mx = int(mx or 0)
-    return mx, round(mx * n_bkts / max(rows, 1), 6)
+    if row is None or row["mx"] is None:
+        return 0, 0.0
+    return int(row["mx"]), float(row["skew"])
 
 
 def with_bucket_skew(stats: DataFrame, idx: DataFrame, bucket_cols: tuple) -> DataFrame:

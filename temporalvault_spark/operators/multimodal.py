@@ -1485,7 +1485,15 @@ def decode_pixels_rgb(
     tolerates but the stdlib codec rejects (e.g. a bad ancillary-chunk CRC)
     is decoded in prefer mode instead of quarantined — the dial trades
     quarantine strictness for throughput on exactly the payloads that were
-    going to be dropped, never on clean data."""
+    going to be dropped, never on clean data. Because that decision is
+    made per WORKER, prefer mode assumes a HOMOGENEOUS fleet (Pillow on
+    all executors or none — the normal worker-image contract for native
+    libraries): on a mixed fleet a damaged payload's quarantine verdict
+    would depend on task placement, and a foreachBatch replay rescheduled
+    onto a different node could disagree with the original attempt —
+    exactly the nondeterminism the gates' exactly-once design forbids
+    (round-13 review). The gates therefore document the same requirement
+    at their prefer_adapter parameter."""
     hdr = _ppm_header(payload)
     if hdr is not None:
         w, h, maxval, off = hdr

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog
-from temporalvault_spark.constants import SIM_PROBE_VEC_ID, SIM_TOP_K
+from temporalvault_spark.constants import SIM_PROBE_VEC_ID, SIM_TOP_K, quant6
 from temporalvault_spark.registry import query
 
 
@@ -75,7 +75,7 @@ def _norm(a):
 # dims (768–1536) that crosses Janino's 64KB generated-method limit, falls
 # back to interpreted execution, and bloats the plan into a
 # multi-thousand-node tree — and MEASUREMENT (SCALE.md round 13) shows the
-# fold forms are faster at EVERY dim, 64 included (pca 3.2s→1.45s, abtt
+# fold forms are faster at EVERY dim, 64 included (pca 4.9s→1.45s, abtt
 # 9.2s→2.6s, lloyd 5.9s→4.3s at N=200k dim=64; the dim-wide aggregate
 # needs dim aggregation buffers and a dim-wide plan, while
 # posexplode→groupBy(pos) partially aggregates map-side and collects dim
@@ -108,6 +108,14 @@ def _mean_vector(e: DataFrame, dim: int) -> tuple[list, int]:
         .agg(F.avg("x").alias("m"))
         .collect()  # bounded: dim rows
     )
+    # a ragged/truncated frame must fail LOUDLY like the unrolled twin
+    # (whose avg(e[j]) returns NULL -> TypeError), not fabricate 0.0 cells
+    # for positions no array reached (round-13 review, pass 2)
+    if len(rows) != dim:
+        raise ValueError(
+            f"_mean_vector: arrays cover {len(rows)} positions but the "
+            f"frame's first row has dim {dim} — ragged or truncated arrays"
+        )
     m = [0.0] * dim
     for r in rows:
         m[int(r["pos"])] = float(r["m"])
@@ -1154,8 +1162,6 @@ def kmeans_lloyd(
         for r in cents.collect()  # bounded: k rows
     }
     schema = "centroid_id bigint, ce array<double>"
-    import math
-
     for _ in range(iters):
         cents_df = spark.createDataFrame(sorted(cent_local.items()), schema)
         assigned = assign_to_centroids(e, cents_df)
@@ -1173,8 +1179,7 @@ def kmeans_lloyd(
             )
             for r in means.collect():  # bounded: <= k rows of dim doubles
                 cent_local[int(r["centroid_id"])] = [
-                    math.floor(float(r[f"m{i}"]) * 1e6 + 0.5) / 1e6
-                    for i in range(dim)
+                    quant6(float(r[f"m{i}"])) for i in range(dim)
                 ]
         else:
             # fold form (the dim gate): posexplode -> groupBy(cid, pos)
@@ -1188,10 +1193,22 @@ def kmeans_lloyd(
                 .collect()  # bounded: <= k*dim cells (the driver state)
             )
             fresh: dict[int, list] = {}
+            filled: dict[int, int] = {}
             for r in rows:
-                fresh.setdefault(int(r["centroid_id"]), [0.0] * dim)[
-                    int(r["pos"])
-                ] = math.floor(float(r["m"]) * 1e6 + 0.5) / 1e6
+                cid = int(r["centroid_id"])
+                fresh.setdefault(cid, [0.0] * dim)[int(r["pos"])] = quant6(
+                    float(r["m"])
+                )
+                filled[cid] = filled.get(cid, 0) + 1
+            # a ragged frame must fail LOUDLY like the unrolled twin (whose
+            # avg(e[j]) returns NULL -> TypeError), not fabricate 0.0 cells
+            # for positions a cluster's arrays never reached (r13 review)
+            short = {c: n for c, n in filled.items() if n != dim}
+            if short:
+                raise ValueError(
+                    f"kmeans_lloyd: clusters {sorted(short)} cover fewer "
+                    f"than dim={dim} positions — ragged or truncated arrays"
+                )
             # clusters that received no vectors keep their previous
             # centroid — the groupBy only emits observed clusters, exactly
             # like the unrolled path's collect
@@ -1350,6 +1367,11 @@ def pca_power_top(
                 .agg(F.sum(F.col("s") * F.col("cx")).alias("w"))
                 .collect()  # bounded: dim rows
             )
+            if len(rows) != dim:  # the _mean_vector ragged-frame guard
+                raise ValueError(
+                    f"pca_power_top: arrays cover {len(rows)} positions, "
+                    f"dim is {dim} — ragged or truncated arrays"
+                )
             w = [0.0] * dim
             for r in rows:
                 w[int(r["pos"])] = float(r["w"])

@@ -812,7 +812,10 @@ def image_dedup_ingest_stream(
         # ONE decode pass; errors='quarantine' so a corrupt payload cannot
         # wedge the stream in an infinite batch-replay loop.
         # prefer_adapter routes PNG/BMP to the C-backed decoder where the
-        # worker has Pillow — verdict-identical by the adapter contract
+        # worker has Pillow — verdict-identical on clean payloads by the
+        # adapter contract; REQUIRES a homogeneous fleet (Pillow on all
+        # executors or none), else a damaged payload's quarantine verdict
+        # rides task placement across replays (decode_pixels_rgb's note)
         all_h = ahash_frame(
             batch, errors="quarantine", prefer_adapter=prefer_adapter
         ).localCheckpoint(eager=True)
@@ -1167,6 +1170,8 @@ def multimodal_dedup_ingest_stream(
         # gates' contract): a document with ANY corrupt payload is routed to
         # the quarantine sink — neither survivor nor index row — instead of
         # wedging the stream in an infinite batch-replay loop
+        # prefer_adapter: the image gate's homogeneous-fleet contract
+        # applies here too (decode_pixels_rgb's note)
         img_all = ahash_frame(
             imgs, errors="quarantine", prefer_adapter=prefer_adapter
         ).localCheckpoint(eager=True)

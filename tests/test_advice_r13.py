@@ -107,10 +107,12 @@ def test_micro_units_is_half_up_not_bankers():
     from temporalvault_spark.operators.corpus import micro_units
 
     # banker's round() would give 2 and 4 on the .5 ties; the repo idiom
-    # (and the oracle's ROUND semantics on the positive domain where
-    # affinity totals live after the +shift) is half-UP
+    # is half-UP (floor(x*1e6 + 0.5)). Exact ties are unreachable in the
+    # live path (scores are ROUND(,6)-ed first, so x*1e6 is near-integral)
+    # — see constants.micro_units for the negative-tie asymmetry scope.
     assert micro_units(2.5e-6) == 3
     assert micro_units(4.5e-6) == 5
     assert round(2.5) == 2  # the divergence this guards against
     assert micro_units(1.9999999e-6) == 2  # float-repr error absorbed
     assert micro_units(-3.2e-6) == -3
+    assert micro_units(-2.5e-6) == -2  # floor(+0.5): toward +inf, documented
