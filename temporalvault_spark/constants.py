@@ -5,6 +5,8 @@ All probes are constants inside the testdata's ranges (events span
 never ``now()`` (reference nondeterminism, SURVEY.md §7 risks).
 """
 
+import math as _math
+
 # As-of probe timestamps (events domain)
 PROBE_TS = "2024-01-16 00:00:00"
 PROBE_TS_EARLY = "2024-01-08 00:00:00"
@@ -32,9 +34,7 @@ def micro_units(x: float) -> int:
     Lives in this leaf module so corpus (DSIR mixing) and similarity
     (Lloyd's inter-round centroid quantization) share one definition
     without an operator-module import cycle."""
-    import math
-
-    return int(math.floor(x * 1e6 + 0.5))
+    return int(_math.floor(x * 1e6 + 0.5))
 
 
 def quant6(x: float) -> float:

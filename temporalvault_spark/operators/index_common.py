@@ -292,15 +292,19 @@ def with_bucket_skew(stats: DataFrame, idx: DataFrame, bucket_cols: tuple) -> Da
     """Oracled-query side: append max_bucket/skew columns to a 1-row
     occupancy stats frame carrying ``n_rows``/``n_bkts`` (1-row x 1-row
     crossJoin — the aggregate needs its own groupBy pass, so it cannot fold
-    into the stats aggregate)."""
-    mx = (
-        idx.groupBy(*bucket_cols)
-        .agg(F.count("*").alias("nb"))
-        .agg(F.max("nb").cast("bigint").alias("max_bucket"))
+    into the stats aggregate). The COALESCE/GREATEST guards render a
+    zero-row index as (0, 0.0) on every skew surface — dict probe, this
+    frame, and the oracle SQL agree by construction (r13 pass 3)."""
+    mx = idx.groupBy(*bucket_cols).agg(F.count("*").alias("nb")).agg(
+        F.coalesce(F.max("nb").cast("bigint"), F.lit(0)).alias("max_bucket")
     )
     return stats.crossJoin(mx).withColumn(
         "skew",
-        F.round(F.col("max_bucket") * F.col("n_bkts") / F.col("n_rows"), 6),
+        F.round(
+            F.col("max_bucket") * F.col("n_bkts")
+            / F.greatest(F.col("n_rows"), F.lit(1)),
+            6,
+        ),
     )
 
 
@@ -310,7 +314,11 @@ def skew_oracle_sql(base: str, bucket_cols: str) -> tuple[str, str]:
     ctes = (
         f"bkt AS (SELECT {bucket_cols}, COUNT(*) AS nb FROM {base} "
         f"GROUP BY {bucket_cols}),\n"
-        "    mb AS (SELECT CAST(MAX(nb) AS BIGINT) AS max_bucket FROM bkt)"
+        "    mb AS (SELECT CAST(COALESCE(MAX(nb), 0) AS BIGINT)"
+        " AS max_bucket FROM bkt)"
     )
-    sel = "max_bucket,\n           ROUND(max_bucket * n_bkts / CAST(n_rows AS DOUBLE), 6) AS skew"
+    sel = (
+        "max_bucket,\n           ROUND(max_bucket * n_bkts"
+        " / CAST(GREATEST(n_rows, 1) AS DOUBLE), 6) AS skew"
+    )
     return ctes, sel

@@ -91,6 +91,27 @@ def _norm(a):
 DIM_UNROLL_MAX = 0
 
 
+def _tree_sum(terms):
+    """Balanced pairwise sum of Column terms for the UNROLLED twin paths:
+    Python's sum() builds a left-deep chain whose analyzer recursion depth
+    is O(dim) — a dim-512 chain intermittently overflows the JVM thread
+    stack during analysis (StackOverflowError on withColumn, seen in the
+    differential tests). Pairwise reduction is O(log dim) deep. The
+    summation ORDER changes in the low bits, which every comparison the
+    twins participate in absorbs at the module's ROUND(6)/micro-unit
+    quantization — the same tolerance that already covers DuckDB's own
+    summation order."""
+    t = list(terms)
+    if not t:
+        return F.lit(0.0)
+    while len(t) > 1:
+        t = [
+            t[i] + t[i + 1] if i + 1 < len(t) else t[i]
+            for i in range(0, len(t), 2)
+        ]
+    return t[0]
+
+
 def _mean_vector(e: DataFrame, dim: int) -> tuple[list, int]:
     """(per-dimension mean, row count) of an (e array<double>) frame —
     dim-gated. Unrolled: one aggregate of dim AVG columns. Fold: posexplode
@@ -1195,10 +1216,13 @@ def kmeans_lloyd(
             fresh: dict[int, list] = {}
             filled: dict[int, int] = {}
             for r in rows:
-                cid = int(r["centroid_id"])
-                fresh.setdefault(cid, [0.0] * dim)[int(r["pos"])] = quant6(
-                    float(r["m"])
-                )
+                cid, pos = int(r["centroid_id"]), int(r["pos"])
+                if pos >= dim:  # longer-than-dim arrays: diagnostic, not
+                    raise ValueError(  # a raw IndexError (r13 pass 3)
+                        f"kmeans_lloyd: cluster {cid} has arrays longer "
+                        f"than dim={dim} (position {pos}) — ragged arrays"
+                    )
+                fresh.setdefault(cid, [0.0] * dim)[pos] = quant6(float(r["m"]))
                 filled[cid] = filled.get(cid, 0) + 1
             # a ragged frame must fail LOUDLY like the unrolled twin (whose
             # avg(e[j]) returns NULL -> TypeError), not fabricate 0.0 cells
@@ -1342,7 +1366,7 @@ def pca_power_top(
     lam = 0.0
     for _ in range(iters):
         if dim <= DIM_UNROLL_MAX:
-            s = sum(
+            s = _tree_sum(
                 (F.col("e")[j] - F.lit(m[j])) * F.lit(v[j]) for j in range(dim)
             )
             agg = e.withColumn("s", s).agg(
@@ -1579,20 +1603,23 @@ def abtt_topk(
         )
     corpus = e.filter(F.col("vec_id") != probe_vec_id)
     if dim <= DIM_UNROLL_MAX:
-        cab = sum(
+        cab = _tree_sum(
             (F.col("e")[j] - F.lit(m[j])) * F.lit(pc[j]) for j in range(dim)
         )
-        caa = sum(
+        caa = _tree_sum(
             (F.col("e")[j] - F.lit(m[j])) * (F.col("e")[j] - F.lit(m[j]))
             for j in range(dim)
         )
-        sa = sum((F.col("e")[j] - F.lit(m[j])) * F.lit(v[j]) for j in range(dim))
+        sa = _tree_sum(
+            (F.col("e")[j] - F.lit(m[j])) * F.lit(v[j]) for j in range(dim)
+        )
         proj = corpus.withColumn("cab", cab).withColumn("caa", caa).withColumn("sa", sa)
     else:
         # fold form (the dim gate): center ONCE per row against the
-        # constant-folded mean literal, then three folds over the centered
-        # array — same ascending-j accumulation order as the unrolled sums,
-        # no O(dim) expression tree
+        # constant-folded mean literal, then three ascending-j folds over
+        # the centered array — no O(dim) expression tree (the unrolled twin
+        # sums pairwise via _tree_sum, so the two paths agree at the
+        # quantized output, not bit-for-bit — the module tolerance)
         proj = (
             corpus.withColumn(
                 "c", F.zip_with(F.col("e"), F.lit(m), lambda x, y: x - y)

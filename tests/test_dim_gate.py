@@ -29,7 +29,13 @@ def _rows(df):
 
 
 @pytest.mark.parametrize(
-    "qname", ["embed_pca_power", "embed_abtt_topk", "cluster_kmeans_lloyd"]
+    "qname",
+    [
+        "embed_pca_power",
+        "embed_abtt_topk",
+        "cluster_kmeans_lloyd",
+        "corpus_cluster_sample",  # the 4th riding query (r13 pass 3)
+    ],
 )
 def test_dim64_unrolled_twin_matches_default_fold_output(
     spark, sf_dir, qname, monkeypatch
@@ -92,9 +98,10 @@ def test_dim512_kmeans_paths_agree(spark, monkeypatch):
 
 
 def test_dim512_abtt_paths_agree(spark, monkeypatch):
-    """ABTT's fold path accumulates the three centered dots in the same
-    ascending-j order as the unrolled sums; at dim 512 the top-k rows
-    (rounded cosines — the query's own output contract) must be identical."""
+    """ABTT's fold path accumulates the three centered dots in ascending-j
+    order while the unrolled twin sums pairwise (_tree_sum); at dim 512 the
+    top-k rows (rounded cosines — the query's own output contract) must be
+    identical under the module's quantization."""
     e = _emb_frame(spark).select("vec_id", "e")
     fold = _rows(sim.abtt_topk(e, probe_vec_id=0, k=10))
     monkeypatch.setattr(sim, "DIM_UNROLL_MAX", FORCE_UNROLL)
