@@ -12,6 +12,13 @@ differential twin; these tests prove the two paths are interchangeable at
 the module's quantization contract: identical REGISTERED-QUERY output at
 the oracled dim (64) and identical results at dim 512 — the differential
 unit the round-12 verdict asked for.
+
+Note on exactness: the two paths differ in low-bit summation order
+(_tree_sum pairwise vs ascending-j folds), so these exact-equality
+assertions hold because the pinned seeds/testdata land no value within a
+summation-order ULP of a half-microunit rounding boundary — deterministic
+today; if a reseed ever fails here by one unit in the 6th decimal, that
+boundary is the cause, not an implementation regression (r13 review note).
 """
 
 import numpy as np
