@@ -39,6 +39,10 @@ def micro_units(x: float) -> int:
 
 def quant6(x: float) -> float:
     """micro_units as a 6-decimal float — the Lloyd form
-    (floor(x*1e6 + 0.5) / 1e6); exact because the int -> float division
-    is exact at these magnitudes."""
+    (floor(x*1e6 + 0.5) / 1e6). The int -> float division is NOT exact
+    (1e-6 has no exact binary representation); it is correctly-rounded,
+    and cross-engine parity holds because both engines perform the same
+    correctly-rounded double division of the same integer — do not build
+    a new invariant on the result being the exact decimal (round-13
+    ADVICE)."""
     return micro_units(x) / 1e6

@@ -256,29 +256,45 @@ def atomic_swap_rebuild(path: str, build_to: Callable[[str], None]) -> None:
 # max_bucket / (rows / n_bkts) — the centroid family's skew semantic
 # (ivf_index.centroid_index_occupancy). A boilerplate-heavy corpus
 # concentrates one LSH bucket, and probe fan-out rides max_bucket, not the
-# mean the occupancy column reports. Quantized at 6 decimals, the repo's
-# oracle-float parity rule (3 decimals was reviewed OUT in round 13:
-# Spark's F.round half-ups the shortest decimal repr while DuckDB rounds
-# the scaled binary, and a 4th-decimal tie like 201/400 = .5025 lands on
-# different sides; 6 decimals shrinks the tie surface 1000x and matches
-# the centroid family's rendering).
+# mean the occupancy column reports. Quantized as half-up integer
+# micro-units, FLOOR(x*1e6 + 0.5)/1e6 (round-13 ADVICE #1): the previous
+# ROUND(x, 6) was only convention-aligned across engines — Spark's F.round
+# half-ups the shortest decimal repr while DuckDB rounds the scaled binary,
+# leaving a residual 7th-decimal tie surface on these small-integer
+# quotients. The floor form is bit-exact by construction: both engines
+# evaluate the same IEEE multiply/add/floor/divide on the same
+# integer-derived double, so there is no tie surface at all.
+
+
+def quant6_col(col: Column) -> Column:
+    """``constants.micro_units``' half-up quantizer as a Spark Column —
+    FLOOR(x*1e6 + 0.5)/1e6. Pair with :func:`quant6_sql` so the Spark and
+    DuckDB sides run the identical IEEE op sequence (see module note
+    above); ``constants.quant6`` is the same function driver-side."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def quant6_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`quant6_col` — same ops, same literals."""
+    return f"FLOOR(({expr}) * 1e6 + 0.5) / 1e6"
 
 
 def bucket_skew(idx: DataFrame, bucket_cols: tuple, n_bkts, rows) -> tuple[int, float]:
     """Dict-probe side: (max_bucket, skew) of an index frame. The skew
-    division and rounding run as the SAME Spark expression the oracled
-    probes use (F.round, half-up) — Python round() is banker's and was
-    reviewed out (pass 2: round(1.0078125, 6) half-to-evens to 1.007812
-    while F.round/DuckDB land 1.007813), so the dict probe and the
-    registered query can never report different skew for one index."""
+    division and quantization run as the SAME Spark expression the oracled
+    probes use (quant6_col; bit-identical to constants.quant6 on the same
+    quotient) — Python round() is banker's and was reviewed out (pass 2:
+    round(1.0078125, 6) half-to-evens to 1.007812 while half-up lands
+    1.007813), so the dict probe and the registered query can never report
+    different skew for one index."""
     row = (
         idx.groupBy(*bucket_cols)
         .agg(F.count("*").alias("nb"))
         .agg(F.max("nb").alias("mx"))
         .select(
             "mx",
-            F.round(
-                F.col("mx") * F.lit(int(n_bkts)) / F.lit(max(int(rows), 1)), 6
+            quant6_col(
+                F.col("mx") * F.lit(int(n_bkts)) / F.lit(max(int(rows), 1))
             ).alias("skew"),
         )
         .first()
@@ -300,10 +316,9 @@ def with_bucket_skew(stats: DataFrame, idx: DataFrame, bucket_cols: tuple) -> Da
     )
     return stats.crossJoin(mx).withColumn(
         "skew",
-        F.round(
+        quant6_col(
             F.col("max_bucket") * F.col("n_bkts")
-            / F.greatest(F.col("n_rows"), F.lit(1)),
-            6,
+            / F.greatest(F.col("n_rows"), F.lit(1))
         ),
     )
 
@@ -317,8 +332,6 @@ def skew_oracle_sql(base: str, bucket_cols: str) -> tuple[str, str]:
         "    mb AS (SELECT CAST(COALESCE(MAX(nb), 0) AS BIGINT)"
         " AS max_bucket FROM bkt)"
     )
-    sel = (
-        "max_bucket,\n           ROUND(max_bucket * n_bkts"
-        " / CAST(GREATEST(n_rows, 1) AS DOUBLE), 6) AS skew"
-    )
+    skew = quant6_sql("max_bucket * n_bkts / CAST(GREATEST(n_rows, 1) AS DOUBLE)")
+    sel = f"max_bucket,\n           {skew} AS skew"
     return ctes, sel

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from temporalvault_spark.constants import quant6
 from temporalvault_spark.operators.similarity import (
     _dot,
     _norm,
@@ -266,8 +267,12 @@ def centroid_index_occupancy(
         "rows": int(row["rows"]),
         "max_cluster": int(row["max_cluster"]),
         "n_clusters_used": int(row["n_clusters_used"]),
-        "occupancy": round(row["rows"] / max(k, 1), 6),
-        "skew": round(row["max_cluster"] * max(k, 1) / max(row["rows"], 1), 6),
+        # constants.quant6 (half-up micro-units), NOT Python round(): round()
+        # is banker's and diverges from the oracled frame on exact half-ULP
+        # ties (the round-13 bucket_skew lesson; fixed here in round 14 when
+        # every skew surface moved to the floor form — ADVICE r13 #1)
+        "occupancy": quant6(row["rows"] / max(k, 1)),
+        "skew": quant6(row["max_cluster"] * max(k, 1) / max(row["rows"], 1)),
         "target_k": target_k,
         "grown": target_k > k or n_vecs > growth_factor * n_built,
     }
@@ -446,8 +451,8 @@ def _occ_oracle(where_duck: str) -> str:
            GREATEST({N_CENTROIDS},
                     CAST(CEIL(nv.n_vecs / {EMB_TARGET_CLUSTER}.0) AS BIGINT))
                AS target_k,
-           ROUND(m.n_rows / km.k, 6) AS occupancy,
-           ROUND(m.max_cluster * km.k / m.n_rows, 6) AS skew,
+           FLOOR((m.n_rows / km.k) * 1e6 + 0.5) / 1e6 AS occupancy,
+           FLOOR((m.max_cluster * km.k / m.n_rows) * 1e6 + 0.5) / 1e6 AS skew,
            (GREATEST({N_CENTROIDS},
                      CAST(CEIL(nv.n_vecs / {EMB_TARGET_CLUSTER}.0) AS BIGINT))
                 > km.k)
@@ -463,6 +468,8 @@ def occupancy_report_frame(spark: SparkSession, path: str) -> DataFrame:
     runs in Spark; the persisted _meta rides as literals) — ONE rendering
     shared by q_ivf_index_occupancy and q_ivfpq_index_occupancy, mirroring
     the shared _occ_oracle."""
+    from temporalvault_spark.operators.index_common import quant6_col
+
     k, n_built = _read_ivf_meta(spark, path)
     per = (
         spark.read.parquet(path)
@@ -489,9 +496,12 @@ def occupancy_report_frame(spark: SparkSession, path: str) -> DataFrame:
             F.lit(n_built).cast("bigint").alias("n_built"),
             target_k.alias("target_k"),
         )
-        .withColumn("occupancy", F.round(F.col("n_rows") / F.lit(k), 6))
+        # quant6_col, not F.round: the floor form is bit-exact vs the oracle's
+        # FLOOR(x*1e6+0.5)/1e6 and vs the dict probe's constants.quant6
+        # (round-13 ADVICE #1 — ROUND left a 7th-decimal tie surface)
+        .withColumn("occupancy", quant6_col(F.col("n_rows") / F.lit(k)))
         .withColumn(
-            "skew", F.round(F.col("max_cluster") * F.lit(k) / F.col("n_rows"), 6)
+            "skew", quant6_col(F.col("max_cluster") * F.lit(k) / F.col("n_rows"))
         )
         .withColumn(
             "grown",

@@ -1522,6 +1522,54 @@ def decode_pixels_rgb(
     return pillow_decode_rgb(payload, strict=False)
 
 
+def assert_homogeneous_pillow_fleet(spark, n_probes: int = 64) -> bool:
+    """Driver-side fail-fast for ``prefer_adapter=True`` (round-13 ADVICE
+    #2): decode_pixels_rgb's prefer mode assumes Pillow on ALL executors or
+    NONE — on a mixed fleet a damaged payload's quarantine verdict rides
+    task placement, and a foreachBatch replay rescheduled onto a different
+    node could disagree with the original attempt (the nondeterminism the
+    gates' exactly-once design forbids). Rather than documenting the
+    requirement and hoping, probe it: run ``_pillow_available`` in
+    ``n_probes`` single-row tasks (one tiny mapPartitions job — the probe
+    partitions spread across the executor fleet under round-robin locality;
+    in local mode every task shares one interpreter, so the probe is
+    trivially uniform) and
+
+    - all True  -> return True (adapter active fleet-wide),
+    - all False -> return False (prefer mode is a uniform no-op — legal),
+    - mixed     -> raise ValueError naming the split.
+
+    Best-effort by construction, not a proof: ``n_probes`` tasks cannot
+    visit executors that dynamic allocation adds mid-stream, so the gates
+    run it ONCE at gate start (the advice's shape) and the worker-image
+    contract remains the real guarantee. Cost: one ~n_probes-task job of
+    cached-import checks — microseconds per task, once per gate."""
+    flags = (
+        spark.range(n_probes)
+        .repartition(n_probes)
+        .rdd.mapPartitions(lambda _: [_pillow_available()])
+        .collect()
+    )
+    return _fleet_verdict(flags)
+
+
+def _fleet_verdict(flags: list) -> bool:
+    """The guard's decision, separated from the probe job so the MIXED
+    branch is unit-testable (local mode can only ever produce a uniform
+    fleet — every probe task shares this interpreter's site-packages)."""
+    seen = set(flags)
+    if len(seen) > 1:
+        n_yes = sum(flags)
+        raise ValueError(
+            f"prefer_adapter=True on a MIXED fleet: Pillow importable in "
+            f"{n_yes}/{len(flags)} probe tasks — quarantine verdicts for "
+            f"damaged payloads would depend on task placement across "
+            f"replays. Install Pillow in every worker image (or none) and "
+            f"restart the gate, or run with prefer_adapter=False."
+        )
+    return bool(seen.pop()) if seen else False
+
+
 def _real_decode(payload: bytes, kind: str) -> dict:
     """Tier-3 kernel: real decode. Stdlib sub-tier first (header-native
     image dims, wave-module WAV — always available), then the library

@@ -539,6 +539,34 @@ def _dedup_gate_run(
     return writer.start()
 
 
+def _run_concurrent(thunks):
+    """Run independent Spark ACTIONS as concurrent jobs (round-13 verdict
+    task 2): the joint multimodal gate's four decode+checkpoint jobs and
+    its five tail writes (accepted corpus + four index appends) are
+    independent of each other, but as sequential driver-side calls each
+    paid the full job-scheduling round trip — ~4× a single gate's fixed
+    overhead per batch. Submitting them from threads lets the scheduler
+    run them in the same wall window (the standard local[32]/cluster
+    pattern; Spark's scheduler is thread-safe, and every write below uses
+    per-writer dynamic-partition-overwrite options, never session confs,
+    so there is no cross-thread conf race).
+
+    Error contract: the first failure re-raises HERE — so the foreachBatch
+    body still fails BEFORE the batch marker commits, and the replay
+    rewrites every partially-written ingest partition (each sink is
+    idempotent under replay by the gates' dynamic-overwrite contract).
+    Sibling thunks that already started still run to completion
+    (ThreadPoolExecutor shutdown semantics) — acceptable: their writes are
+    the same idempotent partitions the replay will rewrite."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _accepted_overwrite(frame: DataFrame, batch_id: int, accepted_path: str) -> None:
     """Idempotent accepted-corpus append: a replayed batch REWRITES its own
     ingest_batch partition instead of double-appending."""
@@ -807,6 +835,16 @@ def image_dedup_ingest_stream(
 
     thr = PHASH_THRESHOLD if threshold is None else threshold
 
+    if prefer_adapter:
+        # fail fast at gate START on a mixed fleet (round-13 ADVICE #2):
+        # prefer mode's damaged-payload quarantine verdict must not ride
+        # task placement across replays; one tiny probe job, once per gate
+        from temporalvault_spark.operators.multimodal import (
+            assert_homogeneous_pillow_fleet,
+        )
+
+        assert_homogeneous_pillow_fleet(img_stream.sparkSession)
+
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         # ONE decode pass; errors='quarantine' so a corrupt payload cannot
@@ -814,8 +852,9 @@ def image_dedup_ingest_stream(
         # prefer_adapter routes PNG/BMP to the C-backed decoder where the
         # worker has Pillow — verdict-identical on clean payloads by the
         # adapter contract; REQUIRES a homogeneous fleet (Pillow on all
-        # executors or none), else a damaged payload's quarantine verdict
-        # rides task placement across replays (decode_pixels_rgb's note)
+        # executors or none, probed above), else a damaged payload's
+        # quarantine verdict rides task placement across replays
+        # (decode_pixels_rgb's note)
         all_h = ahash_frame(
             batch, errors="quarantine", prefer_adapter=prefer_adapter
         ).localCheckpoint(eager=True)
@@ -1127,6 +1166,15 @@ def multimodal_dedup_ingest_stream(
     thr_vid = VFP_THRESHOLD if video_threshold is None else video_threshold
     mf_vid = VID_MATCH_MIN if video_min_frames is None else video_min_frames
 
+    if prefer_adapter:
+        # gate-start mixed-fleet fail-fast — the image gate's guard
+        # (round-13 ADVICE #2); see assert_homogeneous_pillow_fleet
+        from temporalvault_spark.operators.multimodal import (
+            assert_homogeneous_pillow_fleet,
+        )
+
+        assert_homogeneous_pillow_fleet(doc_stream.sparkSession)
+
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         if quality_gate:
@@ -1154,9 +1202,6 @@ def multimodal_dedup_ingest_stream(
             )
         # one decode pass per modality, NULL payloads excluded up front
         docs = batch.filter(F.col("text").isNotNull()).select("doc_id", "text")
-        # ONE shingle+md5 pass shared by probe, local pairs, and build
-        # (the md5 pass is the text path's dominant CPU cost)
-        sigs = shingle_signatures(docs).localCheckpoint(eager=True)
         imgs = batch.filter(F.col("image").isNotNull()).select(
             F.col("doc_id").alias("img_id"), "image"
         )
@@ -1169,14 +1214,28 @@ def multimodal_dedup_ingest_stream(
         # errors='quarantine' on every binary decode (the single-modality
         # gates' contract): a document with ANY corrupt payload is routed to
         # the quarantine sink — neither survivor nor index row — instead of
-        # wedging the stream in an infinite batch-replay loop
+        # wedging the stream in an infinite batch-replay loop.
         # prefer_adapter: the image gate's homogeneous-fleet contract
-        # applies here too (decode_pixels_rgb's note)
-        img_all = ahash_frame(
-            imgs, errors="quarantine", prefer_adapter=prefer_adapter
-        ).localCheckpoint(eager=True)
-        aud_all = afp_frame(auds, errors="quarantine").localCheckpoint(eager=True)
-        vid_all = vfp_frame(vids, errors="quarantine").localCheckpoint(eager=True)
+        # applies here too (decode_pixels_rgb's note; probed at gate start).
+        # The four decode+checkpoint jobs are independent until the
+        # quarantine union — run them CONCURRENTLY (round-13 verdict task
+        # 2: sequential, they were the joint gate's ~4× fixed overhead vs
+        # a single gate). sigs is the ONE shingle+md5 pass shared by
+        # probe, local pairs, and build (the text path's dominant CPU).
+        sigs, img_all, aud_all, vid_all = _run_concurrent(
+            [
+                lambda: shingle_signatures(docs).localCheckpoint(eager=True),
+                lambda: ahash_frame(
+                    imgs, errors="quarantine", prefer_adapter=prefer_adapter
+                ).localCheckpoint(eager=True),
+                lambda: afp_frame(auds, errors="quarantine").localCheckpoint(
+                    eager=True
+                ),
+                lambda: vfp_frame(vids, errors="quarantine").localCheckpoint(
+                    eager=True
+                ),
+            ]
+        )
         quarantined = (
             img_all.filter(F.col("hash64").isNull())
             .select(F.col("img_id").alias("doc_id"))
@@ -1291,37 +1350,55 @@ def multimodal_dedup_ingest_stream(
             .join(rej, "doc_id", "left_anti")
             .join(quarantined, "doc_id", "left_anti")
         ).localCheckpoint(eager=True)
-        _accepted_overwrite(
-            batch.join(surv_ids, "doc_id", "semi"), batch_id, accepted_path
-        )
-        build_minhash_index(
-            docs.join(surv_ids, "doc_id", "semi"),
-            index_paths["text"],
-            append=ready["text"],
-            signatures=sigs.join(surv_ids, "doc_id", "semi"),
-            ingest_id=batch_id,
-        )
-        build_phash_index(
-            img_h.join(surv_ids, img_h["img_id"] == surv_ids["doc_id"], "semi"),
-            index_paths["image"],
-            append=ready["image"],
-            ingest_id=batch_id,
-        )
-        build_afp_index(
-            aud_h.join(surv_ids, aud_h["aud_id"] == surv_ids["doc_id"], "semi"),
-            index_paths["audio"],
-            append=ready["audio"],
-            ingest_id=batch_id,
-        )
-        build_vfp_index(
-            _as_fid(
-                vid_h.join(
-                    surv_ids, vid_h["vid_id"] == surv_ids["doc_id"], "semi"
-                )
-            ),
-            index_paths["video"],
-            append=ready["video"],
-            ingest_id=batch_id,
+        # the five tail sinks — accepted corpus + four index appends — are
+        # independent writes to five distinct paths, every one idempotent
+        # under replay (dynamic overwrite of this batch's own ingest
+        # partitions): run them as concurrent jobs too (verdict task 2);
+        # _run_concurrent re-raises the first failure, so a failed write
+        # still fails the batch before its marker commits
+        _run_concurrent(
+            [
+                lambda: _accepted_overwrite(
+                    batch.join(surv_ids, "doc_id", "semi"),
+                    batch_id,
+                    accepted_path,
+                ),
+                lambda: build_minhash_index(
+                    docs.join(surv_ids, "doc_id", "semi"),
+                    index_paths["text"],
+                    append=ready["text"],
+                    signatures=sigs.join(surv_ids, "doc_id", "semi"),
+                    ingest_id=batch_id,
+                ),
+                lambda: build_phash_index(
+                    img_h.join(
+                        surv_ids, img_h["img_id"] == surv_ids["doc_id"], "semi"
+                    ),
+                    index_paths["image"],
+                    append=ready["image"],
+                    ingest_id=batch_id,
+                ),
+                lambda: build_afp_index(
+                    aud_h.join(
+                        surv_ids, aud_h["aud_id"] == surv_ids["doc_id"], "semi"
+                    ),
+                    index_paths["audio"],
+                    append=ready["audio"],
+                    ingest_id=batch_id,
+                ),
+                lambda: build_vfp_index(
+                    _as_fid(
+                        vid_h.join(
+                            surv_ids,
+                            vid_h["vid_id"] == surv_ids["doc_id"],
+                            "semi",
+                        )
+                    ),
+                    index_paths["video"],
+                    append=ready["video"],
+                    ingest_id=batch_id,
+                ),
+            ]
         )
 
     return _dedup_gate_run(

@@ -115,3 +115,30 @@ def test_image_gate_verdicts_identical_under_both_orders(
         results.append((accepted, index_rows))
     assert results[0] == results[1]
     assert results[0][0] == [0, 1, 101]  # 100 cross-rejected both ways
+
+
+# --- round-14: the mixed-fleet fail-fast (round-13 ADVICE #2) -----------------
+
+
+def test_fleet_verdict_mixed_raises():
+    """A mixed probe result must fail loudly — quarantine verdicts for
+    damaged payloads would otherwise ride task placement across replays."""
+    import pytest
+
+    with pytest.raises(ValueError, match="MIXED fleet"):
+        mm._fleet_verdict([True, False, True])
+
+
+def test_fleet_verdict_uniform():
+    assert mm._fleet_verdict([True] * 4) is True
+    assert mm._fleet_verdict([False] * 4) is False
+    assert mm._fleet_verdict([]) is False  # no probes -> treat as adapter-less
+
+
+def test_fleet_probe_matches_driver_availability(spark):
+    """In local mode every probe task shares this interpreter, so the
+    cluster probe must agree with the driver-side availability check —
+    and the guard must not throw on a (necessarily uniform) local fleet."""
+    assert mm.assert_homogeneous_pillow_fleet(spark, n_probes=8) is bool(
+        mm._pillow_available()
+    )
