@@ -240,7 +240,21 @@ HEADLINE = [
     # decontaminate -> token budget, one value-hash)
     "corpus_mix_resample_dsir",
     "corpus_curate_end_to_end",
+    # round 14: the learned quality stage (hashed-gram NB log-odds, the
+    # fastText-supervised shape — train + score in one corpus pass) and
+    # the embedding tier of the decontamination story (IVF-blocked cosine
+    # vs a broadcast benchmark suite)
+    "quality_classifier_score",
+    "decontaminate_semantic",
 ]
+
+# Occupancy probes whose SKEW column should surface in the bench ledger
+# (round-13 verdict task 6): hot-bucket/hot-cluster drift is a corpus
+# property the recurring probes measure — recording the VALUE next to the
+# probe's seconds makes round-over-round drift visible in BENCH_r{N}.json
+# without digging through SCALE.md. One bounded first() per probe (1-row
+# frames), outside the timed region.
+SKEW_PROBES = tuple(n for n in HEADLINE if n.endswith("_index_occupancy"))
 
 
 def main() -> None:
@@ -268,6 +282,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    index_skew: dict[str, dict] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES.get(name)
@@ -288,6 +303,17 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
             total += best
+            if name in SKEW_PROBES:
+                # surface the probe's skew VALUE next to its seconds
+                # (round-13 verdict task 6) — 1-row frame, untimed
+                r = fn(spark, sf_dir).first()
+                if r is not None and "skew" in r.__fields__:
+                    index_skew[name] = {
+                        "skew": r["skew"],
+                        "max": r["max_bucket"]
+                        if "max_bucket" in r.__fields__
+                        else r["max_cluster"],
+                    }
         except Exception as exc:  # noqa: BLE001 — report, don't crash
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         # Drop this query's Python-side DataFrame/RDD refs so Spark's
@@ -306,6 +332,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if index_skew:
+        out["index_skew"] = index_skew
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
@@ -324,6 +352,10 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
     }
+    if index_skew:
+        # 7 small entries — fits the driver's capture window, and puts the
+        # skew drift signal in the OFFICIAL per-round artifact
+        summary["index_skew"] = index_skew
     print(json.dumps(summary))
     spark.stop()
     if not timings:

@@ -674,6 +674,144 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_quantize_int8(_emb(spark, sf_dir, strict=False))
 
 
+# --- semantic decontamination (round-13 verdict task 5) -----------------------
+#
+# The embedding-space tier of the decontamination story: exact 13-gram
+# (llm.decontaminate_ngram_overlap) catches verbatim leaks, the Bloom sketch
+# (llm.bloom_decontaminate) makes that cheap at scale, and THIS catches what
+# both structurally miss — paraphrased benchmark items whose wording shares
+# no 13-gram with the eval suite but whose embedding sits next to it. The
+# registered scenario mirrors the n-gram operator's convention: vec_id <
+# SEMDECON_BENCH_VECS stands in for the benchmark suite, everything else is
+# the training corpus. The threshold is a scenario parameter picked to
+# exercise BOTH flag branches on the synthetic md5-derived embeddings
+# (cross-vector cosines concentrate near 0 there, so a production-style
+# 0.9 would flag nothing at any sf — the pii_scan vacuous-oracle trap); a
+# deployment with real sentence embeddings runs ~0.85-0.95.
+
+SEMDECON_BENCH_VECS = 50
+SEMDECON_THRESHOLD = 0.35
+
+
+def semantic_contamination(
+    corpus_e: DataFrame,
+    bench_e: DataFrame,
+    centroids: DataFrame,
+    threshold: float = SEMDECON_THRESHOLD,
+    nprobe: int = N_PROBE_CLUSTERS,
+) -> DataFrame:
+    """Flag corpus vectors whose cosine vs ANY benchmark vector reaches
+    ``threshold`` — IVF-blocked exactly like knn_join_ivf: the corpus side
+    gets the shuffle-free broadcast-argmax assignment (vectors never
+    exchange), the small benchmark side probes its ``nprobe`` nearest
+    clusters and BROADCASTS, so scoring is an equi-join on centroid_id
+    touching ~nprobe/C of the corpus per benchmark item. Returns EVERY
+    corpus row: (vec_id, max_cos [-1.0 when no benchmark candidate shares
+    a probed cluster], n_bench_hits, contaminated) — the all-rows shape
+    keeps the oracle row count data-independent while the flag column
+    still exercises both branches. Recall is cluster-local by contract
+    (the standard IVF trade, tuned via nprobe); at 100 TB the corpus
+    assignment is the persisted centroid-partitioned ivf_index, making
+    each benchmark suite a partition-pruned scan."""
+    from pyspark.sql import Window
+
+    assign = assign_to_centroids(corpus_e, centroids).withColumn(
+        "na", _norm(F.col("e"))
+    )
+    b = bench_e.select(
+        F.col("vec_id").alias("bench_id"), F.col("e").alias("b")
+    ).withColumn("bn", _norm(F.col("b")))
+    w_pc = Window.partitionBy("bench_id").orderBy(F.desc("psim"), F.asc("centroid_id"))
+    bc = (
+        b.crossJoin(F.broadcast(centroids))
+        .withColumn("psim", _dot(F.col("b"), F.col("ce")) / _norm(F.col("ce")))
+        .withColumn("crank", F.row_number().over(w_pc))
+        .filter(F.col("crank") <= nprobe)
+        .select("bench_id", "b", "bn", "centroid_id")
+    )
+    cos = _dot(F.col("e"), F.col("b")) / (F.col("na") * F.col("bn"))
+    # one row per (corpus, bench-probe) candidate: the corpus vector sits in
+    # exactly ONE cluster, so no (corpus, bench) pair can double-count
+    cand = assign.join(F.broadcast(bc), "centroid_id").select(
+        "vec_id", cos.alias("cos")
+    )
+    hits = cand.groupBy("vec_id").agg(
+        F.max("cos").alias("mc"),
+        F.count(F.when(F.col("cos") >= F.lit(threshold), 1))
+        .cast("bigint")
+        .alias("nh"),
+    )
+    return (
+        corpus_e.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.round("mc", 6), F.lit(-1.0)).alias("max_cos"),
+            F.coalesce(F.col("nh"), F.lit(0).cast("bigint")).alias("n_bench_hits"),
+            F.coalesce(F.col("mc") >= F.lit(threshold), F.lit(False)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+@query(
+    "decontaminate_semantic",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
+        c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {N_CENTROIDS}),
+        corpus AS (SELECT vec_id, e FROM e WHERE vec_id >= {SEMDECON_BENCH_VECS}),
+        bench AS (SELECT vec_id AS bench_id, e AS b FROM e WHERE vec_id < {SEMDECON_BENCH_VECS}),
+        assign AS (
+            SELECT vec_id, e, centroid_id FROM (
+                SELECT a.vec_id, a.e, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                          ORDER BY list_dot_product(a.e, c.ce)
+                                                   / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                                          c.centroid_id) AS rn
+                FROM corpus a CROSS JOIN c) x
+            WHERE rn = 1),
+        bc AS (
+            SELECT bench_id, b, centroid_id FROM (
+                SELECT p.bench_id, p.b, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY p.bench_id
+                                          ORDER BY list_dot_product(p.b, c.ce)
+                                                   / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                                          c.centroid_id) AS crank
+                FROM bench p CROSS JOIN c) x
+            WHERE crank <= {N_PROBE_CLUSTERS}),
+        cand AS (
+            SELECT a.vec_id,
+                   list_dot_product(a.e, bc.b)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(bc.b, bc.b))) AS cos
+            FROM assign a JOIN bc ON a.centroid_id = bc.centroid_id),
+        hits AS (
+            SELECT vec_id, MAX(cos) AS mc,
+                   CAST(COUNT(CASE WHEN cos >= {SEMDECON_THRESHOLD} THEN 1 END)
+                        AS BIGINT) AS nh
+            FROM cand GROUP BY vec_id)
+    SELECT cp.vec_id,
+           COALESCE(ROUND(h.mc, 6), -1.0) AS max_cos,
+           COALESCE(h.nh, CAST(0 AS BIGINT)) AS n_bench_hits,
+           COALESCE(h.mc >= {SEMDECON_THRESHOLD}, false) AS contaminated
+    FROM corpus cp LEFT JOIN hits h ON cp.vec_id = h.vec_id""",
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination over the embeddings table: flag training
+    vectors (vec_id >= {SEMDECON_BENCH_VECS}) whose IVF-blocked cosine vs
+    any benchmark vector (vec_id < {SEMDECON_BENCH_VECS}) reaches
+    {SEMDECON_THRESHOLD}. The oracle replays the whole chain — strict
+    filter, fixed-centroid assignment, benchmark nprobe clusters, candidate
+    cosines (bit-identical sequential folds, the sim_topk contract), the
+    per-doc max/hit-count, and the all-rows left join."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    corpus = e.filter(F.col("vec_id") >= SEMDECON_BENCH_VECS)
+    bench = e.filter(F.col("vec_id") < SEMDECON_BENCH_VECS)
+    return semantic_contamination(corpus, bench, centroid_frame(e))
+
+
 EMB_DUP_THRESHOLD = 0.45
 
 # Pair-join blocking target: the cluster count must SCALE WITH THE CORPUS,

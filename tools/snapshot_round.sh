@@ -84,6 +84,10 @@ out = {
     "queries": q,
     "latest": new["queries"],
 }
+if new.get("index_skew"):
+    # the skew drift signal rides the fresh run verbatim (round-13 verdict
+    # task 6) — a value, not a timing, so no best-of merging applies
+    out["index_skew"] = new["index_skew"]
 if new.get("errors"):
     out["errors_latest"] = new["errors"]
 pruned = sorted(set(old_best) - set(q))
