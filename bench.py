@@ -303,19 +303,27 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
             total += best
-            if name in SKEW_PROBES:
-                # surface the probe's skew VALUE next to its seconds
-                # (round-13 verdict task 6) — 1-row frame, untimed
-                r = fn(spark, sf_dir).first()
-                if r is not None and "skew" in r.__fields__:
-                    index_skew[name] = {
-                        "skew": r["skew"],
-                        "max": r["max_bucket"]
-                        if "max_bucket" in r.__fields__
-                        else r["max_cluster"],
-                    }
         except Exception as exc:  # noqa: BLE001 — report, don't crash
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        else:
+            if name in SKEW_PROBES:
+                # surface the probe's skew VALUE next to its seconds
+                # (round-13 verdict task 6) — 1-row frame, untimed. Its OWN
+                # try: a hiccup here must not mark the already-green timing
+                # as an error (review finding)
+                try:
+                    # reuse the timing loop's df — same plan, no second
+                    # staging/construction pass (review finding)
+                    r = df.first()
+                    if r is not None and "skew" in r.__fields__:
+                        index_skew[name] = {
+                            "skew": r["skew"],
+                            "max": r["max_bucket"]
+                            if "max_bucket" in r.__fields__
+                            else r["max_cluster"],
+                        }
+                except Exception as exc:  # noqa: BLE001 — diagnostic only
+                    index_skew[name] = {"err": f"{type(exc).__name__}: {exc}"[:120]}
         # Drop this query's Python-side DataFrame/RDD refs so Spark's
         # ContextCleaner can release localCheckpoint blocks before the next
         # query runs. Without this, checkpoint blocks from the dedup
@@ -352,10 +360,13 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
     }
-    if index_skew:
-        # 7 small entries — fits the driver's capture window, and puts the
-        # skew drift signal in the OFFICIAL per-round artifact
-        summary["index_skew"] = index_skew
+    skew_ok = {k: v for k, v in index_skew.items() if "err" not in v}
+    if skew_ok:
+        # 7 small entries — fits the driver's ~2000-char capture window, and
+        # puts the skew drift signal in the OFFICIAL per-round artifact.
+        # err entries stay in the FULL line only: inlining failure strings
+        # here could blow the capture window (the round-3 null-parse class)
+        summary["index_skew"] = skew_ok
     print(json.dumps(summary))
     spark.stop()
     if not timings:

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from temporalvault_spark.constants import quant6
 from temporalvault_spark.operators.index_common import (
     assert_ingest_layout,
     atomic_swap_rebuild,
@@ -237,7 +238,9 @@ class Band64Index:
             "n_built": n_built,
             self.n_key: row["n"],
             "rows": row["rows"],
-            "occupancy": round(row["rows"] / max(row["n_bkts"], 1), 3),
+            # quant6, not Python round(): banker's at 3 decimals was the idiom
+            # round-13/14 reviewed out of every other skew/occupancy surface
+            "occupancy": quant6(row["rows"] / max(row["n_bkts"], 1)),
             "max_bucket": mx,
             "skew": skew,
             "target_bkt_chars": target,

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.operators.index_common import quant6_sql
 from temporalvault_spark.registry import query
 
 CHUNK_TOKENS = 32
@@ -1747,9 +1748,8 @@ def quality_classifier_score(docs: DataFrame, weights: list[float]) -> DataFrame
                        CAST(SUM(neg) AS BIGINT) AS negt FROM qc_counts),
     qc_w AS (
         SELECT s.bkt,
-               FLOOR(ln(CAST((COALESCE(c.pos, 0) + 1) * (t.negt + {QC_BUCKETS}) AS DOUBLE)
-                        / CAST((t.post + {QC_BUCKETS}) * (COALESCE(c.neg, 0) + 1) AS DOUBLE)) * 1e6
-                     + 0.5) / 1e6 AS w
+               {quant6_sql(f'''ln(CAST((COALESCE(c.pos, 0) + 1) * (t.negt + {QC_BUCKETS}) AS DOUBLE)
+                        / CAST((t.post + {QC_BUCKETS}) * (COALESCE(c.neg, 0) + 1) AS DOUBLE))''')} AS w
         FROM (SELECT unnest(range(0, {QC_BUCKETS})) AS bkt) s
         LEFT JOIN qc_counts c ON s.bkt = c.bkt
         CROSS JOIN qc_tots t),
@@ -1759,7 +1759,7 @@ def quality_classifier_score(docs: DataFrame, weights: list[float]) -> DataFrame
         FROM qc_b b JOIN qc_w w ON b.bkt = w.bkt
         GROUP BY b.doc_id)
     SELECT s.doc_id, d.source, s.n_grams,
-           FLOOR((s.s / s.n_grams) * 1e6 + 0.5) / 1e6 AS score
+           {quant6_sql("s.s / s.n_grams")} AS score
     FROM qc_s s JOIN documents d ON s.doc_id = d.doc_id""",
 )
 def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:

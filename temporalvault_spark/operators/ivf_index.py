@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.constants import quant6
+from temporalvault_spark.operators.index_common import quant6_sql
 from temporalvault_spark.operators.similarity import (
     _dot,
     _norm,
@@ -451,8 +452,8 @@ def _occ_oracle(where_duck: str) -> str:
            GREATEST({N_CENTROIDS},
                     CAST(CEIL(nv.n_vecs / {EMB_TARGET_CLUSTER}.0) AS BIGINT))
                AS target_k,
-           FLOOR((m.n_rows / km.k) * 1e6 + 0.5) / 1e6 AS occupancy,
-           FLOOR((m.max_cluster * km.k / m.n_rows) * 1e6 + 0.5) / 1e6 AS skew,
+           {quant6_sql("m.n_rows / km.k")} AS occupancy,
+           {quant6_sql("m.max_cluster * km.k / m.n_rows")} AS skew,
            (GREATEST({N_CENTROIDS},
                      CAST(CEIL(nv.n_vecs / {EMB_TARGET_CLUSTER}.0) AS BIGINT))
                 > km.k)

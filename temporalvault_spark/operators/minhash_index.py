@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.constants import quant6
 from temporalvault_spark.operators.index_common import (
     assert_ingest_layout,
     atomic_swap_rebuild,
@@ -367,7 +368,9 @@ def minhash_index_occupancy(
         "n_built": n_built,
         "n_docs": n_docs,
         "rows": row["rows"],
-        "occupancy": round(row["rows"] / max(row["n_bkts"], 1), 3),
+        # quant6, not Python round(): banker's at 3 decimals was the idiom
+        # round-13/14 reviewed out of every other skew/occupancy surface
+        "occupancy": quant6(row["rows"] / max(row["n_bkts"], 1)),
         "max_bucket": mx,
         "skew": skew,
         "target_bkt_chars": target,

@@ -63,6 +63,7 @@ from temporalvault_spark.operators.rp_lsh import (
     rp_corpus_stats,
     rp_signatures,
 )
+from temporalvault_spark.constants import quant6
 from temporalvault_spark.operators.index_common import (
     assert_ingest_layout,
     atomic_swap_rebuild,
@@ -328,7 +329,9 @@ def rp_index_occupancy(
         "n_built": n_built,
         "n_vecs": n_vecs,
         "rows": row["rows"],
-        "occupancy": round(row["rows"] / max(row["n_bkts"], 1), 3),
+        # quant6, not Python round(): banker's at 3 decimals was the idiom
+        # round-13/14 reviewed out of every other skew/occupancy surface
+        "occupancy": quant6(row["rows"] / max(row["n_bkts"], 1)),
         "max_bucket": mx,
         "skew": skew,
         "target_bits": target_bits,

@@ -40,8 +40,8 @@ def _uniq(i):
 
 def _check_identity(rep):
     """skew = max_bucket / (rows / n_bkts) — i.e. max_bucket / occupancy,
-    up to the fields' independent rounding (occupancy at 3 decimals, skew
-    at 6 — the repo's oracle-float rule)."""
+    up to the fields' independent rounding (both quant6 micro-units since
+    round 14 — half-up FLOOR at 6 decimals, the one cross-engine idiom)."""
     assert abs(rep["skew"] - rep["max_bucket"] / rep["occupancy"]) < 0.01
 
 

@@ -16,6 +16,9 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__.strip())
+        return 2
     sf_dir = sys.argv[1]
     pats = sys.argv[2:]
 
