@@ -246,6 +246,9 @@ HEADLINE = [
     # vs a broadcast benchmark suite)
     "quality_classifier_score",
     "decontaminate_semantic",
+    # round 14: the production shape — one partition-pruned scan of the
+    # persisted IVF index per benchmark suite
+    "decontaminate_semantic_indexed",
 ]
 
 # Occupancy probes whose SKEW column should surface in the bench ledger

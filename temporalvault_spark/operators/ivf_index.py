@@ -625,3 +625,115 @@ def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.col("centroid_id").cast("long").alias("centroid_id"),
         "cosine",
     )
+
+
+# --- semantic decontamination over the PERSISTED index (round 14) -------------
+# The production shape of similarity.decontaminate_semantic: at 100 TB the
+# corpus assignment is not recomputed per benchmark suite — it IS the staged
+# centroid-partitioned index, so each suite becomes one partition-pruned
+# scan (the ivf_search idiom: rank centroids driver-side from the
+# _centroids sidecar, prune to the union of probed clusters, score inside).
+# Output is the FLAGGED set only (vec_id, max_cos, n_bench_hits) — the
+# registered threshold yields nonzero rows at every sf (no vacuous-oracle
+# trap; the all-rows diagnostic shape lives in decontaminate_semantic).
+
+from temporalvault_spark.operators.similarity import (
+    SEMDECON_BENCH_VECS,
+    SEMDECON_THRESHOLD,
+)
+
+_SEMDECON_IDX_ORACLE = f"""WITH eall AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
+    e AS (SELECT * FROM eall WHERE {IVF_BASE_DUCK}),
+    {_ivf_assign_duck("e")},
+    bench AS (SELECT vec_id AS bench_id, e AS b FROM eall
+              WHERE vec_id < {SEMDECON_BENCH_VECS}),
+    pc AS (
+        SELECT bench_id, b, centroid_id FROM (
+            SELECT p.bench_id, p.b, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.bench_id
+                                      ORDER BY list_dot_product(p.b, c.ce)
+                                               / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                                      c.centroid_id) AS crank
+            FROM bench p CROSS JOIN c) x
+        WHERE crank <= {IVF_PROBE_NPROBE}),
+    cand AS (
+        SELECT a.vec_id,
+               list_dot_product(ev.e, pc.b)
+               / (sqrt(list_dot_product(ev.e, ev.e))
+                  * sqrt(list_dot_product(pc.b, pc.b))) AS cos
+        FROM assign a
+        JOIN e ev ON ev.vec_id = a.vec_id
+        JOIN pc ON a.centroid_id = pc.centroid_id
+        WHERE a.vec_id >= {SEMDECON_BENCH_VECS})
+    SELECT vec_id, ROUND(MAX(cos), 6) AS max_cos,
+           CAST(COUNT(CASE WHEN cos >= {SEMDECON_THRESHOLD} THEN 1 END) AS BIGINT)
+               AS n_bench_hits
+    FROM cand GROUP BY vec_id
+    HAVING MAX(cos) >= {SEMDECON_THRESHOLD}"""
+
+
+@query("decontaminate_semantic_indexed", _SEMDECON_IDX_ORACLE)
+def q_decontaminate_semantic_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag staged-index vectors whose cosine vs any benchmark vector
+    reaches {SEMDECON_THRESHOLD}, probing the PERSISTED IVF index: the
+    benchmark suite and the centroid sidecar collect driver-side (both
+    bounded — suites are small by nature, the sidecar is k rows), each
+    benchmark vector ranks its {IVF_PROBE_NPROBE} nearest centroids in the
+    driver (the ivf_search idiom, oracle-proven bit-identical ranking),
+    and ONE scan reads only the union of probed cluster partitions
+    (PartitionFilters — the per-suite cost at 100 TB is |probed|/k of the
+    corpus, not a full pass). Candidates score with the sequential-fold
+    cosine; the oracle replays assignment, per-bench probe ranking, the
+    prune, and the flagged aggregate end-to-end."""
+    from temporalvault_spark.operators.index_common import adopt_swapped
+
+    path = stage_ivf_index(spark, sf_dir)
+    adopt_swapped(path)
+    cents = spark.read.parquet(f"{path}/_centroids").collect()  # bounded: k rows
+    bench_rows = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < SEMDECON_BENCH_VECS)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("b"))
+        .collect()  # bounded: benchmark suites are small (50 here)
+    )
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    probes = []
+    for br in bench_rows:
+        ranked = sorted(
+            cents,
+            key=lambda r: (
+                -dot(r["ce"], br["b"]) / (dot(r["ce"], r["ce"]) ** 0.5),
+                r["centroid_id"],
+            ),
+        )
+        for r in ranked[:IVF_PROBE_NPROBE]:
+            probes.append(
+                (int(br["vec_id"]), [float(x) for x in br["b"]], int(r["centroid_id"]))
+            )
+    pc = spark.createDataFrame(
+        probes, "bench_id bigint, b array<double>, centroid_id bigint"
+    )
+    pruned = sorted({p[2] for p in probes})
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(pruned))  # partition-pruned scan
+        .filter(F.col("vec_id") >= SEMDECON_BENCH_VECS)
+        .select("vec_id", "e", "centroid_id")
+    )
+    cos = _dot(F.col("e"), F.col("b")) / (_norm(F.col("e")) * _norm(F.col("b")))
+    cand = idx.join(F.broadcast(pc), "centroid_id").select("vec_id", cos.alias("cos"))
+    return (
+        cand.groupBy("vec_id")
+        .agg(
+            F.max("cos").alias("mc"),
+            F.count(F.when(F.col("cos") >= F.lit(SEMDECON_THRESHOLD), 1))
+            .cast("bigint")
+            .alias("n_bench_hits"),
+        )
+        .filter(F.col("mc") >= F.lit(SEMDECON_THRESHOLD))
+        .select("vec_id", F.round("mc", 6).alias("max_cos"), "n_bench_hits")
+    )

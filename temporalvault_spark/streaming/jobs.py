@@ -720,9 +720,15 @@ def dedup_ingest_stream(
         )
         survivors = _gate_survivors(batch, "doc_id", local_rej, cross_rej)
         survivors = survivors.localCheckpoint(eager=True)
-        _accepted_overwrite(survivors, batch_id, accepted_path)
-        build_minhash_index(
-            survivors, index_path, append=idx_exists, ingest_id=batch_id
+        # the two tail sinks consume the checkpointed survivors and write
+        # distinct paths — concurrent jobs, the joint gate's round-14 shape
+        _run_concurrent(
+            [
+                lambda: _accepted_overwrite(survivors, batch_id, accepted_path),
+                lambda: build_minhash_index(
+                    survivors, index_path, append=idx_exists, ingest_id=batch_id
+                ),
+            ]
         )
 
     return _dedup_gate_run(
@@ -785,8 +791,15 @@ def embedding_dedup_ingest_stream(
         )
         survivors = _gate_survivors(batch, "vec_id", local_rej, cross_rej)
         survivors = survivors.localCheckpoint(eager=True)
-        _accepted_overwrite(survivors, batch_id, accepted_path)
-        build_rp_index(survivors, index_path, append=idx_exists, ingest_id=batch_id)
+        # concurrent tail sinks (the joint gate's round-14 shape)
+        _run_concurrent(
+            [
+                lambda: _accepted_overwrite(survivors, batch_id, accepted_path),
+                lambda: build_rp_index(
+                    survivors, index_path, append=idx_exists, ingest_id=batch_id
+                ),
+            ]
+        )
 
     return _dedup_gate_run(
         emb_stream, accepted_path, checkpoint, available_now, process
@@ -885,14 +898,19 @@ def image_dedup_ingest_stream(
         surv_ids = _gate_survivors(
             hashes.select("img_id"), "img_id", local_rej, cross_rej
         ).localCheckpoint(eager=True)
-        _accepted_overwrite(
-            batch.join(surv_ids, "img_id", "semi"), batch_id, accepted_path
-        )
-        build_phash_index(
-            hashes.join(surv_ids, "img_id", "semi"),
-            index_path,
-            append=idx_exists,
-            ingest_id=batch_id,
+        # concurrent tail sinks (the joint gate's round-14 shape)
+        _run_concurrent(
+            [
+                lambda: _accepted_overwrite(
+                    batch.join(surv_ids, "img_id", "semi"), batch_id, accepted_path
+                ),
+                lambda: build_phash_index(
+                    hashes.join(surv_ids, "img_id", "semi"),
+                    index_path,
+                    append=idx_exists,
+                    ingest_id=batch_id,
+                ),
+            ]
         )
 
     return _dedup_gate_run(
@@ -966,14 +984,19 @@ def audio_dedup_ingest_stream(
         surv_ids = _gate_survivors(
             hashes.select("aud_id"), "aud_id", local_rej, cross_rej
         ).localCheckpoint(eager=True)
-        _accepted_overwrite(
-            batch.join(surv_ids, "aud_id", "semi"), batch_id, accepted_path
-        )
-        build_afp_index(
-            hashes.join(surv_ids, "aud_id", "semi"),
-            index_path,
-            append=idx_exists,
-            ingest_id=batch_id,
+        # concurrent tail sinks (the joint gate's round-14 shape)
+        _run_concurrent(
+            [
+                lambda: _accepted_overwrite(
+                    batch.join(surv_ids, "aud_id", "semi"), batch_id, accepted_path
+                ),
+                lambda: build_afp_index(
+                    hashes.join(surv_ids, "aud_id", "semi"),
+                    index_path,
+                    append=idx_exists,
+                    ingest_id=batch_id,
+                ),
+            ]
         )
 
     return _dedup_gate_run(
@@ -1056,14 +1079,19 @@ def video_dedup_ingest_stream(
         surv_ids = _gate_survivors(
             fps.select("vid_id").distinct(), "vid_id", local_rej, cross_rej
         ).localCheckpoint(eager=True)
-        _accepted_overwrite(
-            batch.join(surv_ids, "vid_id", "semi"), batch_id, accepted_path
-        )
-        build_vfp_index(
-            _as_fid(fps.join(surv_ids, "vid_id", "semi")),
-            index_path,
-            append=idx_exists,
-            ingest_id=batch_id,
+        # concurrent tail sinks (the joint gate's round-14 shape)
+        _run_concurrent(
+            [
+                lambda: _accepted_overwrite(
+                    batch.join(surv_ids, "vid_id", "semi"), batch_id, accepted_path
+                ),
+                lambda: build_vfp_index(
+                    _as_fid(fps.join(surv_ids, "vid_id", "semi")),
+                    index_path,
+                    append=idx_exists,
+                    ingest_id=batch_id,
+                ),
+            ]
         )
 
     return _dedup_gate_run(

@@ -395,3 +395,22 @@ def test_ivf_rebuild_fires_on_adaptive_k_widening(spark, tmp_path_factory):
     assert out["rebuilt"] is True and out["target_k"] == 17
     k, n_built = _read_ivf_meta(spark, path)
     assert k == 17 and n_built == 6800
+
+
+def test_semantic_decontam_indexed_prunes_partitions(spark, sf_dir):
+    """The indexed semantic-decontamination probe must stay a
+    partition-pruned scan — centroid_id IN (union of the benchmark suite's
+    probed clusters) must reach the FileScan's PartitionFilters, and the
+    flagged set must agree with the oracle-shaped recomputation (the
+    cross-engine value hash covers values; this pins the PLAN)."""
+    from temporalvault_spark.operators.ivf_index import (
+        q_decontaminate_semantic_indexed,
+    )
+
+    res = q_decontaminate_semantic_indexed(spark, sf_dir)
+    plan = executed_plan(res)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1), plan[:800]
+    rows = res.collect()
+    assert rows, "registered threshold must flag a nonzero set at every sf"
+    assert all(r["max_cos"] >= 0.35 and r["n_bench_hits"] >= 1 for r in rows)

@@ -102,6 +102,9 @@ AUDITED = [
     ("ivfpq_index_probe", "compressed-domain probe: ADC distance table computed on the driver from the sidecars and embedded as a LITERAL array; partition-pruned scan of 8-byte codes + fixed-order table fold — zero joins"),
     ("corpus_mix_resample_dsir", "DoReMi mixing loop: one token-fold affinity pass + a 20-row collect; exact-integer quota apportionment driver-side; the draw's E-S ticket key is ROW-LOCAL and the per-source rank filters against a LITERAL max-quota bound first (WindowGroupLimit) then the exact per-source quota"),
     ("corpus_curate_end_to_end", "four chained stages exchanging only slim id frames: gopher keep set (two map-side-combined token aggregates), the staged 4-modality edge union semi-joined to quality survivors + the shared components closure, the broadcast decontamination gram join, and select_to_token_budget's bounded prefix-cut — no raw-corpus pass beyond what the stages already paid"),
+    ("quality_classifier_score", "learned quality stage: training is one map-side-combined per-bucket aggregate (labels joined at DOC level before the gram explode; <= 128-row collect, cached per corpus); scoring is ONE codegen'd fold projection against the literal weight array — the corpus never shuffles to score"),
+    ("decontaminate_semantic", "semantic decontamination: corpus side is the shuffle-free broadcast-argmax assignment projection; the benchmark suite's nprobe clusters broadcast; candidates equi-join on centroid_id (~nprobe/C of the corpus per bench item), then one slim per-vec aggregate + the all-rows left join"),
+    ("decontaminate_semantic_indexed", "the production shape: benchmark suite + centroid sidecar collect driver-side (bounded); PartitionFilters prunes the persisted IVF index to the union of probed cluster directories — per-suite cost is |probed|/k of the corpus, never a full pass"),
 ]
 
 
