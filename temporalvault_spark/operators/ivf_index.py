@@ -120,6 +120,27 @@ def build_ivf_index(emb: DataFrame, path: str, centroids: DataFrame | None = Non
     ).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
+def _rank_centroids(cents: list, vec, nprobe: int) -> list:
+    """THE driver-side centroid ranking (review-pass extraction: ivf_search
+    and the indexed semantic-decontamination probe each had a copy of this
+    float-parity-critical idiom). Sorted by -dot/norm with the centroid_id
+    tie-break — the exact comparison sequence the DuckDB oracles replay
+    (sequential-fold dot products, ** 0.5 == sqrt on the same double), so
+    a change here desynchronizes every consumer at once, loudly, instead
+    of one copy silently. Returns the top ``nprobe`` sidecar rows."""
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    return sorted(
+        cents,
+        key=lambda r: (
+            -dot(r["ce"], vec) / (dot(r["ce"], r["ce"]) ** 0.5),
+            r["centroid_id"],
+        ),
+    )[:nprobe]
+
+
 def ivf_search(
     spark: SparkSession,
     index_path: str,
@@ -146,18 +167,7 @@ def ivf_search(
     # rows, defeating the pruning this layout exists for. Ranked by the
     # centroid's own id (centroid_id in the sidecar), which is tie-safe.
     cents = spark.read.parquet(f"{index_path}/_centroids").collect()
-
-    def dot(a, b):
-        return sum(x * y for x, y in zip(a, b))
-
-    ranked = sorted(
-        cents,
-        key=lambda r: (
-            -dot(r["ce"], probe_vec) / (dot(r["ce"], r["ce"]) ** 0.5),
-            r["centroid_id"],
-        ),
-    )
-    probe_clusters = [r["centroid_id"] for r in ranked[:nprobe]]
+    probe_clusters = [r["centroid_id"] for r in _rank_centroids(cents, probe_vec, nprobe)]
 
     p = F.array(*[F.lit(float(x)) for x in probe_vec])
     cos = _dot(F.col("e"), p) / (_norm(F.col("e")) * _norm(p))
@@ -698,19 +708,9 @@ def q_decontaminate_semantic_indexed(spark: SparkSession, sf_dir: str) -> DataFr
         .collect()  # bounded: benchmark suites are small (50 here)
     )
 
-    def dot(a, b):
-        return sum(x * y for x, y in zip(a, b))
-
     probes = []
     for br in bench_rows:
-        ranked = sorted(
-            cents,
-            key=lambda r: (
-                -dot(r["ce"], br["b"]) / (dot(r["ce"], r["ce"]) ** 0.5),
-                r["centroid_id"],
-            ),
-        )
-        for r in ranked[:IVF_PROBE_NPROBE]:
+        for r in _rank_centroids(cents, br["b"], IVF_PROBE_NPROBE):
             probes.append(
                 (int(br["vec_id"]), [float(x) for x in br["b"]], int(r["centroid_id"]))
             )

@@ -557,13 +557,25 @@ def _run_concurrent(thunks):
     idempotent under replay by the gates' dynamic-overwrite contract).
     Sibling thunks that already started still run to completion
     (ThreadPoolExecutor shutdown semantics) — acceptable: their writes are
-    the same idempotent partitions the replay will rewrite."""
+    the same idempotent partitions the replay will rewrite.
+
+    Thunks are wrapped with pyspark.util.inheritable_thread_target
+    (review-pass finding): under PySpark's default pinned-thread mode a
+    fresh Python thread maps to a fresh JVM thread with EMPTY local
+    properties, so jobs submitted from the pool would escape the streaming
+    query's job group — StreamingQuery.stop() could no longer cancel them,
+    and scheduler-pool assignments would silently drop. The wrapper
+    captures the calling thread's JVM-local properties (job group, pool)
+    and re-applies them inside the worker thread, restoring the sequential
+    form's cancellation semantics."""
     from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
 
     if len(thunks) == 1:
         return [thunks[0]()]
     with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
-        futures = [ex.submit(t) for t in thunks]
+        futures = [ex.submit(inheritable_thread_target(t)) for t in thunks]
         return [f.result() for f in futures]
 
 
