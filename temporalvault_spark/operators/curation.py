@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.concurrency import run_concurrent
 from temporalvault_spark.operators.audio_fp import _AFP_PAIRS_CTES
 from temporalvault_spark.operators.corpus import (
     GOPHER_CTES,
@@ -115,28 +116,45 @@ def q_corpus_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_catalog(spark, sf_dir).table("documents")
     corpus = docs.filter(F.col("doc_id") >= DECONTAM_BENCH_DOCS)
 
-    # stage 1: quality keepers (NULL-metric rows drop with keep != true)
-    keepq = (
-        gopher_quality(corpus)
-        .filter(F.col("keep") == True)  # noqa: E712 — NULL-safe three-valued filter
-        .select("doc_id")
-        .localCheckpoint(eager=True)  # reused by two joins + the anti chain
+    # Stages 1-3 start from three mutually independent materializations —
+    # quality keepers, the raw four-modality edge union, the decontamination
+    # hits — so they run as concurrent jobs (the gates' run_concurrent
+    # machinery; round-14). Sequentially each paid its full job round trip:
+    # 1.5s + 2.2s + 1.1s at sf0.1 vs ~max() concurrent. Scheduling-only
+    # change: identical frames, identical oracle. The semi-join restricting
+    # edges to quality survivors happens AFTER the barrier (it needs keepq),
+    # on the already-materialized slim pair frame.
+    keepq, raw_edges, contaminated = run_concurrent(
+        [
+            # stage 1: quality keepers (NULL-metric rows drop w/ keep != true)
+            lambda: (
+                gopher_quality(corpus)
+                .filter(F.col("keep") == True)  # noqa: E712 — NULL-safe three-valued filter
+                .select("doc_id")
+                .localCheckpoint(eager=True)  # reused by two joins + the anti chain
+            ),
+            # stage 2 feed: the four-modality edge union (slim id pairs off
+            # the staged artifacts; duplicate-bounded by each family's bands)
+            lambda: multimodal_edges(spark, sf_dir).localCheckpoint(eager=True),
+            # stage 3: decontamination (shared hits frame; already >= the
+            # bench cut). Checkpointed: reused only via one anti-join, but
+            # materializing it here overlaps its 13-gram pass with 1 and 2.
+            lambda: decontaminate_hits(spark, sf_dir)
+            .select("doc_id")
+            .localCheckpoint(eager=True),
+        ]
     )
 
     # stage 2: four-modality dedup restricted to quality survivors
-    edges = multimodal_edges(spark, sf_dir)
     kq_a = keepq.select(F.col("doc_id").alias("src"))
     kq_b = keepq.select(F.col("doc_id").alias("dst"))
-    edges = edges.join(F.broadcast(kq_a), "src", "semi").join(
+    edges = raw_edges.join(F.broadcast(kq_a), "src", "semi").join(
         F.broadcast(kq_b), "dst", "semi"
     )
     comps = connected_components(edges)
     drop = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-
-    # stage 3: decontamination (shared hits frame; already >= the bench cut)
-    contaminated = decontaminate_hits(spark, sf_dir).select("doc_id")
 
     surv = (
         keepq.join(drop, "doc_id", "left_anti")
