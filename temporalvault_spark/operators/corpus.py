@@ -949,6 +949,14 @@ def select_to_token_budget(
             _weight_col().alias("w"),
             F.size(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("n_tok"),
         )
+        # Materialize the slim (doc_id, w, n_tok) frame ONCE: the prefix-cut
+        # drives 3-4 actions over it (the sizing agg, the bucket sums, the
+        # edge stats, the final consumption), and without the checkpoint
+        # each re-pays the upstream scan + tokenization + whatever join fed
+        # `docs` (the capstone feeds a survivor semi-join). Three longs per
+        # doc at MEMORY_AND_DISK — ~24 B/doc cluster-wide, fine at any
+        # corpus the budget cut itself can address.
+        .localCheckpoint(eager=True)
     )
     m = base.agg(F.max("doc_id").alias("m")).first()["m"]  # one bounded long
     if m is None:
