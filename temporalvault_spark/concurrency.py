@@ -49,11 +49,22 @@ def run_concurrent(thunks):
     # With the session, the wrapper inherits session TAGS on top of the
     # JVM-local properties (and skips pyspark's "Tags will not be
     # inherited" warning); the bare-callable form still inherits the job
-    # group, so cancellation semantics hold either way.
+    # group, so cancellation semantics hold either way. The session form
+    # is only valid under pinned-thread mode (the default): with
+    # PYSPARK_PIN_THREAD=false, inheritable_thread_target(session) falls
+    # through pyspark's non-pinned branch and returns the SESSION itself
+    # rather than a decorator — calling it on a thunk would raise
+    # "'SparkSession' object is not callable". Non-pinned JVM threads
+    # inherit properties natively, so the bare form (identity there) is
+    # exactly right for that mode.
+    from py4j.clientserver import ClientServer
+    from pyspark import SparkContext
+
     session = SparkSession.getActiveSession()
+    pinned = isinstance(SparkContext._gateway, ClientServer)
     wrap = (
         inheritable_thread_target(session)
-        if session is not None
+        if (pinned and session is not None)
         else inheritable_thread_target
     )
     with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
