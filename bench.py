@@ -249,6 +249,9 @@ HEADLINE = [
     # round 14: the production shape — one partition-pruned scan of the
     # persisted IVF index per benchmark suite
     "decontaminate_semantic_indexed",
+    # round 14: the embedding-side curation capstone (SemDeDup -> semantic
+    # decontamination -> cluster-balanced sample, one value-hash)
+    "embed_curate_end_to_end",
 ]
 
 # Occupancy probes whose SKEW column should surface in the bench ledger

@@ -54,6 +54,18 @@ from temporalvault_spark.operators.llm import (
     decontaminate_hits,
 )
 from temporalvault_spark.operators.phash import _PH_PAIRS_CTES
+from temporalvault_spark.operators.similarity import (
+    CLUSTER_SAMPLE_K,
+    EMB_STRICT_WHERE,
+    SEMDECON_BENCH_VECS,
+    SEMDECON_CTES,
+    SEMDECON_THRESHOLD,
+    SEMDEDUP_CTES,
+    _emb,
+    centroid_frame,
+    semantic_contamination,
+    semdedup_verdicts,
+)
 from temporalvault_spark.operators.videohash import (
     _VFP_PAIRS_CTES,
     multimodal_edges,
@@ -168,4 +180,120 @@ def q_corpus_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("w").cast("long").alias("w"),
         F.col("n_tok").cast("long").alias("n_tok"),
+    )
+
+
+# --- the EMBEDDING-side curation capstone -----------------------------------
+#
+# The vec_id-namespace twin of corpus_curate_end_to_end: SemDeDup ->
+# semantic decontamination -> cluster-balanced sample, composed as ONE
+# oracled query. The text capstone curates the documents table through the
+# token tiers (quality rules, 4-modality near-dup, 13-gram decontam, token
+# budget); this one curates the embeddings table through the semantic
+# tiers that shipped this round — the two stages a 100 TB pipeline runs on
+# its embedding store before training-set assembly:
+#
+#   1. SEMDEDUP (keep = no >= 0.45-cosine smaller-id cluster-mate) — the
+#      exact semdedup query's verdict frame. Benchmark vectors participate
+#      as potential keepers, which is the conservative direction: a
+#      training vector that near-dups an eval vector drops here even
+#      before the decontamination stage sees it.
+#   2. SEMANTIC DECONTAMINATION (drop if IVF-blocked max cosine vs any
+#      benchmark vector >= 0.35) — the exact decontaminate_semantic hits.
+#   3. SAMPLE: CLUSTER_SAMPLE_K deterministic uniform draws per SemDeDup
+#      cluster from the survivors (the corpus_cluster_sample md5-ticket
+#      rule, salt "ecs:") — topic-balanced selection over the deduped,
+#      decontaminated corpus.
+#
+# Stages 1 and 2 are independent (different blocking machinery by design:
+# adaptive-k for the pair join, fixed N_CENTROIDS + nprobe for the bench
+# probe), so their materializations run as concurrent jobs — the same
+# run_concurrent shape as the text capstone above.
+#
+# The DuckDB twin replays stages 1-2 from the SAME shared fragments the
+# per-stage oracles compile (similarity.SEMDEDUP_CTES / SEMDECON_CTES), so
+# every float-parity-critical cosine idiom lives exactly once; the
+# composition adds only set logic and the proven md5 ticket window.
+#
+# Scale shape: the verdict and hit frames are slim (vec_id + flag); the
+# sample window is per-cluster (WindowGroupLimit, bounded by blocking);
+# vectors cross an exchange only inside the two stage pipelines, which are
+# individually banded/blocked (their SCALE.md exponents: semdedup ~linear
+# after the adaptive-k fix, decontamination flat).
+
+_EMB_CURATE_ORACLE = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
+    {SEMDEDUP_CTES},
+    {SEMDECON_CTES},
+    esurv AS (
+        SELECT a.vec_id, a.centroid_id
+        FROM sd_assign a
+        LEFT JOIN sd_dropped d ON a.vec_id = d.vec_id
+        LEFT JOIN sdc_hits h ON a.vec_id = h.vec_id
+        WHERE a.vec_id >= {SEMDECON_BENCH_VECS}
+          AND d.vec_id IS NULL
+          AND NOT COALESCE(h.mc >= {SEMDECON_THRESHOLD}, false)),
+    eranked AS (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY centroid_id
+                   ORDER BY md5('ecs:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM esurv)
+    SELECT r.vec_id, em.label, r.centroid_id AS cluster_id
+    FROM eranked r JOIN embeddings em ON em.vec_id = r.vec_id
+    WHERE r.rn <= {CLUSTER_SAMPLE_K}"""
+
+
+@query("embed_curate_end_to_end", _EMB_CURATE_ORACLE)
+def q_embed_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-side curation pipeline under ONE value-hash (block
+    comment above for the stage list). Returns the cluster-balanced
+    training sample of the deduped, decontaminated embedding corpus:
+    (vec_id, label, cluster_id)."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    corpus = e.filter(F.col("vec_id") >= SEMDECON_BENCH_VECS)
+    bench = e.filter(F.col("vec_id") < SEMDECON_BENCH_VECS)
+
+    # stages 1-2 concurrently: SemDeDup verdicts and the contamination
+    # flags share nothing until the survivor cut (deliberately different
+    # blocking: adaptive-k pair join vs fixed-centroid nprobe probe)
+    verdicts, contam = run_concurrent(
+        [
+            lambda: semdedup_verdicts(emb).localCheckpoint(eager=True),
+            lambda: (
+                semantic_contamination(corpus, bench, centroid_frame(e))
+                .filter(F.col("contaminated"))
+                .select("vec_id")
+                .localCheckpoint(eager=True)
+            ),
+        ]
+    )
+
+    surv = (
+        verdicts.filter(
+            F.col("keep") & (F.col("vec_id") >= SEMDECON_BENCH_VECS)
+        )
+        .join(contam, "vec_id", "left_anti")
+        .select("vec_id", "centroid_id")
+    )
+
+    # stage 3: CLUSTER_SAMPLE_K deterministic draws per SemDeDup cluster
+    # (the corpus_cluster_sample md5-ticket rule, salt "ecs:"); the rank
+    # window is per-cluster — WindowGroupLimit, bounded by the blocking
+    u = F.md5(F.concat(F.lit("ecs:"), F.col("vec_id").cast("string")))
+    sel = (
+        surv.select("vec_id", "centroid_id", u.alias("u"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("centroid_id").orderBy("u", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= CLUSTER_SAMPLE_K)
+    )
+    lab = load_catalog(spark, sf_dir).table("embeddings").select("vec_id", "label")
+    return sel.join(lab, "vec_id").select(
+        "vec_id", "label", F.col("centroid_id").alias("cluster_id")
     )

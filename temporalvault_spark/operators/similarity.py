@@ -755,46 +755,54 @@ def semantic_contamination(
     )
 
 
+# The semantic-decontamination chain as a shared CTE fragment: expects a
+# CTE ``e`` in scope; yields sdc_corpus (training side), sdc_hits
+# (vec_id, mc, nh — per-vector max cosine / hit count vs the benchmark
+# block's nprobe-cluster candidates). The decontaminate_semantic query
+# AND the embedding curation capstone (curation.py) replay THIS text.
+SEMDECON_CTES = f"""sdc_c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {N_CENTROIDS}),
+    sdc_corpus AS (SELECT vec_id, e FROM e WHERE vec_id >= {SEMDECON_BENCH_VECS}),
+    sdc_bench AS (SELECT vec_id AS bench_id, e AS b FROM e WHERE vec_id < {SEMDECON_BENCH_VECS}),
+    sdc_assign AS (
+        SELECT vec_id, e, centroid_id FROM (
+            SELECT a.vec_id, a.e, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY list_dot_product(a.e, c.ce)
+                                               / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                                      c.centroid_id) AS rn
+            FROM sdc_corpus a CROSS JOIN sdc_c c) x
+        WHERE rn = 1),
+    sdc_bc AS (
+        SELECT bench_id, b, centroid_id FROM (
+            SELECT p.bench_id, p.b, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.bench_id
+                                      ORDER BY list_dot_product(p.b, c.ce)
+                                               / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                                      c.centroid_id) AS crank
+            FROM sdc_bench p CROSS JOIN sdc_c c) x
+        WHERE crank <= {N_PROBE_CLUSTERS}),
+    sdc_cand AS (
+        SELECT a.vec_id,
+               list_dot_product(a.e, bc.b)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(bc.b, bc.b))) AS cos
+        FROM sdc_assign a JOIN sdc_bc bc ON a.centroid_id = bc.centroid_id),
+    sdc_hits AS (
+        SELECT vec_id, MAX(cos) AS mc,
+               CAST(COUNT(CASE WHEN cos >= {SEMDECON_THRESHOLD} THEN 1 END)
+                    AS BIGINT) AS nh
+        FROM sdc_cand GROUP BY vec_id)"""
+
+
 @query(
     "decontaminate_semantic",
     f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
-        c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {N_CENTROIDS}),
-        corpus AS (SELECT vec_id, e FROM e WHERE vec_id >= {SEMDECON_BENCH_VECS}),
-        bench AS (SELECT vec_id AS bench_id, e AS b FROM e WHERE vec_id < {SEMDECON_BENCH_VECS}),
-        assign AS (
-            SELECT vec_id, e, centroid_id FROM (
-                SELECT a.vec_id, a.e, c.centroid_id,
-                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                          ORDER BY list_dot_product(a.e, c.ce)
-                                                   / sqrt(list_dot_product(c.ce, c.ce)) DESC,
-                                          c.centroid_id) AS rn
-                FROM corpus a CROSS JOIN c) x
-            WHERE rn = 1),
-        bc AS (
-            SELECT bench_id, b, centroid_id FROM (
-                SELECT p.bench_id, p.b, c.centroid_id,
-                       ROW_NUMBER() OVER (PARTITION BY p.bench_id
-                                          ORDER BY list_dot_product(p.b, c.ce)
-                                                   / sqrt(list_dot_product(c.ce, c.ce)) DESC,
-                                          c.centroid_id) AS crank
-                FROM bench p CROSS JOIN c) x
-            WHERE crank <= {N_PROBE_CLUSTERS}),
-        cand AS (
-            SELECT a.vec_id,
-                   list_dot_product(a.e, bc.b)
-                   / (sqrt(list_dot_product(a.e, a.e))
-                      * sqrt(list_dot_product(bc.b, bc.b))) AS cos
-            FROM assign a JOIN bc ON a.centroid_id = bc.centroid_id),
-        hits AS (
-            SELECT vec_id, MAX(cos) AS mc,
-                   CAST(COUNT(CASE WHEN cos >= {SEMDECON_THRESHOLD} THEN 1 END)
-                        AS BIGINT) AS nh
-            FROM cand GROUP BY vec_id)
+        {SEMDECON_CTES}
     SELECT cp.vec_id,
            COALESCE(ROUND(h.mc, 6), -1.0) AS max_cos,
            COALESCE(h.nh, CAST(0 AS BIGINT)) AS n_bench_hits,
            COALESCE(h.mc >= {SEMDECON_THRESHOLD}, false) AS contaminated
-    FROM corpus cp LEFT JOIN hits h ON cp.vec_id = h.vec_id""",
+    FROM sdc_corpus cp LEFT JOIN sdc_hits h ON cp.vec_id = h.vec_id""",
 )
 def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic decontamination over the embeddings table: flag training
@@ -974,28 +982,37 @@ def semdedup_verdicts(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> D
     )
 
 
+# The SemDeDup chain as a shared CTE fragment (the GOPHER_CTES pattern):
+# expects a CTE ``e`` (strict vec_id/e frame) in scope; yields sd_assign
+# (vec_id, e, centroid_id — adaptive-k fixed-centroid argmax) and
+# sd_dropped (vec_ids with a >= threshold smaller-id cluster-mate). The
+# semdedup query AND the embedding curation capstone (curation.py) replay
+# THIS text, so the float-parity-critical cosine idiom lives once.
+SEMDEDUP_CTES = f"""sd_c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {_ADAPTIVE_K_DUCK}),
+    sd_assign AS (
+        SELECT vec_id, e, centroid_id FROM (
+            SELECT a.vec_id, a.e, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY list_dot_product(a.e, c.ce)
+                                               / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                                      c.centroid_id) AS rn
+            FROM e a CROSS JOIN sd_c c) x
+        WHERE rn = 1),
+    sd_dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM sd_assign a JOIN sd_assign b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+              >= {EMB_DUP_THRESHOLD})"""
+
+
 @query(
     "semdedup",
     f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
-        c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {_ADAPTIVE_K_DUCK}),
-        assign AS (
-            SELECT vec_id, e, centroid_id FROM (
-                SELECT a.vec_id, a.e, c.centroid_id,
-                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                          ORDER BY list_dot_product(a.e, c.ce)
-                                                   / sqrt(list_dot_product(c.ce, c.ce)) DESC,
-                                          c.centroid_id) AS rn
-                FROM e a CROSS JOIN c) x
-            WHERE rn = 1),
-        dropped AS (
-            SELECT DISTINCT b.vec_id
-            FROM assign a JOIN assign b
-              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-            WHERE list_dot_product(a.e, b.e)
-                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-                  >= {EMB_DUP_THRESHOLD})
+        {SEMDEDUP_CTES}
     SELECT a.vec_id, a.centroid_id, d.vec_id IS NULL AS keep
-    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id""",
+    FROM sd_assign a LEFT JOIN sd_dropped d ON a.vec_id = d.vec_id""",
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_verdicts(_emb(spark, sf_dir))

@@ -88,3 +88,58 @@ def test_weighted_sample_respects_upstream_dedup(spark, docs):
     assert samp.count() == min(50, deduped.count())
     dropped = docs.join(kept.select("doc_id"), "doc_id", "left_anti")
     assert samp.join(dropped.select("doc_id"), "doc_id", "semi").count() == 0
+
+
+def test_embed_curate_composition_consistency(spark, sf_dir):
+    """The embedding capstone's output must be exactly consistent with its
+    independently-computed stage frames: every sampled vector is a
+    training-side SemDeDup keeper, none is contamination-flagged, clusters
+    cap at CLUSTER_SAMPLE_K, and a surviving cluster with >= K survivors
+    yields exactly K rows (the ticket window neither over- nor
+    under-draws)."""
+    from temporalvault_spark.operators.curation import q_embed_curate_end_to_end
+    from temporalvault_spark.operators.similarity import (
+        CLUSTER_SAMPLE_K,
+        SEMDECON_BENCH_VECS,
+        _emb,
+        centroid_frame,
+        semantic_contamination,
+        semdedup_verdicts,
+    )
+
+    out = q_embed_curate_end_to_end(spark, sf_dir).collect()
+    assert out, "capstone returned no rows"
+    got = {r["vec_id"] for r in out}
+    assert all(v >= SEMDECON_BENCH_VECS for v in got)
+
+    emb = _emb(spark, sf_dir)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    verdicts = semdedup_verdicts(emb).collect()
+    keep = {r["vec_id"] for r in verdicts if r["keep"]}
+    cluster_of = {r["vec_id"]: r["centroid_id"] for r in verdicts}
+    contam = {
+        r["vec_id"]
+        for r in semantic_contamination(
+            e.filter(F.col("vec_id") >= SEMDECON_BENCH_VECS),
+            e.filter(F.col("vec_id") < SEMDECON_BENCH_VECS),
+            centroid_frame(e),
+        )
+        .filter("contaminated")
+        .collect()
+    }
+    assert got <= keep
+    assert not (got & contam)
+    # the output's cluster_id is the SemDeDup assignment's
+    assert all(cluster_of[r["vec_id"]] == r["cluster_id"] for r in out)
+
+    # per-cluster counts: capped at K, and exactly K where survivors allow
+    surv_per_cluster: dict[int, int] = {}
+    for v in keep:
+        if v >= SEMDECON_BENCH_VECS and v not in contam:
+            c = cluster_of[v]
+            surv_per_cluster[c] = surv_per_cluster.get(c, 0) + 1
+    out_per_cluster: dict[int, int] = {}
+    for r in out:
+        out_per_cluster[r["cluster_id"]] = out_per_cluster.get(r["cluster_id"], 0) + 1
+    for c, n_surv in surv_per_cluster.items():
+        assert out_per_cluster.get(c, 0) == min(n_surv, CLUSTER_SAMPLE_K)
