@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.concurrency import run_concurrent
 from temporalvault_spark.constants import quant6
 from temporalvault_spark.operators.index_common import (
     assert_ingest_layout,
@@ -229,17 +230,34 @@ def build_minhash_index(
         F.substring("min_h", 1, bkt_chars).alias("bkt"),
         F.lit(ingest).cast("int").alias("ingest"),
     )
-    w = banded.repartition("band", "bkt").write.mode(mode)
-    if dyn:
-        w = w.option("partitionOverwriteMode", "dynamic")
-    w.partitionBy("band", "bkt", "ingest").parquet(path)
-    sw = (
-        sh.select("doc_id", "hs", "n_sh", F.lit(ingest).cast("int").alias("ingest"))
-        .write.mode(mode)
-    )
-    if dyn:
-        sw = sw.option("partitionOverwriteMode", "dynamic")
-    sw.partitionBy("ingest").parquet(f"{path}/_signatures")
+    def _write_banded() -> None:
+        w = banded.repartition("band", "bkt").write.mode(mode)
+        if dyn:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        w.partitionBy("band", "bkt", "ingest").parquet(path)
+
+    def _write_signatures() -> None:
+        sw = (
+            sh.select(
+                "doc_id", "hs", "n_sh", F.lit(ingest).cast("int").alias("ingest")
+            ).write.mode(mode)
+        )
+        if dyn:
+            sw = sw.option("partitionOverwriteMode", "dynamic")
+        sw.partitionBy("ingest").parquet(f"{path}/_signatures")
+
+    # The two artifact writes are independent of each other, and in the
+    # append modes (plain append / per-ingest dynamic overwrite) neither
+    # touches the other's directories — so they run as concurrent jobs
+    # (both read the checkpointed `sh`, no recompute). A fresh BUILD's
+    # static overwrite of `path` deletes the index ROOT first, and
+    # `_signatures` lives under it, so build mode stays sequential
+    # (root write, then sidecar into the fresh root).
+    if mode != "overwrite" or dyn:
+        run_concurrent([_write_banded, _write_signatures])
+    else:
+        _write_banded()
+        _write_signatures()
     if not append:
         # JVM-native 1-row frame, NOT createDataFrame: a local-data frame
         # parallelizes into defaultParallelism Python partitions, and

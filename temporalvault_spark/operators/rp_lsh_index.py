@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporalvault_spark.catalog import load_catalog
+from temporalvault_spark.concurrency import run_concurrent
 from temporalvault_spark.operators.rp_lsh import (
     RP_BANDS,
     RP_BITS,
@@ -187,29 +188,43 @@ def build_rp_index(
             bits = adaptive_rp_bits(stats[0], occ)
         bkt_chars = _bkt_chars_for(stats[0])
     sigs = rp_signatures(emb, bits=bits, stats=stats)
-    w = (
-        sigs.select(
-            "vec_id",
-            "band",
-            "bucket",
-            F.substring("bucket", 1, bkt_chars).alias("bkt"),
-            F.lit(ingest).cast("int").alias("ingest"),
+    def _write_bands() -> None:
+        w = (
+            sigs.select(
+                "vec_id",
+                "band",
+                "bucket",
+                F.substring("bucket", 1, bkt_chars).alias("bkt"),
+                F.lit(ingest).cast("int").alias("ingest"),
+            )
+            .repartition("band", "bkt")
+            .write.mode(mode)
         )
-        .repartition("band", "bkt")
-        .write.mode(mode)
-    )
-    if dyn:
-        w = w.option("partitionOverwriteMode", "dynamic")
-    w.partitionBy("band", "bkt", "ingest").parquet(path)
-    # one row per vector (sigs carries RP_BANDS copies of e/nrm)
-    vw = (
-        sigs.filter(F.col("band") == 0)
-        .select("vec_id", "e", "nrm", F.lit(ingest).cast("int").alias("ingest"))
-        .write.mode(mode)
-    )
-    if dyn:
-        vw = vw.option("partitionOverwriteMode", "dynamic")
-    vw.partitionBy("ingest").parquet(f"{path}/_vectors")
+        if dyn:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        w.partitionBy("band", "bkt", "ingest").parquet(path)
+
+    def _write_vectors() -> None:
+        # one row per vector (sigs carries RP_BANDS copies of e/nrm)
+        vw = (
+            sigs.filter(F.col("band") == 0)
+            .select("vec_id", "e", "nrm", F.lit(ingest).cast("int").alias("ingest"))
+            .write.mode(mode)
+        )
+        if dyn:
+            vw = vw.option("partitionOverwriteMode", "dynamic")
+        vw.partitionBy("ingest").parquet(f"{path}/_vectors")
+
+    # Independent artifact writes off the checkpointed `sigs` — concurrent
+    # in the append modes (the minhash_index note: plain append /
+    # per-ingest dynamic overwrite never touch each other's directories).
+    # A fresh BUILD's static overwrite of `path` deletes the index ROOT —
+    # `_vectors` lives under it — so build mode stays sequential.
+    if mode != "overwrite" or dyn:
+        run_concurrent([_write_bands, _write_vectors])
+    else:
+        _write_bands()
+        _write_vectors()
     if not append:
         # JVM-native 1-row frame (range + lit), NOT createDataFrame — the
         # minhash_index._meta note: a local-data frame pays Python-worker
