@@ -894,6 +894,32 @@ def assign_with_norm(emb: DataFrame, two_level: bool | None = None) -> DataFrame
     )
 
 
+# The SemDeDup chain as a shared CTE fragment (the GOPHER_CTES pattern):
+# expects a CTE ``e`` (strict vec_id/e frame) in scope; yields sd_assign
+# (vec_id, e, centroid_id — adaptive-k fixed-centroid argmax) and
+# sd_dropped (vec_ids with a >= threshold smaller-id cluster-mate). The
+# semdedup query AND the embedding curation capstone (curation.py) replay
+# THIS text, so the float-parity-critical cosine idiom lives once.
+SEMDEDUP_CTES = f"""sd_c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {_ADAPTIVE_K_DUCK}),
+    sd_assign AS (
+        SELECT vec_id, e, centroid_id FROM (
+            SELECT a.vec_id, a.e, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY list_dot_product(a.e, c.ce)
+                                               / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                                      c.centroid_id) AS rn
+            FROM e a CROSS JOIN sd_c c) x
+        WHERE rn = 1),
+    sd_dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM sd_assign a JOIN sd_assign b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+              >= {EMB_DUP_THRESHOLD})"""
+
+
+
 def embedding_cosine_pairs(
     emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD, assign: DataFrame | None = None
 ) -> DataFrame:
@@ -926,27 +952,22 @@ def embedding_cosine_pairs(
 @query(
     "dedup_embedding_cosine",
     f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings {EMB_STRICT_WHERE}),
-        c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {_ADAPTIVE_K_DUCK}),
-        assign AS (
-            SELECT vec_id, e, centroid_id FROM (
-                SELECT a.vec_id, a.e, c.centroid_id,
-                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                          ORDER BY list_dot_product(a.e, c.ce)
-                                                   / sqrt(list_dot_product(c.ce, c.ce)) DESC,
-                                          c.centroid_id) AS rn
-                FROM e a CROSS JOIN c) x
-            WHERE rn = 1)
+        {SEMDEDUP_CTES}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.centroid_id,
            ROUND(list_dot_product(a.e, b.e)
                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
                AS cosine
-    FROM assign a JOIN assign b
+    FROM sd_assign a JOIN sd_assign b
       ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.e, b.e)
           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
           >= {EMB_DUP_THRESHOLD}""",
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair form of the shared SemDeDup assignment chain: every same-cluster
+    pair at >= threshold cosine. The oracle compiles from SEMDEDUP_CTES —
+    the assignment idiom lives once (sd_dropped is present but unreferenced;
+    DuckDB prunes unused CTEs)."""
     return embedding_cosine_pairs(_emb(spark, sf_dir))
 
 
@@ -980,31 +1001,6 @@ def semdedup_verdicts(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> D
         "centroid_id",
         F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("keep"),
     )
-
-
-# The SemDeDup chain as a shared CTE fragment (the GOPHER_CTES pattern):
-# expects a CTE ``e`` (strict vec_id/e frame) in scope; yields sd_assign
-# (vec_id, e, centroid_id — adaptive-k fixed-centroid argmax) and
-# sd_dropped (vec_ids with a >= threshold smaller-id cluster-mate). The
-# semdedup query AND the embedding curation capstone (curation.py) replay
-# THIS text, so the float-parity-critical cosine idiom lives once.
-SEMDEDUP_CTES = f"""sd_c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {_ADAPTIVE_K_DUCK}),
-    sd_assign AS (
-        SELECT vec_id, e, centroid_id FROM (
-            SELECT a.vec_id, a.e, c.centroid_id,
-                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                      ORDER BY list_dot_product(a.e, c.ce)
-                                               / sqrt(list_dot_product(c.ce, c.ce)) DESC,
-                                      c.centroid_id) AS rn
-            FROM e a CROSS JOIN sd_c c) x
-        WHERE rn = 1),
-    sd_dropped AS (
-        SELECT DISTINCT b.vec_id
-        FROM sd_assign a JOIN sd_assign b
-          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-        WHERE list_dot_product(a.e, b.e)
-              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-              >= {EMB_DUP_THRESHOLD})"""
 
 
 @query(
