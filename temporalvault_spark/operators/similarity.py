@@ -898,8 +898,9 @@ def assign_with_norm(emb: DataFrame, two_level: bool | None = None) -> DataFrame
 # expects a CTE ``e`` (strict vec_id/e frame) in scope; yields sd_assign
 # (vec_id, e, centroid_id — adaptive-k fixed-centroid argmax) and
 # sd_dropped (vec_ids with a >= threshold smaller-id cluster-mate). The
-# semdedup query AND the embedding curation capstone (curation.py) replay
-# THIS text, so the float-parity-critical cosine idiom lives once.
+# dedup_embedding_cosine pair query, the semdedup query, AND the embedding
+# curation capstone (curation.py) all compile from THIS text, so the
+# float-parity-critical cosine idiom lives once.
 SEMDEDUP_CTES = f"""sd_c AS (SELECT vec_id AS centroid_id, e AS ce FROM e WHERE vec_id < {_ADAPTIVE_K_DUCK}),
     sd_assign AS (
         SELECT vec_id, e, centroid_id FROM (
