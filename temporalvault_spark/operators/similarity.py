@@ -1457,11 +1457,18 @@ def q_cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-visible, making this the iterative-ML analog of the pagerank
     oracle. Topic-style clustering is the data-mixing workhorse of a
     training-data pipeline (cluster-balanced sampling, SemDeDup's first
-    stage, IVF training)."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    )
-    assigned, cents = kmeans_lloyd(e)
+    stage, IVF training).
+
+    This is also the family's STAGING job (the q_ngram_pairs_stage
+    contract): it ALWAYS re-trains (force=True), persists the assignment
+    + centroid artifacts, and summarizes FROM them — so the bench measures
+    train + stage-write exactly once and explicitly, and riders
+    (corpus_cluster_sample) pay only an artifact scan. Integers and
+    parquet-roundtripped doubles summarize identically to the in-memory
+    frames (same values, same round(6))."""
+    path = stage_kmeans_assign(spark, sf_dir, force=True)
+    assigned = spark.read.parquet(path)
+    cents = spark.read.parquet(f"{path}/_centroids")
     norms = cents.select(
         "centroid_id", F.round(_norm(F.col("ce")), 6).alias("centroid_norm")
     )
@@ -1630,6 +1637,55 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLUSTER_SAMPLE_K = 20
 
 
+# (appId, corpus fingerprint) -> staged path of the oracled 2-round Lloyd
+# ASSIGNMENT (vec_id, label, centroid_id) — the stage_phash contract:
+# consumers pay a parquet re-scan, never a re-train. cluster_kmeans_lloyd
+# stays the always-retrain measurement query; this artifact exists for the
+# riders (corpus_cluster_sample today).
+_STAGED_KMEANS_ASSIGN: dict[tuple, str] = {}
+
+
+def stage_kmeans_assign(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Materialize the oracled Lloyd assignment once per application +
+    corpus fingerprint. Integers and the untouched label column round-trip
+    parquet exactly, so a rider's oracle can keep replaying the full
+    training chain — the artifact IS that chain's output."""
+    import os
+
+    from temporalvault_spark.operators.llm import _corpus_key
+    from temporalvault_spark.staging import stage_dir
+
+    key = _corpus_key(spark, sf_dir, table="embeddings")
+    path = _STAGED_KMEANS_ASSIGN.get(key)
+    if path is None or force or not os.path.isdir(path):
+        if path is None or not os.path.isdir(path):
+            path = os.path.join(stage_dir(spark, "kmeans_assign"), "assign")
+        e = _emb(spark, sf_dir).select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+        )
+        assigned, cents = kmeans_lloyd(e)
+        # main frame first: the root overwrite deletes `path` including any
+        # previous sidecar (the build_ivf_index write order)
+        assigned.select("vec_id", "label", "centroid_id").write.mode(
+            "overwrite"
+        ).parquet(path)
+        # sidecar via ONE-slice parallelize, not coalesce(1) over a local-
+        # data frame: kmeans_lloyd's cents frame parallelizes into
+        # defaultParallelism Python partitions and coalesce then pays every
+        # worker round-trip SERIALLY in one task (the minhash _meta note —
+        # measured ~4s for k rows). One slice = one round trip (~0.2s).
+        cent_rows = cents.collect()  # bounded: k rows of dim doubles
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(int(r["centroid_id"]), [float(x) for x in r["ce"]]) for r in cent_rows],
+                1,
+            ),
+            "centroid_id bigint, ce array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/_centroids")
+        _STAGED_KMEANS_ASSIGN[key] = path
+    return path
+
+
 @query(
     "corpus_cluster_sample",
     f"""WITH {_DUCK_KMEANS_CHAIN}
@@ -1657,13 +1713,14 @@ def q_corpus_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-cluster rank is a WindowGroupLimit (each
     partition keeps only its local top-k per cluster BEFORE the
     exchange); the clustering itself never ships vectors to the driver
-    (kmeans_lloyd's contract)."""
+    (kmeans_lloyd's contract). The sampler RIDES the staged assignment
+    artifact (stage_kmeans_assign — trains on first use per corpus, the
+    ngram-pairs staging contract; cluster_kmeans_lloyd remains the
+    always-retrain measurement of the training itself), so this query's
+    own cost is one slim artifact scan + the bounded rank window."""
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    )
-    assigned, _cents = kmeans_lloyd(e)
+    assigned = spark.read.parquet(stage_kmeans_assign(spark, sf_dir))
     u = F.md5(F.concat(F.lit("cbs:"), F.col("vec_id").cast("string")))
     return (
         assigned.select("vec_id", "label", "centroid_id", u.alias("u"))
