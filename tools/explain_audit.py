@@ -105,6 +105,7 @@ AUDITED = [
     ("quality_classifier_score", "learned quality stage: training is one map-side-combined per-bucket aggregate (labels joined at DOC level before the gram explode; <= 128-row collect, cached per corpus); scoring is ONE codegen'd fold projection against the literal weight array — the corpus never shuffles to score"),
     ("decontaminate_semantic", "semantic decontamination: corpus side is the shuffle-free broadcast-argmax assignment projection; the benchmark suite's nprobe clusters broadcast; candidates equi-join on centroid_id (~nprobe/C of the corpus per bench item), then one slim per-vec aggregate + the all-rows left join"),
     ("decontaminate_semantic_indexed", "the production shape: benchmark suite + centroid sidecar collect driver-side (bounded); PartitionFilters prunes the persisted IVF index to the union of probed cluster directories — per-suite cost is |probed|/k of the corpus, never a full pass"),
+    ("embed_curate_end_to_end", "embedding-side capstone: SemDeDup verdict and contamination frames materialize as concurrent jobs (slim vec_id frames), survivor cut is two anti-joins, and the per-cluster ticket sample plans a WindowGroupLimit — vectors cross an exchange only inside the two blocked stage pipelines"),
 ]
 
 
