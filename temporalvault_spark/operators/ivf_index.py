@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from temporalvault_spark.concurrency import run_concurrent
 from temporalvault_spark.constants import quant6
 from temporalvault_spark.operators.index_common import quant6_sql
 from temporalvault_spark.operators.similarity import (
@@ -112,12 +113,24 @@ def build_ivf_index(emb: DataFrame, path: str, centroids: DataFrame | None = Non
         .partitionBy("centroid_id")
         .parquet(path)
     )
-    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
-    # JVM-native 1-row frame, the minhash_index._meta note
-    e.sparkSession.range(0, 1, 1, 1).select(
-        F.lit(k_meta).cast("int").alias("k"),
-        F.lit(n_built).cast("bigint").alias("n_built"),
-    ).write.mode("overwrite").parquet(f"{path}/_meta")
+    # sidecars AFTER the main write (its static root overwrite deletes
+    # `path` including them), but concurrent with EACH OTHER — each
+    # overwrites only its own subdirectory (the gates' run_concurrent shape)
+    run_concurrent(
+        [
+            lambda: cents.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/_centroids"),
+            # JVM-native 1-row frame, the minhash_index._meta note
+            lambda: e.sparkSession.range(0, 1, 1, 1)
+            .select(
+                F.lit(k_meta).cast("int").alias("k"),
+                F.lit(n_built).cast("bigint").alias("n_built"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/_meta"),
+        ]
+    )
 
 
 def _rank_centroids(cents: list, vec, nprobe: int) -> list:

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from temporalvault_spark.concurrency import run_concurrent
 from temporalvault_spark.operators.pq import (
     PQ_DIM,
     PQ_K,
@@ -83,17 +84,31 @@ def build_ivfpq_index(
         .partitionBy("centroid_id")
         .parquet(path)
     )
-    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
-    # flat (sub, code, cw) form — rebuildable into the fold row on read
-    cb_row.select(F.explode("cb").alias("s")).select(
-        "s.sub", "s.code", "s.cw"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebook")
-    # growth-contract sidecar (the build_ivf_index contract: k = ACTUAL
-    # sidecar rows, n_built = filtered corpus size at build time)
-    e.sparkSession.range(0, 1, 1, 1).select(
-        F.lit(k_meta).cast("int").alias("k"),
-        F.lit(n_built).cast("bigint").alias("n_built"),
-    ).write.mode("overwrite").parquet(f"{path}/_meta")
+    # sidecars AFTER the main write (its static root overwrite deletes
+    # `path` including them), but concurrent with EACH OTHER — each
+    # overwrites only its own subdirectory (the gates' run_concurrent shape)
+    run_concurrent(
+        [
+            lambda: cents.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/_centroids"),
+            # flat (sub, code, cw) form — rebuildable into the fold row on read
+            lambda: cb_row.select(F.explode("cb").alias("s"))
+            .select("s.sub", "s.code", "s.cw")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/_codebook"),
+            # growth-contract sidecar (the build_ivf_index contract: k =
+            # ACTUAL sidecar rows, n_built = filtered corpus size at build)
+            lambda: e.sparkSession.range(0, 1, 1, 1)
+            .select(
+                F.lit(k_meta).cast("int").alias("k"),
+                F.lit(n_built).cast("bigint").alias("n_built"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/_meta"),
+        ]
+    )
 
 
 def ivfpq_search(
