@@ -56,6 +56,7 @@ from temporalvault_spark.operators.llm import (
 from temporalvault_spark.operators.phash import _PH_PAIRS_CTES
 from temporalvault_spark.operators.similarity import (
     CLUSTER_SAMPLE_K,
+    _assign_cached,
     EMB_STRICT_WHERE,
     SEMDECON_BENCH_VECS,
     SEMDECON_CTES,
@@ -259,9 +260,14 @@ def q_embed_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages 1-2 concurrently: SemDeDup verdicts and the contamination
     # flags share nothing until the survivor cut (deliberately different
     # blocking: adaptive-k pair join vs fixed-centroid nprobe probe)
+    # the session-staged assignment builds (or cache-hits) BEFORE the
+    # barrier so both thunks see one materialization; semdedup rides it
+    shared_assign = _assign_cached(spark, sf_dir)
     verdicts, contam = run_concurrent(
         [
-            lambda: semdedup_verdicts(emb).localCheckpoint(eager=True),
+            lambda: semdedup_verdicts(emb, assign=shared_assign).localCheckpoint(
+                eager=True
+            ),
             lambda: (
                 semantic_contamination(corpus, bench, centroid_frame(e))
                 .filter(F.col("contaminated"))

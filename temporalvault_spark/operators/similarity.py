@@ -894,6 +894,26 @@ def assign_with_norm(emb: DataFrame, two_level: bool | None = None) -> DataFrame
     )
 
 
+# (appId, dir, embeddings mtime+size) -> the checkpointed assign_with_norm
+# frame: ONE assignment materialization feeds every pair-join consumer in a
+# session (semdedup, dedup_embedding_cosine, the embedding capstone) — the
+# _bm25_base_cached freshness contract, so an in-process corpus rewrite
+# restages. Registered-query plumbing only; assign_with_norm itself stays
+# pure for synthetic-frame tests.
+_ASSIGN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _assign_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temporalvault_spark.operators.llm import _corpus_key
+
+    key = _corpus_key(spark, sf_dir, table="embeddings")
+    a = _ASSIGN_CACHE.get(key)
+    if a is None:
+        a = assign_with_norm(_emb(spark, sf_dir))
+        _ASSIGN_CACHE[key] = a
+    return a
+
+
 # The SemDeDup chain as a shared CTE fragment (the GOPHER_CTES pattern):
 # expects a CTE ``e`` (strict vec_id/e frame) in scope; yields sd_assign
 # (vec_id, e, centroid_id — adaptive-k fixed-centroid argmax) and
@@ -969,10 +989,16 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair at >= threshold cosine. The oracle compiles from SEMDEDUP_CTES —
     the assignment idiom lives once (sd_dropped is present but unreferenced;
     DuckDB prunes unused CTEs)."""
-    return embedding_cosine_pairs(_emb(spark, sf_dir))
+    return embedding_cosine_pairs(
+        _emb(spark, sf_dir), assign=_assign_cached(spark, sf_dir)
+    )
 
 
-def semdedup_verdicts(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> DataFrame:
+def semdedup_verdicts(
+    emb: DataFrame,
+    threshold: float = EMB_DUP_THRESHOLD,
+    assign: DataFrame | None = None,
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     k-means-cluster blocking — within each cluster, drop every vector that
     has a higher-than-threshold cosine neighbor with a smaller id, keep the
@@ -991,7 +1017,7 @@ def semdedup_verdicts(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> D
     one slim left-anti-style join of verdicts back onto the assignment.
     The assignment materializes ONCE (assign_with_norm) and feeds both
     pair sides and the verdict base."""
-    shared = assign_with_norm(emb)
+    shared = assign if assign is not None else assign_with_norm(emb)
     pairs = embedding_cosine_pairs(emb, threshold, assign=shared)
     dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     assign = shared.select("vec_id", "centroid_id")
@@ -1012,7 +1038,9 @@ def semdedup_verdicts(emb: DataFrame, threshold: float = EMB_DUP_THRESHOLD) -> D
     FROM sd_assign a LEFT JOIN sd_dropped d ON a.vec_id = d.vec_id""",
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return semdedup_verdicts(_emb(spark, sf_dir))
+    return semdedup_verdicts(
+        _emb(spark, sf_dir), assign=_assign_cached(spark, sf_dir)
+    )
 
 
 @query("sim_topk_cosine_pandas")  # rows-only: same semantics as sim_topk_cosine
