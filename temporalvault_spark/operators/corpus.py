@@ -1062,7 +1062,14 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"i -> array_join(slice(t, i + 1, {n}), ' '))), s -> md5(s))"
             )
         ).alias("g"),
-    ).distinct()
+        # Both self-join sides reference this frame: without the (lazy)
+        # checkpoint the tokenize+md5+distinct pipeline re-expands into each
+        # side and runs twice per query (guide §2.4 — the trade_edges /
+        # signature-checkpoint pattern; r14 A/B min 1.86s → 1.75s at sf0.1
+        # where the idle-core slack still absorbs most of the double md5
+        # pass — at scale the saving is the full second tokenize+md5+distinct
+        # pass; identical rows).
+    ).distinct().localCheckpoint(eager=False)
     a = grams.select(F.col("source").alias("source_a"), "g")
     b = grams.select(F.col("source").alias("source_b"), "g")
     return (

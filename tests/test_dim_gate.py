@@ -131,3 +131,41 @@ def test_dim512_mean_vector_null_rows_twin_equal(spark, monkeypatch):
     m_unr, n_unr = sim._mean_vector(with_null, 512)
     assert n_fold == n_unr == 21  # the NULL row counts in both
     assert max(abs(a - b) for a, b in zip(m_fold, m_unr)) < 1e-12
+
+
+def test_local_centroid_assign_matches_broadcast_assign(spark):
+    """Round-14 optimization pin: kmeans_lloyd's literal-centroid assign
+    (assign_to_local_centroids — centroids shipped as a literal expression,
+    no per-round createDataFrame → agg → broadcast-build job) must produce
+    the EXACT assignment of the broadcast-frame form on the real corpus,
+    and its driver-side cn (_py_norm, the same left-to-right fold as _dot)
+    must equal the engine-folded cn bit-for-bit."""
+    from temporalvault_spark.catalog import load_catalog
+
+    sf = "/root/testdata/sf0.001"
+    load_catalog(spark, sf)
+    e = sim._emb(spark, sf).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = e.filter(F.col("vec_id") < sim.KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+    cent_local = {
+        int(r["centroid_id"]): [float(x) for x in r["ce"]] for r in cents.collect()
+    }
+    # cn bit-equality: driver fold == engine fold, per centroid
+    engine_cn = {
+        int(r["centroid_id"]): r["cn"]
+        for r in cents.withColumn("cn", sim._norm(F.col("ce"))).collect()
+    }
+    for cid, vec in cent_local.items():
+        assert sim._py_norm(vec) == engine_cn[cid], f"cn drifted for {cid}"
+    # full-assignment equality on every corpus row
+    cents_df = spark.createDataFrame(
+        sorted(cent_local.items()), "centroid_id bigint, ce array<double>"
+    )
+    bcast = _rows(sim.assign_to_centroids(e, cents_df).select("vec_id", "centroid_id"))
+    lit = _rows(
+        sim.assign_to_local_centroids(e, cent_local).select("vec_id", "centroid_id")
+    )
+    assert bcast == lit and len(bcast) > 0
