@@ -96,10 +96,12 @@ def pagerank_int(
     the RANK frame is node-sized — orders of magnitude smaller than the
     edge frame (here: |C|+|S| nodes vs every trading pair) — so each
     iteration joins edges ⋈ broadcast(ranks): the edge frame NEVER
-    shuffles. This in-memory path checkpoints the edges pre-partitioned on
-    dst, so the per-iteration aggregate (group contributions by dst) reuses
-    that partitioning — an iteration adds ZERO data shuffles, only a
-    broadcast of the new (tiny) rank state. Per-iteration (lazy)
+    shuffles. Each round's contribution aggregate pays one slim exchange
+    of (node, contribution) integer pairs — node-sized, not edge-sized
+    (r14 audit: a localCheckpoint read-back does not carry
+    hash-partitioning metadata, so the dst pre-partitioning cannot be
+    reused to elide it; the earlier zero-shuffle-per-iteration claim was
+    stale). Per-iteration (lazy)
     localCheckpoints truncate lineage so planner time stays O(1) in n_iter.
     Once ranks outgrow broadcast (billions of nodes), _pagerank_core
     switches AUTOMATICALLY to a co-partitioned shuffle-hash join on the
@@ -281,8 +283,7 @@ def _edges_key(spark: SparkSession, sf_dir: str) -> _EdgeKey:
 
 def stage_trade_edges(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
     """Materialize the degree-annotated symmetric edge frame (src, dst, deg)
-    once per session, partitioned on dst so the per-iteration contribution
-    aggregate reuses the partitioning with no exchange."""
+    once per session."""
     from temporalvault_spark.staging import stage_dir
 
     key = _edges_key(spark, sf_dir)
@@ -294,12 +295,17 @@ def stage_trade_edges(spark: SparkSession, sf_dir: str, force: bool = False) -> 
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         # deg is NODE-sized (the same broadcast regime as the rank state in
         # _pagerank_core — and the same fallback applies beyond it): with it
-        # broadcast, annotating the edges adds no exchange, and the dst
-        # repartition below is the staging pipeline's only edge-sized
-        # shuffle after the distinct.
+        # broadcast, annotating the edges adds no exchange, and the
+        # distinct is the staging pipeline's only edge-sized shuffle.
+        # The write takes the join output's partitioning as-is (the
+        # distinct's AQE-coalesced, bytes-sized partitions): the former
+        # numbered dst repartition existed only for the partitioning-reuse
+        # claim the r14 audit disproved (a checkpoint/parquet read-back
+        # carries no hash-partitioning metadata), so it was one extra
+        # edge-sized shuffle per stage and, at the scale-adaptive
+        # shuffle-partition count, a small-files fan-out on the artifact.
         (
             edges.join(F.broadcast(deg), "src")
-            .repartition(_edge_parts(edges), "dst")
             .write.mode("overwrite")
             .parquet(path)
         )
@@ -317,16 +323,18 @@ def stage_trade_edges(spark: SparkSession, sf_dir: str, force: bool = False) -> 
 def staged_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst, deg) from the staged artifact — stages on first use.
 
-    The returned frame is hash-partitioned on dst and eagerly checkpointed
-    (once per session, see _STAGED_EDGES_DF): parquet read-back alone would
-    lose the writer's partitioning, re-introducing a per-iteration exchange
-    in every downstream groupBy(dst)."""
+    The returned frame is localCheckpointed lazily (once per session, see
+    _STAGED_EDGES_DF) so PageRank's ~7 accesses per run read cached blocks
+    instead of re-decoding the parquet. The former dst repartition before
+    the checkpoint is gone (r14): a checkpoint read-back carries no
+    hash-partitioning metadata, so that edge-sized shuffle bought nothing
+    (see _pagerank_core's docstring on the per-round slim aggregate
+    exchange)."""
     key = _edges_key(spark, sf_dir)
     path = stage_trade_edges(spark, sf_dir)
     df = _STAGED_EDGES_DF.get(key)
     if df is None:
-        df = spark.read.parquet(path)
-        df = df.repartition(_edge_parts(df), "dst").localCheckpoint(eager=True)
+        df = spark.read.parquet(path).localCheckpoint(eager=False)
         _STAGED_EDGES_DF[key] = df
     return df
 

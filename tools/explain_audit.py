@@ -58,8 +58,8 @@ AUDITED = [
     ("win_ewma", "ONE window shuffle on user_id; bounded 8-element frame folded by a JVM higher-order function — no UDF"),
     ("join_skew_salted", "forced ShuffledHashJoin on (key, salt): dim replicated 8x, hot key spread over 8 reducers (the hint reproduces the big-dim plan Catalyst would pick at scale); post-join agg map-side combines"),
     ("merge_upsert", "the MERGE itself is BroadcastHashJoin-only (no vault shuffle; full-outer would SMJ) — the exchanges present belong to deriving latest-state from the version log; inserts from a tiny anti-join"),
-    ("trade_edges_stage", "one-time graph build, force-re-run so its cost stays measured: DISTINCT on the raw int pair (16-byte rows through the only edge-sized exchange), node labels built after, node-sized degree frame broadcast; artifact written dst-partitioned"),
-    ("pagerank_trade_network", "returned plan = top-k over the eagerly-checkpointed final rank state; the 5 iteration rounds (edges JOIN broadcast(ranks), contributions aggregated on the dst partitioning of the session-cached repartitioned+checkpointed artifact read — plain parquet read-back would lose it — so the edge frame never re-shuffles) run inside the call, one bounded job each; above PR_BROADCAST_MAX_BYTES (byte-estimated rank relation) the loop auto-switches to a co-partitioned shuffle-hash join (both plans pinned in tests/test_graph.py)"),
+    ("trade_edges_stage", "one-time graph build, force-re-run so its cost stays measured: DISTINCT on the raw int pair (16-byte rows through the only edge-sized exchange), node labels built after, node-sized degree frame broadcast; the pair frame is checkpointed ONCE (r14 — by-lineage reuse re-expanded the orders-lineitem join+distinct 4x into the union/degree consumers: 16 FileScans/22 Exchanges -> 2/6, plans/r14/); the artifact write takes the join output's AQE-coalesced partitioning (the former numbered dst repartition served only the disproven partitioning-reuse claim and is gone, r14)"),
+    ("pagerank_trade_network", "returned plan = top-k over the (lazily) checkpointed final rank state; the 5 iteration rounds (edges JOIN broadcast(ranks)) run inside the call — the edge frame itself never re-shuffles (broadcast join over the checkpointed artifact read), and each round's contribution aggregate pays ONE slim (node, c) integer-pair exchange: a localCheckpoint read-back does NOT carry hash-partitioning metadata, so the earlier 'aggregate reuses the dst partitioning' claim was stale (r14 audit, OPTIMIZATION_r14.md); above PR_BROADCAST_MAX_BYTES (byte-estimated rank relation) the loop auto-switches to a co-partitioned shuffle-hash join (both plans pinned in tests/test_graph.py)"),
     ("dedup_rp_lsh", "adaptive-width signature projection with constant-folded literal plane arrays (no per-row md5); candidates from a (band, bucket) equi-join — never corpus²; exact cosine only on DISTINCT candidates"),
     ("retrieval_rrf_topk", "each retriever cut to top-DEPTH via TakeOrderedAndProject BEFORE its rank window, so the single-partition row_number touches ≤ DEPTH rows by construction; fusion is a DEPTH-row full-outer join; the BM25 side reads the session-staged corpus pass"),
     ("ml_quantile_bin_approx", "NO Window (the exact form's per-type total order is gone): percentile_approx boundaries via one mergeable hash aggregate, bin by range lookup against the broadcast boundary frame"),
