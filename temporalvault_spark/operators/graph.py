@@ -67,15 +67,15 @@ def rank_bcast_fits(n_nodes: int, avg_id_len: float | None) -> bool:
 
 
 def _edge_parts(df: DataFrame) -> int:
-    """dst-partition fan-out for the edge frame: the session's configured
-    shuffle-partition count (scale-adaptive, session._shuffle_partitions).
-    It MUST equal spark.sql.shuffle.partitions, not defaultParallelism:
-    the per-iteration contribution aggregate shuffles at the session
-    number, and hash-partitioning reuse only elides that exchange when
-    the counts match — with the r14 scale-adaptive partition count (8x
-    cores) a defaultParallelism-numbered repartition re-introduced one
-    edge-sized exchange per PageRank iteration (bench: pagerank 2.4s ->
-    4.9s) until this was aligned."""
+    """Fan-out for pagerank_int's in-memory edge checkpoint (its only
+    remaining caller, r14 — the staged artifact no longer repartitions):
+    the session's configured shuffle-partition count, i.e. the same
+    scale-adaptive dial every other exchange uses (session.
+    _shuffle_partitions), so the checkpointed blocks give the iteration
+    join/aggregate map side full parallelism. The repartition provides
+    PARALLELISM only — the r14 audit showed a checkpoint read-back
+    carries no hash-partitioning metadata, so no downstream exchange is
+    elided by it at any count."""
     spark = df.sparkSession
     try:
         return int(spark.conf.get("spark.sql.shuffle.partitions"))

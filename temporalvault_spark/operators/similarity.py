@@ -266,8 +266,9 @@ def assign_to_centroids(e: DataFrame, centroids: DataFrame | None = None) -> Dat
 
 def _py_norm(vec) -> float:
     """Driver-side twin of ``_norm`` for LITERAL centroid arrays: the
-    identical left-to-right fold (acc + x·x, one fused add per element,
-    exactly _dot's aggregate order) then sqrt. IEEE-754 doubles with the
+    identical left-to-right fold (one multiply then one add per element,
+    exactly _dot's aggregate order — no FMA fusing on either side) then
+    sqrt. IEEE-754 doubles with the
     same op sequence are bit-identical across Python, the JVM, and DuckDB,
     so a literal cn equals the engine-folded cn bit-for-bit —
     tests/test_dim_gate.py pins the full-assignment equality on the real

@@ -54,7 +54,7 @@ RUNTIME_CONFS = {
 def _shuffle_partitions(spark: SparkSession) -> int:
     """Scale-adaptive initial shuffle-partition count: 8 x the session's
     core count (floor 64). The INITIAL number is the pre-AQE ceiling —
-    AQE's partition coalescing (enabled below) then sizes the REAL
+    AQE's partition coalescing (enabled in RUNTIME_CONFS) then sizes the REAL
     post-shuffle partitions by bytes, so oversizing is cheap and
     undersizing caps parallelism. A constant (the old 32) was tuned to one
     local core count: it throttled CPU-heavy post-shuffle stages (the LSH
