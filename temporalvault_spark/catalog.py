@@ -10,6 +10,8 @@ window functions rather than stored; timestamps are second-truncated at ingest
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -94,6 +96,23 @@ def temporal_oracle(select_sql: str) -> str:
     return f"WITH {TEMPORAL_CTES} {select_sql}"
 
 
+def _dir_bytes(sf_dir: str) -> int:
+    """Total bytes under ``sf_dir`` (the catalog's raw input size). Local
+    filesystem walk — cheap metadata; any failure degrades to 0 (the dial
+    then uses its parallelism floor)."""
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(sf_dir):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+    except Exception:
+        return 0
+    return total
+
+
 class Catalog:
     """Loads the ten parquet tables of one sf_dir and registers temp views.
 
@@ -103,7 +122,10 @@ class Catalog:
     """
 
     def __init__(self, spark: SparkSession, sf_dir: str):
-        tune(spark)
+        # The catalog is the one place that knows the input directory, so it
+        # feeds the input-size-derived shuffle-partition dial (session.
+        # _shuffle_partitions): one os.walk of sf_dir, metadata only.
+        tune(spark, input_bytes=_dir_bytes(sf_dir))
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
         self._register()

