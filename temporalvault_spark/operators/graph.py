@@ -101,7 +101,7 @@ def pagerank_int(
     (r14 audit: a localCheckpoint read-back does not carry
     hash-partitioning metadata, so the dst pre-partitioning cannot be
     reused to elide it; the earlier zero-shuffle-per-iteration claim was
-    stale). Per-iteration (lazy)
+    stale). Per-iteration eager
     localCheckpoints truncate lineage so planner time stays O(1) in n_iter.
     Once ranks outgrow broadcast (billions of nodes), _pagerank_core
     switches AUTOMATICALLY to a co-partitioned shuffle-hash join on the
@@ -145,14 +145,15 @@ def _pagerank_core(
     The join-strategy choice never touches values (both regimes are
     value-identical, pinned by tests), so the float avg-length estimate
     adds no parity risk."""
-    # Lazy checkpoints throughout the iteration chain (r14, guide §1.2):
-    # localCheckpoint converts to an RDD-backed frame immediately either
-    # way (planner stays O(1) in n_iter); eager=True additionally ran one
-    # BLOCKING materialization job per round — 7 sequential job round
-    # trips that the final action's DAG can instead absorb. A/B at sf0.1
-    # (8 rounds, alternating): eager med 3.09s / lazy med 2.77s, values
-    # identical.
-    nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
+    # EAGER checkpoints throughout the iteration chain (r15 — back to the
+    # r13 shape the driver measured at 1.53s): r14 made these lazy on a
+    # builder-box A/B taken at the then-current artifact layout; re-measured
+    # at the restored 32-way fan-out, eager wins clearly (interleaved, 6
+    # rounds: eager med 4.61s / lazy med 6.30s on the noisy sandbox — one
+    # bounded blocking job per round beats materializing the whole
+    # 5-iteration chain inside one deep final job). Values identical either
+    # way; planner stays O(1) in n_iter in both forms.
+    nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     stats = nodes.agg(
         F.count("*").alias("n"), F.avg(F.length("node")).alias("id_len")
     ).first()  # one bounded driver row: count + mean id width
@@ -165,11 +166,11 @@ def _pagerank_core(
     # the (correctly-rounded, engine-independent) division moves to Python
     ranks = nodes.select(
         "node", F.round(F.lit(float(PR_SCALE) / n_nodes)).cast("long").alias("r")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     teleport_node_u = (1.0 - damp) * PR_SCALE / n_nodes
     for _ in range(n_iter):
         ranks = _iterate(ed, ranks, use_broadcast, teleport_node_u, damp).localCheckpoint(
-            eager=False
+            eager=True
         )
     return ranks.select("node", F.col("r").alias("rank_u"))
 
